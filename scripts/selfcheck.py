@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB correctness gate.
+
+Usage: python3 scripts/selfcheck.py <verify_out_dir> <sf_dir>
+
+Reads each <out>/<name> parquet result written by graft.Verify plus
+<out>/oracle_sql.json, runs every oracle against DuckDB views of the
+sf-dir tables, and compares row count, column names, and value hashes
+(columns sorted by name, rows sorted, floats as-is after the query's own
+rounding). Dev tool only — the real gate is the driver's.
+"""
+import glob
+import json
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(repr(r[i]) for i in order))
+    out.sort()
+    return out
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    failures = 0
+    for name in sorted(oracle):
+        pq = os.path.join(out_dir, name)
+        files = glob.glob(f"{pq}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result parquet at {pq}")
+            failures += 1
+            continue
+        got = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        g_cols, g_rows = got.columns, got.fetchall()
+        try:
+            exp = con.sql(oracle[name])
+            e_cols, e_rows = exp.columns, exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        if sorted(g_cols) != sorted(e_cols):
+            print(f"FAIL {name}: columns {sorted(g_cols)} != {sorted(e_cols)}")
+            failures += 1
+            continue
+        if len(g_rows) != len(e_rows):
+            print(f"FAIL {name}: rows {len(g_rows)} != {len(e_rows)}")
+            failures += 1
+            continue
+        cg, ce = canon(g_rows, g_cols), canon(e_rows, e_cols)
+        if cg != ce:
+            bad = [i for i, (a, b) in enumerate(zip(cg, ce)) if a != b][:3]
+            print(f"FAIL {name}: value mismatch at sorted rows {bad}")
+            for i in bad:
+                print(f"   spark: {cg[i]}\n   duck : {ce[i]}")
+            failures += 1
+            continue
+        print(f"OK   {name}: {len(g_rows)} rows")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

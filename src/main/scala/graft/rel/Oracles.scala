@@ -1,0 +1,143 @@
+package graft.rel
+
+/** DuckDB oracle SQL for every query in [[Queries.all]]. Column aliases and
+  * ORDER BY must match the Spark side exactly — the driver sorts columns by
+  * name and hashes values. Rounding of FP aggregates mirrors the Spark side
+  * so accumulation-order differences can't flip the hash.
+  */
+object Oracles {
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 2) AS avg_qty,
+        | round(avg(l_extendedprice), 2) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate > TIMESTAMP '1999-01-01' AND l_discount < 0.05 AND l_quantity >= 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_orderstatus = 'F' AND o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | count(DISTINCT l_suppkey) AS supp_cnt,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q07_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q08_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+        | round(coalesce(lag(o_totalprice, 1) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS prev_price
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q09_topk" ->
+      """SELECT l_partkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |ORDER BY revenue DESC, l_partkey
+        |LIMIT 10""".stripMargin,
+
+    "q10_union_except" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION
+        | SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 450000)
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY custkey""".stripMargin,
+
+    "q12_scalar_funcs" ->
+      """SELECT o_orderkey,
+        | upper(o_orderpriority) AS pri_upper,
+        | lower(o_orderstatus) AS status_lower,
+        | substr(o_orderpriority, 1, 1) AS pri_code,
+        | length(o_orderpriority) AS pri_len,
+        | concat(o_orderstatus, '-', o_orderpriority) AS status_pri,
+        | replace(o_orderpriority, '-', '_') AS pri_us,
+        | year(o_orderdate) AS o_year,
+        | month(o_orderdate) AS o_month,
+        | day(o_orderdate) AS o_day,
+        | datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS o_month_start,
+        | round(sqrt(o_totalprice), 4) AS sqrt_price,
+        | round(ln(o_totalprice), 6) AS ln_price,
+        | round(abs(o_totalprice - 250000.0), 2) AS dev,
+        | CAST(floor(o_totalprice) AS BIGINT) AS floor_price
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q13_events_json" ->
+      """SELECT event_id, event_type,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+        | CASE WHEN value >= 100 THEN 'high'
+        |      WHEN value >= 10 THEN 'mid'
+        |      ELSE 'low' END AS band
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q14_wordcount" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(text, '[ ,."'']+')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY word""".stripMargin
+  )
+}

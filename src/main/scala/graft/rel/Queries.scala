@@ -1,0 +1,254 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator surface (SURVEY.md §7.3.2) over the driver's
+  * TPC-H-ish parquet tables: scans, filter/project with pushdown, broadcast +
+  * shuffle joins, semi/anti joins, hash aggregation, distinct, rollup,
+  * ranking and frame window functions, top-k, set operations, and the
+  * scalar function library (string/date/math/JSON/conditional).
+  *
+  * Everything here is Spark built-ins — declarative plans Catalyst can
+  * optimize (predicate pushdown, column pruning, AQE join re-plan). Every
+  * aggregate/computed column is aliased to match the DuckDB oracle SQL in
+  * [[Oracles]] exactly (the driver sorts columns by name before hashing).
+  *
+  * FP discipline: raw column values are compared exactly; sums/avgs of
+  * doubles are wrapped in `round(_, 2..6)` IN BOTH ENGINES so accumulation
+  * order (which legitimately differs between Spark partial aggregation and
+  * DuckDB) cannot flip the hash. Every query ends in a deterministic
+  * ORDER BY with a unique tie-break.
+  */
+object Queries {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table is written with TIMESTAMP(NANOS), which Spark's
+    * parquet reader only accepts as a long (nanos since epoch) under the
+    * legacy flag. Convert back to a proper timestamp column (microsecond
+    * precision, which is also what DuckDB returns for it).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** R1+R4+R6 — TPC-H Q1-style pricing summary: full-scan hash aggregation
+    * with partial (map-side) aggregation; the flagship query.
+    */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+          .as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** R2 — selective filter + narrow projection. The predicate and the
+    * 4-column ReadSchema both reach the parquet scan (verified via
+    * `.explain("formatted")`: PushedFilters on l_shipdate/l_discount/
+    * l_quantity) — at 100 TB this is the difference between scanning 4
+    * columns of a fraction of row groups and scanning everything.
+    */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") > lit("1999-01-01").cast("timestamp") &&
+          col("l_discount") < 0.05 && col("l_quantity") >= 30)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** R3 — the join pyramid: lineitem⋈orders⋈customer are key-partitioned
+    * shuffle joins (sort-merge at scale; AQE may elect broadcast at small
+    * SF), while the bounded dims nation/region are explicit `broadcast()`
+    * joins — never shuffled regardless of stats.
+    */
+  def q03JoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val customer = table(spark, dir, "customer")
+    val orders = table(spark, dir, "orders")
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val lineitem = table(spark, dir, "lineitem")
+    val nation = broadcast(table(spark, dir, "nation"))
+    val region = broadcast(table(spark, dir, "region").filter(col("r_name") === "ASIA"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** R3 — left-semi join (IN subquery). */
+  def q04SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = table(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+    table(spark, dir, "customer")
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** R3 — left-anti join (NOT IN over a null-free key). */
+  def q05AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fOrders = table(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    table(spark, dir, "customer")
+      .join(fOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** R4 — ROLLUP grouping sets + distinct aggregation in one pass. */
+  def q06Rollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("supp_cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** R5 — ranking window: top-3 orders per customer, deterministic
+    * row_number tie-break. The rank<=3 filter is the scalable top-k-per-group
+    * idiom (no global sort; one hash-partitioned sort per group key).
+    */
+  def q07WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** R5 — frame window (running sum) + lag over an explicit row frame. */
+  def q08WindowFrame(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(running), 2).as("running_spend"),
+        round(lag(col("o_totalprice"), 1, 0.0).over(order), 2).as("prev_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** R6 — top-k by aggregate: partial-agg → shuffle → TakeOrderedAndProject
+    * (Spark never globally sorts for ORDER BY+LIMIT; verified in the plan).
+    */
+  def q09TopK(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+      .limit(10)
+
+  /** R7 — UNION DISTINCT then EXCEPT (left-assoc, matching SQL). */
+  def q10UnionExcept(spark: SparkSession, dir: String): DataFrame = {
+    val customer = table(spark, dir, "customer")
+    val orders = table(spark, dir, "orders")
+    val building = customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val big = orders.filter(col("o_totalprice") > 450000)
+      .select(col("o_custkey").as("c_custkey"))
+    val pending = orders.filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("c_custkey"))
+    building.union(big).distinct().except(pending).orderBy(col("c_custkey"))
+  }
+
+  /** R7 — INTERSECT (customers with both fulfilled and open orders). */
+  def q11Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    val f = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val o = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+    f.intersect(o).orderBy(col("custkey"))
+  }
+
+  /** R8 — scalar function surface: string, date, and math functions, all
+    * codegen'd Catalyst built-ins (no UDFs on the hot path).
+    */
+  def q12ScalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        lower(col("o_orderstatus")).as("status_lower"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        length(col("o_orderpriority")).as("pri_len"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_pri"),
+        regexp_replace(col("o_orderpriority"), "-", "_").as("pri_us"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).cast("long").as("days_since"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("o_month_start"),
+        round(sqrt(col("o_totalprice")), 4).as("sqrt_price"),
+        round(log(col("o_totalprice")), 6).as("ln_price"),
+        round(abs(col("o_totalprice") - 250000.0), 2).as("dev"),
+        floor(col("o_totalprice")).cast("long").as("floor_price"))
+      .orderBy(col("o_orderkey"))
+
+  /** R8 — JSON extraction + CASE WHEN over the events table. */
+  def q13EventsJson(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
+        when(col("value") >= 100, "high")
+          .when(col("value") >= 10, "mid")
+          .otherwise("low").as("band"))
+      .orderBy(col("event_id"))
+
+  /** U1+U2 at scale — word count over documents.text as a declared query:
+    * `explode(split(...))` (codegen'd Generate, no UDF) + hash aggregation.
+    * Same tokenizer delimiter class as the reference word count
+    * (reference `test/user_tasks.cc:15`).
+    */
+  def q14WordCount(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(split(col("text"), "[ ,.\"']+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("word"))
+
+  /** All relational queries, keyed for SparkEntry. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_join_revenue" -> (q03JoinRevenue _),
+    "q04_semi_join" -> (q04SemiJoin _),
+    "q05_anti_join" -> (q05AntiJoin _),
+    "q06_rollup" -> (q06Rollup _),
+    "q07_window_rank" -> (q07WindowRank _),
+    "q08_window_frame" -> (q08WindowFrame _),
+    "q09_topk" -> (q09TopK _),
+    "q10_union_except" -> (q10UnionExcept _),
+    "q11_intersect" -> (q11Intersect _),
+    "q12_scalar_funcs" -> (q12ScalarFuncs _),
+    "q13_events_json" -> (q13EventsJson _),
+    "q14_wordcount" -> (q14WordCount _)
+  )
+}

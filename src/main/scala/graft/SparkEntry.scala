@@ -13,11 +13,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    rel.Queries.all
+    rel.Queries.all ++ pipeline.PipelineQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    rel.Oracles.all
+    rel.Oracles.all ++ pipeline.PipelineQueries.oracles
 }

@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.Events
+
+/** Declared-query registry for the LLM-pipeline + streaming-batch surface
+  * (L1–L5, S1–S2, multimodal). Queries without an oracle entry are
+  * approximate/stub operators (MinHash-LSH, SimHash, LSH-ANN, HLL, media
+  * stub) — the driver records a rows-only check and PipelineSuite asserts
+  * their semantics against exact twins.
+  */
+object PipelineQueries {
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_exact_dedup" -> (Dedup.exactDedup _),
+    "q16_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "q17_minhash_lsh" -> (Dedup.minhashLsh _),
+    "q18_simhash_pairs" -> (Dedup.simhashPairs _),
+    "q19_cosine_threshold" -> (Similarity.cosineThreshold _),
+    "q20_ann_topk" -> (Similarity.annTopK _),
+    "q21_ann_lsh" -> (Similarity.annLsh _),
+    "q22_token_stats" -> (TextAnalysis.tokenStats _),
+    "q23_quality_score" -> (TextAnalysis.qualityScore _),
+    "q24_langid" -> (TextAnalysis.langId _),
+    "q25_fingerprint" -> (TextAnalysis.fingerprint _),
+    "q26_cardinality_exact" -> (TextAnalysis.cardinalityExact _),
+    "q27_cardinality_approx" -> (TextAnalysis.cardinalityApprox _),
+    "q28_tumbling_window" -> (Events.tumblingBatch _),
+    "q29_sliding_window" -> (Events.slidingBatch _),
+    "q30_session_window" -> (Events.sessionsBatch _),
+    "q31_media_features" -> (Multimodal.mediaFeatures _)
+  )
+
+  /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
+  private val ShingleCte =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id,
+      |        CASE WHEN len(w) >= 3
+      |             THEN list_distinct(list_transform(range(1, len(w)-1),
+      |                    i -> array_to_string(w[i:i+2], ' ')))
+      |             ELSE [] END AS sh
+      |      FROM d)""".stripMargin
+
+  private val VectorCte =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |scored AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+      |         list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS raw_cos
+      |  FROM n p JOIN n c ON p.vec_id % 50 = 0 AND c.vec_id % 50 <> 0)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q15_exact_dedup" ->
+      """SELECT md5(lower(text)) AS text_hash, min(doc_id) AS canonical_id,
+        | count(*) AS dup_cnt
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "q16_ngram_jaccard" ->
+      s"""$ShingleCte,
+         |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s WHERE len(sh) > 0),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2, count(*) AS c
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT d1, d2, round(1.0*c/(n1+n2-c), 4) AS jaccard FROM p
+         |WHERE 1.0*c/(n1+n2-c) >= 0.5 ORDER BY d1, d2""".stripMargin,
+
+    "q19_cosine_threshold" ->
+      s"""$VectorCte
+         |SELECT probe_id, vec_id, round(raw_cos, 4) AS cos FROM scored
+         |WHERE raw_cos >= 0.25 ORDER BY probe_id, vec_id""".stripMargin,
+
+    "q20_ann_topk" ->
+      s"""$VectorCte,
+         |r AS (SELECT probe_id, vec_id, raw_cos,
+         |        row_number() OVER (PARTITION BY probe_id ORDER BY raw_cos DESC, vec_id) AS rnk
+         |      FROM scored)
+         |SELECT probe_id, rnk, vec_id, round(raw_cos, 4) AS cos FROM r
+         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "q22_token_stats" ->
+      """SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_unique,
+        | round(1.0*len(list_distinct(w))/len(w), 4) AS ttr,
+        | round(1.0*list_sum(list_transform(w, x -> length(x)))/len(w), 4) AS avg_token_len
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q23_quality_score" ->
+      """SELECT doc_id, n_chars, len(w) AS n_tokens,
+        | round(stop_hits/len(w), 4) AS stopword_ratio,
+        | round(punct/length(text), 4) AS punct_ratio,
+        | round(ln(1+len(w)) * (1 - stop_hits/len(w)) * (1 - punct/length(text)), 4) AS quality
+        |FROM (
+        |  SELECT doc_id, n_chars, text, string_split(text, ' ') AS w,
+        |    1.0*len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','and','of','to','in','is','it'))) AS stop_hits,
+        |    1.0*length(regexp_replace(text, '[a-z ]', '', 'g')) AS punct
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q24_langid" -> {
+      val lex = TextAnalysis.Lexicon
+        .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+      s"""WITH lex(cand_lang, w) AS (VALUES $lex),
+         |toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+         |hits AS (SELECT doc_id, cand_lang, count(*) AS hits
+         |         FROM toks JOIN lex USING (w) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, cand_lang, hits,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+         |         FROM hits)
+         |SELECT d.doc_id, d.lang AS labeled_lang,
+         | coalesce(b.cand_lang, 'und') AS pred_lang, coalesce(b.hits, 0) AS hits
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q25_fingerprint" ->
+      s"""$ShingleCte
+         |SELECT doc_id,
+         | array_to_string(list_sort(list_transform(sh, x -> md5(x)))[1:4], '|') AS doc_fp
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q26_cardinality_exact" ->
+      """SELECT source, count(DISTINCT w) AS n_distinct_words, count(*) AS n_tokens
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q28_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts)::TIMESTAMP AS window_start,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q29_sliding_window" ->
+      """SELECT window_start::TIMESTAMP AS window_start, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start, value
+        |  FROM events CROSS JOIN (VALUES (0), (1)) t(k))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q30_session_window" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        |SELECT user_id, min(ts)::TIMESTAMP AS session_start,
+        | max(ts)::TIMESTAMP AS last_event,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+  )
+}

@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.rel.Queries.table
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`, 64-dim). Probe set = every 50th vector (`vec_id % 50 = 0`)
+  * so the probe side is bounded and broadcastable at any corpus scale.
+  *
+  * Three tiers:
+  *  - threshold join + brute-force top-k: the exact baselines. The probe
+  *    side is broadcast, so the "cross" is a broadcast nested loop over a
+  *    FIXED number of probes — each corpus row is scored once per probe,
+  *    no shuffle of the big side, scales linearly in corpus size.
+  *  - LSH-bucketed top-k: the 100 TB path — random-hyperplane signatures,
+  *    candidates only from bucket collisions (multi-table for recall).
+  *
+  * Dot products are pure Catalyst `aggregate`/`zip_with` folds over
+  * double-cast arrays — sequential fold order matches the DuckDB oracle's
+  * `list_dot_product`, so scores agree to ~1e-15 and round(…,4) is stable.
+  */
+object Similarity {
+
+  val ProbeEvery = 50
+  val CosineThreshold = 0.25
+  val TopK = 5
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** (vec_id, v: array<double>, norm). Pre-computing the L2 norm once per
+    * row keeps the per-pair work to a single dot product.
+    */
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  private def scored(spark: SparkSession, dir: String): DataFrame = {
+    val all = vectors(spark, dir)
+    val probes = broadcast(
+      all.filter(col("vec_id") % ProbeEvery === 0)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm")))
+    all
+      .filter(col("vec_id") % ProbeEvery =!= 0)
+      .join(probes) // broadcast nested loop: |corpus| × |probes|, probes fixed
+      .withColumn("cos", dot(col("pv"), col("v")) / (col("pnorm") * col("norm")))
+  }
+
+  /** L3 baseline — all pairs (probe, candidate) with cosine ≥ threshold. */
+  def cosineThreshold(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir)
+      .filter(col("cos") >= CosineThreshold)
+      .select(col("probe_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("probe_id"), col("vec_id"))
+
+  /** L3 baseline — exact top-k nearest per probe (window rank, tie-break
+    * vec_id; the rank<=k filter is the scalable top-k-per-group idiom).
+    */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  // ---- LSH-bucketed ANN (the scale path) --------------------------------
+
+  /** Multi-table random-hyperplane LSH: L tables × H sign bits. Hyperplane
+    * components are pseudo-random ±1 derived from xxhash64(table, bit,
+    * component) — fully deterministic, no stored model. More tables raise
+    * recall; fewer bits per table raise bucket occupancy.
+    */
+  val LshTables = 8
+  val LshBits = 6
+
+  private def lshBuckets(df: DataFrame): DataFrame =
+    df.select(
+      col("vec_id"), col("v"), col("norm"),
+      explode(
+        transform(
+          sequence(lit(0), lit(LshTables - 1)),
+          t => {
+            // H sign bits -> one long bucket id per table
+            val bits = transform(
+              sequence(lit(0), lit(LshBits - 1)),
+              j =>
+                when(
+                  aggregate(
+                    zip_with(
+                      col("v"),
+                      sequence(lit(0), lit(63)),
+                      (x, c) => x * (pmod(xxhash64(t * 1000 + j, c), lit(2)) * 2 - 1).cast("double")
+                    ),
+                    lit(0.0),
+                    (acc, x) => acc + x
+                  ) > 0,
+                  lit(1L)
+                ).otherwise(lit(0L))
+            )
+            struct(
+              t.as("tbl"),
+              aggregate(bits, lit(0L), (acc, b) => acc * 2 + b).as("bucket"))
+          }
+        )
+      ).as("tb")
+    ).select(col("vec_id"), col("v"), col("norm"), col("tb.tbl"), col("tb.bucket"))
+
+  /** L3 at scale — ANN top-k via LSH bucket collisions: candidates are
+    * (probe, corpus) pairs sharing a bucket in ANY of the L tables; exact
+    * cosine is computed for candidates only, then window top-k. Recall vs
+    * [[annTopK]] is asserted in PipelineSuite.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val all = vectors(spark, dir)
+    val buckets = lshBuckets(all)
+    val probes = broadcast(
+      buckets.filter(col("vec_id") % ProbeEvery === 0)
+        .select(col("tbl"), col("bucket"),
+          col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm")))
+    val cands = buckets
+      .filter(col("vec_id") % ProbeEvery =!= 0)
+      .join(probes, Seq("tbl", "bucket"))
+      .dropDuplicates("probe_id", "vec_id")
+      .withColumn("cos", dot(col("pv"), col("v")) / (col("pnorm") * col("norm")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    cands
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.rel.Queries.events
+
+/** S1/S2 — event-time windowed aggregation over the `events` table
+  * (`ts` timestamp, `user_id`, `event_type`, `value`).
+  *
+  * Each transform is written against a plain DataFrame so the SAME code
+  * runs in two modes:
+  *  - batch: applied to the parquet table → declared queries with DuckDB
+  *    oracles (`time_bucket` / gaps-and-islands SQL);
+  *  - streaming: applied to a `readStream`/MemoryStream source with a
+  *    watermark → incremental state-store execution (StreamingSuite).
+  *
+  * Spark's window semantics: tumbling/sliding windows are epoch-aligned
+  * [start, end); a session window spans [first event, last event + gap),
+  * merging events whose gap is strictly less than `gap`.
+  */
+object Events {
+
+  /** S1 — tumbling 1-hour windows: event count + value sum per window. */
+  def tumbling(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
+
+  /** S1 — sliding 1-hour windows every 30 minutes (each event lands in
+    * exactly two windows).
+    */
+  def sliding(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
+
+  /** S2 — session windows per user with a 30-minute inactivity gap. The
+    * session END is emitted as last-event time (window.end − gap) so the
+    * batch oracle can reproduce it with max(ts).
+    */
+  def sessions(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        (col("w.end") - expr("INTERVAL 30 MINUTES")).as("last_event"),
+        col("n_events"),
+        col("sum_value"))
+
+  // ---- batch-declared queries (driver correctness gate) -----------------
+
+  def tumblingBatch(spark: SparkSession, dir: String): DataFrame =
+    tumbling(events(spark, dir)).orderBy(col("window_start"))
+
+  def slidingBatch(spark: SparkSession, dir: String): DataFrame =
+    sliding(events(spark, dir)).orderBy(col("window_start"))
+
+  def sessionsBatch(spark: SparkSession, dir: String): DataFrame =
+    sessions(events(spark, dir)).orderBy(col("user_id"), col("session_start"))
+
+  // ---- streaming entry points -------------------------------------------
+
+  /** Watermarked streaming variant of [[tumbling]]: events more than
+    * `delay` behind the max seen event time are dropped and windows are
+    * finalized (append mode emits a window once its watermark passes).
+    */
+  def tumblingStream(ev: DataFrame, delay: String = "10 minutes"): DataFrame =
+    tumbling(ev.withWatermark("ts", delay))
+
+  def sessionsStream(ev: DataFrame, delay: String = "10 minutes"): DataFrame =
+    sessions(ev.withWatermark("ts", delay))
+
+  /** Per-user running state via `flatMapGroupsWithState` — the custom-
+    * stateful-operator path (reference has nothing comparable; this is the
+    * Spark-native generalization of its per-key reduce to infinite input).
+    * Emits (user_id, events_so_far, value_so_far) on every update.
+    */
+  def runningTotals(spark: SparkSession, ev: DataFrame): DataFrame = {
+    import spark.implicits._
+    ev.select(col("user_id").as[Long], col("value").as[Double])
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { case (_, value) => n += 1; v += value }
+          state.update((n, v))
+          Iterator((user, n, v))
+      }
+      .toDF("user_id", "events_so_far", "value_so_far")
+  }
+
+  /** File-based stream source over an events parquet directory — the
+    * production `readStream` shape (one file = one micro-batch at test
+    * scale; schema comes from the batch table).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet") // schema probe only
+    spark.readStream
+      .schema(raw.schema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Semantics of the LLM-pipeline operators on the sf0.001 testdata plus
+  * hand-built fixtures. The approximate operators (MinHash-LSH, LSH-ANN,
+  * HLL) are asserted against their exact twins — candidate sets must be
+  * subsets, and recall must clear an explicit bound.
+  */
+class PipelineSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("L1 exact dedup: groups partition doc_ids, canonical is group min") {
+    val rows = Dedup.exactDedup(spark, dir).collect()
+    val nDocs = graft.rel.Queries.table(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs) // dup_cnt sums to corpus
+    assert(rows.forall(_.getLong(2) >= 1))
+  }
+
+  test("L2 exact jaccard: pairs match a driver-side brute-force model") {
+    import spark.implicits._
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect() // 500 docs: model only
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val expected = (for {
+      (d1, t1) <- docs; (d2, t2) <- docs if d1 < d2
+      s1 = sh(t1); s2 = sh(t2) if s1.nonEmpty && s2.nonEmpty
+      j = s1.intersect(s2).size.toDouble / s1.union(s2).size if j >= Dedup.JaccardThreshold
+    } yield (d1, d2)).toSet
+    val got = Dedup.ngramJaccard(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // the corpus has planted near-dups
+  }
+
+  test("L2 minhash-LSH: subset of exact pairs with recall >= 0.9") {
+    val exact = Dedup.ngramJaccard(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // candidates are exact-verified, no false positives
+    assert(lsh.size >= math.ceil(exact.size * 0.9).toInt, s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("SimHash: near-identical docs collide, hamming bound respected") {
+    val pairs = Dedup.simhashPairs(spark, dir).collect()
+    assert(pairs.forall(_.getInt(2) <= Dedup.SimHashMaxHamming))
+    // every exact near-dup pair at jaccard ~1.0 should be hamming-close
+    val exact = Dedup.ngramJaccard(spark, dir)
+      .filter("jaccard >= 0.99").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(sim), s"missing ${exact.diff(sim)}")
+  }
+
+  test("L3 ANN: brute-force topk is sorted, complete, and self-free") {
+    val rows = Similarity.annTopK(spark, dir).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    byProbe.foreach { case (p, rs) =>
+      assert(rs.length == Similarity.TopK)
+      assert(rs.map(_.getInt(1)).toSeq == (1 to Similarity.TopK))
+      assert(rs.forall(_.getLong(2) != p))
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("L3 LSH-ANN: results drawn from exact scores; top-1 recall >= 0.5") {
+    val exact = Similarity.annTopK(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    val lsh = Similarity.annLsh(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(lsh.nonEmpty)
+    // structural: k results max, no self, ranked
+    lsh.foreach { case (p, cands) => assert(cands.length <= Similarity.TopK && !cands.contains(p)) }
+    val hits = exact.count { case (p, ex) => lsh.get(p).exists(_.contains(ex.head)) }
+    assert(hits >= math.ceil(exact.size * 0.5).toInt, s"top-1 recall $hits/${exact.size}")
+  }
+
+  test("L5 HLL cardinality within 5% of exact per source") {
+    val exact = TextAnalysis.cardinalityExact(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = TextAnalysis.cardinalityApprox(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (src, a) =>
+      val e = exact(src).toDouble
+      assert(math.abs(a - e) / e <= 0.05, s"$src: approx $a vs exact $e")
+    }
+  }
+
+  test("L4 langid predicts correctly on real multilingual text") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "the cat sat on the mat and looked to the door", "en"),
+      (2L, "der hund ist nicht mit der katze und das ist gut", "de"),
+      (3L, "le chat est sur la table et les enfants sont pour une pomme", "fr"),
+      (4L, "el perro que corre por el parque con los amigos para una fiesta", "es"),
+      (5L, "zzz qqq xxx", "und")
+    ).toDF("doc_id", "text", "lang")
+    // langId reads from a dir; run its core logic by writing the fixture
+    val tmp = java.nio.file.Files.createTempDirectory("langid").toString
+    fixture
+      .withColumn("source", org.apache.spark.sql.functions.lit("fix"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pred = TextAnalysis.langId(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(pred == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+  }
+
+  test("multimodal: features and frame sampling round-trip the payload") {
+    val media = Multimodal.mediaTable(spark, dir)
+    val feats = Multimodal.extractFeatures(media).collect()
+    val docs = graft.rel.Queries.table(spark, dir, "documents")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feats.length == docs.size)
+    feats.foreach { f =>
+      val bytes = docs(f.doc_id).getBytes("UTF-8")
+      assert(f.media_len == bytes.length)
+      assert(f.n_frames == (bytes.length + Multimodal.FrameBytes - 1) / Multimodal.FrameBytes)
+      assert(math.abs(f.hist.sum - 1.0) < 1e-9) // normalized histogram
+    }
+    val frames = Multimodal.frameSample(media, stride = 4).collect()
+    val byDoc = frames.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, fs) =>
+      val expect = (0 until (docs(id).getBytes("UTF-8").length + 63) / 64 by 4).toSet
+      assert(fs.map(_.getInt(1)).toSet == expect)
+      fs.foreach { r =>
+        val f = r.getInt(1)
+        val bytes = docs(id).getBytes("UTF-8")
+        val expSlice = java.util.Arrays.copyOfRange(
+          bytes, f * 64, math.min(f * 64 + 64, bytes.length))
+        assert(java.util.Arrays.equals(r.getAs[Array[Byte]](2), expSlice))
+      }
+    }
+  }
+}

@@ -35,27 +35,78 @@ object Dedup {
     */
   val JaccardThreshold = 0.5
 
+  /** Distinct word-3-gram shingles, computed in a typed kernel. Same
+    * semantics as [[Shingles.shingles]] (and the DuckDB oracle CTE), but
+    * ~10× faster: Spark's higher-order array functions (`transform`,
+    * `array_join`, …) are CodegenFallback — interpreted per element — so
+    * a hot shingling path pays tree-walk + boxing per shingle. A plain
+    * Scala loop is JIT-compiled.
+    */
+  private[pipeline] def shingleKernel(text: String): Array[String] = {
+    val w = text.split(" ")
+    if (w.length < 3) Array.empty
+    else {
+      val seen = new java.util.LinkedHashSet[String](w.length * 2)
+      var i = 0
+      while (i <= w.length - 3) {
+        seen.add(w(i) + " " + w(i + 1) + " " + w(i + 2))
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+
   /** Word-3-gram shingle sets per doc: (doc_id, shingles, n_shingles). */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     table(spark, dir, "documents")
-      .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, shingleKernel(text)) })
+      .toDF("doc_id", "sh")
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
+  }
 
-  /** L2 exact — n-gram Jaccard near-dup pairs via inverted index:
-    * explode shingles → self-join on shingle (hash-partitioned on the
-    * shingle key) → count common shingles per pair → Jaccard =
-    * |∩| / (|A|+|B|-|∩|) ≥ threshold. Exact answer, but only pairs that
-    * share at least one shingle are ever materialized; with a stopword-ish
-    * shingle blacklist (not needed on this corpus) this is the classic
-    * scalable exact-join design.
+  /** In-bucket pair expansion (all i < j over sorted postings) as a typed
+    * flatMap — the bucket-collect alternative to a self-join: one groupBy
+    * instead of re-computing the upstream pipeline for both join sides,
+    * and a JIT'd loop instead of interpreted nested-`transform` lambdas.
+    */
+  private def expandPairs[T, R](sorted: Array[T])(f: (T, T) => R): Seq[R] = {
+    val out = new scala.collection.mutable.ArrayBuffer[R](
+      sorted.length * (sorted.length - 1) / 2)
+    var i = 0
+    while (i < sorted.length) {
+      var j = i + 1
+      while (j < sorted.length) { out += f(sorted(i), sorted(j)); j += 1 }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** L2 exact — n-gram Jaccard near-dup pairs via inverted index: explode
+    * shingles → group postings per shingle → expand in-bucket pairs →
+    * count common shingles per pair → Jaccard = |∩| / (|A|+|B|-|∩|) ≥
+    * threshold. Exact answer, but only pairs that share ≥1 shingle are
+    * ever materialized, and the corpus-side pipeline runs ONCE (no
+    * self-join recompute). At 100 TB the residual risk is ultra-frequent
+    * shingles fanning out quadratically — the standard mitigations
+    * (prefix filtering / frequency-capped postings) trade exactness and
+    * are left out since this corpus's buckets are small.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val docs = docShingles(spark, dir)
-    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    val a = inv.select(col("doc_id").as("d1"), col("n_sh").as("n1"), col("s"))
-    val b = inv.select(col("doc_id").as("d2"), col("n_sh").as("n2"), col("s"))
-    a.join(b, a("s") === b("s") && col("d1") < col("d2"))
+    docs
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      .groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id").as("_1"), col("n_sh").as("_2"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"))
+      .as[Array[(Long, Int)]]
+      .flatMap(ids => expandPairs(ids.sortBy(_._1)) { case ((d1, n1), (d2, n2)) => (d1, d2, n1, n2) })
+      .toDF("d1", "d2", "n1", "n2")
       .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard", col("common") / (col("n1") + col("n2") - col("common")))
@@ -76,23 +127,41 @@ object Dedup {
   val MinHashRows = 4
   private val P = 2147483647L // 2^31-1 (prime): keeps a*h+b < 2^62, no ANSI overflow
 
-  /** MinHash signature column over a pre-hashed shingle array `hs`
-    * (array<long>): sig[i] = min over shingles of (a_i·h + b_i) mod P over
-    * the field GF(P), P = 2^31−1. Both factors are first reduced mod P so
-    * the product stays < 2^62 — Spark 4 runs ANSI mode by default and a
-    * wrapping 64-bit multiply would throw ARITHMETIC_OVERFLOW. a_i ≠ 0 for
-    * all i (P prime > K). Pure Catalyst `transform`/`array_min` — the
-    * K×|shingles| evaluation happens inside codegen with zero shuffles.
+  /** MinHash signature + band keys for one document, as a typed kernel:
+    * sig[i] = min over shingles of (a_i·h + b_i) mod P (P = 2^31−1 prime,
+    * h = shingle hash reduced mod P, so products stay < 2^62); band b's
+    * key mixes its R = [b·R, b·R+R) rows into one long.
+    *
+    * Kernel rather than Catalyst `transform`/`array_min`: higher-order
+    * array functions are CodegenFallback (interpreted per element), and
+    * the K×|shingles| inner loop is exactly the hot path — measured ~8 s
+    * interpreted vs <1 s JIT'd at sf0.1. (An earlier expression version
+    * also hit Catalyst project-collapsing, which inlined the signature
+    * into all 32 band structs for a further 32× blowup.)
     */
-  private def minhashSig(hs: Column): Column =
-    transform(
-      sequence(lit(0), lit(MinHashK - 1)),
-      i => {
-        val a = pmod((i + 1) * lit(0x9E3779B9L), lit(P))
-        val b = pmod(i * lit(0x85EBCA6BL) + lit(0xC2B2AE35L), lit(P))
-        array_min(transform(hs, h => pmod(pmod(h, lit(P)) * a + b, lit(P))))
+  private[pipeline] def bandKernel(sh: Array[String]): Array[(Int, Long)] = {
+    val mins = new Array[Long](MinHashK)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var s = 0
+    while (s < sh.length) {
+      val h = (scala.util.hashing.MurmurHash3.stringHash(sh(s)) & 0x7FFFFFFFL) % P
+      var i = 0
+      while (i < MinHashK) {
+        val a = ((i + 1) * 0x9E3779B9L) % P
+        val b = (i * 0x85EBCA6BL + 0xC2B2AE35L) % P
+        val v = (h * a + b) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
       }
-    )
+      s += 1
+    }
+    Array.tabulate(MinHashBands) { b =>
+      var key = 1125899906842597L // mix the band's R rows into one long
+      var r = b * MinHashRows
+      while (r < (b + 1) * MinHashRows) { key = key * 1000003L + mins(r); r += 1 }
+      (b, key)
+    }
+  }
 
   /** L2 approximate — MinHash-LSH near-dup candidates, then exact-Jaccard
     * verification of candidates only. Emits the same shape as
@@ -103,40 +172,32 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = docShingles(spark, dir)
-      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
-      .withColumn("sig", minhashSig(col("hs")))
 
-    // Band key: (band index, xxhash64 of the band's R signature values).
+    // Only (doc_id, band, bkey) flows into the bucket stage — shingle
+    // arrays are NOT replicated per band; they rejoin only for the
+    // (small) candidate set.
+    import spark.implicits._
     val banded = docs
-      .select(
-        col("doc_id"),
-        col("sh"),
-        col("n_sh"),
-        explode(
-          transform(
-            sequence(lit(0), lit(MinHashBands - 1)),
-            b =>
-              struct(
-                b.as("band"),
-                xxhash64(b, array_join(slice(col("sig"), b * MinHashRows + 1, lit(MinHashRows)), ","))
-                  .as("bkey")
-              )
-          )
-        ).as("bk")
-      )
-      .select(col("doc_id"), col("sh"), col("n_sh"), col("bk.band"), col("bk.bkey"))
+      .select(col("doc_id"), col("sh"))
+      .as[(Long, Array[String])]
+      .flatMap { case (id, sh) => bandKernel(sh).map { case (b, k) => (id, b, k) } }
+      .toDF("doc_id", "band", "bkey")
 
-    val l = banded.select(
-      col("band"), col("bkey"),
-      col("doc_id").as("d1"), col("sh").as("sh1"), col("n_sh").as("n1"))
-    val r = banded.select(
-      col("band"), col("bkey"),
-      col("doc_id").as("d2"), col("sh").as("sh2"), col("n_sh").as("n2"))
+    val candidates = banded
+      .groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"))
+      .as[Array[Long]]
+      .flatMap(ids => expandPairs(ids.sorted)((d1, d2) => (d1, d2)))
+      .toDF("d1", "d2")
+      .distinct() // a pair may collide in many bands
 
-    l.join(r, Seq("band", "bkey"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("sh1"), col("sh2"), col("n1"), col("n2"))
-      .dropDuplicates("d1", "d2") // a pair may collide in many bands
+    val s1 = docs.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("n_sh").as("n1"))
+    val s2 = docs.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n_sh").as("n2"))
+    candidates
+      .join(s1, "d1")
+      .join(s2, "d2")
       .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard", col("common") / (col("n1") + col("n2") - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
@@ -176,10 +237,10 @@ object Dedup {
     * least one chunk), join per chunk, verify `bit_count(xor) <= 3`.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val sigs = simhash(spark, dir)
     val banded = sigs.select(
-      col("doc_id"),
-      col("simhash"),
+      struct(col("doc_id").as("_1"), col("simhash").as("_2")).as("ds"),
       explode(
         array((0 until 4).map { b =>
           struct(
@@ -187,12 +248,17 @@ object Dedup {
             shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
         }: _*)
       ).as("bk")
-    ).select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.chunk"))
+    ).select(col("ds"), col("bk.band"), col("bk.chunk"))
 
-    val l = banded.select(col("band"), col("chunk"), col("doc_id").as("d1"), col("simhash").as("s1"))
-    val r = banded.select(col("band"), col("chunk"), col("doc_id").as("d2"), col("simhash").as("s2"))
-    l.join(r, Seq("band", "chunk"))
-      .filter(col("d1") < col("d2"))
+    banded
+      .groupBy(col("band"), col("chunk"))
+      .agg(collect_list(col("ds")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"))
+      .as[Array[(Long, Long)]]
+      .flatMap(ids =>
+        expandPairs(ids.sortBy(_._1)) { case ((d1, s1), (d2, s2)) => (d1, d2, s1, s2) })
+      .toDF("d1", "d2", "s1", "s2")
       .dropDuplicates("d1", "d2")
       .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
       .filter(col("hamming") <= SimHashMaxHamming)

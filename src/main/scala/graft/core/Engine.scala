@@ -87,4 +87,38 @@ object Engine {
       .sortWithinPartitions("key")
       .as[(String, String)]
   }
+
+  /** The algebraic fast path: same contract as [[transform]], but the
+    * reduce runs as a typed [[org.apache.spark.sql.expressions.Aggregator]]
+    * with map-side partial aggregation — the shuffle carries one partial
+    * accumulator per (partition, key) instead of every emitted pair
+    * (see [[AlgebraicJob]]). The final repartition moves only the reduced
+    * rows (|distinct keys|), so its cost is negligible next to the saved
+    * pair shuffle.
+    */
+  def transformAlgebraic[B](
+      spark: SparkSession,
+      spec: MapReduceSpec,
+      job: AlgebraicJob[B]): Dataset[(String, String)] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.files.maxPartitionBytes", spec.mapKilobytes * 1000L)
+    val mapped = spark.read.textFile(spec.inputFiles: _*).mapPartitions { it =>
+      val e = new BufferingEmitter
+      it.flatMap { line =>
+        job.map(line, e)
+        e.drain()
+      }
+    }
+    mapped
+      .groupByKey(_._1)
+      .agg(AlgebraicJob.aggregator(job).toColumn.name("value"))
+      .repartition(spec.nOutputFiles, col("key"))
+      .sortWithinPartitions("key")
+      .as[(String, String)]
+  }
+
+  def runJobAlgebraic[B](spark: SparkSession, spec: MapReduceSpec, job: AlgebraicJob[B]): Int = {
+    OutputSink.write(transformAlgebraic(spark, spec, job), spec.outputDir)
+    spec.nOutputFiles
+  }
 }

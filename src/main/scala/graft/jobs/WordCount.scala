@@ -24,3 +24,17 @@ object WordCount extends MrJob {
     out.emit(key, sum.toString)
   }
 }
+
+/** The same workload as an [[graft.core.AlgebraicJob]]: sum is
+  * commutative/associative, so declaring it algebraically lets the engine
+  * shuffle per-partition partial sums instead of one "1" per token.
+  */
+object WordCountAlgebraic extends graft.core.AlgebraicJob[Long] {
+  override def map(line: String, out: Emitter): Unit = WordCount.map(line, out)
+  override def zero: Long = 0L
+  override def add(acc: Long, value: String): Long = acc + value.toLong
+  override def merge(a: Long, b: Long): Long = a + b
+  override def finish(key: String, acc: Long): String = acc.toString
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
+}

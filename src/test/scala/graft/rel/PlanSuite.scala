@@ -1,0 +1,77 @@
+package graft.rel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Physical-plan audit: the scale properties this engine claims must be
+  * visible in the plans Catalyst actually produces, not just intended.
+  * Asserting on plan text pins them against regressions (a dropped
+  * `broadcast()` hint, a filter that stops reaching the scan, a top-k that
+  * degenerates into a global sort would all fail here long before they
+  * show up as a 100 TB incident).
+  */
+class PlanSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("q02: predicate pushdown and column pruning reach the parquet scan") {
+    val p = plan(Queries.q02FilterProject(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+    // pruned read schema: exactly the 4 projected + 2 filter-only columns
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(read.count(_ == ':') - 1 == 6, read) // 6 columns, not all 16
+    assert(!read.contains("l_comment") && !read.contains("l_partkey"), read)
+  }
+
+  test("q03: dims broadcast; aggregation has a map-side partial phase") {
+    val p = plan(Queries.q03JoinRevenue(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // nation + region reach executors via broadcast exchange, never shuffle
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q09: top-k runs as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Queries.q09TopK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.replaceFirst("TakeOrderedAndProject", "").contains("Sort ("), p)
+  }
+
+  test("q01: hash aggregation with partial (map-side) combine") {
+    val p = plan(Queries.q01PricingSummary(spark, dir))
+    assert(p.contains("partial_sum"), p)
+    // one hash shuffle for the groupBy (plus the final ORDER BY range
+    // exchange) — formatted mode lists each operator once as "(n) Exchange"
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("MR engine: whole job runs in exactly one shuffle") {
+    import graft.core._
+    val spec = MapReduceSpec(
+      nWorkers = 2, workerAddrs = Seq("a", "b"),
+      inputFiles = Seq("/root/reference/test/input1.txt"),
+      outputDir = "/tmp/plansuite-unused", nOutputFiles = 4,
+      mapKilobytes = 100, userId = "wc")
+    val p = plan(Engine.transform(spark, spec, graft.jobs.WordCount).toDF)
+    // the repartition(R, key) shuffle is the ONLY exchange: groupBy reuses
+    // its hash distribution and the output sort is within partitions
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
+    assert(p.contains("REPARTITION_BY_NUM"), p)
+  }
+
+  test("no declared query plans a cartesian product") {
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val p = plan(fn(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+}

@@ -29,7 +29,9 @@ object PipelineQueries {
     "q28_tumbling_window" -> (Events.tumblingBatch _),
     "q29_sliding_window" -> (Events.slidingBatch _),
     "q30_session_window" -> (Events.sessionsBatch _),
-    "q31_media_features" -> (Multimodal.mediaFeatures _)
+    "q31_media_features" -> (Multimodal.mediaFeatures _),
+    "q34_bpe_tokens" -> (TextAnalysis.bpeTokens _),
+    "q35_embedding_neardup" -> (Similarity.embeddingNearDup _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -137,6 +139,15 @@ object PipelineQueries {
         |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start, value
         |  FROM events CROSS JOIN (VALUES (0), (1)) t(k))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q34_bpe_tokens" -> {
+      val pat = TextAnalysis.BpePattern.replace("'", "''") // SQL-literal quote
+      s"""SELECT doc_id,
+         | len(string_split(text, ' ')) AS n_ws_tokens,
+         | len(regexp_extract_all(lower(text), '$pat', 0)) AS n_bpe_tokens,
+         | len(list_distinct(regexp_extract_all(lower(text), '$pat', 0))) AS n_unique_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q30_session_window" ->
       """WITH s AS (

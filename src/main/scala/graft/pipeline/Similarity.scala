@@ -111,6 +111,103 @@ object Similarity {
       ).as("tb")
     ).select(col("vec_id"), col("v"), col("norm"), col("tb.tbl"), col("tb.bucket"))
 
+  // ---- embedding-cosine near-dup (all-pairs, LSH-bucketed) --------------
+
+  /** All-pairs near-dup threshold (see PipelineQueries probe: the corpus
+    * has ~60 pairs ≥ 0.4 at either SF, with a long random tail below).
+    */
+  val NearDupCosine = 0.4
+
+  /** Near-dup banding: more, shorter tables than the ANN path — at
+    * moderate cosine (0.4 ⇒ bit-agreement ≈ 0.63) per-table collision is
+    * 0.63^4 ≈ 0.16, so 16 tables give ≈ 94% pair recall. At a production
+    * near-dup threshold (≥ 0.9) the same budget supports much longer
+    * signatures; these constants are tuned for THIS corpus's separation.
+    */
+  val NearDupTables = 16
+  val NearDupBits = 4
+
+  /** Deterministic random-hyperplane bucket ids for one vector: table t's
+    * bucket = H sign bits of dots with hyperplanes whose ±1 components
+    * come from a splitmix64 mix of (t, bit, component). Typed kernel —
+    * the L×H×dim inner loop is the hot path (Catalyst higher-order
+    * functions run interpreted).
+    */
+  private[pipeline] def nearDupBuckets(v: Array[Double]): Array[(Int, Long)] = {
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(NearDupTables) { t =>
+      var bucket = 0L
+      var j = 0
+      while (j < NearDupBits) {
+        var dot = 0.0
+        var c = 0
+        while (c < v.length) {
+          val sign = if ((mix((t.toLong << 32) | (j.toLong << 16) | c) & 1L) == 0L) 1.0 else -1.0
+          dot += v(c) * sign
+          c += 1
+        }
+        bucket = bucket * 2 + (if (dot > 0) 1L else 0L)
+        j += 1
+      }
+      (t, bucket)
+    }
+  }
+
+  /** Embedding-cosine near-dup over ALL pairs: LSH bucket-collect
+    * candidates (union over tables), then exact cosine verification of
+    * candidates only — never a full cross join. Subset-of-exact plus
+    * recall is asserted in PipelineSuite against a brute-force twin.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = vectors(spark, dir)
+    val banded = all
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) => nearDupBuckets(v).map { case (t, b) => (id, t, b) } }
+      .toDF("vec_id", "tbl", "bucket")
+    val candidates = banded
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"))
+      .as[Array[Long]]
+      .flatMap { ids =>
+        val s = ids.sorted
+        for (i <- s.indices.iterator; j <- (i + 1 until s.length).iterator) yield (s(i), s(j))
+      }
+      .toDF("v1", "v2")
+      .distinct()
+    val a = all.select(col("vec_id").as("v1"), col("v").as("va"), col("norm").as("na"))
+    val b = all.select(col("vec_id").as("v2"), col("v").as("vb"), col("norm").as("nb"))
+    candidates
+      .join(a, "v1")
+      .join(b, "v2")
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= NearDupCosine)
+      .select(col("v1"), col("v2"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  /** Brute-force twin of [[embeddingNearDup]] for tests: exact all-pairs
+    * via a sorted-id self-join — O(N²), test-scale only.
+    */
+  private[pipeline] def embeddingNearDupExact(spark: SparkSession, dir: String): DataFrame = {
+    val all = vectors(spark, dir)
+    val a = all.select(col("vec_id").as("v1"), col("v").as("va"), col("norm").as("na"))
+    val b = all.select(col("vec_id").as("v2"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, col("v1") < col("v2"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= NearDupCosine)
+      .select(col("v1"), col("v2"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
   /** L3 at scale — ANN top-k via LSH bucket collisions: candidates are
     * (probe, corpus) pairs sharing a bucket in ANY of the L tables; exact
     * cosine is computed for candidates only, then window top-k. Recall vs

@@ -121,6 +121,28 @@ object TextAnalysis {
           .as("doc_fp"))
       .orderBy(col("doc_id"))
 
+  /** BPE-style pre-tokenizer pattern (GPT-2 family, simplified): English
+    * contractions, letter runs, digit runs, and punctuation runs — the
+    * units a byte-pair encoder would merge within. Alternation-only regex
+    * so Java (Spark) and RE2 (DuckDB) agree.
+    */
+  val BpePattern = "('(?:s|d|m|t|ll|ve|re))|([a-z]+)|([0-9]+)|([^a-z0-9\\s]+)"
+
+  /** L4 — token counting with a BPE-ish regex tokenizer alongside the
+    * whitespace count: `regexp_extract_all` is a codegen'd Catalyst
+    * built-in, so this stays a single narrow scan.
+    */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(Shingles.tokens(col("text"))).as("n_ws_tokens"),
+        size(toks).as("n_bpe_tokens"),
+        size(array_distinct(toks)).as("n_unique_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact per-source vocabulary cardinality + token totals (the oracle-
     * checkable twin of [[cardinalityApprox]]).
     */

@@ -138,6 +138,18 @@ object Oracles {
         |  SELECT unnest(string_split_regex(text, '[ ,."'']+')) AS word FROM documents) t
         |WHERE word <> ''
         |GROUP BY word
-        |ORDER BY word""".stripMargin
+        |ORDER BY word""".stripMargin,
+
+    "q32_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        | CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q33_sql_api" -> graft.rel.Queries.SqlRevenueByMonth
   )
 }

@@ -234,6 +234,35 @@ object Queries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("word"))
 
+  /** R4 — CUBE grouping sets with grouping-membership flags. */
+  def q32Cube(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** The SQL entry point: the same engine drives `spark.sql` text over
+    * registered temp views — one query exercises the parser path so a
+    * reference user's SQL workloads carry over. The SQL text doubles as
+    * its own DuckDB oracle (ANSI subset both engines parse identically).
+    */
+  val SqlRevenueByMonth: String =
+    """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+      | round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderstatus <> 'P'
+      |GROUP BY year(o_orderdate), month(o_orderdate)
+      |ORDER BY o_year, o_month""".stripMargin
+
+  def q33SqlApi(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(SqlRevenueByMonth)
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -249,6 +278,8 @@ object Queries {
     "q11_intersect" -> (q11Intersect _),
     "q12_scalar_funcs" -> (q12ScalarFuncs _),
     "q13_events_json" -> (q13EventsJson _),
-    "q14_wordcount" -> (q14WordCount _)
+    "q14_wordcount" -> (q14WordCount _),
+    "q32_cube" -> (q32Cube _),
+    "q33_sql_api" -> (q33SqlApi _)
   )
 }

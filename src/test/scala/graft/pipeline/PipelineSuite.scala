@@ -114,6 +114,30 @@ class PipelineSuite extends AnyFunSuite {
     assert(pred == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
   }
 
+  test("embedding near-dup: LSH pairs are exact-verified, recall >= 0.8") {
+    val exact = Similarity.embeddingNearDupExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embeddingNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // candidates verified with exact cosine
+    assert(exact.nonEmpty)
+    assert(lsh.size >= math.ceil(exact.size * 0.8).toInt, s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("BPE-ish tokenizer: counts match a driver-side regex model") {
+    import spark.implicits._
+    val got = TextAnalysis.bpeTokens(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    val docs = graft.rel.Queries.table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val re = TextAnalysis.BpePattern.r
+    docs.foreach { case (id, text) =>
+      val toks = re.findAllIn(text.toLowerCase).toVector
+      val ws = text.split(" ").length
+      assert(got(id) == ((ws, toks.length, toks.distinct.length)), s"doc $id")
+    }
+  }
+
   test("multimodal: features and frame sampling round-trip the payload") {
     val media = Multimodal.mediaTable(spark, dir)
     val feats = Multimodal.extractFeatures(media).collect()

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.expr
+
+/** Registration for graft's native Catalyst expressions.
+  *
+  * Two paths to the same registry entry:
+  *  - [[GraftExtensions]] via `spark.sql.extensions` — the library-user
+  *    shape (`SparkSession.builder.withExtensions` / config);
+  *  - [[GraftFunctions.register]] — imperative, idempotent, used by the
+  *    query layer so any session that touches a similarity query has
+  *    `dot_f64` available (including `spark.sql` text).
+  */
+object GraftFunctions {
+
+  private val dotInfo = new ExpressionInfo(classOf[DotF64].getName, "dot_f64")
+
+  private def dotBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"dot_f64 expects 2 arguments, got ${args.length}")
+    DotF64(args.head, args(1))
+  }
+
+  def registerAll(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier("dot_f64"), dotInfo, dotBuilder _))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier("dot_f64"), dotInfo, dotBuilder _)
+
+  /** Column-API face of `dot_f64` (requires [[register]] on the session). */
+  def dotF64(a: Column, b: Column): Column = {
+    // Column construction from a Catalyst Expression is session-internal
+    // in Spark 4; routing through the registered SQL name keeps this on
+    // public API. Callers pass column NAMES via expr-compatible strings.
+    expr(s"dot_f64(${a.toString}, ${b.toString})")
+  }
+}
+
+/** `spark.sql.extensions`-style entry point:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions()(_))  // or
+  *     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registerAll(ext)
+}

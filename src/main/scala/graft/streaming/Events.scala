@@ -101,9 +101,12 @@ object Events {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet") // schema probe only
+    // the file stream source requires a DIRECTORY base path; select the
+    // events table out of the sf dir with a glob filter
     spark.readStream
       .schema(raw.schema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 }

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DotF64Suite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("dot_f64 matches the higher-order-function formulation exactly") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.0, -1.5), Array(2.0, 4.0)),
+      (Array.empty[Double], Array.empty[Double])
+    ).toDF("a", "b")
+    val rows = df.select(
+      expr("dot_f64(a, b)").as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (s, x) => s + x)
+        .as("hof")
+    ).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows(0).getDouble(0) == 32.0)
+    assert(rows(2).getDouble(0) == 0.0)
+  }
+
+  test("dot_f64 is available through spark.sql text and null-safe") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT dot_f64(array(1.0d, 2.0d), array(3.0d, 4.0d))").first().getDouble(0) == 11.0)
+    assert(spark.sql("SELECT dot_f64(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d))").first().isNullAt(0))
+  }
+
+  test("dot_f64 participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // range source, not a local Seq: ConvertToLocalRelation would fold a
+    // literal frame into LocalTableScan and leave nothing to codegen
+    val df = spark.range(2)
+      .selectExpr("dot_f64(array(cast(id as double), 2.0d), array(3.0d, 4.0d)) as d")
+    // "*(n)" marks operators fused into a WholeStageCodegen stage; the
+    // Project evaluating dot_f64 must carry it (a codegen-incompatible
+    // expression would split the stage)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [dot_f64"), plan)
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(8.0, 11.0))
+  }
+}

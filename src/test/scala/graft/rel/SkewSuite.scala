@@ -1,0 +1,37 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SkewSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("salted join == plain join on a pathologically skewed key") {
+    import spark.implicits._
+    // 90% of fact rows share one key — the shape that melts one reducer
+    val fact = spark.range(10000)
+      .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val dim = Seq((7L, "hot"), (10L, "a"), (20L, "b"), (30L, "c"))
+      .toDF("k", "name")
+
+    val plain = fact.join(dim, "k").select("k", "payload", "name")
+    val salted = Skew.saltedJoin(fact, dim, "k", salts = 8).select("k", "payload", "name")
+    assert(salted.collect().toSet == plain.collect().toSet)
+    assert(salted.count() == plain.count())
+
+    // the salted plan joins on (k, __salt): the hot key spreads over 8 sub-keys
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), p)
+  }
+
+  test("key histogram surfaces the hot key") {
+    import spark.implicits._
+    val fact = spark.range(1000)
+      .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"))
+    val top = Skew.keyHistogram(fact, col("k"), 1).collect()
+    assert(top.head.getLong(0) == 7L && top.head.getLong(1) == 900L)
+  }
+}

@@ -111,6 +111,28 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream over events parquet matches the batch answer") {
+    val dir = "/root/testdata/sf0.001"
+    val q = Events
+      .tumblingStream(Events.readEventStream(spark, dir), delay = "0 seconds")
+      .writeStream.format("memory").queryName("file_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_test")
+        .select(col("window_start").cast("string"), col("n_events"), col("sum_value"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val batch = Events.tumblingBatch(spark, dir)
+        .select(col("window_start").cast("string"), col("n_events"), col("sum_value"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // append mode holds back windows the watermark hasn't passed; with a
+      // 0s delay only the max-event-time window can still be open
+      assert(streamed.nonEmpty)
+      assert((batch.size - streamed.size) <= 1)
+      streamed.foreach { case (w, agg) => assert(batch(w) == agg, s"window $w") }
+    } finally q.stop()
+  }
+
   test("batch/stream parity: same session transform, same answer") {
     import spark.implicits._
     // The declared q30 uses the identical Events.sessions transform in batch

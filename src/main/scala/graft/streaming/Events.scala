@@ -94,6 +94,22 @@ object Events {
       .toDF("user_id", "events_so_far", "value_so_far")
   }
 
+  /** Stream-static enrichment: the streaming fact joins a bounded static
+    * dimension (broadcast per micro-batch — the static side never becomes
+    * state). The standard shape for decorating an event stream with
+    * slowly-changing reference data.
+    */
+  def enrichWithDim(ev: DataFrame, dim: DataFrame, key: String): DataFrame =
+    ev.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
+  /** Streaming exact dedup (L1 for streams): first event per `event_id`
+    * wins; duplicates arriving within the watermark horizon are dropped,
+    * and state for ids older than the watermark is evicted — bounded
+    * state, unlike a batch `dropDuplicates` which would remember forever.
+    */
+  def dedupStream(ev: DataFrame, delay: String = "10 minutes"): DataFrame =
+    ev.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   /** File-based stream source over an events parquet directory — the
     * production `readStream` shape (one file = one micro-batch at test
     * scale; schema comes from the batch table).

@@ -133,6 +133,52 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val q = Events
+      .enrichWithDim(input.toDF.toDF("ts", "user_id", "value"), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        row("2024-01-01 10:00:00", 1, 1.0),
+        row("2024-01-01 10:01:00", 2, 2.0),
+        row("2024-01-01 10:02:00", 9, 4.0)) // no dim row -> null tier
+      q.processAllAvailable()
+      val out = spark.table("enrich_test")
+        .select(col("user_id"), col("tier")).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(out == Map(1L -> Some("gold"), 2L -> Some("basic"), 9L -> None))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val q = Events
+      .dedupStream(
+        input.toDF.toDF("ts", "event_id", "value"), delay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        row("2024-01-01 10:00:00", 100, 1.0),
+        row("2024-01-01 10:00:30", 100, 1.0), // same id, same batch
+        row("2024-01-01 10:01:00", 101, 2.0))
+      q.processAllAvailable()
+      input.addData(row("2024-01-01 10:02:00", 100, 1.0)) // dup across batches
+      input.addData(row("2024-01-01 10:03:00", 102, 4.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(100L, 101L, 102L))
+    } finally q.stop()
+  }
+
   test("batch/stream parity: same session transform, same answer") {
     import spark.implicits._
     // The declared q30 uses the identical Events.sessions transform in batch

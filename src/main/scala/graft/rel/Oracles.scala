@@ -150,6 +150,14 @@ object Oracles {
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
-    "q33_sql_api" -> graft.rel.Queries.SqlRevenueByMonth
+    "q33_sql_api" -> graft.rel.Queries.SqlRevenueByMonth,
+
+    "q36_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts AS err_ts, value AS err_value FROM events WHERE event_type = 'error')
+        |SELECT l.event_id, l.user_id, l.ts::TIMESTAMP AS ts, l.value,
+        |       r.err_ts::TIMESTAMP AS err_ts, r.err_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.err_ts
+        |ORDER BY l.event_id""".stripMargin
   )
 }

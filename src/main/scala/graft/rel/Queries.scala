@@ -263,6 +263,24 @@ object Queries {
     spark.sql(SqlRevenueByMonth)
   }
 
+  /** As-of join over the event stream: every click picks up the most
+    * recent prior-or-simultaneous error of the same user (null if none) —
+    * [[AsOfJoin]] composition, oracle-checked against DuckDB's native
+    * ASOF LEFT JOIN.
+    */
+  def q36AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("value").as("err_value"))
+    AsOfJoin.asOf(clicks, errors, key = "user_id", time = "ts")
+      .withColumnRenamed("__asof_time", "err_ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("err_ts"), col("err_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -280,6 +298,7 @@ object Queries {
     "q13_events_json" -> (q13EventsJson _),
     "q14_wordcount" -> (q14WordCount _),
     "q32_cube" -> (q32Cube _),
-    "q33_sql_api" -> (q33SqlApi _)
+    "q33_sql_api" -> (q33SqlApi _),
+    "q36_asof_join" -> (q36AsOfJoin _)
   )
 }

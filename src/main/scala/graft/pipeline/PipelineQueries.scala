@@ -31,7 +31,8 @@ object PipelineQueries {
     "q30_session_window" -> (Events.sessionsBatch _),
     "q31_media_features" -> (Multimodal.mediaFeatures _),
     "q34_bpe_tokens" -> (TextAnalysis.bpeTokens _),
-    "q35_embedding_neardup" -> (Similarity.embeddingNearDup _)
+    "q35_embedding_neardup" -> (Similarity.embeddingNearDup _),
+    "q40_ann_ivf" -> (Similarity.annIvf _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */

@@ -116,6 +116,55 @@ object Similarity {
       ).as("tb")
     ).select(col("vec_id"), col("v"), col("norm"), col("tb.tbl"), col("tb.bucket"))
 
+  // ---- IVF (inverted-file) ANN ------------------------------------------
+
+  /** Every `CentroidEvery`-th vector doubles as a coarse centroid (a
+    * deterministic stand-in for trained k-means centers — no model state,
+    * same partition/probe mechanics). Probes fan out to `NProbe` nearest
+    * cells; corpus vectors live in exactly one cell.
+    */
+  val CentroidEvery = 100
+  val NProbe = 3
+
+  /** L3 scale path, IVF flavor: assign corpus vectors to their nearest
+    * centroid cell (one broadcast pass), search only the `NProbe` cells
+    * nearest each probe. Search cost drops to ~NProbe/C of brute force;
+    * recall vs [[annTopK]] is asserted in PipelineSuite.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val all = vectors(spark, dir)
+    val centroids = broadcast(
+      all.filter(col("vec_id") % CentroidEvery === 1)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm")))
+
+    // nearest cell per corpus vector (rank over the broadcast product)
+    def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cent_id"))
+      df.join(centroids)
+        .withColumn("ccos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+        .withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= keep)
+        .drop("cv", "cnorm", "ccos", "crnk")
+    }
+
+    val cells = assign(all.filter(col("vec_id") % ProbeEvery =!= 0), "vec_id", keep = 1)
+    val probes = assign(
+      all.filter(col("vec_id") % ProbeEvery === 0)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
+        .withColumnRenamed("pv", "v").withColumnRenamed("pnorm", "norm"),
+      "probe_id", keep = NProbe)
+      .select(col("probe_id"), col("v").as("pv"), col("norm").as("pnorm"), col("cent_id"))
+
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    cells
+      .join(broadcast(probes), Seq("cent_id"))
+      .withColumn("cos", dot(col("pv"), col("v")) / (col("pnorm") * col("norm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   // ---- embedding-cosine near-dup (all-pairs, LSH-bucketed) --------------
 
   /** All-pairs near-dup threshold (see PipelineQueries probe: the corpus

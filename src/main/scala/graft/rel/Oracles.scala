@@ -158,6 +158,39 @@ object Oracles {
         |SELECT l.event_id, l.user_id, l.ts::TIMESTAMP AS ts, l.value,
         |       r.err_ts::TIMESTAMP AS err_ts, r.err_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.err_ts
-        |ORDER BY l.event_id""".stripMargin
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q37_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q38_unpivot" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |   count(*) FILTER (event_type = 'click') AS click,
+        |   count(*) FILTER (event_type = 'error') AS error,
+        |   count(*) FILTER (event_type = 'purchase') AS purchase,
+        |   count(*) FILTER (event_type = 'view') AS view
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, event_type, n_events FROM (
+        |  SELECT user_id, 'click' AS event_type, click AS n_events FROM w
+        |  UNION ALL SELECT user_id, 'error', error FROM w
+        |  UNION ALL SELECT user_id, 'purchase', purchase FROM w
+        |  UNION ALL SELECT user_id, 'view', view FROM w)
+        |WHERE n_events > 0
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q39_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(quantile_cont(value, 0.99), 4) AS p99,
+        | round(min(value), 2) AS vmin,
+        | round(max(value), 2) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -281,6 +281,45 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Event types pivoted to columns — `groupBy().pivot()` with an explicit
+    * value list so the output schema is static (at scale an unlisted pivot
+    * forces an extra distinct-values job first).
+    */
+  def q37Pivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Unpivot (melt) the wide pivot back to long — Dataset.unpivot is the
+    * inverse shape transform.
+    */
+  def q38Unpivot(spark: SparkSession, dir: String): DataFrame =
+    q37Pivot(spark, dir)
+      .unpivot(
+        Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"), col("view")),
+        "event_type",
+        "n_events")
+      .filter(col("n_events") > 0)
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** Exact interpolated percentiles per group (`percentile` = the
+    * continuous-quantile definition DuckDB calls `quantile_cont`).
+    */
+  def q39Percentiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        round(min(col("value")), 2).as("vmin"),
+        round(max(col("value")), 2).as("vmax"))
+      .orderBy(col("event_type"))
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -299,6 +338,9 @@ object Queries {
     "q14_wordcount" -> (q14WordCount _),
     "q32_cube" -> (q32Cube _),
     "q33_sql_api" -> (q33SqlApi _),
-    "q36_asof_join" -> (q36AsOfJoin _)
+    "q36_asof_join" -> (q36AsOfJoin _),
+    "q37_pivot" -> (q37Pivot _),
+    "q38_unpivot" -> (q38Unpivot _),
+    "q39_percentiles" -> (q39Percentiles _)
   )
 }

@@ -114,6 +114,20 @@ class PipelineSuite extends AnyFunSuite {
     assert(pred == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
   }
 
+  test("L3 IVF-ANN: structural sanity and top-1 recall >= 0.4") {
+    val exact = Similarity.annTopK(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    val ivf = Similarity.annIvf(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (p, cands) => assert(cands.length <= Similarity.TopK && !cands.contains(p)) }
+    // deterministic centroids + deterministic data -> stable recall; with
+    // NProbe/C = 3/5 cells searched at sf0.001 well over half the probes
+    // keep their true nearest neighbor
+    val hits = exact.count { case (p, ex) => ivf.get(p).exists(_.contains(ex.head)) }
+    assert(hits >= math.ceil(exact.size * 0.4).toInt, s"top-1 recall $hits/${exact.size}")
+  }
+
   test("embedding near-dup: LSH pairs are exact-verified, recall >= 0.8") {
     val exact = Similarity.embeddingNearDupExact(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

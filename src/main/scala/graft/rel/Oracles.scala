@@ -191,6 +191,27 @@ object Oracles {
         | round(quantile_cont(value, 0.99), 4) AS p99,
         | round(min(value), 2) AS vmin,
         | round(max(value), 2) AS vmax
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q41_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 2 * (
+        |  SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q42_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q43_range_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+        |w AS (SELECT event_id AS window_id, t AS w_start, t + 3600000000 AS w_end
+        |      FROM ev WHERE event_type = 'purchase' AND user_id < 5)
+        |SELECT window_id, count(*) AS n_events
+        |FROM w JOIN ev ON w.w_start <= ev.t AND ev.t < w.w_end
+        |GROUP BY window_id ORDER BY window_id""".stripMargin
   )
 }

@@ -320,6 +320,50 @@ object Queries {
         round(max(col("value")), 2).as("vmax"))
       .orderBy(col("event_type"))
 
+  /** Correlated scalar subquery through the SQL path: orders more than
+    * 2× their customer's average order value.
+    */
+  def q41ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 2 * (
+        |  SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Explicit GROUPING SETS (neither rollup nor cube): per-returnflag,
+    * per-linestatus, and grand-total rows in one pass.
+    */
+  def q42GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  /** Binned range join ([[RangeJoin]]): events per one-hour window opened
+    * by each purchase of users 0–4 (epoch-micro arithmetic; 15-minute
+    * bins).
+    */
+  def q43RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("t", unix_micros(col("ts")))
+    val windows = ev
+      .filter(col("event_type") === "purchase" && col("user_id") < 5)
+      .select(col("event_id").as("window_id"), col("t").as("w_start"),
+        (col("t") + 3600L * 1000000L).as("w_end"))
+    RangeJoin
+      .pointInInterval(
+        ev.select(col("event_id"), col("t")),
+        windows, "t", "w_start", "w_end", binWidth = 15L * 60L * 1000000L)
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("window_id"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -341,6 +385,9 @@ object Queries {
     "q36_asof_join" -> (q36AsOfJoin _),
     "q37_pivot" -> (q37Pivot _),
     "q38_unpivot" -> (q38Unpivot _),
-    "q39_percentiles" -> (q39Percentiles _)
+    "q39_percentiles" -> (q39Percentiles _),
+    "q41_scalar_subquery" -> (q41ScalarSubquery _),
+    "q42_grouping_sets" -> (q42GroupingSets _),
+    "q43_range_join" -> (q43RangeJoin _)
   )
 }

@@ -110,6 +110,29 @@ object Events {
   def dedupStream(ev: DataFrame, delay: String = "10 minutes"): DataFrame =
     ev.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: clicks pair with errors of the same
+    * user within `horizon` BEFORE the click. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so each side's
+    * state is evicted once the watermark passes the horizon — bounded
+    * state on an unbounded join.
+    */
+  def clicksWithRecentErrors(
+      clicks: DataFrame,
+      errors: DataFrame,
+      delay: String = "10 minutes",
+      horizon: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+    val e = errors.withWatermark("ts", delay)
+      .select(col("user_id").as("e_user"), col("ts").as("err_ts"), col("value").as("err_value"))
+    c.join(
+      e,
+      col("user_id") === col("e_user") &&
+        col("err_ts") <= col("click_ts") &&
+        col("err_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
+      .drop("e_user")
+  }
+
   /** File-based stream source over an events parquet directory — the
     * production `readStream` shape (one file = one micro-batch at test
     * scale; schema comes from the batch table).

@@ -179,6 +179,38 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with recent errors only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Double)]
+    val errors = MemoryStream[(Timestamp, Long, Double)]
+    val q = Events
+      .clicksWithRecentErrors(
+        clicks.toDF.toDF("ts", "user_id", "value"),
+        errors.toDF.toDF("ts", "user_id", "value"),
+        delay = "5 minutes", horizon = "30 minutes")
+      .writeStream.format("memory").queryName("ss_join_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      errors.addData(
+        row("2024-01-01 10:00:00", 1, 0.5), // within 30m of the click
+        row("2024-01-01 09:00:00", 1, 0.25), // too old
+        row("2024-01-01 10:10:00", 2, 0.75)) // other user
+      clicks.addData(row("2024-01-01 10:20:00", 1, 1.0))
+      q.processAllAvailable()
+      // advance both watermarks so results flush in append mode
+      errors.addData(row("2024-01-01 12:00:00", 9, 0.0))
+      clicks.addData(row("2024-01-01 12:00:00", 9, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("ss_join_test")
+        .select(col("user_id"), col("click_ts").cast("string"), col("err_ts").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(out.contains((1L, "2024-01-01 10:20:00", "2024-01-01 10:00:00")))
+      assert(!out.exists(_._3 == "2024-01-01 09:00:00")) // outside horizon
+      assert(!out.exists(t => t._1 == 1L && t._3 == "2024-01-01 10:10:00")) // other user
+    } finally q.stop()
+  }
+
   test("batch/stream parity: same session transform, same answer") {
     import spark.implicits._
     // The declared q30 uses the identical Events.sessions transform in batch

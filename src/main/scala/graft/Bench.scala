@@ -24,7 +24,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, sfDir).count(); None }
+        // noop sink, not count(): under count() Catalyst prunes every
+        // projected expression and eliminates final sorts, so projection-
+        // heavy queries would measure a bare scan instead of their work.
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage)).take(200)}") }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }

@@ -39,7 +39,10 @@ object OutputSink {
       val tc = TaskContext.get()
       val pid = tc.partitionId()
       val dir = new Path(dirStr)
-      val fs = dir.getFileSystem(new Configuration())
+      // newInstance, not getFileSystem: the cached instance is shared
+      // JVM-wide, and setWriteChecksum on it would silently disable .crc
+      // sidecars for every other writer in this executor.
+      val fs = org.apache.hadoop.fs.FileSystem.newInstance(dir.toUri, new Configuration())
       // No sidecar .crc files — the contract is exactly R files (F12).
       fs.setWriteChecksum(false)
       val tmp = new Path(dir, s".output_${pid}.attempt${tc.taskAttemptId()}")
@@ -51,7 +54,8 @@ object OutputSink {
       } finally out.close()
       val dest = new Path(dir, s"output_$pid")
       // First completed attempt wins; losers clean up after themselves.
-      if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+      try { if (!fs.rename(tmp, dest)) fs.delete(tmp, false) }
+      finally fs.close()
       ()
     }
   }

@@ -74,7 +74,16 @@ object MapReduceSpec {
       errs += s"n_workers=${spec.nWorkers} != ${spec.workerAddrs.size} worker addresses"
     if (spec.inputFiles.isEmpty) errs += "no input files"
     spec.inputFiles.foreach { f =>
-      if (!Files.isReadable(Paths.get(f))) errs += s"input file not readable: $f"
+      // Hadoop FS, not java.nio: inputs may live on hdfs:// or s3a:// and
+      // may be globs — reject only what no reader could open.
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val matches = fs.globStatus(p)
+        if (matches == null || matches.isEmpty) errs += s"input file not readable: $f"
+      } catch {
+        case e: Exception => errs += s"input file not readable: $f (${e.getMessage})"
+      }
     }
     if (spec.outputDir.isEmpty) errs += "output_dir missing"
     if (spec.nOutputFiles <= 0) errs += s"n_output_files must be positive, got ${spec.nOutputFiles}"

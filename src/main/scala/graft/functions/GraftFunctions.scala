@@ -30,13 +30,13 @@ object GraftFunctions {
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("dot_f64"), dotInfo, dotBuilder _)
 
-  /** Column-API face of `dot_f64` (requires [[register]] on the session). */
-  def dotF64(a: Column, b: Column): Column = {
-    // Column construction from a Catalyst Expression is session-internal
-    // in Spark 4; routing through the registered SQL name keeps this on
-    // public API. Callers pass column NAMES via expr-compatible strings.
-    expr(s"dot_f64(${a.toString}, ${b.toString})")
-  }
+  /** Column-API face of `dot_f64` (requires [[register]] on the session).
+    * `call_function` passes the Column objects straight through the
+    * registry — no SQL-text round trip, so arbitrary expressions and
+    * join-disambiguated columns resolve exactly as the caller bound them.
+    */
+  def dotF64(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("dot_f64", a, b)
 }
 
 /** `spark.sql.extensions`-style entry point:

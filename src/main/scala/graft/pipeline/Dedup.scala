@@ -42,7 +42,7 @@ object Dedup {
     * a hot shingling path pays tree-walk + boxing per shingle. A plain
     * Scala loop is JIT-compiled.
     */
-  private[pipeline] def shingleKernel(text: String): Array[String] = {
+  def shingleKernel(text: String): Array[String] = {
     val w = text.split(" ")
     if (w.length < 3) Array.empty
     else {
@@ -73,7 +73,7 @@ object Dedup {
     * instead of re-computing the upstream pipeline for both join sides,
     * and a JIT'd loop instead of interpreted nested-`transform` lambdas.
     */
-  private def expandPairs[T, R](sorted: Array[T])(f: (T, T) => R): Seq[R] = {
+  private[pipeline] def expandPairs[T, R](sorted: Array[T])(f: (T, T) => R): Seq[R] = {
     val out = new scala.collection.mutable.ArrayBuffer[R](
       sorted.length * (sorted.length - 1) / 2)
     var i = 0

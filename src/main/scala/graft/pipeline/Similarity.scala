@@ -32,7 +32,8 @@ object Similarity {
     * the interpreted `aggregate(zip_with(...))` higher-order-function
     * formulation; identical fold order, so results are bit-equal.
     */
-  private def dot(a: Column, b: Column): Column = expr(s"dot_f64($a, $b)")
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dotF64(a, b)
 
   /** (vec_id, v: array<double>, norm). Pre-computing the L2 norm once per
     * row keeps the per-pair work to a single dot product.
@@ -231,10 +232,7 @@ object Similarity {
       .filter(size(col("ids")) > 1)
       .select(col("ids"))
       .as[Array[Long]]
-      .flatMap { ids =>
-        val s = ids.sorted
-        for (i <- s.indices.iterator; j <- (i + 1 until s.length).iterator) yield (s(i), s(j))
-      }
+      .flatMap(ids => Dedup.expandPairs(ids.sorted)((a, b) => (a, b)))
       .toDF("v1", "v2")
       .distinct()
     val a = all.select(col("vec_id").as("v1"), col("v").as("va"), col("norm").as("na"))

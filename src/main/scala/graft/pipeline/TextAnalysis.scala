@@ -112,14 +112,44 @@ object TextAnalysis {
     * shingle set under md5 (a winnowing-style content signature — equal
     * fingerprints ⇒ near-identical shingle sets; stable under small edits
     * elsewhere in the doc). Emitted as one pipe-joined string.
+    *
+    * Typed kernel for the md5-per-shingle loop (the Catalyst
+    * `transform(…, md5)` + `array_sort` version runs interpreted — it was
+    * the slowest query in the suite once the bench stopped letting
+    * Catalyst prune it). `MessageDigest` lowercase-hex output is
+    * byte-identical to both Spark's `md5` and DuckDB's, so the oracle is
+    * unaffected.
     */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     table(spark, dir, "documents")
-      .select(
-        col("doc_id"),
-        array_join(slice(array_sort(transform(Shingles.shingles(col("text"), 3), s => md5(s))), 1, 4), "|")
-          .as("doc_fp"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        def toHex(bytes: Array[Byte]): String = {
+          val out = new Array[Char](bytes.length * 2)
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xFF
+            out(i * 2) = hex(b >>> 4)
+            out(i * 2 + 1) = hex(b & 0xF)
+            i += 1
+          }
+          new String(out)
+        }
+        it.map { case (id, text) =>
+          val hashes = Dedup.shingleKernel(text).map { s =>
+            md.reset()
+            toHex(md.digest(s.getBytes("UTF-8")))
+          }
+          (id, hashes.sorted.take(4).mkString("|"))
+        }
+      }
+      .toDF("doc_id", "doc_fp")
       .orderBy(col("doc_id"))
+  }
 
   /** BPE-style pre-tokenizer pattern (GPT-2 family, simplified): English
     * contractions, letter runs, digit runs, and punctuation runs — the

@@ -48,10 +48,14 @@ object AsOfJoin {
         lit(null).cast(rTagged.schema("__p").dataType).as("__p")) ++
         leftOnly.map(col)): _*)
 
-    // right rows sort before left rows on equal time: "<=" includes ties
+    // right rows sort before left rows on equal time ("<=" includes ties);
+    // the payload struct is the final sort key so that when several right
+    // rows share (key, time) the match is the struct-max — deterministic
+    // regardless of shuffle order (left rows carry a null payload, which
+    // sorts consistently)
     val w = Window
       .partitionBy(col(key))
-      .orderBy(col(time).asc, col("__is_l").asc)
+      .orderBy(col(time).asc, col("__is_l").asc, col("__p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lTagged

@@ -32,9 +32,12 @@ object RangeJoin {
     require(binWidth > 0, "binWidth must be positive")
     def binOf(c: Column): Column = floor(c / binWidth).cast("long")
     val p = points.withColumn("__bin", binOf(col(timeCol)))
-    val iv = intervals.withColumn(
-      "__bin",
-      explode(sequence(binOf(col(startCol)), binOf(col(endCol) - 1))))
+    // drop empty/inverted intervals BEFORE binning: Spark's sequence(a, b)
+    // counts DOWN when b < a, so start >= end would fabricate junk bins
+    // (or explode an enormous descending range for malformed input)
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bin", explode(sequence(binOf(col(startCol)), binOf(col(endCol) - 1))))
     iv.join(p, "__bin")
       .filter(col(startCol) <= col(timeCol) && col(timeCol) < col(endCol))
       .drop("__bin")

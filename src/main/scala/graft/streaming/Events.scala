@@ -18,7 +18,9 @@ import graft.rel.Queries.events
   *
   * Spark's window semantics: tumbling/sliding windows are epoch-aligned
   * [start, end); a session window spans [first event, last event + gap),
-  * merging events whose gap is strictly less than `gap`.
+  * merging events whose gap is less than OR EQUAL TO `gap` (verified
+  * empirically: an exactly-gap-sized step still merges; only a strictly
+  * larger gap starts a new session — the q30 oracle breaks on `>`).
   */
 object Events {
 

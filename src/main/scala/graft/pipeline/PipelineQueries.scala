@@ -32,7 +32,8 @@ object PipelineQueries {
     "q31_media_features" -> (Multimodal.mediaFeatures _),
     "q34_bpe_tokens" -> (TextAnalysis.bpeTokens _),
     "q35_embedding_neardup" -> (Similarity.embeddingNearDup _),
-    "q40_ann_ivf" -> (Similarity.annIvf _)
+    "q40_ann_ivf" -> (Similarity.annIvf _),
+    "q44_pii_scrub" -> (TextAnalysis.piiScrub _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -140,6 +141,19 @@ object PipelineQueries {
         |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start, value
         |  FROM events CROSS JOIN (VALUES (0), (1)) t(k))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q44_pii_scrub" -> {
+      val em = TextAnalysis.EmailPattern.replace("\\", "\\").replace("'", "''")
+      val url = TextAnalysis.UrlPattern
+      val num = TextAnalysis.LongDigitPattern
+      s"""SELECT doc_id,
+         | len(regexp_extract_all(text, '$em', 0)) AS n_emails,
+         | len(regexp_extract_all(text, '$url', 0)) AS n_urls,
+         | len(regexp_extract_all(text, '$num', 0)) AS n_longnums,
+         | md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |   '$em', '<EMAIL>', 'g'), '$url', '<URL>', 'g'), '$num', '<NUM>', 'g')) AS scrubbed_hash
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q34_bpe_tokens" -> {
       val pat = TextAnalysis.BpePattern.replace("'", "''") // SQL-literal quote

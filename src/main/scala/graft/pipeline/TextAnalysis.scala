@@ -173,6 +173,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Scrubbing patterns for the cleaning pass — alternation-only regexes
+    * (no backreferences/lookahead) so Java and RE2 agree byte for byte.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+  val LongDigitPattern = "[0-9]{6,}"
+
+  /** L4 — PII/noise scrub: mask emails, URLs, and long digit runs (ids,
+    * phone-ish numbers) with typed placeholder tokens, reporting match
+    * counts and the scrubbed text's hash. Single narrow projection; the
+    * corpus has no PII so counts are 0 here — semantics are pinned by the
+    * fixture test in PipelineSuite and the oracle's identical regexes.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    def scrubbed(c: org.apache.spark.sql.Column) =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, EmailPattern, "<EMAIL>"),
+          UrlPattern, "<URL>"),
+        LongDigitPattern, "<NUM>")
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(UrlPattern), lit(0))).as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(LongDigitPattern), lit(0))).as("n_longnums"),
+        md5(scrubbed(col("text"))).as("scrubbed_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact per-source vocabulary cardinality + token totals (the oracle-
     * checkable twin of [[cardinalityApprox]]).
     */

@@ -152,6 +152,33 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("PII scrub: masks emails/urls/long numbers on a fixture") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "contact me at jo.doe+x@mail.example.org or https://ex.org/a?b=1 ref 1234567"),
+      (2L, "clean text with short 123 number")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("pii").toString
+    fixture
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("fix"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.piiScrub(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(rows(1L)._1 == 1 && rows(1L)._2 == 1 && rows(1L)._3 == 1)
+    assert(rows(2L) == ((0, 0, 0, {
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("clean text with short 123 number".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    })))
+    // scrubbed text of doc 1 must not contain the raw PII
+    val scrub1 = "contact me at <EMAIL> or <URL> ref <NUM>"
+    val h1 = java.security.MessageDigest.getInstance("MD5")
+      .digest(scrub1.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows(1L)._4 == h1)
+  }
+
   test("multimodal: features and frame sampling round-trip the payload") {
     val media = Multimodal.mediaTable(spark, dir)
     val feats = Multimodal.extractFeatures(media).collect()

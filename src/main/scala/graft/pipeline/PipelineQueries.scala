@@ -33,7 +33,8 @@ object PipelineQueries {
     "q34_bpe_tokens" -> (TextAnalysis.bpeTokens _),
     "q35_embedding_neardup" -> (Similarity.embeddingNearDup _),
     "q40_ann_ivf" -> (Similarity.annIvf _),
-    "q44_pii_scrub" -> (TextAnalysis.piiScrub _)
+    "q44_pii_scrub" -> (TextAnalysis.piiScrub _),
+    "q45_chunking" -> (TextAnalysis.chunkDocuments _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -141,6 +142,16 @@ object PipelineQueries {
         |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start, value
         |  FROM events CROSS JOIN (VALUES (0), (1)) t(k))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q45_chunking" ->
+      """SELECT doc_id, i AS chunk_id,
+        | len(w[i*24+1 : i*24+32]) AS n_chunk_tokens,
+        | md5(array_to_string(w[i*24+1 : i*24+32], ' ')) AS chunk_hash
+        |FROM (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |         unnest(range(0, ((len(string_split(text, ' '))-1)//24)+1)) AS i
+        |  FROM documents)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q44_pii_scrub" -> {
       val em = TextAnalysis.EmailPattern.replace("\\", "\\").replace("'", "''")

@@ -203,6 +203,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Training-sequence chunking: fixed-size overlapping token windows. */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** L4 — split each document into overlapping word windows of
+    * [[ChunkTokens]] tokens every [[ChunkStride]] (the sliding-window
+    * chunking that turns documents into training sequences). Emits one
+    * row per chunk with its token count and content hash; the final
+    * (short) chunk is kept. Pure narrow explode — no shuffle until a
+    * downstream consumer asks for one.
+    */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val w = Shingles.tokens(col("text"))
+    val lastStart = floor((size(w) - 1) / ChunkStride)
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), lastStart),
+            i => {
+              val chunk = slice(w, i * ChunkStride + 1, lit(ChunkTokens))
+              struct(
+                i.cast("long").as("chunk_id"),
+                size(chunk).as("n_chunk_tokens"),
+                md5(array_join(chunk, " ")).as("chunk_hash"))
+            }
+          )
+        ).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.n_chunk_tokens"), col("c.chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Exact per-source vocabulary cardinality + token totals (the oracle-
     * checkable twin of [[cardinalityApprox]]).
     */

@@ -34,7 +34,9 @@ object PipelineQueries {
     "q35_embedding_neardup" -> (Similarity.embeddingNearDup _),
     "q40_ann_ivf" -> (Similarity.annIvf _),
     "q44_pii_scrub" -> (TextAnalysis.piiScrub _),
-    "q45_chunking" -> (TextAnalysis.chunkDocuments _)
+    "q45_chunking" -> (TextAnalysis.chunkDocuments _),
+    "q46_bigram_lm" -> (TextAnalysis.bigramStats _),
+    "q47_source_mix" -> (TextAnalysis.sourceMix _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -142,6 +144,28 @@ object PipelineQueries {
         |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start, value
         |  FROM events CROSS JOIN (VALUES (0), (1)) t(k))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q46_bigram_lm" ->
+      """WITH b AS (
+        |  SELECT w[i] AS w1, w[i+1] AS w2 FROM (
+        |    SELECT string_split(text, ' ') AS w,
+        |           unnest(range(1, greatest(len(string_split(text, ' ')), 1))) AS i
+        |    FROM documents)),
+        |c AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY w1, w2)
+        |SELECT w1, w2, cnt,
+        | round(1.0*cnt / sum(cnt) OVER (PARTITION BY w1), 4) AS p_cond
+        |FROM c ORDER BY w1, w2""".stripMargin,
+
+    "q46_bigram_lm" ->
+      """WITH b AS (
+        |  SELECT w[i] AS w1, w[i+1] AS w2 FROM (
+        |    SELECT string_split(text, ' ') AS w,
+        |           unnest(range(1, greatest(len(string_split(text, ' ')), 1))) AS i
+        |    FROM documents)),
+        |c AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY w1, w2)
+        |SELECT w1, w2, cnt,
+        | round(1.0*cnt / sum(cnt) OVER (PARTITION BY w1), 4) AS p_cond
+        |FROM c ORDER BY w1, w2""".stripMargin,
 
     "q45_chunking" ->
       """SELECT doc_id, i AS chunk_id,

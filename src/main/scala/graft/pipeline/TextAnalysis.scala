@@ -236,6 +236,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** L4 — bigram language-model statistics: corpus-wide bigram counts and
+    * conditional probabilities P(w2 | w1). Bigrams come from a narrow
+    * per-doc expansion; counts are one hash aggregation; the conditional
+    * denominator is a window sum over the prefix (no second shuffle — the
+    * window reuses the groupBy's hash distribution on w1 only after a
+    * repartition AQE handles).
+    */
+  def bigramStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Shingles.tokens(col("text"))
+    val bigrams = table(spark, dir, "documents")
+      .select(
+        explode(
+          when(
+            size(w) >= 2,
+            transform(
+              sequence(lit(1), size(w) - 1),
+              i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))
+          ).otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+        ).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val counts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+    val prefix = Window.partitionBy(col("w1"))
+    counts
+      .withColumn("p_cond", round(col("cnt") / sum(col("cnt")).over(prefix), 4))
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  /** Per-source sampling weights for [[sourceMix]] — a deterministic
+    * stand-in for a data-mixing config (even-numbered sources upweighted).
+    */
+  def sourceWeight(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(pmod(regexp_extract(src, "[0-9]+", 0).cast("int"), lit(2)) === 0, lit(75))
+      .otherwise(lit(25))
+
+  /** Data mixing: deterministic hash-based per-source downsampling — doc
+    * kept iff xxhash64(doc_id) mod 100 < weight(source). Reproducible
+    * across runs and cluster layouts (no rand()), single narrow filter.
+    * Rows-only declared query (DuckDB lacks xxhash64); proportions and
+    * determinism are asserted in PipelineSuite.
+    */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(100)))
+      .filter(col("bucket") < sourceWeight(col("source")))
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+
   /** Exact per-source vocabulary cardinality + token totals (the oracle-
     * checkable twin of [[cardinalityApprox]]).
     */

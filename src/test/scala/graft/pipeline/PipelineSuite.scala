@@ -179,6 +179,22 @@ class PipelineSuite extends AnyFunSuite {
     assert(rows(1L)._4 == h1)
   }
 
+  test("source mixing: deterministic, per-source rates near the weights") {
+    val a = TextAnalysis.sourceMix(spark, dir).collect().map(_.getLong(0)).toSet
+    val b = TextAnalysis.sourceMix(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty) // hash-based: identical across runs
+    val bySource = TextAnalysis.sourceMix(spark, dir).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val totals = graft.rel.Queries.table(spark, dir, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (src, n) =>
+      val want = if (src.replaceAll("[^0-9]", "").toInt % 2 == 0) 0.75 else 0.25
+      val got = bySource.getOrElse(src, 0).toDouble / n
+      assert(math.abs(got - want) < 0.25, s"$src: rate $got vs weight $want")
+    }
+  }
+
   test("multimodal: features and frame sampling round-trip the payload") {
     val media = Multimodal.mediaTable(spark, dir)
     val feats = Multimodal.extractFeatures(media).collect()

@@ -135,6 +135,51 @@ object Events {
       .drop("e_user")
   }
 
+  /** Spark 4 `transformWithState` processor: per-user, per-event-type
+    * running counts held in `MapState` — the arbitrary-state API that
+    * replaces `flatMapGroupsWithState` (typed state primitives, TTL,
+    * timers; requires the RocksDB state store provider).
+    */
+  class EventTypeCounter
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String, Long)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig}
+
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, String)],
+        timers: TimerValues): Iterator[(Long, String, Long)] = {
+      val updated = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { case (_, tpe) =>
+        val n = (if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L) + 1L
+        counts.updateValue(tpe, n)
+        updated(tpe) = n
+      }
+      updated.iterator.map { case (tpe, n) => (user, tpe, n) }
+    }
+  }
+
+  /** Per-user event-type counts via `transformWithState` (Spark 4 typed-
+    * state operator). Emits one row per (user, type) touched in a batch
+    * with the count so far.
+    */
+  def typeCounts(spark: SparkSession, ev: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    ev.select(col("user_id").as[Long], col("event_type").as[String])
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new EventTypeCounter, TimeMode.None(), OM.Update())
+      .toDF("user_id", "event_type", "n_so_far")
+  }
+
   /** File-based stream source over an events parquet directory — the
     * production `readStream` shape (one file = one micro-batch at test
     * scale; schema comes from the batch table).

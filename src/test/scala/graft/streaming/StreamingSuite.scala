@@ -211,6 +211,43 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState: MapState counts survive across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val ev = input.toDF.toDF("ts", "user_id", "value")
+      .withColumn("event_type",
+        when(col("value") < 2.0, "click").otherwise("view"))
+    val q = Events.typeCounts(spark, ev)
+      .writeStream.format("memory").queryName("tws_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        row("2024-01-01 10:00:00", 1, 1.0), // click
+        row("2024-01-01 10:01:00", 1, 1.5), // click
+        row("2024-01-01 10:02:00", 1, 5.0)) // view
+      q.processAllAvailable()
+      input.addData(row("2024-01-01 10:03:00", 1, 1.0)) // click again
+      q.processAllAvailable()
+      val out = spark.table("tws_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(out.contains((1L, "click", 2L))) // after batch 1
+      assert(out.contains((1L, "view", 1L)))
+      assert(out.contains((1L, "click", 3L))) // state carried into batch 2
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("batch/stream parity: same session transform, same answer") {
     import spark.implicits._
     // The declared q30 uses the identical Events.sessions transform in batch

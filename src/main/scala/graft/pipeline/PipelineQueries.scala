@@ -36,7 +36,9 @@ object PipelineQueries {
     "q44_pii_scrub" -> (TextAnalysis.piiScrub _),
     "q45_chunking" -> (TextAnalysis.chunkDocuments _),
     "q46_bigram_lm" -> (TextAnalysis.bigramStats _),
-    "q47_source_mix" -> (TextAnalysis.sourceMix _)
+    "q47_source_mix" -> (TextAnalysis.sourceMix _),
+    "q48_vocab" -> (TextAnalysis.buildVocab _),
+    "q49_quantize_int8" -> (Similarity.quantizeInt8 _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -145,6 +147,48 @@ object PipelineQueries {
         |  FROM events CROSS JOIN (VALUES (0), (1)) t(k))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q48_vocab" ->
+      """SELECT row_number() OVER (ORDER BY freq DESC, word) - 1 AS token_id,
+        | word, freq
+        |FROM (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word)
+        |ORDER BY token_id""".stripMargin,
+
+    "q49_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+        |      FROM e),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv
+        |      FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        | list_sum(qv) AS q_sum, list_min(qv) AS q_min, list_max(qv) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q48_vocab" ->
+      """SELECT row_number() OVER (ORDER BY freq DESC, word) - 1 AS token_id,
+        | word, freq
+        |FROM (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word)
+        |ORDER BY token_id""".stripMargin,
+
+    "q49_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+        |      FROM e),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv
+        |      FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        | list_sum(qv) AS q_sum, list_min(qv) AS q_min, list_max(qv) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "q46_bigram_lm" ->
       """WITH b AS (
         |  SELECT w[i] AS w1, w[i+1] AS w2 FROM (
@@ -155,6 +199,48 @@ object PipelineQueries {
         |SELECT w1, w2, cnt,
         | round(1.0*cnt / sum(cnt) OVER (PARTITION BY w1), 4) AS p_cond
         |FROM c ORDER BY w1, w2""".stripMargin,
+
+    "q48_vocab" ->
+      """SELECT row_number() OVER (ORDER BY freq DESC, word) - 1 AS token_id,
+        | word, freq
+        |FROM (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word)
+        |ORDER BY token_id""".stripMargin,
+
+    "q49_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+        |      FROM e),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv
+        |      FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        | list_sum(qv) AS q_sum, list_min(qv) AS q_min, list_max(qv) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q48_vocab" ->
+      """SELECT row_number() OVER (ORDER BY freq DESC, word) - 1 AS token_id,
+        | word, freq
+        |FROM (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word)
+        |ORDER BY token_id""".stripMargin,
+
+    "q49_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+        |      FROM e),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv
+        |      FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        | list_sum(qv) AS q_sum, list_min(qv) AS q_min, list_max(qv) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q46_bigram_lm" ->
       """WITH b AS (

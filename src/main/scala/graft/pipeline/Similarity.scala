@@ -117,6 +117,28 @@ object Similarity {
       ).as("tb")
     ).select(col("vec_id"), col("v"), col("norm"), col("tb.tbl"), col("tb.bucket"))
 
+  /** Int8 symmetric quantization of the embedding column: per-vector
+    * scale = 127 / max|x|, q_i = floor(x_i·scale + 0.5). `floor(x+0.5)`
+    * rather than `round`: both engines evaluate it identically (no
+    * banker's-rounding ambiguity), so the summary stats hash-match the
+    * DuckDB oracle. Emits the quantization stats a storage layer needs
+    * (scale + range + checksum), one narrow projection.
+    */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val absmax = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    val scale = lit(127.0) / absmax
+    val q = transform(v, x => floor(x * scale + lit(0.5)).cast("int"))
+    table(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        round(scale, 6).as("scale"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(q).as("q_min"),
+        array_max(q).as("q_max"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- IVF (inverted-file) ANN ------------------------------------------
 
   /** Every `CentroidEvery`-th vector doubles as a coarse centroid (a

@@ -283,6 +283,24 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** L4 — vocabulary construction: token → id assignment by descending
+    * corpus frequency (alphabetical tie-break). The id-assigning window
+    * is a single global sort, but it runs over the AGGREGATED vocabulary
+    * (bounded, ~|distinct words|), not the corpus — the standard
+    * tokenizer-building shape.
+    */
+  def buildVocab(spark: SparkSession, dir: String): DataFrame = {
+    val freq = table(spark, dir, "documents")
+      .select(explode(Shingles.tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+    freq
+      .withColumn(
+        "token_id",
+        row_number().over(Window.orderBy(col("freq").desc, col("word"))) - 1)
+      .select(col("token_id"), col("word"), col("freq"))
+      .orderBy(col("token_id"))
+  }
   /** Exact per-source vocabulary cardinality + token totals (the oracle-
     * checkable twin of [[cardinalityApprox]]).
     */

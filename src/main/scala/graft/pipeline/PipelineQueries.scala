@@ -38,7 +38,8 @@ object PipelineQueries {
     "q46_bigram_lm" -> (TextAnalysis.bigramStats _),
     "q47_source_mix" -> (TextAnalysis.sourceMix _),
     "q48_vocab" -> (TextAnalysis.buildVocab _),
-    "q49_quantize_int8" -> (Similarity.quantizeInt8 _)
+    "q49_quantize_int8" -> (Similarity.quantizeInt8 _),
+    "q50_seq_packing" -> (TextAnalysis.packSequences _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */

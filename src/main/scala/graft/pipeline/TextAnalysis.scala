@@ -283,6 +283,41 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** Token budget per packed training sequence (bin). */
+  val PackBudget = 64
+
+  /** Sequence packing: greedily pack each document's chunks (from
+    * [[chunkDocuments]]: ≤32-token windows in chunk order) into bins of at
+    * most [[PackBudget]] tokens — the pass that turns variable-length
+    * chunks into fixed-budget training sequences with minimal padding.
+    * Greedy state (running bin fill) is inherently sequential per doc, so
+    * it runs as a typed kernel over each doc's collected chunk list;
+    * cross-doc parallelism is preserved by the groupBy. Rows-only
+    * declared query (greedy reset logic is not plain-SQL-expressible);
+    * PipelineSuite asserts equality with a Scala model.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chunkDocuments(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (doc: Long, rows: Iterator[(Long, Long, Int)]) =>
+        val chunks = rows.toArray.sortBy(_._2)
+        var bin = 0L; var fill = 0; var nChunks = 0
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+        def flush(): Unit = if (nChunks > 0) { out += ((doc, bin, nChunks, fill)); bin += 1; fill = 0; nChunks = 0 }
+        chunks.foreach { case (_, _, n) =>
+          if (fill + n > PackBudget) flush()
+          fill += n; nChunks += 1
+        }
+        flush()
+        out
+      }
+      .toDF("doc_id", "bin_id", "n_chunks", "n_tokens")
+      .orderBy(col("doc_id"), col("bin_id"))
+  }
+
   /** L4 — vocabulary construction: token → id assignment by descending
     * corpus frequency (alphabetical tie-break). The id-assigning window
     * is a single global sort, but it runs over the AGGREGATED vocabulary

@@ -195,6 +195,29 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("sequence packing matches a greedy Scala model") {
+    import spark.implicits._
+    val got = TextAnalysis.packSequences(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getInt(3)))).toMap
+    // model: re-pack from the chunk table
+    val chunks = TextAnalysis.chunkDocuments(spark, dir)
+      .select("doc_id", "chunk_id", "n_chunk_tokens")
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+    val model = chunks.flatMap { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2).map(_._3)
+      val bins = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var nC = 0; var nT = 0
+      sorted.foreach { n =>
+        if (nT + n > TextAnalysis.PackBudget && nC > 0) { bins += ((nC, nT)); nC = 0; nT = 0 }
+        nC += 1; nT += n
+      }
+      if (nC > 0) bins += ((nC, nT))
+      bins.zipWithIndex.map { case (b, i) => (doc, i.toLong) -> b }
+    }.toMap
+    assert(got == model)
+    assert(got.values.forall(_._2 <= TextAnalysis.PackBudget))
+  }
+
   test("multimodal: features and frame sampling round-trip the payload") {
     val media = Multimodal.mediaTable(spark, dir)
     val feats = Multimodal.extractFeatures(media).collect()

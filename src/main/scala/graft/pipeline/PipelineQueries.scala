@@ -157,6 +157,9 @@ object PipelineQueries {
         |  GROUP BY word)
         |ORDER BY token_id""".stripMargin,
 
+    // q_sum cast to BIGINT: DuckDB's list_sum over INT[] returns HUGEINT,
+    // while Spark's aggregate(..., lit(0L), ...) emits LONG — the driver's
+    // hash is type-sensitive, so the oracle must match Spark's type.
     "q49_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,
@@ -166,81 +169,8 @@ object PipelineQueries {
         |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv
         |      FROM s)
         |SELECT vec_id, round(scale, 6) AS scale,
-        | list_sum(qv) AS q_sum, list_min(qv) AS q_min, list_max(qv) AS q_max
-        |FROM q ORDER BY vec_id""".stripMargin,
-
-    "q48_vocab" ->
-      """SELECT row_number() OVER (ORDER BY freq DESC, word) - 1 AS token_id,
-        | word, freq
-        |FROM (
-        |  SELECT word, count(*) AS freq FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  GROUP BY word)
-        |ORDER BY token_id""".stripMargin,
-
-    "q49_quantize_int8" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
-        |      FROM e),
-        |q AS (SELECT vec_id, scale,
-        |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv
-        |      FROM s)
-        |SELECT vec_id, round(scale, 6) AS scale,
-        | list_sum(qv) AS q_sum, list_min(qv) AS q_min, list_max(qv) AS q_max
-        |FROM q ORDER BY vec_id""".stripMargin,
-
-    "q46_bigram_lm" ->
-      """WITH b AS (
-        |  SELECT w[i] AS w1, w[i+1] AS w2 FROM (
-        |    SELECT string_split(text, ' ') AS w,
-        |           unnest(range(1, greatest(len(string_split(text, ' ')), 1))) AS i
-        |    FROM documents)),
-        |c AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY w1, w2)
-        |SELECT w1, w2, cnt,
-        | round(1.0*cnt / sum(cnt) OVER (PARTITION BY w1), 4) AS p_cond
-        |FROM c ORDER BY w1, w2""".stripMargin,
-
-    "q48_vocab" ->
-      """SELECT row_number() OVER (ORDER BY freq DESC, word) - 1 AS token_id,
-        | word, freq
-        |FROM (
-        |  SELECT word, count(*) AS freq FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  GROUP BY word)
-        |ORDER BY token_id""".stripMargin,
-
-    "q49_quantize_int8" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
-        |      FROM e),
-        |q AS (SELECT vec_id, scale,
-        |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv
-        |      FROM s)
-        |SELECT vec_id, round(scale, 6) AS scale,
-        | list_sum(qv) AS q_sum, list_min(qv) AS q_min, list_max(qv) AS q_max
-        |FROM q ORDER BY vec_id""".stripMargin,
-
-    "q48_vocab" ->
-      """SELECT row_number() OVER (ORDER BY freq DESC, word) - 1 AS token_id,
-        | word, freq
-        |FROM (
-        |  SELECT word, count(*) AS freq FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  GROUP BY word)
-        |ORDER BY token_id""".stripMargin,
-
-    "q49_quantize_int8" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
-        |      FROM e),
-        |q AS (SELECT vec_id, scale,
-        |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv
-        |      FROM s)
-        |SELECT vec_id, round(scale, 6) AS scale,
-        | list_sum(qv) AS q_sum, list_min(qv) AS q_min, list_max(qv) AS q_max
+        | CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        | list_min(qv) AS q_min, list_max(qv) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
 
     "q46_bigram_lm" ->

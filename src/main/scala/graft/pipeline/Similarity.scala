@@ -35,15 +35,27 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.dotF64(a, b)
 
+  private val vectorCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** (vec_id, v: array<double>, norm). Pre-computing the L2 norm once per
-    * row keeps the per-pair work to a single dot product.
+    * row keeps the per-pair work to a single dot product. Persisted
+    * (MEMORY_AND_DISK) and memoized per (session, dir): every ANN/near-dup
+    * query references this frame 2–3× (probe/centroid filter + corpus
+    * side + candidate-verify rejoin), and the memo lets all the
+    * similarity queries in a session share one cached copy instead of
+    * re-scanning + re-norming `embeddings` per reference.
     */
-  private def vectors(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-  }
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    vectorCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        graft.functions.GraftFunctions.register(s)
+        table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
 
   private def scored(spark: SparkSession, dir: String): DataFrame = {
     val all = vectors(spark, dir)

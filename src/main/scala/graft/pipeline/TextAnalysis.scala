@@ -162,16 +162,22 @@ object TextAnalysis {
     * whitespace count: `regexp_extract_all` is a codegen'd Catalyst
     * built-in, so this stays a single narrow scan.
     */
-  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
-    val toks = regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    // Materialize the regex token array in an inner projection so the
+    // regexp_extract_all runs ONCE per row — CollapseProject won't inline
+    // a non-cheap expression referenced twice, so the two-step shape is
+    // what guarantees single evaluation.
     table(spark, dir, "documents")
       .select(
         col("doc_id"),
         size(Shingles.tokens(col("text"))).as("n_ws_tokens"),
-        size(toks).as("n_bpe_tokens"),
-        size(array_distinct(toks)).as("n_unique_bpe"))
+        regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)).as("toks"))
+      .select(
+        col("doc_id"),
+        col("n_ws_tokens"),
+        size(col("toks")).as("n_bpe_tokens"),
+        size(array_distinct(col("toks"))).as("n_unique_bpe"))
       .orderBy(col("doc_id"))
-  }
 
   /** Scrubbing patterns for the cleaning pass — alternation-only regexes
     * (no backreferences/lookahead) so Java and RE2 agree byte for byte.
@@ -236,26 +242,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Adjacent-token bigrams of one document, as a typed kernel. Same
+    * rationale as [[Dedup.shingleKernel]]: the Catalyst
+    * `transform(sequence(…), i => struct(element_at…))` expansion is
+    * CodegenFallback — an interpreted lambda dispatch plus a struct
+    * allocation PER BIGRAM over the whole corpus, which made it the
+    * single hottest loop in the bench (14 s at sf0.1, 19% of the suite).
+    * The JIT'd loop emits plain tuples with zero per-element tree walks.
+    */
+  private[pipeline] def bigramKernel(text: String): Iterator[(String, String)] = {
+    val w = text.split(" ")
+    if (w.length < 2) Iterator.empty
+    else new Iterator[(String, String)] {
+      private var i = 0
+      def hasNext: Boolean = i < w.length - 1
+      def next(): (String, String) = { val p = (w(i), w(i + 1)); i += 1; p }
+    }
+  }
+
   /** L4 — bigram language-model statistics: corpus-wide bigram counts and
     * conditional probabilities P(w2 | w1). Bigrams come from a narrow
-    * per-doc expansion; counts are one hash aggregation; the conditional
-    * denominator is a window sum over the prefix (no second shuffle — the
-    * window reuses the groupBy's hash distribution on w1 only after a
-    * repartition AQE handles).
+    * per-doc typed kernel ([[bigramKernel]]); counts are one hash
+    * aggregation (map-side partials bound the shuffle by |distinct
+    * bigrams|, not corpus tokens); the conditional denominator is a
+    * window sum partitioned by w1 over the aggregated counts.
     */
   def bigramStats(spark: SparkSession, dir: String): DataFrame = {
-    val w = Shingles.tokens(col("text"))
+    import spark.implicits._
     val bigrams = table(spark, dir, "documents")
-      .select(
-        explode(
-          when(
-            size(w) >= 2,
-            transform(
-              sequence(lit(1), size(w) - 1),
-              i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))
-          ).otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-        ).as("b"))
-      .select(col("b.w1"), col("b.w2"))
+      .select(col("text"))
+      .as[String]
+      .mapPartitions(_.flatMap(bigramKernel))
+      .toDF("w1", "w2")
     val counts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
     val prefix = Window.partitionBy(col("w1"))
     counts
@@ -296,10 +314,31 @@ object TextAnalysis {
     * declared query (greedy reset logic is not plain-SQL-expressible);
     * PipelineSuite asserts equality with a Scala model.
     */
+  /** Chunk token counts only — the hash-free twin of [[chunkDocuments]]
+    * for consumers that don't need chunk content: struct-field pruning
+    * through `explode(transform(…))` is not guaranteed, so reusing
+    * [[chunkDocuments]] would md5 every chunk and throw the hash away.
+    * Counts derive from the doc's token count alone: chunk i holds
+    * min(ChunkTokens, n − i·ChunkStride) tokens — no token array is even
+    * materialized per chunk.
+    */
+  private def chunkCounts(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), size(Shingles.tokens(col("text"))).as("n"))
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0L), floor((col("n") - 1) / ChunkStride).cast("long"))).as("chunk_id"),
+        col("n"))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        least(lit(ChunkTokens), col("n") - col("chunk_id") * ChunkStride)
+          .cast("int")
+          .as("n_chunk_tokens"))
+
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    chunkDocuments(spark, dir)
-      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+    chunkCounts(spark, dir)
       .as[(Long, Long, Int)]
       .groupByKey(_._1)
       .flatMapGroups { (doc: Long, rows: Iterator[(Long, Long, Int)]) =>
@@ -319,21 +358,29 @@ object TextAnalysis {
   }
 
   /** L4 — vocabulary construction: token → id assignment by descending
-    * corpus frequency (alphabetical tie-break). The id-assigning window
-    * is a single global sort, but it runs over the AGGREGATED vocabulary
-    * (bounded, ~|distinct words|), not the corpus — the standard
-    * tokenizer-building shape.
+    * corpus frequency (alphabetical tie-break). The id assignment is a
+    * DISTRIBUTED range-partitioned sort followed by `zipWithIndex` — not
+    * an unpartitioned window: a single `row_number()` window would pull
+    * the whole vocabulary through one task, which a 100 TB web corpus's
+    * 10^8–10^9 distinct tokens would not survive. `zipWithIndex` costs
+    * one extra (cheap) job to count partition sizes, then assigns ids in
+    * partition order, which equals sort order — ids are identical to the
+    * window formulation because (freq desc, word) is a total order.
     */
   def buildVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val freq = table(spark, dir, "documents")
       .select(explode(Shingles.tokens(col("text"))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
     freq
-      .withColumn(
-        "token_id",
-        row_number().over(Window.orderBy(col("freq").desc, col("word"))) - 1)
-      .select(col("token_id"), col("word"), col("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .select(col("word"), col("freq"))
+      .as[(String, Long)]
+      .rdd
+      .zipWithIndex()
+      .map { case ((word, f), idx) => (idx, word, f) }
+      .toDF("token_id", "word", "freq")
       .orderBy(col("token_id"))
   }
   /** Exact per-source vocabulary cardinality + token totals (the oracle-

@@ -48,14 +48,26 @@ object Engine {
     * Result has exactly `spec.nOutputFiles` partitions, each sorted by key.
     */
   def transform(spark: SparkSession, spec: MapReduceSpec, job: MrJob): Dataset[(String, String)] = {
-    import spark.implicits._
     // F3: split size. The reference shards at map_kilobytes*1000 bytes,
     // newline-aligned (`src/file_shard.h:64,93,110` — *1000, not 1024);
     // Spark's FileSourceScanExec does the same line-aligned byte-range split.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", spec.mapKilobytes * 1000L)
+    // The override lives on a CLONED session (same SparkContext, private
+    // SQLConf): FilePartition.maxSplitBytes re-reads the plan's session conf
+    // at RDD build, so mutating the caller's shared session would both leak
+    // the setting past this job and race two concurrent jobs with different
+    // map_kilobytes.
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.files.maxPartitionBytes", spec.mapKilobytes * 1000L)
+    transformLines(scoped.read.textFile(spec.inputFiles: _*), job, spec.nOutputFiles)
+  }
 
-    val lines = spark.read.textFile(spec.inputFiles: _*)
-
+  /** F5–F10 over an arbitrary line Dataset — the engine's dataflow minus the
+    * file scan, so any corpus column (e.g. `documents.text`) can run through
+    * the exact `MrJob.map`/`reduce` code path.
+    */
+  def transformLines(lines: Dataset[String], job: MrJob, nOutputFiles: Int): Dataset[(String, String)] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
     // F5+F6: per-record user map through a buffering emitter. One emitter per
     // partition (reset per record by drain) keeps allocation off the hot path.
     val mapped = lines.mapPartitions { it =>
@@ -66,14 +78,13 @@ object Engine {
       }
     }
 
-    val r = spec.nOutputFiles
     // F7: hash partition into R. F8+F10: group + reduce. The groupBy's
     // required ClusteredDistribution(key) is already satisfied by the
     // repartition, so Catalyst inserts only a per-partition sort — one
     // shuffle total for the whole job.
     mapped
       .toDF("key", "value")
-      .repartition(r, col("key"))
+      .repartition(nOutputFiles, col("key"))
       .groupBy(col("key"))
       .as[String, (String, String)]
       .flatMapGroups { (key: String, rows: Iterator[(String, String)]) =>
@@ -101,8 +112,11 @@ object Engine {
       spec: MapReduceSpec,
       job: AlgebraicJob[B]): Dataset[(String, String)] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.files.maxPartitionBytes", spec.mapKilobytes * 1000L)
-    val mapped = spark.read.textFile(spec.inputFiles: _*).mapPartitions { it =>
+    // Same scoped-session rationale as [[transform]]: never mutate the
+    // caller's shared conf for a per-job split-size override.
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.files.maxPartitionBytes", spec.mapKilobytes * 1000L)
+    val mapped = scoped.read.textFile(spec.inputFiles: _*).mapPartitions { it =>
       val e = new BufferingEmitter
       it.flatMap { line =>
         job.map(line, e)

@@ -140,6 +140,15 @@ object Oracles {
         |GROUP BY word
         |ORDER BY word""".stripMargin,
 
+    // Same oracle as q14 — q51 runs the identical word count but through
+    // the engine's MrJob map/reduce path instead of the relational twin.
+    "q51_mr_wordcount" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(text, '[ ,."'']+')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY word""".stripMargin,
+
     "q32_cube" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(grouping(l_returnflag) AS INT) AS g_rf,
@@ -154,7 +163,8 @@ object Oracles {
 
     "q36_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
-        |r AS (SELECT user_id, ts AS err_ts, value AS err_value FROM events WHERE event_type = 'error')
+        |r AS (SELECT user_id, ts AS err_ts, max(value) AS err_value
+        |      FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
         |SELECT l.event_id, l.user_id, l.ts::TIMESTAMP AS ts, l.value,
         |       r.err_ts::TIMESTAMP AS err_ts, r.err_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.err_ts

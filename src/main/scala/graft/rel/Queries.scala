@@ -32,6 +32,13 @@ object Queries {
     * precision, which is also what DuckDB returns for it).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Session-level by necessity: executor-side ParquetReadSupport re-reads
+    // this conf when the scan materializes, so a save/restore around the
+    // plan build would break execution, and a cloned session would lose the
+    // flag when an events frame is joined under the caller's session. It is
+    // race-free because the value is a constant — concurrent readers all
+    // write "true" — unlike the per-job split size, which Engine scopes to
+    // a cloned session precisely because it varies.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -234,6 +241,24 @@ object Queries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("word"))
 
+  /** U1+U2 through the ACTUAL MR engine path — the same word count as
+    * [[q14WordCount]], but executed by `Engine.transformLines`:
+    * `documents.text` → `mapPartitions` + `WordCount.map` via
+    * `BufferingEmitter` (F5/F6) → one hash shuffle (F7) → typed
+    * `flatMapGroups` + `WordCount.reduce` (F8/F10). The q14 oracle gates
+    * the engine's map/reduce/group semantics end-to-end, not a relational
+    * twin of them.
+    */
+  def q51MrWordCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = table(spark, dir, "documents").select(col("text")).as[String]
+    graft.core.Engine
+      .transformLines(lines, graft.jobs.WordCount, 8)
+      .toDF("word", "cnt_str")
+      .select(col("word"), col("cnt_str").cast("long").as("cnt"))
+      .orderBy(col("word"))
+  }
+
   /** R4 — CUBE grouping sets with grouping-membership flags. */
   def q32Cube(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
@@ -272,8 +297,13 @@ object Queries {
     val ev = events(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    // Pre-aggregate to one row per (user_id, ts): DuckDB's ASOF JOIN picks
+    // an UNSPECIFIED row among ties on err_ts while AsOfJoin picks the
+    // struct-max payload, so without this the oracle could flake on data
+    // with duplicate (user_id, ts) error events.
     val errors = ev.filter(col("event_type") === "error")
-      .select(col("user_id"), col("ts"), col("value").as("err_value"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("err_value"))
     AsOfJoin.asOf(clicks, errors, key = "user_id", time = "ts")
       .withColumnRenamed("__asof_time", "err_ts")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
@@ -388,6 +418,7 @@ object Queries {
     "q39_percentiles" -> (q39Percentiles _),
     "q41_scalar_subquery" -> (q41ScalarSubquery _),
     "q42_grouping_sets" -> (q42GroupingSets _),
-    "q43_range_join" -> (q43RangeJoin _)
+    "q43_range_join" -> (q43RangeJoin _),
+    "q51_mr_wordcount" -> (q51MrWordCount _)
   )
 }

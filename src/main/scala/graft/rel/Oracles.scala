@@ -149,6 +149,24 @@ object Oracles {
         |GROUP BY word
         |ORDER BY word""".stripMargin,
 
+    // The salted join is row-identical to the plain join — the oracle IS
+    // the plain join, aggregated for determinism.
+    "q52_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // The bucketed co-located join must equal the plain join; the
+    // no-Exchange plan property is pinned in BucketingSuite.
+    "q53_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
     "q32_cube" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(grouping(l_returnflag) AS INT) AS g_rf,

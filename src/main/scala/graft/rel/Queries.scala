@@ -241,6 +241,48 @@ object Queries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("word"))
 
+  /** [[Skew.saltedJoin]] as a declared query: lineitem (fact) joined to
+    * orders (build) on the order key with 8 salts — the hot-key occupies 8
+    * shuffle partitions instead of 1, and row-level results are identical
+    * to the plain join, which is exactly what the oracle checks (the
+    * aggregation after the join makes the output deterministic).
+    */
+  def q52SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val build = table(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Skew.saltedJoin(fact, build, "l_orderkey", salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** [[Bucketing]] as a declared query: orders and customer are written
+    * bucketed+sorted by the customer key, then joined co-located — the
+    * join itself plans no Exchange on either side (BucketingSuite pins
+    * that property); this query gates the RESULT against the plain-join
+    * oracle. The write-once-join-many trade is the 100 TB point: the
+    * partitioning cost is paid at ingest, not per query.
+    */
+  def q53BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = java.lang.Integer.toHexString(dir.hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$suffix"
+    Bucketing.writeBucketed(
+      table(spark, dir, "orders").select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+      s"orders_bq_$suffix", "c_custkey", buckets = 8, s"$base/orders_b")
+    Bucketing.writeBucketed(
+      table(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+      s"customer_bq_$suffix", "c_custkey", buckets = 8, s"$base/customer_b")
+    Bucketing
+      .coLocatedJoin(spark, s"orders_bq_$suffix", s"customer_bq_$suffix", "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** U1+U2 through the ACTUAL MR engine path — the same word count as
     * [[q14WordCount]], but executed by `Engine.transformLines`:
     * `documents.text` → `mapPartitions` + `WordCount.map` via
@@ -419,6 +461,8 @@ object Queries {
     "q41_scalar_subquery" -> (q41ScalarSubquery _),
     "q42_grouping_sets" -> (q42GroupingSets _),
     "q43_range_join" -> (q43RangeJoin _),
-    "q51_mr_wordcount" -> (q51MrWordCount _)
+    "q51_mr_wordcount" -> (q51MrWordCount _),
+    "q52_salted_join" -> (q52SaltedJoin _),
+    "q53_bucketed_join" -> (q53BucketedJoin _)
   )
 }

@@ -97,37 +97,46 @@ object Similarity {
   val LshTables = 8
   val LshBits = 6
 
-  private def lshBuckets(df: DataFrame): DataFrame =
-    df.select(
-      col("vec_id"), col("v"), col("norm"),
-      explode(
-        transform(
-          sequence(lit(0), lit(LshTables - 1)),
-          t => {
-            // H sign bits -> one long bucket id per table
-            val bits = transform(
-              sequence(lit(0), lit(LshBits - 1)),
-              j =>
-                when(
-                  aggregate(
-                    zip_with(
-                      col("v"),
-                      sequence(lit(0), lit(63)),
-                      (x, c) => x * (pmod(xxhash64(t * 1000 + j, c), lit(2)) * 2 - 1).cast("double")
-                    ),
-                    lit(0.0),
-                    (acc, x) => acc + x
-                  ) > 0,
-                  lit(1L)
-                ).otherwise(lit(0L))
-            )
-            struct(
-              t.as("tbl"),
-              aggregate(bits, lit(0L), (acc, b) => acc * 2 + b).as("bucket"))
-          }
-        )
-      ).as("tb")
-    ).select(col("vec_id"), col("v"), col("norm"), col("tb.tbl"), col("tb.bucket"))
+  /** Table-t bucket ids for one vector, as a typed kernel. Hyperplane
+    * component (t, j, c) is the ±1 sign of `xxhash64(t*1000 + j, c) mod 2`
+    * — computed with catalyst's `XXH64` chained exactly like the
+    * `xxhash64` expression (seed 42, then per-argument hashInt), so the
+    * buckets are BIT-IDENTICAL to the previous Catalyst
+    * `transform(sequence…aggregate(zip_with…)))` formulation. That HOF
+    * version evaluated L×H×dim ≈ 3k interpreted expression nodes per
+    * vector (CodegenFallback) and was the slowest query left in the
+    * bench; the kernel is one JIT'd triple loop.
+    */
+  private[pipeline] def lshBucketKernel(v: Array[Double]): Array[(Int, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    Array.tabulate(LshTables) { t =>
+      var bucket = 0L
+      var j = 0
+      while (j < LshBits) {
+        var dot = 0.0
+        var c = 0
+        while (c < v.length) {
+          val h = XXH64.hashInt(c, XXH64.hashInt(t * 1000 + j, 42L))
+          val sign = (((h % 2) + 2) % 2) * 2 - 1 // pmod(h,2)*2-1 ∈ {-1, 1}
+          dot += v(c) * sign
+          c += 1
+        }
+        bucket = bucket * 2 + (if (dot > 0) 1L else 0L)
+        j += 1
+      }
+      (t, bucket)
+    }
+  }
+
+  private def lshBuckets(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("vec_id"), col("v"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .flatMap { case (id, v, norm) =>
+        lshBucketKernel(v).map { case (t, b) => (id, v, norm, t, b) }
+      }
+      .toDF("vec_id", "v", "norm", "tbl", "bucket")
+  }
 
   /** Int8 symmetric quantization of the embedding column: per-vector
     * scale = 127 / max|x|, q_i = floor(x_i·scale + 0.5). `floor(x+0.5)`
@@ -301,7 +310,7 @@ object Similarity {
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val all = vectors(spark, dir)
-    val buckets = lshBuckets(all)
+    val buckets = lshBuckets(spark, all)
     val probes = broadcast(
       buckets.filter(col("vec_id") % ProbeEvery === 0)
         .select(col("tbl"), col("bucket"),

@@ -145,18 +145,44 @@ object Similarity {
     * DuckDB oracle. Emits the quantization stats a storage layer needs
     * (scale + range + checksum), one narrow projection.
     */
+  /** (scale, q_sum, q_min, q_max) of one vector, as a typed kernel with
+    * the same fold orders as the previous `aggregate`/`transform` HOF
+    * formulation (interpreted, 4 passes per row) — identical doubles in,
+    * identical stats out, one JIT'd pass.
+    */
+  private[pipeline] def quantizeKernel(v: Array[Double]): (Double, Long, Int, Int) = {
+    var absmax = 0.0
+    var c = 0
+    while (c < v.length) { val a = math.abs(v(c)); if (a > absmax) absmax = a; c += 1 }
+    val scale = 127.0 / absmax
+    var sum = 0L
+    var qmin = Int.MaxValue
+    var qmax = Int.MinValue
+    c = 0
+    while (c < v.length) {
+      val q = math.floor(v(c) * scale + 0.5).toInt
+      sum += q
+      if (q < qmin) qmin = q
+      if (q > qmax) qmax = q
+      c += 1
+    }
+    (scale, sum, qmin, qmax)
+  }
+
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
-    val v = col("embedding").cast("array<double>")
-    val absmax = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
-    val scale = lit(127.0) / absmax
-    val q = transform(v, x => floor(x * scale + lit(0.5)).cast("int"))
+    import spark.implicits._
     table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        val (scale, sum, qmin, qmax) = quantizeKernel(v)
+        (id, scale, sum, qmin, qmax)
+      })
+      .toDF("vec_id", "scale_raw", "q_sum", "q_min", "q_max")
       .select(
         col("vec_id"),
-        round(scale, 6).as("scale"),
-        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
-        array_min(q).as("q_min"),
-        array_max(q).as("q_max"))
+        round(col("scale_raw"), 6).as("scale"),
+        col("q_sum"), col("q_min"), col("q_max"))
       .orderBy(col("vec_id"))
   }
 

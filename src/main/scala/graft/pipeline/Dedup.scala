@@ -130,6 +130,62 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  // ---- benchmark decontamination ----------------------------------------
+
+  /** N-gram size for contamination matching. Real pipelines use 8–13-gram
+    * overlap; 5 fits this corpus's document lengths while still requiring
+    * a genuine shared run of text (3-grams would fire on common phrases).
+    */
+  val DecontGramSize = 5
+
+  /** The source treated as the held-out benchmark/eval set. */
+  val BenchSource = "src0"
+
+  /** Distinct word n-grams of one document (generalized [[shingleKernel]]). */
+  private[pipeline] def ngramKernel(text: String, n: Int): Array[String] = {
+    val w = text.split(" ")
+    if (w.length < n) Array.empty
+    else {
+      val seen = new java.util.LinkedHashSet[String](w.length * 2)
+      var i = 0
+      while (i <= w.length - n) {
+        val sb = new java.lang.StringBuilder(w(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(w(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+
+  /** Benchmark decontamination: flag training documents sharing ≥1 word
+    * 5-gram with the held-out benchmark source, with the count of
+    * contaminated n-grams per document. The benchmark side is DISTINCT
+    * n-grams of a bounded eval suite — broadcastable by construction at
+    * any corpus scale — so the corpus side streams through one broadcast
+    * hash join and never shuffles: the exact shape a 100 TB decontam
+    * pass needs.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, t) =>
+          ngramKernel(t, DecontGramSize).iterator.map(g => (id, g))
+        })
+        .toDF("doc_id", "gram")
+    val bench = broadcast(
+      grams(docs.filter(col("source") === BenchSource)).select(col("gram")).distinct())
+    grams(docs.filter(col("source") =!= BenchSource))
+      .join(bench, "gram") // corpus grams are distinct per doc, bench grams distinct
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** Signature length K, banded as B bands × R rows (K = B*R). With

@@ -39,7 +39,9 @@ object PipelineQueries {
     "q47_source_mix" -> (TextAnalysis.sourceMix _),
     "q48_vocab" -> (TextAnalysis.buildVocab _),
     "q49_quantize_int8" -> (Similarity.quantizeInt8 _),
-    "q50_seq_packing" -> (TextAnalysis.packSequences _)
+    "q50_seq_packing" -> (TextAnalysis.packSequences _),
+    "q54_decontaminate" -> (Dedup.decontaminate _),
+    "q55_tfidf" -> (TextAnalysis.tfIdf _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -215,6 +217,32 @@ object PipelineQueries {
          | len(list_distinct(regexp_extract_all(lower(text), '$pat', 0))) AS n_unique_bpe
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q54_decontaminate" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, source, gram FROM (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, greatest(len(w)-3, 1)),
+        |      i -> array_to_string(w[i:i+4], ' '))) AS gram
+        |  FROM t)),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |train AS (SELECT doc_id, gram FROM g WHERE source <> 'src0')
+        |SELECT train.doc_id, count(*) AS n_hits
+        |FROM train JOIN bench USING (gram)
+        |GROUP BY train.doc_id ORDER BY train.doc_id""".stripMargin,
+
+    "q55_tfidf" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.word, tf.tf * ln(n.n / df.df) AS tfidf
+        |      FROM tf JOIN df USING (word) CROSS JOIN n),
+        |r AS (SELECT doc_id, word, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+        |      FROM s)
+        |SELECT doc_id, rnk, word, round(tfidf, 6) AS tfidf FROM r
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "q30_session_window" ->
       """WITH s AS (

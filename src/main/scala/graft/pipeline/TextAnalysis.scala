@@ -357,6 +357,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("bin_id"))
   }
 
+  /** Top terms kept per document by TF-IDF. */
+  val TfIdfTopK = 3
+
+  /** L4 — TF-IDF top terms per document: tf = in-doc term count, idf =
+    * ln(N/df) over the corpus, top-[[TfIdfTopK]] terms per doc (tie-break
+    * word asc). Three hash aggregations + one |vocab|-sized join (the df
+    * side is the aggregated vocabulary — broadcastable / AQE-small) + a
+    * per-doc window: every stage is partitioned, nothing global. N is
+    * materialized eagerly once (at 100 TB it comes from table stats or a
+    * prior count, never per-row).
+    */
+  def tfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val n = table(spark, dir, "documents").count()
+    val tf = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(Shingles.tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word"))
+    tf.join(dfreq, "word")
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TfIdfTopK)
+      .select(col("doc_id"), col("rnk"), col("word"), round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** L4 — vocabulary construction: token → id assignment by descending
     * corpus frequency (alphabetical tie-break). The id assignment is a
     * DISTRIBUTED range-partitioned sort followed by `zipWithIndex` — not

@@ -244,4 +244,56 @@ class PipelineSuite extends AnyFunSuite {
       }
     }
   }
+
+  test("decontamination matches a driver-side n-gram overlap model") {
+    import spark.implicits._
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ")
+      (0 to w.length - Dedup.DecontGramSize)
+        .map(i => w.slice(i, i + Dedup.DecontGramSize).mkString(" ")).toSet
+    }
+    val bench = docs.filter(_._2 == Dedup.BenchSource).flatMap(d => grams(d._3)).toSet
+    val expected = docs
+      .filter(_._2 != Dedup.BenchSource)
+      .map { case (id, _, t) => id -> grams(t).count(bench.contains) }
+      .filter(_._2 > 0)
+      .toMap
+    val got = Dedup.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == expected)
+  }
+
+  test("tf-idf top terms: ranked correctly against a driver-side model") {
+    val rows = TextAnalysis.tfIdf(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+      assert(rs.length <= TextAnalysis.TfIdfTopK)
+      // tfidf non-increasing with rank
+      val sorted = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+    // spot-check one doc against an exact model
+    import spark.implicits._
+    val docs = graft.rel.Queries.table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val n = docs.length.toDouble
+    val tfAll = docs.map { case (id, t) =>
+      id -> t.split(" ").groupBy(identity).map { case (w, xs) => w -> xs.length }
+    }.toMap
+    val dfAll = tfAll.values.flatMap(_.keys).groupBy(identity).map { case (w, xs) => w -> xs.size }
+    val someDoc = docs.head._1
+    val model = tfAll(someDoc).toSeq
+      .map { case (w, tf) => (w, tf * math.log(n / dfAll(w))) }
+      .sortBy { case (w, s) => (-s, w) }
+      .take(TextAnalysis.TfIdfTopK)
+    val got = byDoc(someDoc).sortBy(_.getInt(1)).map(r => (r.getString(2), r.getDouble(3)))
+    model.zip(got).foreach { case ((mw, ms), (gw, gs)) =>
+      assert(mw == gw && math.abs(ms - gs) < 1e-5)
+    }
+  }
 }

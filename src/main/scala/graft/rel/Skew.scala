@@ -42,4 +42,24 @@ object Skew {
     */
   def keyHistogram(df: DataFrame, key: Column, k: Int): DataFrame =
     df.groupBy(key).count().orderBy(col("count").desc).limit(k)
+
+  /** [[keyHistogram]]-gated salting: measure the hottest key first (one
+    * distributed aggregation; exactly ONE summary row reaches the driver)
+    * and salt only when it exceeds `hotThreshold` rows — so well-behaved
+    * keys skip the `salts`× build-side replication entirely and skewed
+    * ones get spread before the shuffle melts a task. `hotThreshold`
+    * should be sized to what one task comfortably processes (e.g. rows
+    * amounting to a few× `spark.sql.files.maxPartitionBytes`).
+    */
+  def autoSaltedJoin(
+      fact: DataFrame,
+      build: DataFrame,
+      key: String,
+      salts: Int,
+      hotThreshold: Long): DataFrame = {
+    val top = keyHistogram(fact, col(key), 1).collect()
+    val isSkewed = top.nonEmpty && top(0).getLong(1) > hotThreshold
+    if (isSkewed) saltedJoin(fact, build, key, salts)
+    else fact.join(build, Seq(key))
+  }
 }

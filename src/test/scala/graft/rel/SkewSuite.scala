@@ -27,6 +27,28 @@ class SkewSuite extends AnyFunSuite {
     assert(p.contains("__salt"), p)
   }
 
+  test("auto-salt engages on skew and stays out of the way otherwise") {
+    import spark.implicits._
+    val fact = spark.range(10000)
+      .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val dim = Seq((7L, "hot"), (10L, "a"), (20L, "b"), (30L, "c"))
+      .toDF("k", "name")
+    val plain = fact.join(dim, "k").select("k", "payload", "name")
+
+    // hot key (9000 rows) above threshold -> salted plan, same rows
+    val salted = Skew.autoSaltedJoin(fact, dim, "k", salts = 8, hotThreshold = 1000)
+      .select("k", "payload", "name")
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
+    assert(salted.collect().toSet == plain.collect().toSet)
+
+    // threshold above the hot key -> plain join, no salt machinery
+    val unsalted = Skew.autoSaltedJoin(fact, dim, "k", salts = 8, hotThreshold = 20000)
+      .select("k", "payload", "name")
+    assert(!unsalted.queryExecution.executedPlan.toString.contains("__salt"))
+    assert(unsalted.collect().toSet == plain.collect().toSet)
+  }
+
   test("key histogram surfaces the hot key") {
     import spark.implicits._
     val fact = spark.range(1000)

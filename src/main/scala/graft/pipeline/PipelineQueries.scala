@@ -41,7 +41,9 @@ object PipelineQueries {
     "q49_quantize_int8" -> (Similarity.quantizeInt8 _),
     "q50_seq_packing" -> (TextAnalysis.packSequences _),
     "q54_decontaminate" -> (Dedup.decontaminate _),
-    "q55_tfidf" -> (TextAnalysis.tfIdf _)
+    "q55_tfidf" -> (TextAnalysis.tfIdf _),
+    "q56_repetition" -> (TextAnalysis.repetitionStats _),
+    "q57_doc_logprob" -> (TextAnalysis.docLogProb _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -243,6 +245,33 @@ object PipelineQueries {
         |      FROM s)
         |SELECT doc_id, rnk, word, round(tfidf, 6) AS tfidf FROM r
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q56_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, len(w) AS n_tokens, len(w) - 2 AS total3,
+        |        len(list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+        |          i -> array_to_string(w[i:i+2], ' ')))) AS distinct3
+        |      FROM t),
+        |bg AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM (
+        |        SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM (
+        |          SELECT doc_id, w, unnest(range(1, greatest(len(w), 1))) AS i FROM t))
+        |       GROUP BY 1, 2, 3),
+        |topb AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS total_bg
+        |         FROM bg GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens,
+        | round(1.0 - 1.0*distinct3/total3, 4) AS dup_3gram_frac,
+        | round(1.0*top_cnt/total_bg, 4) AS top_bigram_frac
+        |FROM b JOIN topb USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q57_doc_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM (
+        |       SELECT doc_id, w, unnest(range(1, greatest(len(w), 1))) AS i FROM t)),
+        |c AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |lm AS (SELECT w1, w2, 1.0*cnt / sum(cnt) OVER (PARTITION BY w1) AS p FROM c)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(ln(p)), 4) AS avg_logprob
+        |FROM b JOIN lm USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q30_session_window" ->
       """WITH s AS (

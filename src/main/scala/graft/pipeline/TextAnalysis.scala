@@ -357,6 +357,74 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("bin_id"))
   }
 
+  /** Per-doc (doc_id, w1, w2) adjacent-token bigrams — [[bigramKernel]]
+    * with the document id carried through, shared by the repetition and
+    * log-prob filters.
+    */
+  private def docBigrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        bigramKernel(t).map { case (a, b) => (id, a, b) }
+      })
+      .toDF("doc_id", "w1", "w2")
+  }
+
+  /** L4 — repetition filters (the Gopher/RefinedWeb quality-rule family,
+    * restated for single-line docs): duplicate-3-gram fraction
+    * (1 − |distinct|/|total|) and top-bigram fraction (most frequent
+    * bigram's share). The 3-gram stats are one kernel pass per doc; the
+    * bigram mode is a (doc, w1, w2)-partitioned aggregation — per-doc
+    * state never exceeds its own bigram counts, nothing global.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val w = t.split(" ")
+        (id, w.length.toLong, math.max(w.length - 2, 0), Dedup.shingleKernel(t).length)
+      })
+      .toDF("doc_id", "n_tokens", "total3", "distinct3")
+    val topBigram = docBigrams(spark, dir)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("total_bg"))
+    base
+      .join(topBigram, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(lit(1.0) - col("distinct3") / col("total3"), 4).as("dup_3gram_frac"),
+        round(col("top_cnt") / col("total_bg"), 4).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** L4 — per-document average bigram log-probability under the corpus
+    * bigram LM ([[bigramStats]]'s model): the perplexity-proxy quality
+    * filter. Doc bigrams join the aggregated LM on (w1, w2) — the LM is
+    * |distinct bigrams|, broadcast/AQE-small relative to the corpus — and
+    * average per doc; low averages mark repetitive or out-of-distribution
+    * text.
+    */
+  def docLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val bg = docBigrams(spark, dir)
+    val denom = Window.partitionBy(col("w1"))
+    val lm = bg
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("p", col("cnt") / sum(col("cnt")).over(denom))
+      .select(col("w1"), col("w2"), col("p"))
+    bg.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(log(col("p"))), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top terms kept per document by TF-IDF. */
   val TfIdfTopK = 3
 

@@ -267,6 +267,37 @@ class PipelineSuite extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("repetition filters match a driver-side model") {
+    import spark.implicits._
+    val docs = graft.rel.Queries.table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    TextAnalysis.repetitionStats(spark, dir).collect().foreach { r =>
+      val w = docs(r.getLong(0)).split(" ")
+      assert(r.getLong(1) == w.length)
+      val g3 = (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" "))
+      assert(math.abs(r.getDouble(2) - round4(1.0 - g3.distinct.size.toDouble / g3.size)) < 1e-9)
+      val bg = (0 to w.length - 2).map(i => (w(i), w(i + 1)))
+      val top = bg.groupBy(identity).map(_._2.size).max
+      assert(math.abs(r.getDouble(3) - round4(top.toDouble / bg.size)) < 1e-9)
+    }
+  }
+
+  test("doc log-prob: negative averages, n_bigrams == n_tokens - 1") {
+    import spark.implicits._
+    val nTokens = graft.rel.Queries.table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").length }.toMap
+    val rows = TextAnalysis.docLogProb(spark, dir).collect()
+    assert(rows.length == nTokens.size)
+    rows.foreach { r =>
+      assert(r.getLong(1) == nTokens(r.getLong(0)) - 1)
+      assert(r.getDouble(2) <= 0.0) // every bigram probability is <= 1
+    }
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("tf-idf top terms: ranked correctly against a driver-side model") {
     val rows = TextAnalysis.tfIdf(spark, dir).collect()
     val byDoc = rows.groupBy(_.getLong(0))

@@ -130,6 +130,58 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  // ---- dedup groups (connected components) ------------------------------
+
+  /** Near-dup PAIRS become dedup GROUPS: connected components over the
+    * [[ngramJaccard]] pair graph by iterative min-label propagation —
+    * each round every node adopts the smallest label among itself and its
+    * neighbors (one partitioned join + one min-aggregation per round),
+    * until a round changes nothing. Rounds needed = graph diameter, and
+    * near-dup components are shallow (dup clusters, not webs), so the
+    * loop converges in a handful of rounds; each round's frame is
+    * persisted and the previous unpersisted so lineage stays flat (at
+    * 100 TB you'd checkpoint every few rounds — same structure). The
+    * driver sees only a per-round change COUNT, never data rows.
+    * Canonical = min doc_id of the component, matching [[exactDedup]].
+    */
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("d1"), col("d2"))
+    val edges = pairs
+      .union(pairs.select(col("d2"), col("d1")))
+      .toDF("node", "nbr")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges
+      .select(col("node"))
+      .distinct()
+      .withColumn("lbl", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("nbr"), col("lbl").as("nlbl")), "nbr")
+        .groupBy(col("node"))
+        .agg(min(col("nlbl")).as("nbrmin"))
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nbrmin"), col("lbl"))).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materializes `next` (reading the old cache) and counts label moves
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") =!= col("old"))
+        .count()
+      labels.unpersist() // `labels` is exactly the frame persist() was called on
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    edges.unpersist()
+    labels
+      .select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- benchmark decontamination ----------------------------------------
 
   /** N-gram size for contamination matching. Real pipelines use 8–13-gram

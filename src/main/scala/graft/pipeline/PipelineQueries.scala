@@ -43,7 +43,8 @@ object PipelineQueries {
     "q54_decontaminate" -> (Dedup.decontaminate _),
     "q55_tfidf" -> (TextAnalysis.tfIdf _),
     "q56_repetition" -> (TextAnalysis.repetitionStats _),
-    "q57_doc_logprob" -> (TextAnalysis.docLogProb _)
+    "q57_doc_logprob" -> (TextAnalysis.docLogProb _),
+    "q58_dedup_groups" -> (Dedup.dedupGroups _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -272,6 +273,29 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(ln(p)), 4) AS avg_logprob
         |FROM b JOIN lm USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Connected components of the q16 near-dup pair graph via a recursive
+    // reachability CTE: component label = min doc_id reachable.
+    "q58_dedup_groups" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 3
+        |             THEN list_distinct(list_transform(range(1, len(w)-1),
+        |                    i -> array_to_string(w[i:i+2], ' ')))
+        |             ELSE [] END AS sh
+        |      FROM d),
+        |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s WHERE len(sh) > 0),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2, count(*) AS c
+        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT d1, d2 FROM p WHERE 1.0*c/(n1+n2-c) >= 0.5),
+        |ed AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+        |r(a, b) AS (SELECT a, b FROM ed
+        |            UNION
+        |            SELECT r.a, ed.b FROM r JOIN ed ON r.b = ed.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+        |FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "q30_session_window" ->
       """WITH s AS (

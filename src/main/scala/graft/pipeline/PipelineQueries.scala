@@ -44,7 +44,8 @@ object PipelineQueries {
     "q55_tfidf" -> (TextAnalysis.tfIdf _),
     "q56_repetition" -> (TextAnalysis.repetitionStats _),
     "q57_doc_logprob" -> (TextAnalysis.docLogProb _),
-    "q58_dedup_groups" -> (Dedup.dedupGroups _)
+    "q58_dedup_groups" -> (Dedup.dedupGroups _),
+    "q59_kmeans" -> (Similarity.kmeans _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */

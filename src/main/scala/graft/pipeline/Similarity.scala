@@ -235,6 +235,72 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  // ---- k-means clustering -----------------------------------------------
+
+  /** Lloyd iterations and cluster count for [[kmeans]]. */
+  val KmeansK = 8
+  val KmeansIters = 5
+
+  /** Index of the nearest centroid by squared L2 (strict <, so ties go to
+    * the lowest cluster index — deterministic).
+    */
+  private[pipeline] def nearestCentroid(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var i = 0
+      val cv = cents(c)
+      while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** L3 — k-means clustering of the embedding corpus (Lloyd's algorithm):
+    * the organization pass a curation pipeline runs before topic
+    * balancing or IVF indexing. Init = the [[KmeansK]] lowest vec_ids
+    * (deterministic, no RNG); each iteration broadcasts the k×dim
+    * centroid matrix (driver state is k×dim regardless of corpus size —
+    * the MLlib shape), assigns per row in a JIT'd kernel, and recomputes
+    * means via `reduceByKey` with map-side partial sums, so no cluster's
+    * membership ever streams through one task. Emits (vec_id,
+    * cluster_id); declared rows-only (iterative refinement isn't
+    * plain-SQL-expressible) with a same-algorithm model test in
+    * PipelineSuite.
+    */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir).select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    var cents = vecs.orderBy(col("vec_id")).limit(KmeansK).collect().map(_._2)
+    var iter = 0
+    while (iter < KmeansIters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val sums = vecs.rdd
+        .map { case (_, v) => (nearestCentroid(bc.value, v), (v, 1L)) }
+        .reduceByKey { (x: (Array[Double], Long), y: (Array[Double], Long)) =>
+          val s = new Array[Double](x._1.length)
+          var i = 0
+          while (i < s.length) { s(i) = x._1(i) + y._1(i); i += 1 }
+          (s, x._2 + y._2)
+        }
+        .collect()
+        .toMap
+      // an empty cluster keeps its previous centroid, so k never shrinks
+      cents = Array.tabulate(KmeansK) { c =>
+        sums.get(c).map { case (s, n) => s.map(_ / n) }.getOrElse(cents(c))
+      }
+      iter += 1
+    }
+    val bc = spark.sparkContext.broadcast(cents)
+    vecs
+      .map { case (id, v) => (id, nearestCentroid(bc.value, v)) }
+      .toDF("vec_id", "cluster_id")
+      .orderBy(col("vec_id"))
+  }
+
   // ---- embedding-cosine near-dup (all-pairs, LSH-bucketed) --------------
 
   /** All-pairs near-dup threshold (see PipelineQueries probe: the corpus

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -284,6 +285,41 @@ class PipelineSuite extends AnyFunSuite {
     val got = Dedup.dedupGroups(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
+  }
+
+  test("k-means matches a driver-side Lloyd model (margin-robust)") {
+    import spark.implicits._
+    val vecs = graft.rel.Queries.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    var cents = vecs.take(Similarity.KmeansK).map(_._2)
+    for (_ <- 0 until Similarity.KmeansIters) {
+      val byC = vecs.groupBy { case (_, v) => Similarity.nearestCentroid(cents, v) }
+      cents = Array.tabulate(Similarity.KmeansK) { c =>
+        byC.get(c) match {
+          case Some(members) =>
+            val s = new Array[Double](members.head._2.length)
+            members.foreach { case (_, v) => for (i <- s.indices) s(i) += v(i) }
+            s.map(_ / members.length)
+          case None => cents(c)
+        }
+      }
+    }
+    val got = Similarity.kmeans(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size == vecs.length)
+    // per-vector: expect the model's assignment unless the top-2 margin is
+    // within FP noise of the (order-sensitive) distributed centroid sums
+    var checked = 0
+    vecs.foreach { case (id, v) =>
+      val d = cents.map { c =>
+        var s = 0.0; for (i <- v.indices) { val t = v(i) - c(i); s += t * t }; s
+      }
+      val best = d.indices.minBy(d)
+      val margin = d.sorted.tail.head - d(best)
+      if (margin > 1e-9) { assert(got(id) == best, s"vec $id"); checked += 1 }
+    }
+    assert(checked > vecs.length / 2) // the margin filter must not trivialize
   }
 
   test("repetition filters match a driver-side model") {

@@ -145,16 +145,14 @@ object Dedup {
     * Canonical = min doc_id of the component, matching [[exactDedup]].
     */
   def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select(col("d1"), col("d2"))
-    val edges = pairs
-      .union(pairs.select(col("d2"), col("d1")))
-      .toDF("node", "nbr")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges
-      .select(col("node"))
-      .distinct()
-      .withColumn("lbl", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // pairs persisted: the symmetric edge union references it twice, and
+    // without the cache each branch would re-run the whole candidate
+    // pipeline.
+    val pairs = ngramJaccard(spark, dir).select(col("d1"), col("d2")).persist(lvl)
+    val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("node", "nbr").persist(lvl)
+    var cached = edges.select(col("node")).distinct().withColumn("lbl", col("node")).persist(lvl)
+    var labels = cached
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -162,20 +160,23 @@ object Dedup {
         .join(labels.select(col("node").as("nbr"), col("lbl").as("nlbl")), "nbr")
         .groupBy(col("node"))
         .agg(min(col("nlbl")).as("nbrmin"))
-      val next = labels
+      // keeping (lbl, nlbl) side by side lets the convergence count ride
+      // the same materialization — no second join per round
+      val upd = labels
         .join(nbrMin, Seq("node"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nbrmin"), col("lbl"))).as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materializes `next` (reading the old cache) and counts label moves
-      changed = next
-        .join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") =!= col("old"))
-        .count()
-      labels.unpersist() // `labels` is exactly the frame persist() was called on
-      labels = next
+        .select(
+          col("node"),
+          col("lbl"),
+          least(col("lbl"), coalesce(col("nbrmin"), col("lbl"))).as("nlbl"))
+        .persist(lvl)
+      changed = upd.filter(col("nlbl") < col("lbl")).count()
+      cached.unpersist() // the frame persist() was called on, not a derived view
+      cached = upd
+      labels = upd.select(col("node"), col("nlbl").as("lbl"))
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    pairs.unpersist()
     edges.unpersist()
     labels
       .select(col("node").as("doc_id"), col("lbl").as("canonical_id"))

@@ -33,6 +33,17 @@ object Formats {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC round-trip — same explicit-schema discipline as the other
+    * formats; ORC ships in Spark core and carries predicate pushdown and
+    * column pruning like parquet (FormatsSuite pins PushedFilters on the
+    * ORC scan).
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Hive-style partitioned parquet: one directory per distinct value of
     * `partitionCol`. Choose a column with bounded cardinality (a date, a
     * shard id) — per-key file counts are the classic small-files trap.

@@ -68,6 +68,18 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("REPARTITION_BY_NUM"), p)
   }
 
+  test("q54: the benchmark n-gram set reaches executors via broadcast") {
+    val p = plan(graft.pipeline.Dedup.decontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // corpus side must not shuffle for the join
+  }
+
+  test("q55: tf-idf aggregations run with map-side partials") {
+    val p = plan(graft.pipeline.TextAnalysis.tfIdf(spark, dir))
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no declared query plans a cartesian product") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))

@@ -29,6 +29,18 @@ class FormatsSuite extends AnyFunSuite {
     assert(back.collect().toSet == src.collect().toSet)
   }
 
+  test("orc round-trip preserves rows; filters push to the ORC scan") {
+    val base = java.nio.file.Files.createTempDirectory("fmt").toString
+    val src = orders
+    Formats.writeOrc(src, s"$base/orc")
+    val back = Formats.readOrc(spark, s"$base/orc", src.schema)
+    assert(back.schema == src.schema)
+    assert(back.collect().toSet == src.collect().toSet)
+    val plan = back.filter(col("o_totalprice") > 100000.0)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"), plan)
+  }
+
   test("partitioned layout: a partition-column filter prunes at plan time") {
     val base = java.nio.file.Files.createTempDirectory("fmt").toString
     Formats.writePartitioned(

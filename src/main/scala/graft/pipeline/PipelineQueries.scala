@@ -45,7 +45,9 @@ object PipelineQueries {
     "q56_repetition" -> (TextAnalysis.repetitionStats _),
     "q57_doc_logprob" -> (TextAnalysis.docLogProb _),
     "q58_dedup_groups" -> (Dedup.dedupGroups _),
-    "q59_kmeans" -> (Similarity.kmeans _)
+    "q59_kmeans" -> (Similarity.kmeans _),
+    "q60_split" -> (TextAnalysis.splitAssign _),
+    "q61_curated_topk" -> (TextAnalysis.curatedTopK _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -297,6 +299,30 @@ object PipelineQueries {
         |            SELECT r.a, ed.b FROM r JOIN ed ON r.b = ed.a)
         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
         |FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "q60_split" ->
+      """SELECT doc_id,
+        | CASE WHEN md5('split:' || text) < 'e6' THEN 'train'
+        |      WHEN md5('split:' || text) < 'f3' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q61_curated_topk" ->
+      """WITH qs AS (
+        |  SELECT doc_id,
+        |    round(ln(1+len(w)) * (1 - stop_hits/len(w)) * (1 - punct/length(text)), 4) AS quality
+        |  FROM (
+        |    SELECT doc_id, text, string_split(text, ' ') AS w,
+        |      1.0*len(list_filter(string_split(text, ' '),
+        |          x -> x IN ('the','a','and','of','to','in','is','it'))) AS stop_hits,
+        |      1.0*length(regexp_replace(text, '[a-z ]', '', 'g')) AS punct
+        |    FROM documents)),
+        |r AS (SELECT d.source, qs.doc_id, qs.quality,
+        |        row_number() OVER (PARTITION BY d.source
+        |                           ORDER BY qs.quality DESC, qs.doc_id) AS rnk
+        |      FROM qs JOIN documents d USING (doc_id))
+        |SELECT source, rnk, doc_id, quality FROM r
+        |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
 
     "q30_session_window" ->
       """WITH s AS (

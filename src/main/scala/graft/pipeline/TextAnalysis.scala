@@ -425,6 +425,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Train/val/test fractions, encoded as md5-prefix range gates:
+    * lowercase-hex md5 is uniform, so `md5 < "e6"` selects 230/256 ≈ 90%
+    * of documents. String-range gating (rather than hex→int conversion)
+    * is what makes the split bit-identical across engines — both Spark
+    * and the DuckDB oracle compare the same lowercase hex lexically.
+    */
+  val SplitSalt = "split:"
+  val TrainUpper = "e6" // ~90%
+  val ValUpper = "f3"   // ~5% more; rest = test
+
+  /** L4 — deterministic dataset split: every document is assigned
+    * train/val/test by the md5 of (salt + text) — stable under
+    * re-partitioning, re-runs, and engine changes, which is the property
+    * a training pipeline needs from a split (a `rand()` split is none of
+    * those). One narrow scan, no shuffle; changing [[SplitSalt]] re-deals
+    * the split without touching the data.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit(SplitSalt), col("text")))
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(h < TrainUpper, "train").when(h < ValUpper, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Documents kept per source by the curation gate. */
+  val CurateTopK = 5
+
+  /** L4 — curation: per-source top-[[CurateTopK]] documents by the
+    * [[qualityScore]] signal (the composition a data-mixing pass runs —
+    * score, then keep the best of each source). Ranking uses the ROUNDED
+    * quality plus doc_id, so ordering is deterministic on both engines
+    * even at FP-tie boundaries; the window is partitioned by source.
+    */
+  def curatedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+    val src = table(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source")).orderBy(col("quality").desc, col("doc_id"))
+    q.join(src, "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= CurateTopK)
+      .select(col("source"), col("rnk"), col("doc_id"), col("quality"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   /** Top terms kept per document by TF-IDF. */
   val TfIdfTopK = 3
 

@@ -322,6 +322,26 @@ class PipelineSuite extends AnyFunSuite {
     assert(checked > vecs.length / 2) // the margin filter must not trivialize
   }
 
+  test("split assignment: deterministic, fractions near 90/5/5") {
+    val a = TextAnalysis.splitAssign(spark, dir).collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = TextAnalysis.splitAssign(spark, dir).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sameElements(b)) // identical across runs
+    val n = a.length.toDouble
+    val frac = a.groupBy(_._2).view.mapValues(_.length / n).toMap
+    assert(math.abs(frac.getOrElse("train", 0.0) - 0.898) < 0.08) // 230/256 ± slack
+    assert(frac.getOrElse("val", 0.0) < 0.15 && frac.getOrElse("test", 0.0) < 0.15)
+  }
+
+  test("curated top-k: per-source ranks complete, quality non-increasing") {
+    val rows = TextAnalysis.curatedTopK(spark, dir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+      assert(rs.length <= TextAnalysis.CurateTopK)
+      val q = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(q.zip(q.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
   test("repetition filters match a driver-side model") {
     import spark.implicits._
     val docs = graft.rel.Queries.table(spark, dir, "documents")

@@ -44,6 +44,19 @@ object Formats {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Size-bounded parquet shards — the output contract training-data
+    * consumers want (a loader maps one shard to one worker, so shards
+    * must be capped, not left to whatever a task happened to hold).
+    * `maxRecordsPerFile` makes every task roll files at the cap; the
+    * file COUNT still scales with parallelism, which is correct — a
+    * single fixed file count would funnel 100 TB through few writers.
+    */
+  def writeSharded(df: DataFrame, path: String, maxRecordsPerFile: Long): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
   /** Hive-style partitioned parquet: one directory per distinct value of
     * `partitionCol`. Choose a column with bounded cardinality (a date, a
     * shard id) — per-key file counts are the classic small-files trap.

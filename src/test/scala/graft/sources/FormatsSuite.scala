@@ -41,6 +41,17 @@ class FormatsSuite extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"), plan)
   }
 
+  test("sharded writer: no output file exceeds the record cap") {
+    val base = java.nio.file.Files.createTempDirectory("fmt").toString
+    val src = graft.rel.Queries.table(spark, dir, "documents")
+    Formats.writeSharded(src, s"$base/shards", maxRecordsPerFile = 7)
+    val perFile = spark.read.parquet(s"$base/shards")
+      .groupBy(input_file_name()).count().collect()
+    assert(perFile.nonEmpty)
+    perFile.foreach(r => assert(r.getLong(1) <= 7, r))
+    assert(perFile.map(_.getLong(1)).sum == src.count())
+  }
+
   test("partitioned layout: a partition-column filter prunes at plan time") {
     val base = java.nio.file.Files.createTempDirectory("fmt").toString
     Formats.writePartitioned(

@@ -47,7 +47,8 @@ object PipelineQueries {
     "q58_dedup_groups" -> (Dedup.dedupGroups _),
     "q59_kmeans" -> (Similarity.kmeans _),
     "q60_split" -> (TextAnalysis.splitAssign _),
-    "q61_curated_topk" -> (TextAnalysis.curatedTopK _)
+    "q61_curated_topk" -> (TextAnalysis.curatedTopK _),
+    "q62_bm25" -> (TextAnalysis.bm25 _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -323,6 +324,31 @@ object PipelineQueries {
         |      FROM qs JOIN documents d USING (doc_id))
         |SELECT source, rnk, doc_id, quality FROM r
         |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+
+    "q62_bm25" ->
+      """WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, source, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+        |dl AS (SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl FROM documents),
+        |stats AS (SELECT count(*)::DOUBLE AS n,
+        |            avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT DISTINCT doc_id AS q_id, term FROM tf WHERE source = 'src0'),
+        |s AS (SELECT q.q_id, tf.doc_id,
+        |        round(sum(
+        |          ln((stats.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1.0) *
+        |          tf.tf * (1.2 + 1.0) /
+        |          (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+        |        ), 6) AS score
+        |      FROM tf JOIN q USING (term) JOIN dfq USING (term)
+        |      JOIN dl ON dl.doc_id = tf.doc_id
+        |      CROSS JOIN stats
+        |      WHERE tf.source <> 'src0'
+        |      GROUP BY 1, 2),
+        |r AS (SELECT q_id, doc_id, score,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
+        |      FROM s)
+        |SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
 
     "q30_session_window" ->
       """WITH s AS (

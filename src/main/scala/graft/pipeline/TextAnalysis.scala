@@ -471,6 +471,61 @@ object TextAnalysis {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** BM25 parameters (the standard Robertson defaults) and results kept
+    * per query.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 5
+
+  /** L4 — BM25 retrieval: each benchmark-source document is a query (its
+    * DISTINCT terms) scored against every other document, top-[[Bm25TopK]]
+    * hits per query. The lexical-retrieval twin of the embedding ANN
+    * family. Shape: the query term set is bounded (a benchmark suite), so
+    * it broadcasts; corpus postings join it term-partitioned (inverted
+    * index — only documents sharing a term are ever scored); per-(query,
+    * doc) scores are one partial-aggregated sum; top-k is a per-query
+    * window. N and avgdl are two eager scalars (table stats at scale).
+    * Ranking uses the ROUNDED score + doc_id for cross-engine tie safety.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val nAndAvg = docs
+      .agg(count(lit(1)).as("n"), avg(size(Shingles.tokens(col("text")))).as("avgdl"))
+      .collect()(0)
+    val nDocs = nAndAvg.getLong(0).toDouble
+    val avgdl = nAndAvg.getDouble(1)
+
+    val tf = docs
+      .select(col("doc_id"), col("source"), explode(Shingles.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"), size(Shingles.tokens(col("text"))).cast("double").as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val queries = broadcast(
+      tf.filter(col("source") === Dedup.BenchSource)
+        .select(col("doc_id").as("q_id"), col("term"))
+        .distinct())
+
+    val idf = log(
+      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfNorm = col("tf") * (lit(Bm25K1) + 1.0) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / lit(avgdl)))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    tf.filter(col("source") =!= Dedup.BenchSource)
+      .join(queries, "term")
+      .join(dfreq, "term")
+      .join(dl, "doc_id")
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(idf * tfNorm), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= Bm25TopK)
+      .select(col("q_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Top terms kept per document by TF-IDF. */
   val TfIdfTopK = 3
 

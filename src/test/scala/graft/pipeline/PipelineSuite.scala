@@ -342,6 +342,20 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("bm25: ranks complete, scores positive and non-increasing, no self-hits") {
+    val rows = TextAnalysis.bm25(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(2)) // corpus side excludes the bench source
+      assert(r.getDouble(3) > 0.0)
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+      val s = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("repetition filters match a driver-side model") {
     import spark.implicits._
     val docs = graft.rel.Queries.table(spark, dir, "documents")

@@ -48,7 +48,8 @@ object PipelineQueries {
     "q59_kmeans" -> (Similarity.kmeans _),
     "q60_split" -> (TextAnalysis.splitAssign _),
     "q61_curated_topk" -> (TextAnalysis.curatedTopK _),
-    "q62_bm25" -> (TextAnalysis.bm25 _)
+    "q62_bm25" -> (TextAnalysis.bm25 _),
+    "q63_ann_topk_heap" -> (Similarity.annTopKHeap _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -90,6 +91,16 @@ object PipelineQueries {
          |WHERE raw_cos >= 0.25 ORDER BY probe_id, vec_id""".stripMargin,
 
     "q20_ann_topk" ->
+      s"""$VectorCte,
+         |r AS (SELECT probe_id, vec_id, raw_cos,
+         |        row_number() OVER (PARTITION BY probe_id ORDER BY raw_cos DESC, vec_id) AS rnk
+         |      FROM scored)
+         |SELECT probe_id, rnk, vec_id, round(raw_cos, 4) AS cos FROM r
+         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // Same oracle as q20: the heap-aggregator path must produce identical
+    // top-k results to the window idiom.
+    "q63_ann_topk_heap" ->
       s"""$VectorCte,
          |r AS (SELECT probe_id, vec_id, raw_cos,
          |        row_number() OVER (PARTITION BY probe_id ORDER BY raw_cos DESC, vec_id) AS rnk

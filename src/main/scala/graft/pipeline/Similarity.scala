@@ -87,6 +87,28 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** [[annTopK]] re-expressed through the k-bounded typed aggregator
+    * ([[graft.rel.TopK.topKPerGroup]]): identical results (same total
+    * order), but the shuffle carries at most k rows per (partition,
+    * probe) instead of every scored pair — the shape that survives a
+    * 100 TB corpus where the window idiom would sort whole groups.
+    * Gated by the SAME oracle as q20.
+    */
+  def annTopKHeap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = scored(spark, dir)
+      .select(col("probe_id"), col("cos"), col("vec_id"))
+      .as[(Long, Double, Long)]
+    graft.rel.TopK
+      .topKPerGroup(s, TopK)
+      .select(
+        col("group").as("probe_id"),
+        col("rnk"),
+        col("id").as("vec_id"),
+        round(col("score"), 4).as("cos"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   // ---- LSH-bucketed ANN (the scale path) --------------------------------
 
   /** Multi-table random-hyperplane LSH: L tables × H sign bits. Hyperplane

@@ -1,0 +1,66 @@
+package graft.rel
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Top-k-per-group as a typed [[Aggregator]] with a k-bounded buffer.
+  *
+  * The window idiom (`row_number().over(partitionBy(g).orderBy(s)) <= k`)
+  * shuffles EVERY group member and sorts whole groups before discarding
+  * all but k rows. This aggregator gets map-side partial aggregation:
+  * each task keeps at most k (score, id) pairs per group, the shuffle
+  * carries ≤ k rows per (partition, group), and the final merge is
+  * k-bounded — the difference between shuffling a 100 TB corpus and
+  * shuffling k·|groups| rows. Results are identical to the window idiom
+  * because (score desc, id asc) is a total order (q63 pins this against
+  * q20's oracle; TopKSuite against the window plan).
+  */
+object TopK {
+
+  /** Keeps the best k by (score desc, id asc). The buffer is a sorted
+    * Seq bounded at k — tiny, so the O(k) insert beats heap bookkeeping.
+    */
+  class TopKAgg(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    override def zero: Seq[(Double, Long)] = Nil
+
+    override def reduce(buf: Seq[(Double, Long)], row: (Double, Long)): Seq[(Double, Long)] =
+      if (buf.lengthCompare(k) >= 0 && !better(row, buf.last)) buf
+      else ((buf :+ row).sortWith(better)).take(k)
+
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (a ++ b).sortWith(better).take(k)
+
+    override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** (group, score, id) → (group, rnk ∈ 1..k, id, score), ranked by
+    * (score desc, id asc) within each group.
+    */
+  def topKPerGroup[K: Encoder: TypeTag](
+      ds: Dataset[(K, Double, Long)],
+      k: Int): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    implicit val pairEnc: Encoder[(K, Seq[(Double, Long)])] =
+      ExpressionEncoder[(K, Seq[(Double, Long)])]()
+    ds.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new TopKAgg(k).toColumn.name("top"))
+      .flatMap { case (g, top) =>
+        top.iterator.zipWithIndex.map { case ((score, id), i) => (g, i + 1, id, score) }
+      }
+      .toDF("group", "rnk", "id", "score")
+  }
+}

@@ -1,0 +1,36 @@
+package graft.rel
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TopKSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("heap top-k == window row_number top-k; partial aggregation in plan") {
+    import spark.implicits._
+    // skewed groups: group 0 holds half the rows — the case where the
+    // window idiom sorts a huge group and the heap carries only k
+    val rows = (1L to 4000L).map { i =>
+      val g = if (i % 2 == 0) 0L else i % 7
+      (g, (i * 2654435761L % 997).toDouble, i)
+    }
+    val ds = rows.toDS()
+
+    val heap = TopK.topKPerGroup(ds, 3)
+    val w = Window.partitionBy(col("group")).orderBy(col("score").desc, col("id"))
+    val window = ds.toDF("group", "score", "id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("group"), col("rnk"), col("id"), col("score"))
+
+    assert(heap.collect().toSet == window.collect().toSet)
+
+    // map-side partial + final merge: the typed aggregator plans as two
+    // ObjectHashAggregate phases around the exchange
+    val p = heap.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}

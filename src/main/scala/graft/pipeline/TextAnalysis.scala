@@ -503,23 +503,39 @@ object TextAnalysis {
     val dl = docs.select(col("doc_id"), size(Shingles.tokens(col("text"))).cast("double").as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
-    val queries = broadcast(
-      tf.filter(col("source") === Dedup.BenchSource)
-        .select(col("doc_id").as("q_id"), col("term"))
-        .distinct())
-
+    // The query side collapses to ONE broadcast row per distinct term:
+    // (term, idf, all q_ids containing it). The corpus join is then
+    // fan-out-free — each (doc, term) posting matches at most one row,
+    // the BM25 contribution is computed ONCE per posting, and only the
+    // codegen'd explode of the q_id array multiplies rows (a narrow
+    // Generate feeding a partially-aggregated groupBy, not a join
+    // blow-up — high-df "stopword" terms shared by every query doc
+    // would otherwise dominate the join).
     val idf = log(
       (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val queriesByTerm = broadcast(
+      tf.filter(col("source") === Dedup.BenchSource)
+        .select(col("doc_id").as("q_id"), col("term"))
+        .distinct()
+        .join(dfreq, "term")
+        .groupBy(col("term"), idf.as("idf"))
+        .agg(collect_list(col("q_id")).as("qids")))
+
     val tfNorm = col("tf") * (lit(Bm25K1) + 1.0) /
       (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / lit(avgdl)))
 
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    // dl is |corpus| rows — NOT broadcast-hinted (AQE may still choose to
+    // at small SF); the doc_id join stays narrow either way.
     tf.filter(col("source") =!= Dedup.BenchSource)
-      .join(queries, "term")
-      .join(dfreq, "term")
       .join(dl, "doc_id")
+      .join(queriesByTerm, "term")
+      .select(
+        col("doc_id"),
+        explode(col("qids")).as("q_id"),
+        (col("idf") * tfNorm).as("contrib"))
       .groupBy(col("q_id"), col("doc_id"))
-      .agg(round(sum(idf * tfNorm), 6).as("score"))
+      .agg(round(sum(col("contrib")), 6).as("score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= Bm25TopK)
       .select(col("q_id"), col("rnk"), col("doc_id"), col("score"))

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the pure typed kernels — no Spark session needed,
+  * so these run fast at full ScalaCheck volume. Each kernel is checked
+  * against a naive driver-side model over arbitrary token streams.
+  */
+object KernelProperties extends Properties("Kernels") {
+
+  private val word = Gen.nonEmptyStringOf(Gen.alphaLowerChar).map(_.take(6))
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+
+  property("bigramKernel == sliding(2) over tokens") = forAll(text) { t =>
+    val w = t.split(" ")
+    val expect =
+      if (w.length < 2) Seq.empty
+      else w.sliding(2).map(p => (p(0), p(1))).toSeq
+    TextAnalysis.bigramKernel(t).toSeq == expect
+  }
+
+  property("ngramKernel == distinct sliding(n), order-preserving") =
+    forAll(text, Gen.choose(2, 6)) { (t, n) =>
+      val w = t.split(" ")
+      val expect =
+        if (w.length < n) Seq.empty
+        else w.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      Dedup.ngramKernel(t, n).toSeq == expect
+    }
+
+  property("shingleKernel == ngramKernel(3)") = forAll(text) { t =>
+    Dedup.shingleKernel(t).toSeq == Dedup.ngramKernel(t, 3).toSeq
+  }
+
+  property("simhashKernel: deterministic; equal texts collide exactly") =
+    forAll(text, text) { (a, b) =>
+      (Dedup.simhashKernel(a) == Dedup.simhashKernel(a)) &&
+      (a != b || Dedup.simhashKernel(a) == Dedup.simhashKernel(b))
+    }
+
+  property("quantizeKernel: q_min <= q_max, |q| <= 127 when maxabs attained, sum bounded") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-10.0, 10.0)).map(_.toArray)) { v =>
+      val (scale, sum, qmin, qmax) = Similarity.quantizeKernel(v)
+      val absmax = v.map(math.abs).max
+      val ok =
+        if (absmax == 0.0) true // degenerate: scale is Inf, stats undefined
+        else {
+          qmin <= qmax &&
+          math.abs(qmin) <= 128 && math.abs(qmax) <= 128 && // floor(x+0.5) can hit ±128 only via FP edge; ±127 nominal
+          sum >= qmin.toLong * v.length && sum <= qmax.toLong * v.length &&
+          math.abs(scale * absmax - 127.0) < 1e-9
+        }
+      ok
+    }
+
+  property("lshBucketKernel: exactly LshTables buckets, ids within LshBits range") =
+    forAll(Gen.listOfN(8, Gen.choose(-1.0, 1.0)).map(_.toArray)) { v =>
+      val b = Similarity.lshBucketKernel(v)
+      b.length == Similarity.LshTables &&
+      b.map(_._1).toSeq == (0 until Similarity.LshTables) &&
+      b.forall { case (_, id) => id >= 0 && id < (1L << Similarity.LshBits) }
+    }
+
+  property("nearDupBuckets: NearDupTables buckets in range") =
+    forAll(Gen.listOfN(8, Gen.choose(-1.0, 1.0)).map(_.toArray)) { v =>
+      val b = Similarity.nearDupBuckets(v)
+      b.length == Similarity.NearDupTables &&
+      b.forall { case (t, id) =>
+        t >= 0 && t < Similarity.NearDupTables && id >= 0 && id < (1L << Similarity.NearDupBits)
+      }
+    }
+
+  property("nearestCentroid: returns the argmin index, lowest on ties") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.listOfN(4, Gen.choose(-5.0, 5.0)).map(_.toArray)).map(_.toArray),
+      Gen.listOfN(4, Gen.choose(-5.0, 5.0)).map(_.toArray)) { (cents, v) =>
+      val got = Similarity.nearestCentroid(cents, v)
+      val d = cents.map(c => c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+      d(got) == d.min && !d.take(got).exists(_ == d.min)
+    }
+}

@@ -392,6 +392,28 @@ object Queries {
         round(max(col("value")), 2).as("vmax"))
       .orderBy(col("event_type"))
 
+  /** Approximate percentiles (the sketch twin of [[q39Percentiles]]):
+    * `percentile_approx` is Spark's KLL-style mergeable sketch — at 100 TB
+    * the exact `percentile` must hold every group value, while the sketch
+    * carries a bounded accuracy-parameterized summary through partial
+    * aggregation. Rows-only declared (approximation isn't
+    * SQL-reproducible); PercentileApproxSuite bounds its error against
+    * the exact q39 values.
+    */
+  def q64PercentileApprox(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile_approx(value, array(0.5D, 0.9D, 0.99D), 10000)").as("pcts"),
+        count(lit(1)).as("n"))
+      .select(
+        col("event_type"),
+        round(col("pcts")(0), 4).as("p50_approx"),
+        round(col("pcts")(1), 4).as("p90_approx"),
+        round(col("pcts")(2), 4).as("p99_approx"),
+        col("n"))
+      .orderBy(col("event_type"))
+
   /** Correlated scalar subquery through the SQL path: orders more than
     * 2× their customer's average order value.
     */
@@ -463,6 +485,7 @@ object Queries {
     "q43_range_join" -> (q43RangeJoin _),
     "q51_mr_wordcount" -> (q51MrWordCount _),
     "q52_salted_join" -> (q52SaltedJoin _),
-    "q53_bucketed_join" -> (q53BucketedJoin _)
+    "q53_bucketed_join" -> (q53BucketedJoin _),
+    "q64_percentile_approx" -> (q64PercentileApprox _)
   )
 }

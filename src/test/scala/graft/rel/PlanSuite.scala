@@ -80,6 +80,13 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q62: per-term query lists broadcast; contributions summed with partials") {
+    val p = plan(graft.pipeline.TextAnalysis.bm25(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("Generate"), p) // the q_id-list explode, not a join fan-out
+  }
+
   test("no declared query plans a cartesian product") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))

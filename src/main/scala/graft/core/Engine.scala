@@ -51,14 +51,28 @@ object Engine {
     // F3: split size. The reference shards at map_kilobytes*1000 bytes,
     // newline-aligned (`src/file_shard.h:64,93,110` — *1000, not 1024);
     // Spark's FileSourceScanExec does the same line-aligned byte-range split.
-    // The override lives on a CLONED session (same SparkContext, private
+    // The override lives on a scoped session (same SparkContext, private
     // SQLConf): FilePartition.maxSplitBytes re-reads the plan's session conf
     // at RDD build, so mutating the caller's shared session would both leak
     // the setting past this job and race two concurrent jobs with different
     // map_kilobytes.
-    val scoped = spark.newSession()
+    val scoped = scopedSession(spark)
     scoped.conf.set("spark.sql.files.maxPartitionBytes", spec.mapKilobytes * 1000L)
     transformLines(scoped.read.textFile(spec.inputFiles: _*), job, spec.nOutputFiles)
+  }
+
+  /** `newSession()` starts from DEFAULT confs, which would silently drop
+    * whatever the caller tuned at runtime (AQE flags, session timezone, …)
+    * — so the caller's runtime SQL confs are copied over before the
+    * per-job override is applied. Read-only entries are skipped.
+    */
+  private def scopedSession(spark: SparkSession): SparkSession = {
+    val scoped = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try scoped.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () } // static/read-only conf
+    }
+    scoped
   }
 
   /** F5–F10 over an arbitrary line Dataset — the engine's dataflow minus the
@@ -114,7 +128,7 @@ object Engine {
     import spark.implicits._
     // Same scoped-session rationale as [[transform]]: never mutate the
     // caller's shared conf for a per-job split-size override.
-    val scoped = spark.newSession()
+    val scoped = scopedSession(spark)
     scoped.conf.set("spark.sql.files.maxPartitionBytes", spec.mapKilobytes * 1000L)
     val mapped = scoped.read.textFile(spec.inputFiles: _*).mapPartitions { it =>
       val e = new BufferingEmitter

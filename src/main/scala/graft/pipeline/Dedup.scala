@@ -42,19 +42,7 @@ object Dedup {
     * a hot shingling path pays tree-walk + boxing per shingle. A plain
     * Scala loop is JIT-compiled.
     */
-  def shingleKernel(text: String): Array[String] = {
-    val w = text.split(" ")
-    if (w.length < 3) Array.empty
-    else {
-      val seen = new java.util.LinkedHashSet[String](w.length * 2)
-      var i = 0
-      while (i <= w.length - 3) {
-        seen.add(w(i) + " " + w(i + 1) + " " + w(i + 2))
-        i += 1
-      }
-      seen.toArray(new Array[String](seen.size))
-    }
-  }
+  def shingleKernel(text: String): Array[String] = ngramKernel(text, 3)
 
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -144,7 +132,17 @@ object Dedup {
     * driver sees only a per-round change COUNT, never data rows.
     * Canonical = min doc_id of the component, matching [[exactDedup]].
     */
-  def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
+  private val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Memoized per (session, dir): the converged label frame stays
+    * persisted (it IS the result), so without the memo every invocation
+    * would leak one cached frame; with it, repeated calls share the one.
+    */
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame =
+    groupCache.computeIfAbsent((spark, dir), { case (s, d) => computeDedupGroups(s, d) })
+
+  private def computeDedupGroups(spark: SparkSession, dir: String): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // pairs persisted: the symmetric edge union references it twice, and
     // without the cache each branch would re-run the whole candidate

@@ -275,7 +275,8 @@ object PipelineQueries {
         |topb AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS total_bg
         |         FROM bg GROUP BY 1)
         |SELECT b.doc_id, b.n_tokens,
-        | round(1.0 - 1.0*distinct3/total3, 4) AS dup_3gram_frac,
+        | CASE WHEN total3 <= 0 THEN 0.0
+        |      ELSE round(1.0 - 1.0*distinct3/total3, 4) END AS dup_3gram_frac,
         | round(1.0*top_cnt/total_bg, 4) AS top_bigram_frac
         |FROM b JOIN topb USING (doc_id) ORDER BY doc_id""".stripMargin,
 

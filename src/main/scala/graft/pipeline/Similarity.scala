@@ -135,10 +135,11 @@ object Similarity {
       var bucket = 0L
       var j = 0
       while (j < LshBits) {
+        val seed = XXH64.hashInt(t * 1000 + j, 42L) // loop-invariant per (t, j)
         var dot = 0.0
         var c = 0
         while (c < v.length) {
-          val h = XXH64.hashInt(c, XXH64.hashInt(t * 1000 + j, 42L))
+          val h = XXH64.hashInt(c, seed)
           val sign = (((h % 2) + 2) % 2) * 2 - 1 // pmod(h,2)*2-1 ∈ {-1, 1}
           dot += v(c) * sign
           c += 1
@@ -296,7 +297,10 @@ object Similarity {
   def kmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = vectors(spark, dir).select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    // k clamps to the corpus size — a tiny corpus degrades to fewer
+    // clusters instead of indexing past the collected init array
     var cents = vecs.orderBy(col("vec_id")).limit(KmeansK).collect().map(_._2)
+    val k = cents.length
     var iter = 0
     while (iter < KmeansIters) {
       val bc = spark.sparkContext.broadcast(cents)
@@ -310,8 +314,9 @@ object Similarity {
         }
         .collect()
         .toMap
+      bc.unpersist(blocking = false) // k×dim per iteration — don't accumulate
       // an empty cluster keeps its previous centroid, so k never shrinks
-      cents = Array.tabulate(KmeansK) { c =>
+      cents = Array.tabulate(k) { c =>
         sums.get(c).map { case (s, n) => s.map(_ / n) }.getOrElse(cents(c))
       }
       iter += 1

@@ -268,7 +268,10 @@ object Queries {
     * partitioning cost is paid at ingest, not per query.
     */
   def q53BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val suffix = java.lang.Integer.toHexString(dir.hashCode)
+    // pid in the path: two processes (e.g. Verify and Bench) against the
+    // same dir must not Overwrite each other's bucketed files mid-scan
+    val suffix =
+      java.lang.Integer.toHexString(dir.hashCode) + "_" + ProcessHandle.current().pid()
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$suffix"
     Bucketing.writeBucketed(
       table(spark, dir, "orders").select(col("o_custkey").as("c_custkey"), col("o_totalprice")),

@@ -364,7 +364,8 @@ class PipelineSuite extends AnyFunSuite {
       val w = docs(r.getLong(0)).split(" ")
       assert(r.getLong(1) == w.length)
       val g3 = (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" "))
-      assert(math.abs(r.getDouble(2) - round4(1.0 - g3.distinct.size.toDouble / g3.size)) < 1e-9)
+      val dup3 = if (g3.isEmpty) 0.0 else round4(1.0 - g3.distinct.size.toDouble / g3.size)
+      assert(math.abs(r.getDouble(2) - dup3) < 1e-9)
       val bg = (0 to w.length - 2).map(i => (w(i), w(i + 1)))
       val top = bg.groupBy(identity).map(_._2.size).max
       assert(math.abs(r.getDouble(3) - round4(top.toDouble / bg.size)) < 1e-9)

@@ -125,12 +125,25 @@ object Engine {
       spark: SparkSession,
       spec: MapReduceSpec,
       job: AlgebraicJob[B]): Dataset[(String, String)] = {
-    import spark.implicits._
     // Same scoped-session rationale as [[transform]]: never mutate the
     // caller's shared conf for a per-job split-size override.
     val scoped = scopedSession(spark)
     scoped.conf.set("spark.sql.files.maxPartitionBytes", spec.mapKilobytes * 1000L)
-    val mapped = scoped.read.textFile(spec.inputFiles: _*).mapPartitions { it =>
+    transformLinesAlgebraic(
+      scoped.read.textFile(spec.inputFiles: _*), job, spec.nOutputFiles)
+  }
+
+  /** The algebraic dataflow over an arbitrary line Dataset — the
+    * [[transformLines]] twin for [[AlgebraicJob]]s, so any corpus column
+    * can run through the Aggregator fast path too.
+    */
+  def transformLinesAlgebraic[B](
+      lines: Dataset[String],
+      job: AlgebraicJob[B],
+      nOutputFiles: Int): Dataset[(String, String)] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val mapped = lines.mapPartitions { it =>
       val e = new BufferingEmitter
       it.flatMap { line =>
         job.map(line, e)
@@ -140,7 +153,7 @@ object Engine {
     mapped
       .groupByKey(_._1)
       .agg(AlgebraicJob.aggregator(job).toColumn.name("value"))
-      .repartition(spec.nOutputFiles, col("key"))
+      .repartition(nOutputFiles, col("key"))
       .sortWithinPartitions("key")
       .as[(String, String)]
   }

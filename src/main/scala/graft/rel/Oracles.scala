@@ -141,8 +141,16 @@ object Oracles {
         |ORDER BY word""".stripMargin,
 
     // Same oracle as q14 — q51 runs the identical word count but through
-    // the engine's MrJob map/reduce path instead of the relational twin.
+    // the engine's MrJob map/reduce path instead of the relational twin,
+    // and q65 through the algebraic Aggregator fast path.
     "q51_mr_wordcount" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(text, '[ ,."'']+')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY word""".stripMargin,
+
+    "q65_mr_wordcount_algebraic" ->
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(string_split_regex(text, '[ ,."'']+')) AS word FROM documents) t
         |WHERE word <> ''

@@ -241,6 +241,22 @@ object Queries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("word"))
 
+  /** [[q51MrWordCount]]'s twin through the ALGEBRAIC engine path
+    * (F10's Aggregator fast path): same word count, but the reduce runs
+    * as a typed Aggregator with map-side partial sums — the shuffle
+    * carries one partial per (partition, word) instead of one "1" per
+    * token. Same oracle as q14/q51, so both engine paths are gated.
+    */
+  def q65MrWordCountAlgebraic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = table(spark, dir, "documents").select(col("text")).as[String]
+    graft.core.Engine
+      .transformLinesAlgebraic(lines, graft.jobs.WordCountAlgebraic, 8)
+      .toDF("word", "cnt_str")
+      .select(col("word"), col("cnt_str").cast("long").as("cnt"))
+      .orderBy(col("word"))
+  }
+
   /** [[Skew.saltedJoin]] as a declared query: lineitem (fact) joined to
     * orders (build) on the order key with 8 salts — the hot-key occupies 8
     * shuffle partitions instead of 1, and row-level results are identical
@@ -489,6 +505,7 @@ object Queries {
     "q51_mr_wordcount" -> (q51MrWordCount _),
     "q52_salted_join" -> (q52SaltedJoin _),
     "q53_bucketed_join" -> (q53BucketedJoin _),
-    "q64_percentile_approx" -> (q64PercentileApprox _)
+    "q64_percentile_approx" -> (q64PercentileApprox _),
+    "q65_mr_wordcount_algebraic" -> (q65MrWordCountAlgebraic _)
   )
 }

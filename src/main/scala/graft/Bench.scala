@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Emits ONE JSON line the driver parses.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_ITERS` (default 3) timed iterations and
+  * the headline number per query is the MEDIAN. Rounds 3 and 4 proved a
+  * single-shot gate is noise-dominated on this box: byte-identical code swung
+  * 2-11x in both directions between rounds (r3: q23 7.06s -> r4 0.62s;
+  * r4: q59 0.66s -> 7.27s) from JIT/compaction/page-cache interference.
+  * The median of 3 absorbs a one-off stall; `first`/`min`/`max` are kept
+  * per query so run-to-run spread stays inspectable.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,27 +31,41 @@ object Bench {
       val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       l.groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => () }
-    // (name, seconds, error). A failed query reports err and is excluded
-    // from the headline total instead of masquerading as a fast run.
+    def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // Per query: iters timed runs -> median headline. A failed query reports
+    // err and is excluded from the headline total instead of masquerading as
+    // a fast run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var err: Option[String] = None
+      var i = 0
+      while (i < iters && err.isEmpty) {
+        val t0 = System.nanoTime()
         // noop sink, not count(): under count() Catalyst prunes every
         // projected expression and eliminates final sorts, so projection-
         // heavy queries would measure a bare scan instead of their work.
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage)).take(200)}") }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable => err = Some(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage)).take(200)}") }
+        if (err.isEmpty) times += (System.nanoTime() - t0) / 1e9
+        i += 1
+      }
+      val sorted = times.sorted
+      val median = if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2)
+      (name, median, times.toSeq, err)
     }
-    val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isEmpty) v else -1.0)
+    val qs = results.map { case (k, med, _, err) =>
+      "\"" + k + "\":" + (if (err.isEmpty) fmt(med) else "-1.0")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + m + "\"" }
+    val runsJson = results.collect { case (k, _, ts, None) if ts.nonEmpty =>
+      "\"" + k + "\":{\"first\":" + fmt(ts.head) + ",\"min\":" + fmt(ts.min) +
+        ",\"max\":" + fmt(ts.max) + ",\"runs\":" + ts.map(fmt).mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(m)) => "\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    val nFail = results.count(_._3.isDefined)
+    val total = results.collect { case (_, med, _, None) => med }.sum
+    val nFail = results.count(_._4.isDefined)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"iters":$iters,"detail":$runsJson,"failed":$nFail,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

@@ -94,9 +94,9 @@ object Dedup {
     * threshold. Exact answer, but only pairs that share ≥1 shingle are
     * ever materialized, and the corpus-side pipeline runs ONCE (no
     * self-join recompute). At 100 TB the residual risk is ultra-frequent
-    * shingles fanning out quadratically — the standard mitigations
-    * (prefix filtering / frequency-capped postings) trade exactness and
-    * are left out since this corpus's buckets are small.
+    * shingles fanning out quadratically — [[ngramJaccardCapped]] is the
+    * scale path: it drops hot postings lists from candidate generation
+    * (recall traded, scores still exact via full-set verification).
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -118,19 +118,78 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Postings-list size cap for [[ngramJaccardCapped]]: shingles shared by
+    * more than this many documents are dropped from CANDIDATE GENERATION
+    * (not from verification). A shingle in p documents expands to p·(p−1)/2
+    * pairs, so one boilerplate phrase in 10^6 documents of a 100 TB corpus
+    * would alone emit ~5·10^11 pairs — the cap bounds per-shingle fan-out
+    * at cap²/2 regardless of corpus size. Pairs sharing ≥1 sub-cap shingle
+    * are still found, so on corpora where near-dups share mostly-rare
+    * shingles (this one: recall == 1.0, asserted in PipelineSuite) the
+    * result equals the exact answer.
+    */
+  val MaxPostings = 64
+
+  /** Exact-verify a candidate pair set against the full shingle sets:
+    * jaccard = |∩| / |∪| via `array_intersect`, thresholded. Only the
+    * (small) candidate set rejoins the shingle frame — shared by
+    * [[minhashLsh]] and [[ngramJaccardCapped]], whose emitted scores are
+    * therefore exact even though their candidate generation is pruned.
+    */
+  private def verifyCandidates(docs: DataFrame, candidates: DataFrame): DataFrame = {
+    val s1 = docs.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("n_sh").as("n1"))
+    val s2 = docs.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n_sh").as("n2"))
+    candidates
+      .join(s1, "d1")
+      .join(s2, "d2")
+      .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("common") / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** L2 scale path — [[ngramJaccard]] with frequency-capped postings:
+    * candidate pairs come only from shingles in ≤ [[MaxPostings]]
+    * documents; candidates are then exact-verified on full shingle sets.
+    * Result ⊆ exact with identical scores; recall vs [[ngramJaccard]] is
+    * asserted in PipelineSuite (1.0 on this corpus — planted dups share
+    * plenty of rare shingles). This is the variant a 100 TB corpus runs:
+    * the uncapped inverted index is quadratic in the hottest posting
+    * list, the capped one is bounded at cap²/2 pairs per shingle.
+    */
+  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = docShingles(spark, dir)
+    val candidates = docs
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy(col("s"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxPostings)
+      .select(col("ids"))
+      .as[Array[Long]]
+      .flatMap(ids => expandPairs(ids.sorted)((d1, d2) => (d1, d2)))
+      .toDF("d1", "d2")
+      .distinct() // a pair may co-occur under many sub-cap shingles
+    verifyCandidates(docs, candidates)
+  }
+
   // ---- dedup groups (connected components) ------------------------------
 
   /** Near-dup PAIRS become dedup GROUPS: connected components over the
-    * [[ngramJaccard]] pair graph by iterative min-label propagation —
-    * each round every node adopts the smallest label among itself and its
-    * neighbors (one partitioned join + one min-aggregation per round),
-    * until a round changes nothing. Rounds needed = graph diameter, and
-    * near-dup components are shallow (dup clusters, not webs), so the
-    * loop converges in a handful of rounds; each round's frame is
-    * persisted and the previous unpersisted so lineage stays flat (at
-    * 100 TB you'd checkpoint every few rounds — same structure). The
-    * driver sees only a per-round change COUNT, never data rows.
-    * Canonical = min doc_id of the component, matching [[exactDedup]].
+    * [[ngramJaccard]] pair graph by min-label propagation WITH pointer
+    * jumping — each round every node adopts the smallest of (its label,
+    * its neighbors' labels, its label's label), until a round changes
+    * nothing. The neighbor term alone needs diameter rounds; the
+    * label-of-label term doubles the reach of a label each round
+    * (pointer jumping), so convergence is O(log diameter) — on a length-d
+    * chain, ~log₂(d) rounds instead of d (asserted in PipelineSuite).
+    * Each round is two partitioned joins + one min-aggregation; each
+    * round's frame is persisted and the previous unpersisted so lineage
+    * stays flat (at 100 TB you'd checkpoint every few rounds — same
+    * structure). The driver sees only a per-round change COUNT, never
+    * data rows. Canonical = min doc_id of the component, matching
+    * [[exactDedup]].
     */
   private val groupCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -148,24 +207,48 @@ object Dedup {
     // without the cache each branch would re-run the whole candidate
     // pipeline.
     val pairs = ngramJaccard(spark, dir).select(col("d1"), col("d2")).persist(lvl)
+    val (labels, _) = propagateLabels(pairs)
+    pairs.unpersist()
+    labels
+      .select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Min-label propagation with pointer jumping over an undirected pair
+    * graph. Returns (converged (node, lbl) frame, rounds taken). Every
+    * label value is itself a node id of the same component (labels start
+    * as node ids and only ever adopt other members' labels), so the
+    * label-of-label lookup is a self-join of the label frame — always
+    * matching, `left` + coalesce only for belt-and-braces.
+    */
+  private[pipeline] def propagateLabels(
+      pairs: DataFrame,
+      maxRounds: Int = 20): (DataFrame, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("node", "nbr").persist(lvl)
     var cached = edges.select(col("node")).distinct().withColumn("lbl", col("node")).persist(lvl)
     var labels = cached
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("node").as("nbr"), col("lbl").as("nlbl")), "nbr")
         .groupBy(col("node"))
         .agg(min(col("nlbl")).as("nbrmin"))
+      // pointer jump: the label of my current label — doubles label reach
+      val jump = labels.select(col("node").as("jnode"), col("lbl").as("jlbl"))
       // keeping (lbl, nlbl) side by side lets the convergence count ride
-      // the same materialization — no second join per round
+      // the same materialization — no extra action per round
       val upd = labels
         .join(nbrMin, Seq("node"), "left")
+        .join(jump, col("lbl") === col("jnode"), "left")
         .select(
           col("node"),
           col("lbl"),
-          least(col("lbl"), coalesce(col("nbrmin"), col("lbl"))).as("nlbl"))
+          least(
+            col("lbl"),
+            coalesce(col("nbrmin"), col("lbl")),
+            coalesce(col("jlbl"), col("lbl"))).as("nlbl"))
         .persist(lvl)
       changed = upd.filter(col("nlbl") < col("lbl")).count()
       cached.unpersist() // the frame persist() was called on, not a derived view
@@ -174,11 +257,8 @@ object Dedup {
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
-    pairs.unpersist()
     edges.unpersist()
-    labels
-      .select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
-      .orderBy(col("doc_id"))
+    (labels, rounds)
   }
 
   // ---- benchmark decontamination ----------------------------------------
@@ -315,16 +395,7 @@ object Dedup {
       .toDF("d1", "d2")
       .distinct() // a pair may collide in many bands
 
-    val s1 = docs.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("n_sh").as("n1"))
-    val s2 = docs.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n_sh").as("n2"))
-    candidates
-      .join(s1, "d1")
-      .join(s2, "d2")
-      .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("jaccard", col("common") / (col("n1") + col("n2") - col("common")))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("d1"), col("d2"))
+    verifyCandidates(docs, candidates)
   }
 
   // ---- SimHash ----------------------------------------------------------

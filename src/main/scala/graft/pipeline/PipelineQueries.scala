@@ -49,7 +49,9 @@ object PipelineQueries {
     "q60_split" -> (TextAnalysis.splitAssign _),
     "q61_curated_topk" -> (TextAnalysis.curatedTopK _),
     "q62_bm25" -> (TextAnalysis.bm25 _),
-    "q63_ann_topk_heap" -> (Similarity.annTopKHeap _)
+    "q63_ann_topk_heap" -> (Similarity.annTopKHeap _),
+    "q66_ngram_jaccard_capped" -> (Dedup.ngramJaccardCapped _),
+    "q67_running_totals_final" -> (Events.runningTotalsFinal _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -361,6 +363,14 @@ object PipelineQueries {
         |      FROM s)
         |SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin,
+
+    // The final state of the flatMapGroupsWithState running (count, sum)
+    // equals the batch aggregate — a plain GROUP BY oracles the genuinely
+    // streaming execution (file source → state store → memory sink).
+    "q67_running_totals_final" ->
+      """SELECT user_id, count(*) AS events_so_far,
+        | round(sum(value), 2) AS value_so_far
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q30_session_window" ->
       """WITH s AS (

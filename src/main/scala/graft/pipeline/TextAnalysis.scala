@@ -495,9 +495,14 @@ object TextAnalysis {
     * family. Shape: the query term set is bounded (a benchmark suite), so
     * it broadcasts; corpus postings join it term-partitioned (inverted
     * index — only documents sharing a term are ever scored); per-(query,
-    * doc) scores are one partial-aggregated sum; top-k is a per-query
-    * window. N and avgdl are two eager scalars (table stats at scale).
-    * Ranking uses the ROUNDED score + doc_id for cross-engine tie safety.
+    * doc) scores are one partial-aggregated sum; top-k is the k-bounded
+    * [[graft.rel.TopK.topKPerGroup]] aggregator — the shuffle after the
+    * score agg carries ≤ k rows per (partition, query) instead of a
+    * window sorting every scored (query, doc) pair. N and avgdl are two
+    * eager scalars (table stats at scale). Ranking uses the ROUNDED
+    * score + doc_id for cross-engine tie safety — the same (score desc,
+    * doc_id asc) total order as the window idiom, so results are
+    * identical (q62's hash oracle is unchanged).
     */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
@@ -535,10 +540,10 @@ object TextAnalysis {
     val tfNorm = col("tf") * (lit(Bm25K1) + 1.0) /
       (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / lit(avgdl)))
 
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    import spark.implicits._
     // dl is |corpus| rows — NOT broadcast-hinted (AQE may still choose to
     // at small SF); the doc_id join stays narrow either way.
-    tf.filter(col("source") =!= Dedup.BenchSource)
+    val scores = tf.filter(col("source") =!= Dedup.BenchSource)
       .join(dl, "doc_id")
       .join(queriesByTerm, "term")
       .select(
@@ -547,9 +552,14 @@ object TextAnalysis {
         (col("idf") * tfNorm).as("contrib"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(round(sum(col("contrib")), 6).as("score"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= Bm25TopK)
-      .select(col("q_id"), col("rnk"), col("doc_id"), col("score"))
+      .select(col("q_id"), col("score"), col("doc_id"))
+      .as[(Long, Double, Long)]
+    graft.rel.TopK.topKPerGroup(scores, Bm25TopK)
+      .select(
+        col("group").as("q_id"),
+        col("rnk"),
+        col("id").as("doc_id"),
+        col("score"))
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -559,24 +569,35 @@ object TextAnalysis {
   /** L4 — TF-IDF top terms per document: tf = in-doc term count, idf =
     * ln(N/df) over the corpus, top-[[TfIdfTopK]] terms per doc (tie-break
     * word asc). Three hash aggregations + one |vocab|-sized join (the df
-    * side is the aggregated vocabulary — broadcastable / AQE-small) + a
-    * per-doc window: every stage is partitioned, nothing global. N is
-    * materialized eagerly once (at 100 TB it comes from table stats or a
-    * prior count, never per-row).
+    * side is the aggregated vocabulary — broadcastable / AQE-small) + the
+    * k-bounded [[graft.rel.TopK.topKPerGroup]] aggregator (≤ k rows per
+    * (partition, doc) shuffled — a per-doc window would sort whole
+    * per-doc term groups): every stage is partitioned, nothing global.
+    * N is materialized eagerly once (at 100 TB it comes from table stats
+    * or a prior count, never per-row). Ranks by the UNROUNDED score +
+    * word asc — the same total order as the window idiom it replaced, so
+    * q55's hash oracle is unchanged.
     */
   def tfIdf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val n = table(spark, dir, "documents").count()
     val tf = table(spark, dir, "documents")
       .select(col("doc_id"), explode(Shingles.tokens(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word"))
-    tf.join(dfreq, "word")
-      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TfIdfTopK)
-      .select(col("doc_id"), col("rnk"), col("word"), round(col("tfidf"), 6).as("tfidf"))
+    val scores = tf.join(dfreq, "word")
+      .select(
+        col("doc_id"),
+        (col("tf") * log(lit(n.toDouble) / col("df"))).as("tfidf"),
+        col("word"))
+      .as[(Long, Double, String)]
+    graft.rel.TopK.topKPerGroup(scores, TfIdfTopK)
+      .select(
+        col("group").as("doc_id"),
+        col("rnk"),
+        col("id").as("word"),
+        round(col("score"), 6).as("tfidf"))
       .orderBy(col("doc_id"), col("rnk"))
   }
 

@@ -17,47 +17,52 @@ import org.apache.spark.sql.expressions.Aggregator
   * shuffling k·|groups| rows. Results are identical to the window idiom
   * because (score desc, id asc) is a total order (q63 pins this against
   * q20's oracle; TopKSuite against the window plan).
+  *
+  * Generic in the id type: `Long` for vec/doc ids, `String` for terms
+  * (TF-IDF ranks words within a document) — any `I` with an `Ordering`
+  * and an `ExpressionEncoder`-able shape.
   */
 object TopK {
 
   /** Keeps the best k by (score desc, id asc). The buffer is a sorted
     * Seq bounded at k — tiny, so the O(k) insert beats heap bookkeeping.
     */
-  class TopKAgg(k: Int)
-      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
-    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  class TopKAgg[I](k: Int)(implicit ord: Ordering[I], tt: TypeTag[I])
+      extends Aggregator[(Double, I), Seq[(Double, I)], Seq[(Double, I)]] {
+    private def better(a: (Double, I), b: (Double, I)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && ord.lt(a._2, b._2))
 
-    override def zero: Seq[(Double, Long)] = Nil
+    override def zero: Seq[(Double, I)] = Nil
 
-    override def reduce(buf: Seq[(Double, Long)], row: (Double, Long)): Seq[(Double, Long)] =
+    override def reduce(buf: Seq[(Double, I)], row: (Double, I)): Seq[(Double, I)] =
       if (buf.lengthCompare(k) >= 0 && !better(row, buf.last)) buf
       else ((buf :+ row).sortWith(better)).take(k)
 
-    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    override def merge(a: Seq[(Double, I)], b: Seq[(Double, I)]): Seq[(Double, I)] =
       (a ++ b).sortWith(better).take(k)
 
-    override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+    override def finish(buf: Seq[(Double, I)]): Seq[(Double, I)] = buf
 
-    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
-      ExpressionEncoder[Seq[(Double, Long)]]()
-    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
-      ExpressionEncoder[Seq[(Double, Long)]]()
+    override def bufferEncoder: Encoder[Seq[(Double, I)]] =
+      ExpressionEncoder[Seq[(Double, I)]]()
+    override def outputEncoder: Encoder[Seq[(Double, I)]] =
+      ExpressionEncoder[Seq[(Double, I)]]()
   }
 
   /** (group, score, id) → (group, rnk ∈ 1..k, id, score), ranked by
     * (score desc, id asc) within each group.
     */
-  def topKPerGroup[K: Encoder: TypeTag](
-      ds: Dataset[(K, Double, Long)],
-      k: Int): DataFrame = {
+  def topKPerGroup[K: Encoder: TypeTag, I: TypeTag](
+      ds: Dataset[(K, Double, I)],
+      k: Int)(implicit ord: Ordering[I]): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
-    implicit val pairEnc: Encoder[(K, Seq[(Double, Long)])] =
-      ExpressionEncoder[(K, Seq[(Double, Long)])]()
+    implicit val valEnc: Encoder[(Double, I)] = ExpressionEncoder[(Double, I)]()
+    implicit val pairEnc: Encoder[(K, Seq[(Double, I)])] =
+      ExpressionEncoder[(K, Seq[(Double, I)])]()
     ds.groupByKey(_._1)
       .mapValues(t => (t._2, t._3))
-      .agg(new TopKAgg(k).toColumn.name("top"))
+      .agg(new TopKAgg[I](k).toColumn.name("top"))
       .flatMap { case (g, top) =>
         top.iterator.zipWithIndex.map { case ((score, id), i) => (g, i + 1, id, score) }
       }

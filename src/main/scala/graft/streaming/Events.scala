@@ -63,6 +63,39 @@ object Events {
   def sessionsBatch(spark: SparkSession, dir: String): DataFrame =
     sessions(events(spark, dir)).orderBy(col("user_id"), col("session_start"))
 
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Declared-query wrapper driving [[runningTotals]] — the
+    * `flatMapGroupsWithState` operator — through a REAL streaming
+    * execution (file source → state store → memory sink,
+    * `Trigger.AvailableNow`), then reducing the emitted update stream to
+    * each user's FINAL state. The final state of a running (count, sum)
+    * equals the batch aggregate, so DuckDB can oracle a genuinely
+    * streaming-stateful operator: per user, the last update row (the one
+    * with the max monotone `events_so_far`) must carry count(*) and
+    * sum(value). Blocks until the stream drains — fine at test scale;
+    * the memory-sink temp view is per-invocation (bounded: one row per
+    * update per user) and left registered because the returned frame
+    * reads from it lazily.
+    */
+  def runningTotalsFinal(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"running_totals_final_${runCounter.incrementAndGet()}"
+    val q = runningTotals(spark, readEventStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("events_so_far")).as("events_so_far"),
+        round(max_by(col("value_so_far"), col("events_so_far")), 2).as("value_so_far"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- streaming entry points -------------------------------------------
 
   /** Watermarked streaming variant of [[tumbling]]: events more than

@@ -49,6 +49,33 @@ class PipelineSuite extends AnyFunSuite {
     assert(lsh.size >= math.ceil(exact.size * 0.9).toInt, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("L2 capped-postings jaccard: subset of exact, identical scores, recall 1.0 here") {
+    val exact = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.ngramJaccardCapped(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // candidates from sub-cap shingles only, but verification is on full
+    // shingle sets: every emitted pair must carry the EXACT score
+    capped.foreach { case (pair, j) => assert(exact.get(pair).contains(j), pair) }
+    // planted near-dups share plenty of rare shingles -> nothing is lost
+    // to the cap on this corpus
+    assert(capped.keySet == exact.keySet,
+      s"recall ${capped.size}/${exact.size}; missing ${exact.keySet.diff(capped.keySet)}")
+  }
+
+  test("pointer jumping: chain component converges in O(log d) rounds, labels exact") {
+    import spark.implicits._
+    // a 17-node chain: diameter 16, so neighbor-only min propagation needs
+    // 16 rounds; the label-of-label jump doubles reach each round
+    val n = 17
+    val pairs = (0L until n - 1L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labels, rounds) = Dedup.propagateLabels(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n.toLong).map(_ -> 0L).toMap)
+    assert(rounds <= 10, s"pointer jumping should beat the $n-node chain diameter: $rounds")
+    assert(rounds < n - 1, s"rounds $rounds did not beat diameter ${n - 1}")
+  }
+
   test("SimHash: near-identical docs collide, hamming bound respected") {
     val pairs = Dedup.simhashPairs(spark, dir).collect()
     assert(pairs.forall(_.getInt(2) <= Dedup.SimHashMaxHamming))

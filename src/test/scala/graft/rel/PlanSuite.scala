@@ -74,17 +74,25 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p) // corpus side must not shuffle for the join
   }
 
-  test("q55: tf-idf aggregations run with map-side partials") {
+  test("q55: tf-idf aggregations run with map-side partials; top-k is the bounded aggregator") {
     val p = plan(graft.pipeline.TextAnalysis.tfIdf(spark, dir))
     assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // per-doc top-k = k-bounded TopKAgg (two ObjectHashAggregate phases
+    // around its exchange), NOT a window sorting whole per-doc term groups
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
   }
 
-  test("q62: per-term query lists broadcast; contributions summed with partials") {
+  test("q62: per-term query lists broadcast; contributions summed with partials; top-k bounded") {
     val p = plan(graft.pipeline.TextAnalysis.bm25(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("partial_sum"), p)
     assert(p.contains("Generate"), p) // the q_id-list explode, not a join fan-out
+    // per-query top-k = k-bounded TopKAgg, NOT a window sorting every
+    // (q_id, doc) score group
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
   }
 
   test("no declared query plans a cartesian product") {

@@ -33,4 +33,20 @@ class TopKSuite extends AnyFunSuite {
     val p = heap.queryExecution.executedPlan.toString
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("string ids: ties broken by id asc, matching the window idiom") {
+    import spark.implicits._
+    // deliberate score ties so the Ordering[String] tie-break is exercised
+    val rows = (1 to 300).map { i =>
+      (i % 5L, (i % 7).toDouble, f"w${i % 26}%02d")
+    }.distinct
+    val ds = rows.toDS()
+    val heap = TopK.topKPerGroup(ds, 4)
+    val w = Window.partitionBy(col("group")).orderBy(col("score").desc, col("id"))
+    val window = ds.toDF("group", "score", "id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 4)
+      .select(col("group"), col("rnk"), col("id"), col("score"))
+    assert(heap.collect().toSet == window.collect().toSet)
+  }
 }

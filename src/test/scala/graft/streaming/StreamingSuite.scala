@@ -111,6 +111,17 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q67: streamed running-totals final state equals the batch aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Events.runningTotalsFinal(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = graft.rel.Queries.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == batch)
+  }
+
   test("file-source stream over events parquet matches the batch answer") {
     val dir = "/root/testdata/sf0.001"
     val q = Events

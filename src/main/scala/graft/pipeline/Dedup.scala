@@ -150,28 +150,44 @@ object Dedup {
   }
 
   /** L2 scale path — [[ngramJaccard]] with frequency-capped postings:
-    * candidate pairs come only from shingles in ≤ [[MaxPostings]]
-    * documents; candidates are then exact-verified on full shingle sets.
-    * Result ⊆ exact with identical scores; recall vs [[ngramJaccard]] is
-    * asserted in PipelineSuite (1.0 on this corpus — planted dups share
-    * plenty of rare shingles). This is the variant a 100 TB corpus runs:
-    * the uncapped inverted index is quadratic in the hottest posting
-    * list, the capped one is bounded at cap²/2 pairs per shingle.
+    * the SAME count-based inverted-index flow, but postings lists larger
+    * than [[MaxPostings]] are dropped before pair expansion, so the
+    * per-shingle fan-out is bounded at cap²/2 regardless of corpus size.
+    * The capped common-count is a LOWER bound on the true one (jaccard is
+    * monotone in it), so pairs clearing the threshold on capped counts
+    * are a candidate SUPERSET filter-able cheaply; the few survivors are
+    * then exact-verified on full shingle sets ([[verifyCandidates]]) so
+    * every emitted score is exact. Result ⊆ exact; what's lost is only
+    * pairs whose similarity lives in hot shingles — the accepted trade.
+    * Recall vs [[ngramJaccard]] is asserted in PipelineSuite (1.0 on
+    * this corpus — planted dups share plenty of rare shingles).
+    *
+    * NOT the [[minhashLsh]] shape of verify-every-candidate: here any
+    * pair sharing one sub-cap shingle is a candidate (a huge set — the
+    * same co-occurrence set the exact query counts), so verification
+    * must stay count-based; only the threshold survivors (near-dups are
+    * rare) ever touch the full shingle arrays.
     */
   def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = docShingles(spark, dir)
-    val candidates = docs
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val survivors = docs
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
       .groupBy(col("s"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(collect_list(struct(col("doc_id").as("_1"), col("n_sh").as("_2"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxPostings)
       .select(col("ids"))
-      .as[Array[Long]]
-      .flatMap(ids => expandPairs(ids.sorted)((d1, d2) => (d1, d2)))
-      .toDF("d1", "d2")
-      .distinct() // a pair may co-occur under many sub-cap shingles
-    verifyCandidates(docs, candidates)
+      .as[Array[(Long, Int)]]
+      .flatMap(ids => expandPairs(ids.sortBy(_._1)) { case ((d1, n1), (d2, n2)) => (d1, d2, n1, n2) })
+      .toDF("d1", "d2", "n1", "n2")
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("common"))
+      // capped common ≤ true common → this jaccard is a lower bound; the
+      // threshold here is final for recall (missed = hot-shingle-only
+      // similarity) but scores are re-derived exactly below
+      .filter(col("common") / (col("n1") + col("n2") - col("common")) >= JaccardThreshold)
+      .select(col("d1"), col("d2"))
+    verifyCandidates(docs, survivors)
   }
 
   // ---- dedup groups (connected components) ------------------------------

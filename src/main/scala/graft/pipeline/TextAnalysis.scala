@@ -14,6 +14,30 @@ import graft.rel.Queries.table
   */
 object TextAnalysis {
 
+  private val tfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Per-(doc, term) counts over the corpus — (doc_id, source, term, tf) —
+    * persisted (MEMORY_AND_DISK) and memoized per (session, dir): this is
+    * the single most expensive text aggregation (tokenize + explode +
+    * groupBy over every token occurrence) and [[bm25]] alone references it
+    * three times (corpus postings, query-term extraction, document
+    * frequencies), with [[tfIdf]] a fourth consumer. Without the cache the
+    * corpus is re-tokenized per reference; at 100 TB the production shape
+    * is a materialized posting-list table — this is its session-scoped
+    * equivalent.
+    */
+  private def termFreq(spark: SparkSession, dir: String): DataFrame =
+    tfCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        table(s, d, "documents")
+          .select(col("doc_id"), col("source"), explode(Shingles.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("source"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
   /** L4 — per-doc token statistics: token count, distinct count,
     * type-token ratio, mean token length. One narrow projection, no
     * explode — the array functions fold inside codegen.
@@ -469,16 +493,25 @@ object TextAnalysis {
     * [[qualityScore]] signal (the composition a data-mixing pass runs —
     * score, then keep the best of each source). Ranking uses the ROUNDED
     * quality plus doc_id, so ordering is deterministic on both engines
-    * even at FP-tie boundaries; the window is partitioned by source.
+    * even at FP-tie boundaries. Top-k is the k-bounded
+    * [[graft.rel.TopK.topKPerGroup]] aggregator: sources are FEW and
+    * HUGE (the worst case for a per-source window, which would sort
+    * whole sources through single tasks), while the aggregator shuffles
+    * ≤ k rows per (partition, source).
     */
   def curatedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val q = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
     val src = table(spark, dir, "documents").select(col("doc_id"), col("source"))
-    val w = Window.partitionBy(col("source")).orderBy(col("quality").desc, col("doc_id"))
-    q.join(src, "doc_id")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= CurateTopK)
-      .select(col("source"), col("rnk"), col("doc_id"), col("quality"))
+    val scores = q.join(src, "doc_id")
+      .select(col("source"), col("quality"), col("doc_id"))
+      .as[(String, Double, Long)]
+    graft.rel.TopK.topKPerGroup(scores, CurateTopK)
+      .select(
+        col("group").as("source"),
+        col("rnk"),
+        col("id").as("doc_id"),
+        col("score").as("quality"))
       .orderBy(col("source"), col("rnk"))
   }
 
@@ -505,18 +538,15 @@ object TextAnalysis {
     * identical (q62's hash oracle is unchanged).
     */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
-    val nAndAvg = docs
-      .agg(count(lit(1)).as("n"), avg(size(Shingles.tokens(col("text")))).as("avgdl"))
-      .collect()(0)
+    // the shared posting-list cache is referenced three times below; doc
+    // length = Σ tf per doc (identical to size(tokens): every doc emits
+    // ≥1 token row, split("") being [""]), so the corpus is tokenized
+    // ONCE per session instead of three times per invocation
+    val tf = termFreq(spark, dir)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("double").as("dl"))
+    val nAndAvg = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).collect()(0)
     val nDocs = nAndAvg.getLong(0).toDouble
     val avgdl = nAndAvg.getDouble(1)
-
-    val tf = docs
-      .select(col("doc_id"), col("source"), explode(Shingles.tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("source"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = docs.select(col("doc_id"), size(Shingles.tokens(col("text"))).cast("double").as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     // The query side collapses to ONE broadcast row per distinct term:
@@ -581,10 +611,9 @@ object TextAnalysis {
   def tfIdf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = table(spark, dir, "documents").count()
-    val tf = table(spark, dir, "documents")
-      .select(col("doc_id"), explode(Shingles.tokens(col("text"))).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
+    // (doc, term) is unique in the cache (source is functional on doc),
+    // so this is the same tf frame — shared with bm25's posting lists
+    val tf = termFreq(spark, dir).select(col("doc_id"), col("term").as("word"), col("tf"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val scores = tf.join(dfreq, "word")
       .select(

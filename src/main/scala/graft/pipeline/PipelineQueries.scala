@@ -51,7 +51,9 @@ object PipelineQueries {
     "q62_bm25" -> (TextAnalysis.bm25 _),
     "q63_ann_topk_heap" -> (Similarity.annTopKHeap _),
     "q66_ngram_jaccard_capped" -> (Dedup.ngramJaccardCapped _),
-    "q67_running_totals_final" -> (Events.runningTotalsFinal _)
+    "q67_running_totals_final" -> (Events.runningTotalsFinal _),
+    "q68_type_counts_final" -> (Events.typeCountsFinal _),
+    "q69_interval_join" -> (Events.clicksWithRecentErrorsBatch _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -371,6 +373,24 @@ object PipelineQueries {
       """SELECT user_id, count(*) AS events_so_far,
         | round(sum(value), 2) AS value_so_far
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Same pattern as q67 for the transformWithState MapState processor:
+    // final running count per (user, type) == batch GROUP BY.
+    "q68_type_counts_final" ->
+      """SELECT user_id, event_type, count(*) AS n_events
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // The stream-stream interval join's batch twin: same transform, plain
+    // inequality join in DuckDB.
+    "q69_interval_join" ->
+      """SELECT c.user_id, c.ts AS click_ts, c.value AS click_value,
+        | e.ts AS err_ts, e.value AS err_value
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id
+        | AND e.ts <= c.ts AND e.ts >= c.ts - INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click' AND e.event_type = 'error'
+        |ORDER BY c.user_id, click_ts, err_ts""".stripMargin,
 
     "q30_session_window" ->
       """WITH s AS (

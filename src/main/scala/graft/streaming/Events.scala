@@ -96,6 +96,56 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Declared-query wrapper driving [[typeCounts]] — the Spark 4
+    * `transformWithState` MapState processor — through a real streaming
+    * execution (requires the RocksDB state store provider, set for the
+    * duration of the run and restored after). Final state per (user,
+    * event_type) = the max running count, which must equal the batch
+    * GROUP BY — the oracle for the typed-state operator path.
+    */
+  def typeCountsFinal(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(
+      key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = s"type_counts_final_${runCounter.incrementAndGet()}"
+    try {
+      val q = typeCounts(spark, readEventStream(spark, dir))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+    spark.table(name)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n_so_far")).as("n_events"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Batch twin of [[clicksWithRecentErrors]]: the SAME transform (the
+    * watermark calls are no-ops on batch frames) applied to the events
+    * table split by type — so the stream-stream interval join's
+    * semantics are DuckDB-oracle-able with a plain inequality join.
+    */
+  def clicksWithRecentErrorsBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    clicksWithRecentErrors(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "error"))
+      .select(
+        col("user_id"), col("click_ts"), col("click_value"),
+        col("err_ts"), col("err_value"))
+      .orderBy(col("user_id"), col("click_ts"), col("err_ts"))
+  }
+
   // ---- streaming entry points -------------------------------------------
 
   /** Watermarked streaming variant of [[tumbling]]: events more than

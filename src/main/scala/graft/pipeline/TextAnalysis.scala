@@ -38,6 +38,27 @@ object TextAnalysis {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
 
+  private val dlCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Double, Double)]()
+
+  /** Per-doc lengths (Σ tf — identical to size(tokens), see [[bm25]]) plus
+    * the two corpus scalars (N, avgdl), derived from [[termFreq]] and
+    * memoized: the dl frame is |docs| rows (persisted, AQE broadcasts it
+    * under the join), and the scalars are collected once per session —
+    * at 100 TB both come from table statistics, never per-query jobs.
+    */
+  private def docLengths(spark: SparkSession, dir: String): (DataFrame, Double, Double) =
+    dlCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        val dl = termFreq(s, d)
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).cast("double").as("dl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val row = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).collect()(0)
+        (dl, row.getLong(0).toDouble, row.getDouble(1))
+      })
+
   /** L4 — per-doc token statistics: token count, distinct count,
     * type-token ratio, mean token length. One narrow projection, no
     * explode — the array functions fold inside codegen.
@@ -543,10 +564,7 @@ object TextAnalysis {
     // ≥1 token row, split("") being [""]), so the corpus is tokenized
     // ONCE per session instead of three times per invocation
     val tf = termFreq(spark, dir)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("double").as("dl"))
-    val nAndAvg = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).collect()(0)
-    val nDocs = nAndAvg.getLong(0).toDouble
-    val avgdl = nAndAvg.getDouble(1)
+    val (dl, nDocs, avgdl) = docLengths(spark, dir)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     // The query side collapses to ONE broadcast row per distinct term:

@@ -50,7 +50,13 @@ object Bench {
         i += 1
       }
       val sorted = times.sorted
-      val median = if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2)
+      // true median: mean of the middle pair for even n, so iters=2 doesn't
+      // report the worse run (upper-middle would reintroduce one-off-stall
+      // bias for even iteration counts)
+      val median =
+        if (sorted.isEmpty) -1.0
+        else if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
       (name, median, times.toSeq, err)
     }
     val qs = results.map { case (k, med, _, err) =>

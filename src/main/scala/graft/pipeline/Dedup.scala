@@ -98,25 +98,35 @@ object Dedup {
     * scale path: it drops hot postings lists from candidate generation
     * (recall traded, scores still exact via full-set verification).
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared inverted-index flow of [[ngramJaccard]] (cap = None) and
+    * [[ngramJaccardCapped]] (cap = Some(n)): explode shingles → postings
+    * per shingle → optionally drop postings lists above the cap → expand
+    * in-bucket pairs → count common shingles per pair. Returns
+    * (d1, d2, n1, n2, common); with a cap, `common` is a LOWER bound on
+    * the true count (contributions of dropped hot shingles are missing).
+    */
+  private def pairCommonCounts(spark: SparkSession, docs: DataFrame, cap: Option[Int]): DataFrame = {
     import spark.implicits._
-    val docs = docShingles(spark, dir)
-    docs
+    val postings = docs
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
       .groupBy(col("s"))
       .agg(collect_list(struct(col("doc_id").as("_1"), col("n_sh").as("_2"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    cap.fold(postings)(c => postings.filter(size(col("ids")) <= c))
       .select(col("ids"))
       .as[Array[(Long, Int)]]
       .flatMap(ids => expandPairs(ids.sortBy(_._1)) { case ((d1, n1), (d2, n2)) => (d1, d2, n1, n2) })
       .toDF("d1", "d2", "n1", "n2")
       .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("common"))
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    pairCommonCounts(spark, docShingles(spark, dir), None)
       .withColumn("jaccard", col("common") / (col("n1") + col("n2") - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("d1"), col("d2"))
-  }
 
   /** Postings-list size cap for [[ngramJaccardCapped]]: shingles shared by
     * more than this many documents are dropped from CANDIDATE GENERATION
@@ -169,19 +179,8 @@ object Dedup {
     * rare) ever touch the full shingle arrays.
     */
   def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val docs = docShingles(spark, dir)
-    val survivors = docs
-      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-      .groupBy(col("s"))
-      .agg(collect_list(struct(col("doc_id").as("_1"), col("n_sh").as("_2"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxPostings)
-      .select(col("ids"))
-      .as[Array[(Long, Int)]]
-      .flatMap(ids => expandPairs(ids.sortBy(_._1)) { case ((d1, n1), (d2, n2)) => (d1, d2, n1, n2) })
-      .toDF("d1", "d2", "n1", "n2")
-      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
-      .agg(count(lit(1)).as("common"))
+    val survivors = pairCommonCounts(spark, docs, Some(MaxPostings))
       // capped common ≤ true common → this jaccard is a lower bound; the
       // threshold here is final for recall (missed = hot-shingle-only
       // similarity) but scores are re-derived exactly below

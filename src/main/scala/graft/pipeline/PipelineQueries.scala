@@ -390,7 +390,7 @@ object PipelineQueries {
         |  ON c.user_id = e.user_id
         | AND e.ts <= c.ts AND e.ts >= c.ts - INTERVAL 30 MINUTE
         |WHERE c.event_type = 'click' AND e.event_type = 'error'
-        |ORDER BY c.user_id, click_ts, err_ts""".stripMargin,
+        |ORDER BY c.user_id, click_ts, err_ts, click_value, err_value""".stripMargin,
 
     "q30_session_window" ->
       """WITH s AS (

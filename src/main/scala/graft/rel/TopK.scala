@@ -24,11 +24,32 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object TopK {
 
+  /** Binary (UTF-8 byte) string order — what Spark SQL's window sort and
+    * DuckDB use. Java's `String.compareTo` orders by UTF-16 code UNIT,
+    * which diverges for supplementary characters (a surrogate 0xD800+
+    * sorts before BMP chars ≥ U+E000 in UTF-16 but after in UTF-8), so
+    * the default `Ordering.String` tie-break would disagree with the
+    * window idiom / oracle on non-BMP terms.
+    */
+  val Utf8StringOrdering: Ordering[String] = (a: String, b: String) =>
+    org.apache.spark.unsafe.types.UTF8String
+      .fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** Swap the DEFAULT string ordering for the UTF-8 binary one (an
+    * explicitly supplied custom ordering passes through untouched): every
+    * string-id call site gets oracle-consistent tie-breaks without having
+    * to know about the UTF-16 trap.
+    */
+  private def oracleConsistent[I](ord: Ordering[I]): Ordering[I] =
+    if (ord eq Ordering.String) Utf8StringOrdering.asInstanceOf[Ordering[I]] else ord
+
   /** Keeps the best k by (score desc, id asc). The buffer is a sorted
     * Seq bounded at k — tiny, so the O(k) insert beats heap bookkeeping.
     */
-  class TopKAgg[I](k: Int)(implicit ord: Ordering[I], tt: TypeTag[I])
+  class TopKAgg[I](k: Int)(implicit rawOrd: Ordering[I], tt: TypeTag[I])
       extends Aggregator[(Double, I), Seq[(Double, I)], Seq[(Double, I)]] {
+    private val ord = oracleConsistent(rawOrd)
     private def better(a: (Double, I), b: (Double, I)): Boolean =
       a._1 > b._1 || (a._1 == b._1 && ord.lt(a._2, b._2))
 

@@ -143,7 +143,11 @@ object Events {
       .select(
         col("user_id"), col("click_ts"), col("click_value"),
         col("err_ts"), col("err_value"))
-      .orderBy(col("user_id"), col("click_ts"), col("err_ts"))
+      // the value columns complete the total order: same-timestamp event
+      // collisions would otherwise sort nondeterministically across engines
+      .orderBy(
+        col("user_id"), col("click_ts"), col("err_ts"),
+        col("click_value"), col("err_value"))
   }
 
   // ---- streaming entry points -------------------------------------------

@@ -20,6 +20,13 @@ class PlanSuite extends AnyFunSuite {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(FormattedMode)
 
+  /** For operator COUNTS use the executed plan (each operator appears
+    * once); FormattedMode lists every operator twice (tree + detail
+    * block), which would make a ">= 2 phases" assertion vacuous.
+    */
+  private def execPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
   test("q02: predicate pushdown and column pruning reach the parquet scan") {
     val p = plan(Queries.q02FilterProject(spark, dir))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
@@ -78,9 +85,11 @@ class PlanSuite extends AnyFunSuite {
     val p = plan(graft.pipeline.TextAnalysis.tfIdf(spark, dir))
     assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // per-doc top-k = k-bounded TopKAgg (two ObjectHashAggregate phases
-    // around its exchange), NOT a window sorting whole per-doc term groups
-    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    // per-doc top-k = k-bounded TopKAgg (two ObjectHashAggregate phases —
+    // partial + final — around its exchange), NOT a window sorting whole
+    // per-doc term groups
+    val ep = execPlan(graft.pipeline.TextAnalysis.tfIdf(spark, dir))
+    assert("ObjectHashAggregate".r.findAllIn(ep).size >= 2, ep)
     assert(!p.contains("Window"), p)
   }
 
@@ -89,9 +98,10 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("partial_sum"), p)
     assert(p.contains("Generate"), p) // the q_id-list explode, not a join fan-out
-    // per-query top-k = k-bounded TopKAgg, NOT a window sorting every
-    // (q_id, doc) score group
-    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    // per-query top-k = k-bounded TopKAgg (partial + final phases), NOT a
+    // window sorting every (q_id, doc) score group
+    val ep = execPlan(graft.pipeline.TextAnalysis.bm25(spark, dir))
+    assert("ObjectHashAggregate".r.findAllIn(ep).size >= 2, ep)
     assert(!p.contains("Window"), p)
   }
 

@@ -53,7 +53,9 @@ object PipelineQueries {
     "q66_ngram_jaccard_capped" -> (Dedup.ngramJaccardCapped _),
     "q67_running_totals_final" -> (Events.runningTotalsFinal _),
     "q68_type_counts_final" -> (Events.typeCountsFinal _),
-    "q69_interval_join" -> (Events.clicksWithRecentErrorsBatch _)
+    "q69_interval_join" -> (Events.clicksWithRecentErrorsBatch _),
+    "q70_training_manifest" -> (TextAnalysis.trainingManifest _),
+    "q71_hll_union" -> (TextAnalysis.hllUnion _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -373,6 +375,24 @@ object PipelineQueries {
       """SELECT user_id, count(*) AS events_so_far,
         | round(sum(value), 2) AS value_so_far
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // The composed curation pipeline: canonical under exact dedup AND in
+    // the deterministic train split AND above the quality gate.
+    "q70_training_manifest" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    round(ln(1+len(w)) * (1 - stop_hits/len(w)) * (1 - punct/length(text)), 4) AS quality
+        |  FROM (
+        |    SELECT doc_id, text, string_split(text, ' ') AS w,
+        |      1.0*len(list_filter(string_split(text, ' '),
+        |          x -> x IN ('the','a','and','of','to','in','is','it'))) AS stop_hits,
+        |      1.0*length(regexp_replace(text, '[a-z ]', '', 'g')) AS punct
+        |    FROM documents)),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))),
+        |tr AS (SELECT doc_id FROM documents WHERE md5('split:' || text) < 'e6')
+        |SELECT q.doc_id, q.quality
+        |FROM q JOIN keep USING (doc_id) JOIN tr USING (doc_id)
+        |WHERE q.quality >= 3.5 ORDER BY doc_id""".stripMargin,
 
     // Same pattern as q67 for the transformWithState MapState processor:
     // final running count per (user, type) == batch GROUP BY.

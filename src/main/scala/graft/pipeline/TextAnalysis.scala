@@ -695,4 +695,50 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(approx_count_distinct(col("w"), 0.02).as("approx_distinct_words"))
       .orderBy(col("source"))
+
+  /** L5 — MERGEABLE cardinality sketches (Datasketches HLL): per-source
+    * sketches built with `hll_sketch_agg`, then re-aggregated with
+    * `hll_union_agg` into one corpus-wide estimate WITHOUT touching the
+    * raw tokens again. This two-level shape is what
+    * `approx_count_distinct` cannot do (its estimate is final) and is
+    * exactly how a 100 TB pipeline maintains cardinality: sketch per
+    * partition/day/source, store the KB-sized sketches, union on demand.
+    * Rows-only declared query (DuckDB has no sketch-merge equivalent);
+    * the ≤5% error vs the exact global distinct count is asserted in
+    * PipelineSuite.
+    */
+  def hllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = table(spark, dir, "documents")
+      .select(col("source"), explode(Shingles.tokens(col("text"))).as("w"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("w"), lit(14)).as("sk"))
+    perSource.agg(
+      count(lit(1)).as("n_sources"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("global_distinct_est"))
+  }
+
+  /** Quality gate for [[trainingManifest]] — ≈ the corpus's 35th
+    * percentile composite score, so the gate actually cuts.
+    */
+  val ManifestQualityGate = 3.5
+
+  /** The composed end-of-pipeline query: the training manifest = documents
+    * that (1) are their exact-dedup group's canonical member, (2) land in
+    * the deterministic 'train' split, and (3) clear the quality gate —
+    * [[Dedup.exactDedup]] ∘ [[splitAssign]] ∘ [[qualityScore]] composed
+    * the way a real curation run chains them. Each input is an
+    * already-declared oracle-gated operator; the composition is one
+    * semi-join (canonical ids) plus two narrow filters joined on doc_id —
+    * no new shuffle shape beyond its parts.
+    */
+  def trainingManifest(spark: SparkSession, dir: String): DataFrame = {
+    val canonical = Dedup.exactDedup(spark, dir).select(col("canonical_id").as("doc_id"))
+    val train = splitAssign(spark, dir).filter(col("split") === "train").select(col("doc_id"))
+    qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .filter(col("quality") >= ManifestQualityGate)
+      .join(train, "doc_id")
+      .join(canonical, Seq("doc_id"), "left_semi")
+      .orderBy(col("doc_id"))
+  }
 }

@@ -76,6 +76,31 @@ class PipelineSuite extends AnyFunSuite {
     assert(rounds < n - 1, s"rounds $rounds did not beat diameter ${n - 1}")
   }
 
+  test("pointer jumping: random graph labels match union-find (cycles + isolates)") {
+    import spark.implicits._
+    // seeded random multigraph: cycles, multiple components, self-density
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(60)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val (labels, rounds) = Dedup.propagateLabels(pairs.toDF("d1", "d2"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(rounds <= 10, s"random 50-node graph should converge fast: $rounds")
+  }
+
   test("SimHash: near-identical docs collide, hamming bound respected") {
     val pairs = Dedup.simhashPairs(spark, dir).collect()
     assert(pairs.forall(_.getInt(2) <= Dedup.SimHashMaxHamming))
@@ -120,6 +145,33 @@ class PipelineSuite extends AnyFunSuite {
       val e = exact(src).toDouble
       assert(math.abs(a - e) / e <= 0.05, s"$src: approx $a vs exact $e")
     }
+  }
+
+  test("L5 sketch union: merged per-source HLLs within 5% of global exact distinct") {
+    import org.apache.spark.sql.functions.{countDistinct, explode}
+    val exactGlobal = graft.rel.Queries.table(spark, dir, "documents")
+      .select(explode(Shingles.tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w")))
+      .collect()(0).getLong(0).toDouble
+    val row = TextAnalysis.hllUnion(spark, dir).collect()(0)
+    val est = row.getLong(1).toDouble
+    assert(row.getLong(0) > 1) // multiple sketches actually unioned
+    assert(math.abs(est - exactGlobal) / exactGlobal <= 0.05,
+      s"union estimate $est vs exact $exactGlobal")
+  }
+
+  test("training manifest: exactly the canonical ∩ train ∩ quality-gated docs") {
+    val canonical = Dedup.exactDedup(spark, dir).collect().map(_.getLong(1)).toSet
+    val train = TextAnalysis.splitAssign(spark, dir).collect()
+      .filter(_.getString(1) == "train").map(_.getLong(0)).toSet
+    val quality = TextAnalysis.qualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val expected = quality.collect {
+      case (id, q) if q >= TextAnalysis.ManifestQualityGate && train(id) && canonical(id) => id
+    }.toSet
+    val got = TextAnalysis.trainingManifest(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
   }
 
   test("L4 langid predicts correctly on real multilingual text") {

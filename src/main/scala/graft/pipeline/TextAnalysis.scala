@@ -737,7 +737,10 @@ object TextAnalysis {
     qualityScore(spark, dir)
       .select(col("doc_id"), col("quality"))
       .filter(col("quality") >= ManifestQualityGate)
-      .join(train, "doc_id")
+      // both gates are MEMBERSHIP tests — left_semi makes that structural
+      // (an inner join would silently duplicate rows if a gate source
+      // ever stopped being unique per doc_id)
+      .join(train, Seq("doc_id"), "left_semi")
       .join(canonical, Seq("doc_id"), "left_semi")
       .orderBy(col("doc_id"))
   }

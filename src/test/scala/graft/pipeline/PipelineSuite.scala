@@ -76,7 +76,7 @@ class PipelineSuite extends AnyFunSuite {
     assert(rounds < n - 1, s"rounds $rounds did not beat diameter ${n - 1}")
   }
 
-  test("pointer jumping: random graph labels match union-find (cycles + isolates)") {
+  test("pointer jumping: random graph labels match union-find (cycles, multi-component)") {
     import spark.implicits._
     // seeded random multigraph: cycles, multiple components, self-density
     val rnd = new scala.util.Random(42)

@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver contract itself: every oracle key must name a declared
+  * query (a typo'd key would make the driver dump an oracle for a
+  * nonexistent result and silently weaken the gate to rows-only for the
+  * real one), query names must be unique across the two registries, and
+  * the flagship entry must return rows.
+  */
+class SparkEntrySuite extends AnyFunSuite {
+
+  test("every oracleSql key names a declared query") {
+    val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(orphans.isEmpty, s"oracles without a query: $orphans")
+  }
+
+  test("relational and pipeline registries do not shadow each other") {
+    val dup = rel.Queries.all.keySet.intersect(pipeline.PipelineQueries.all.keySet)
+    assert(dup.isEmpty, s"duplicate query names: $dup")
+    val dupOracle = rel.Oracles.all.keySet.intersect(pipeline.PipelineQueries.oracles.keySet)
+    assert(dupOracle.isEmpty, s"duplicate oracle names: $dupOracle")
+  }
+
+  test("flagship entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(TestSpark.spark).count() > 0)
+  }
+}

@@ -248,6 +248,16 @@ object Oracles {
         |      FROM ev WHERE event_type = 'purchase' AND user_id < 5)
         |SELECT window_id, count(*) AS n_events
         |FROM w JOIN ev ON w.w_start <= ev.t AND ev.t < w.w_end
-        |GROUP BY window_id ORDER BY window_id""".stripMargin
+        |GROUP BY window_id ORDER BY window_id""".stripMargin,
+
+    // U3: the reference assignment's named alternate workload (mean/max
+    // per time bucket) over events; day buckets because the testdata
+    // spans under a month.
+    "q72_daily_stats" ->
+      """SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+        | round(avg(value), 4) AS avg_value,
+        | round(max(value), 2) AS max_value,
+        | count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   )
 }

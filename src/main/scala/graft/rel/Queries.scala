@@ -433,6 +433,22 @@ object Queries {
         col("n"))
       .orderBy(col("event_type"))
 
+  /** U3 — the reference assignment's named-but-never-implemented
+    * alternate workload (`description.md:40`: mean/max temperature per
+    * month), realized over the events table: per calendar DAY (the
+    * testdata spans under one month, so month buckets would collapse to
+    * a single group), average / max value + event count. One hash
+    * aggregation with map-side partials on a truncated-timestamp key.
+    */
+  def q72DailyStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        round(avg(col("value")), 4).as("avg_value"),
+        round(max(col("value")), 2).as("max_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("day"))
+
   /** Correlated scalar subquery through the SQL path: orders more than
     * 2× their customer's average order value.
     */
@@ -506,6 +522,7 @@ object Queries {
     "q52_salted_join" -> (q52SaltedJoin _),
     "q53_bucketed_join" -> (q53BucketedJoin _),
     "q64_percentile_approx" -> (q64PercentileApprox _),
-    "q65_mr_wordcount_algebraic" -> (q65MrWordCountAlgebraic _)
+    "q65_mr_wordcount_algebraic" -> (q65MrWordCountAlgebraic _),
+    "q72_daily_stats" -> (q72DailyStats _)
   )
 }

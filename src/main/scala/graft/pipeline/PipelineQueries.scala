@@ -376,6 +376,26 @@ object PipelineQueries {
         | round(sum(value), 2) AS value_so_far
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // The media-feature stub's byte histogram IS exactly computable in
+    // SQL: HistBins=16 makes the bin index the byte's high nibble, which
+    // hex() exposes as every odd character. Casts to INT match Spark's
+    // IntegerType columns (the hash gate is type-sensitive).
+    "q31_media_features" ->
+      """WITH m AS (SELECT doc_id, encode(text) AS b FROM documents),
+        |hx AS (SELECT doc_id, octet_length(b) AS len, upper(hex(b)) AS h FROM m),
+        |nib AS (SELECT doc_id, len,
+        |          list_transform(range(0, len), i -> substr(h, (2*i+1)::INT, 1)) AS hi
+        |        FROM hx),
+        |cnt AS (SELECT doc_id, len,
+        |          list_transform(
+        |            ['0','1','2','3','4','5','6','7','8','9','A','B','C','D','E','F'],
+        |            d -> 1.0*len(list_filter(hi, x -> x = d)) / greatest(len, 1)) AS nrm
+        |        FROM nib)
+        |SELECT doc_id, len::INT AS media_len, ((len + 63) // 64)::INT AS n_frames,
+        | round(sqrt(list_sum(list_transform(nrm, x -> x*x))), 4) AS feat_norm,
+        | round(nrm[1], 4) AS hist_bin0
+        |FROM cnt ORDER BY doc_id""".stripMargin,
+
     // The composed curation pipeline: canonical under exact dedup AND in
     // the deterministic train split AND above the quality gate.
     "q70_training_manifest" ->

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.rel.Queries.table
@@ -146,7 +147,10 @@ object Dedup {
     * [[minhashLsh]] and [[ngramJaccardCapped]], whose emitted scores are
     * therefore exact even though their candidate generation is pruned.
     */
-  private def verifyCandidates(docs: DataFrame, candidates: DataFrame): DataFrame = {
+  private def verifyCandidates(
+      docs: DataFrame,
+      candidates: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame = {
     val s1 = docs.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("n_sh").as("n1"))
     val s2 = docs.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n_sh").as("n2"))
     candidates
@@ -154,7 +158,9 @@ object Dedup {
       .join(s2, "d2")
       .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard", col("common") / (col("n1") + col("n2") - col("common")))
-      .filter(col("jaccard") >= JaccardThreshold)
+      // threshold on the UNROUNDED score (the oracle filters unrounded too;
+      // rounding first could admit 0.79996 at a 0.8 gate)
+      .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("d1"), col("d2"))
   }
@@ -187,6 +193,60 @@ object Dedup {
       .filter(col("common") / (col("n1") + col("n2") - col("common")) >= JaccardThreshold)
       .select(col("d1"), col("d2"))
     verifyCandidates(docs, survivors)
+  }
+
+  /** Threshold for the prefix-filtered high-similarity variant. Prefix
+    * filtering's candidate pruning scales with the threshold (prefix
+    * length = n − ⌈t·n⌉ + 1): at t = 0.5 half of every doc is prefix and
+    * the filter is toothless, at 0.8 only the rarest ~20% of shingles
+    * generate candidates — the near-identical-dup operating point most
+    * production dedup runs use.
+    */
+  val PrefixJaccardThreshold = 0.8
+
+  /** L2 exact at scale — prefix-filtered Jaccard self-join at
+    * [[PrefixJaccardThreshold]]: EXACT result with GUARANTEED recall
+    * (unlike the frequency cap's data-dependent recall), by the standard
+    * prefix-filtering theorem: under any global total order on shingles,
+    * two sets with |A∩B| ≥ α must each contain a common element among
+    * their first |X| − α + 1 sorted shingles, and J(A,B) ≥ t implies
+    * |A∩B| ≥ ⌈t·|A|⌉. Ordering shingles by (global frequency asc,
+    * shingle asc) makes prefixes the RAREST features, so candidate pairs
+    * come from short postings lists and the exact-verify join
+    * ([[verifyCandidates]]) touches a small set — array-verify is the
+    * right shape here precisely because prefix candidates are rare,
+    * where [[ngramJaccardCapped]]'s co-occurrence-scale candidates
+    * needed the count-based flow. The per-doc prefix ranking window is
+    * bounded by shingles-per-document (document length), never by corpus
+    * size.
+    */
+  def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = docShingles(spark, dir)
+    val ex = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("freq"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("freq"), col("s"))
+    val prefixLen =
+      col("n_sh") - ceil(col("n_sh") * lit(PrefixJaccardThreshold)).cast("int") + lit(1)
+    val candidates = ex
+      .join(freq, "s")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= prefixLen)
+      .groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id").as("_1"), col("n_sh").as("_2"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"))
+      .as[Array[(Long, Int)]]
+      .flatMap(ids => expandPairs(ids.sortBy(_._1)) { case ((d1, n1), (d2, n2)) => (d1, d2, n1, n2) })
+      .toDF("d1", "d2", "n1", "n2")
+      // length filter (exact, standard companion of prefix filtering):
+      // J ≥ t ⇒ |∩| ≥ t·|∪| ⇒ min(n1,n2) ≥ t·max(n1,n2) — size-mismatched
+      // pairs can be dropped before the verify join ever sees them
+      .filter(least(col("n1"), col("n2")) >=
+        greatest(col("n1"), col("n2")) * lit(PrefixJaccardThreshold))
+      .select(col("d1"), col("d2"))
+      .distinct() // a pair may share several prefix shingles
+    verifyCandidates(docs, candidates, PrefixJaccardThreshold)
   }
 
   // ---- dedup groups (connected components) ------------------------------

@@ -55,7 +55,8 @@ object PipelineQueries {
     "q68_type_counts_final" -> (Events.typeCountsFinal _),
     "q69_interval_join" -> (Events.clicksWithRecentErrorsBatch _),
     "q70_training_manifest" -> (TextAnalysis.trainingManifest _),
-    "q71_hll_union" -> (TextAnalysis.hllUnion _)
+    "q71_hll_union" -> (TextAnalysis.hllUnion _),
+    "q73_jaccard_prefix" -> (Dedup.ngramJaccardPrefix _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -90,6 +91,18 @@ object PipelineQueries {
          |      GROUP BY 1, 2, 3, 4)
          |SELECT d1, d2, round(1.0*c/(n1+n2-c), 4) AS jaccard FROM p
          |WHERE 1.0*c/(n1+n2-c) >= 0.5 ORDER BY d1, d2""".stripMargin,
+
+    // Exact brute-force oracle at the 0.8 threshold: prefix filtering is
+    // candidate-complete by theorem, so the result must equal the full
+    // self-join's — the oracle is the same CTE as q16 with the higher gate.
+    "q73_jaccard_prefix" ->
+      s"""$ShingleCte,
+         |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s WHERE len(sh) > 0),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2, count(*) AS c
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT d1, d2, round(1.0*c/(n1+n2-c), 4) AS jaccard FROM p
+         |WHERE 1.0*c/(n1+n2-c) >= 0.8 ORDER BY d1, d2""".stripMargin,
 
     "q19_cosine_threshold" ->
       s"""$VectorCte

@@ -63,6 +63,18 @@ class PipelineSuite extends AnyFunSuite {
       s"recall ${capped.size}/${exact.size}; missing ${exact.keySet.diff(capped.keySet)}")
   }
 
+  test("L2 prefix-filtered jaccard == brute-force exact at the 0.8 threshold") {
+    val exact = Dedup.ngramJaccard(spark, dir).collect()
+      .filter(_.getDouble(2) >= Dedup.PrefixJaccardThreshold)
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val prefix = Dedup.ngramJaccardPrefix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // candidate-completeness is a theorem, not a property of this corpus:
+    // the result must EQUAL the brute-force answer, scores included
+    assert(prefix == exact, s"prefix ${prefix.size} vs exact ${exact.size}")
+    assert(prefix.nonEmpty)
+  }
+
   test("pointer jumping: chain component converges in O(log d) rounds, labels exact") {
     import spark.implicits._
     // a 17-node chain: diameter 16, so neighbor-only min propagation needs

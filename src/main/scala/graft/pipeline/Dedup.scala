@@ -106,10 +106,17 @@ object Dedup {
     * (d1, d2, n1, n2, common); with a cap, `common` is a LOWER bound on
     * the true count (contributions of dropped hot shingles are missing).
     */
-  private def pairCommonCounts(spark: SparkSession, docs: DataFrame, cap: Option[Int]): DataFrame = {
+  /** Postings → in-bucket pair expansion, shared by every inverted-index
+    * variant: group a (doc_id, n_sh, s) frame into per-shingle postings,
+    * optionally drop lists above `cap`, and expand each into its ordered
+    * document pairs. Returns one (d1, d2, n1, n2) row per co-occurrence.
+    */
+  private def expandCoOccurrences(
+      spark: SparkSession,
+      rows: DataFrame,
+      cap: Option[Int]): DataFrame = {
     import spark.implicits._
-    val postings = docs
-      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val postings = rows
       .groupBy(col("s"))
       .agg(collect_list(struct(col("doc_id").as("_1"), col("n_sh").as("_2"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -118,9 +125,13 @@ object Dedup {
       .as[Array[(Long, Int)]]
       .flatMap(ids => expandPairs(ids.sortBy(_._1)) { case ((d1, n1), (d2, n2)) => (d1, d2, n1, n2) })
       .toDF("d1", "d2", "n1", "n2")
+  }
+
+  private def pairCommonCounts(spark: SparkSession, docs: DataFrame, cap: Option[Int]): DataFrame =
+    expandCoOccurrences(
+      spark, docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s")), cap)
       .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("common"))
-  }
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     pairCommonCounts(spark, docShingles(spark, dir), None)
@@ -228,17 +239,12 @@ object Dedup {
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("freq"), col("s"))
     val prefixLen =
       col("n_sh") - ceil(col("n_sh") * lit(PrefixJaccardThreshold)).cast("int") + lit(1)
-    val candidates = ex
+    val prefixRows = ex
       .join(freq, "s")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= prefixLen)
-      .groupBy(col("s"))
-      .agg(collect_list(struct(col("doc_id").as("_1"), col("n_sh").as("_2"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(col("ids"))
-      .as[Array[(Long, Int)]]
-      .flatMap(ids => expandPairs(ids.sortBy(_._1)) { case ((d1, n1), (d2, n2)) => (d1, d2, n1, n2) })
-      .toDF("d1", "d2", "n1", "n2")
+      .select(col("doc_id"), col("n_sh"), col("s"))
+    val candidates = expandCoOccurrences(spark, prefixRows, None)
       // length filter (exact, standard companion of prefix filtering):
       // J ≥ t ⇒ |∩| ≥ t·|∪| ⇒ min(n1,n2) ≥ t·max(n1,n2) — size-mismatched
       // pairs can be dropped before the verify join ever sees them

@@ -99,9 +99,11 @@ object Multimodal {
       .toDF("doc_id", "frame_no", "frame")
   }
 
-  /** Declared query: per-doc media features with the histogram rounded and
-    * re-joined against metadata (rows-only check; full semantics asserted
-    * in PipelineSuite).
+  /** Declared query: per-doc media features with the histogram rounded.
+    * Oracle-gated: with [[HistBins]] = 16 the bin index is each byte's
+    * high nibble, so DuckDB reproduces the histogram exactly from
+    * `hex(encode(text))` — the byte-level features are hash-checked
+    * cross-engine even though decode SEMANTICS stay stubbed.
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val feats = extractFeatures(mediaTable(spark, dir))

@@ -6,9 +6,10 @@ import graft.streaming.Events
 
 /** Declared-query registry for the LLM-pipeline + streaming-batch surface
   * (L1–L5, S1–S2, multimodal). Queries without an oracle entry are
-  * approximate/stub operators (MinHash-LSH, SimHash, LSH-ANN, HLL, media
-  * stub) — the driver records a rows-only check and PipelineSuite asserts
-  * their semantics against exact twins.
+  * genuinely approximate operators (MinHash-LSH, SimHash, LSH/IVF-ANN,
+  * HLL, k-means, capped jaccard, mixing, packing) — the driver records a
+  * rows-only check and PipelineSuite asserts their semantics against
+  * exact twins.
   */
 object PipelineQueries {
 

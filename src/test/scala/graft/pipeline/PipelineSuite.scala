@@ -64,9 +64,24 @@ class PipelineSuite extends AnyFunSuite {
   }
 
   test("L2 prefix-filtered jaccard == brute-force exact at the 0.8 threshold") {
-    val exact = Dedup.ngramJaccard(spark, dir).collect()
-      .filter(_.getDouble(2) >= Dedup.PrefixJaccardThreshold)
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    import spark.implicits._
+    // brute-force model thresholds the UNROUNDED score, matching the query
+    // and its oracle — filtering ngramJaccard's round-4 output would admit
+    // a true-J ∈ [0.79995, 0.8) pair the prefix query correctly excludes
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val exact = (for {
+      (d1, t1) <- docs; (d2, t2) <- docs if d1 < d2
+      s1 = sh(t1); s2 = sh(t2) if s1.nonEmpty && s2.nonEmpty
+      j = s1.intersect(s2).size.toDouble / s1.union(s2).size
+      if j >= Dedup.PrefixJaccardThreshold
+    } yield (d1, d2) -> BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
     val prefix = Dedup.ngramJaccardPrefix(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // candidate-completeness is a theorem, not a property of this corpus:

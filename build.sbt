@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output passes through unprefixed: sbt's default logger prepends
+// "[info] " to every forked-process line, which breaks a strict JSON parse
+// of Bench's final metric line by the driver.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default: the box has 128 GiB and the bench runs 70+ queries x N
+  // iterations in one JVM with session-scoped persisted caches — at 8g the
+  // r5 bench degraded as it aged (q58 runs 25->41->76s) from storage/
+  // execution memory contention and GC churn.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -10,6 +10,16 @@ import org.apache.spark.sql.SparkSession
   * r4: q59 0.66s -> 7.27s) from JIT/compaction/page-cache interference.
   * The median of 3 absorbs a one-off stall; `first`/`min`/`max` are kept
   * per query so run-to-run spread stays inspectable.
+  *
+  * OUTPUT-SIZE CONTRACT: the driver keeps only the last ~2000 characters of
+  * stdout and parses the JSON line out of that tail. Five rounds of
+  * `"parsed": null` in BENCH_r0*.json traced to exactly this: 73 queries x
+  * long names + embedded per-run detail pushed the line past the tail window
+  * and truncated its head. So the FINAL line is compact — short `qNN` keys
+  * (the `_name` suffix is dropped; CORRECTNESS files carry the full names),
+  * 3-decimal medians, no embedded detail — and the full-name per-run detail
+  * goes to `BENCH_DETAIL.json` in the working directory plus an earlier
+  * stdout line that may scroll out of the tail.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,7 +41,7 @@ object Bench {
       val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       l.groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => () }
-    def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // Per query: iters timed runs -> median headline. A failed query reports
     // err and is excluded from the headline total instead of masquerading as
     // a fast run.
@@ -49,6 +59,11 @@ object Bench {
         if (err.isEmpty) times += (System.nanoTime() - t0) / 1e9
         i += 1
       }
+      // Old-gen churn from the finished query's shuffles shouldn't be billed
+      // to the next query's first run (r5 pattern: later queries drifted up
+      // as the run aged). Caches stay — clearing them would orphan memoized
+      // frames into recompute-on-every-action plans.
+      System.gc()
       val sorted = times.sorted
       // true median: mean of the middle pair for even n, so iters=2 doesn't
       // report the worse run (upper-middle would reintroduce one-off-stall
@@ -59,8 +74,10 @@ object Bench {
         else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
       (name, median, times.toSeq, err)
     }
+    // qNN short key for the size-capped final line; full names in the detail.
+    def short(name: String): String = { val i = name.indexOf('_'); if (i > 0) name.take(i) else name }
     val qs = results.map { case (k, med, _, err) =>
-      "\"" + k + "\":" + (if (err.isEmpty) fmt(med) else "-1.0")
+      "\"" + short(k) + "\":" + (if (err.isEmpty) fmt(med) else "-1.0")
     }.mkString("{", ",", "}")
     val runsJson = results.collect { case (k, _, ts, None) if ts.nonEmpty =>
       "\"" + k + "\":{\"first\":" + fmt(ts.head) + ",\"min\":" + fmt(ts.min) +
@@ -70,8 +87,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, med, _, None) => med }.sum
     val nFail = results.count(_._4.isDefined)
+    val detail =
+      s"""{"iters":$iters,"detail":$runsJson,"errors":$errs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(detail)
+    // FINAL stdout line = the driver's parse target; keep it last and small.
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"iters":$iters,"detail":$runsJson,"failed":$nFail,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"iters":$iters,"failed":$nFail,"sf":"$sfDir"}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

@@ -57,7 +57,8 @@ object PipelineQueries {
     "q69_interval_join" -> (Events.clicksWithRecentErrorsBatch _),
     "q70_training_manifest" -> (TextAnalysis.trainingManifest _),
     "q71_hll_union" -> (TextAnalysis.hllUnion _),
-    "q73_jaccard_prefix" -> (Dedup.ngramJaccardPrefix _)
+    "q73_jaccard_prefix" -> (Dedup.ngramJaccardPrefix _),
+    "q74_dedup_stream_final" -> (Events.dedupStreamFinal _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -427,6 +428,14 @@ object PipelineQueries {
         |SELECT q.doc_id, q.quality
         |FROM q JOIN keep USING (doc_id) JOIN tr USING (doc_id)
         |WHERE q.quality >= 3.5 ORDER BY doc_id""".stripMargin,
+
+    // Streaming watermarked dedup: the self-unioned stream delivers every
+    // event twice at the same event time (guaranteed inside any watermark
+    // horizon), so the deduped append-mode output must equal the events
+    // table row-for-row.
+    "q74_dedup_stream_final" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // Same pattern as q67 for the transformWithState MapState processor:
     // final running count per (user, type) == batch GROUP BY.

@@ -130,6 +130,37 @@ object Events {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Declared-query wrapper driving [[dedupStream]] — watermarked
+    * streaming dedup with state eviction — through a real streaming
+    * execution. `event_id` is unique in the table, so REAL duplicates are
+    * manufactured by self-unioning the stream: every event arrives twice
+    * with an IDENTICAL event time, which makes the drop guaranteed (two
+    * copies zero seconds apart are inside every watermark horizon —
+    * duplicates farther apart than the delay are only best-effort dropped,
+    * so any other duplicate construction would be microbatch-timing-
+    * dependent and un-oracle-able). The surviving copies are column-
+    * identical to the source rows, so the streamed output must equal the
+    * batch events table exactly: 2N rows in, N rows out, DuckDB-oracled.
+    */
+  def dedupStreamFinal(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"dedup_stream_final_${runCounter.incrementAndGet()}"
+    val ev = readEventStream(spark, dir)
+    val q = dedupStream(ev.union(ev))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      // passthrough columns, no arithmetic: both engines read the same
+      // parquet bits, so no rounding (rounding only one side would skew)
+      .select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Batch twin of [[clicksWithRecentErrors]]: the SAME transform (the
     * watermark calls are no-ops on batch frames) applied to the events
     * table split by type — so the stream-stream interval join's

@@ -122,6 +122,17 @@ class StreamingSuite extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("q74: self-unioned stream dedups back to exactly the batch table") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Events.dedupStreamFinal(spark, dir)
+    val batch = graft.rel.Queries.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    // 2N rows entered the stream; the watermarked dedup must emit exactly
+    // the N distinct source rows
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("file-source stream over events parquet matches the batch answer") {
     val dir = "/root/testdata/sf0.001"
     val q = Events

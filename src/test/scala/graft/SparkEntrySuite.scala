@@ -22,6 +22,16 @@ class SparkEntrySuite extends AnyFunSuite {
     assert(dupOracle.isEmpty, s"duplicate oracle names: $dupOracle")
   }
 
+  test("bench short keys (qNN prefix) are unique across all queries") {
+    // Bench's size-capped final JSON line keys each query by its name up
+    // to the first underscore; two queries sharing a qNN prefix would
+    // silently merge into one (last-wins) entry in the driver's metrics
+    val shorts = SparkEntry.queries.keys.toSeq.map(n => n.takeWhile(_ != '_'))
+    val dups = shorts.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dups.isEmpty, s"colliding bench keys: $dups")
+    shorts.foreach(s => assert(s.matches("q\\d+"), s"unkeyed query name: $s"))
+  }
+
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }

@@ -94,6 +94,31 @@ object PipelineQueries {
          |SELECT d1, d2, round(1.0*c/(n1+n2-c), 4) AS jaccard FROM p
          |WHERE 1.0*c/(n1+n2-c) >= 0.5 ORDER BY d1, d2""".stripMargin,
 
+    // The frequency cap is fully deterministic SQL: candidates come from
+    // postings lists of 2..MaxPostings docs (capped common counts = a
+    // lower bound, thresholded), survivors re-scored EXACTLY on the full
+    // co-occurrence counts — the same two-stage flow as the Scala side.
+    "q66_ngram_jaccard_capped" ->
+      s"""$ShingleCte,
+         |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s WHERE len(sh) > 0),
+         |keep AS (SELECT s FROM e GROUP BY s
+         |         HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxPostings}),
+         |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |           a.n_sh AS n1, b.n_sh AS n2, count(*) AS c
+         |         FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |         WHERE a.s IN (SELECT s FROM keep)
+         |         GROUP BY 1, 2, 3, 4),
+         |surv AS (SELECT d1, d2 FROM cand
+         |         WHERE 1.0*c/(n1+n2-c) >= ${Dedup.JaccardThreshold}),
+         |tot AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |          a.n_sh AS n1, b.n_sh AS n2, count(*) AS c
+         |        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2, 3, 4)
+         |SELECT t.d1, t.d2, round(1.0*t.c/(t.n1+t.n2-t.c), 4) AS jaccard
+         |FROM tot t JOIN surv USING (d1, d2)
+         |WHERE 1.0*t.c/(t.n1+t.n2-t.c) >= ${Dedup.JaccardThreshold}
+         |ORDER BY d1, d2""".stripMargin,
+
     // Exact brute-force oracle at the 0.8 threshold: prefix filtering is
     // candidate-complete by theorem, so the result must equal the full
     // self-join's — the oracle is the same CTE as q16 with the higher gate.

@@ -94,6 +94,42 @@ object PipelineQueries {
          |SELECT d1, d2, round(1.0*c/(n1+n2-c), 4) AS jaccard FROM p
          |WHERE 1.0*c/(n1+n2-c) >= 0.5 ORDER BY d1, d2""".stripMargin,
 
+    // The greedy per-doc fold IS SQL-expressible after all: a recursive
+    // CTE walks each doc's chunk list in chunk order carrying (bin, fill)
+    // — new bin when fill + size > budget — then a GROUP BY recovers
+    // per-bin counts. Chunk sizes derive from the token count alone
+    // (chunk i = min(ChunkTokens, n - i*ChunkStride)), same as q45.
+    "q50_seq_packing" ->
+      s"""WITH RECURSIVE ch AS (
+         |  SELECT doc_id, i, least(${TextAnalysis.ChunkTokens}, n - i*${TextAnalysis.ChunkStride})::INT AS sz
+         |  FROM (SELECT doc_id, len(string_split(text,' ')) AS n,
+         |               unnest(range(0, ((len(string_split(text,' '))-1)//${TextAnalysis.ChunkStride})+1)) AS i
+         |        FROM documents)
+         |),
+         |st AS (
+         |  SELECT doc_id, i, 0::BIGINT AS bin, sz AS fill, sz
+         |  FROM ch WHERE i = 0
+         |  UNION ALL
+         |  SELECT c.doc_id, c.i,
+         |         CASE WHEN st.fill + c.sz > ${TextAnalysis.PackBudget} THEN st.bin + 1 ELSE st.bin END,
+         |         CASE WHEN st.fill + c.sz > ${TextAnalysis.PackBudget} THEN c.sz ELSE st.fill + c.sz END,
+         |         c.sz
+         |  FROM st JOIN ch c ON c.doc_id = st.doc_id AND c.i = st.i + 1
+         |)
+         |SELECT doc_id, bin AS bin_id, count(*)::INT AS n_chunks, sum(sz)::INT AS n_tokens
+         |FROM st GROUP BY doc_id, bin ORDER BY doc_id, bin_id""".stripMargin,
+
+    // Salted-md5 bucketing (same discipline as q60's split): the keep
+    // threshold is a 2-hex-char string bound per source, identical on
+    // both engines.
+    "q47_source_mix" ->
+      """SELECT doc_id, source, substr(md5('mix:' || doc_id), 1, 2) AS bucket
+        |FROM documents
+        |WHERE substr(md5('mix:' || doc_id), 1, 2) <
+        |      CASE WHEN CAST(regexp_extract(source, '[0-9]+', 0) AS INT) % 2 = 0
+        |           THEN 'c0' ELSE '40' END
+        |ORDER BY doc_id""".stripMargin,
+
     // The frequency cap is fully deterministic SQL: candidates come from
     // postings lists of 2..MaxPostings docs (capped common counts = a
     // lower bound, thresholded), survivors re-scored EXACTLY on the full

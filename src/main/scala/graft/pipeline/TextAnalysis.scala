@@ -321,22 +321,32 @@ object TextAnalysis {
       .orderBy(col("w1"), col("w2"))
   }
 
-  /** Per-source sampling weights for [[sourceMix]] — a deterministic
-    * stand-in for a data-mixing config (even-numbered sources upweighted).
+  /** Salt for [[sourceMix]]'s hash — independent of [[SplitSalt]] so the
+    * mix and the split draws are uncorrelated.
+    */
+  val MixSalt = "mix:"
+
+  /** Per-source keep threshold for [[sourceMix]], as a 2-hex-char upper
+    * bound on the md5 bucket — a deterministic stand-in for a data-mixing
+    * config (even-numbered sources upweighted: 0xc0/0x100 = 75%, 0x40 =
+    * 25%, EXACT fractions of the hash space).
     */
   def sourceWeight(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(pmod(regexp_extract(src, "[0-9]+", 0).cast("int"), lit(2)) === 0, lit(75))
-      .otherwise(lit(25))
+    when(pmod(regexp_extract(src, "[0-9]+", 0).cast("int"), lit(2)) === 0, lit("c0"))
+      .otherwise(lit("40"))
 
   /** Data mixing: deterministic hash-based per-source downsampling — doc
-    * kept iff xxhash64(doc_id) mod 100 < weight(source). Reproducible
-    * across runs and cluster layouts (no rand()), single narrow filter.
-    * Rows-only declared query (DuckDB lacks xxhash64); proportions and
-    * determinism are asserted in PipelineSuite.
+    * kept iff its md5 bucket (first 2 hex chars of md5(salt + doc_id))
+    * sorts below weight(source). Reproducible across runs and cluster
+    * layouts (no rand()), single narrow filter — the same salted-md5
+    * discipline as [[splitAssign]], which also makes the query
+    * DuckDB-oracle-able (xxhash64, the previous bucket hash, has no
+    * DuckDB twin, which kept q47 rows-only for five rounds).
     */
   def sourceMix(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
-      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(100)))
+      .withColumn(
+        "bucket", substring(md5(concat(lit(MixSalt), col("doc_id").cast("string"))), 1, 2))
       .filter(col("bucket") < sourceWeight(col("source")))
       .select(col("doc_id"), col("source"), col("bucket"))
       .orderBy(col("doc_id"))
@@ -350,9 +360,10 @@ object TextAnalysis {
     * chunks into fixed-budget training sequences with minimal padding.
     * Greedy state (running bin fill) is inherently sequential per doc, so
     * it runs as a typed kernel over each doc's collected chunk list;
-    * cross-doc parallelism is preserved by the groupBy. Rows-only
-    * declared query (greedy reset logic is not plain-SQL-expressible);
-    * PipelineSuite asserts equality with a Scala model.
+    * cross-doc parallelism is preserved by the groupBy. Oracle-gated:
+    * the greedy fold is a per-doc recursive CTE on the DuckDB side
+    * (chunk sizes derive from the token count alone); PipelineSuite
+    * additionally asserts equality with a Scala model.
     */
   /** Chunk token counts only — the hash-free twin of [[chunkDocuments]]
     * for consumers that don't need chunk content: struct-field pruning

@@ -58,7 +58,8 @@ object PipelineQueries {
     "q70_training_manifest" -> (TextAnalysis.trainingManifest _),
     "q71_hll_union" -> (TextAnalysis.hllUnion _),
     "q73_jaccard_prefix" -> (Dedup.ngramJaccardPrefix _),
-    "q74_dedup_stream_final" -> (Events.dedupStreamFinal _)
+    "q74_dedup_stream_final" -> (Events.dedupStreamFinal _),
+    "q75_funnel" -> (Events.funnel _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -497,6 +498,25 @@ object PipelineQueries {
     "q74_dedup_stream_final" ->
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // The funnel's sequence-within-horizon constraint as chained
+    // conditional min-aggs — the same three-CTE chain the Spark side runs.
+    "q75_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS first_view
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS first_click
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts >= v.first_view
+        |        AND e.ts <= v.first_view + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+        |        AND e.ts <= c.first_click + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+        |  (1 + (c.first_click IS NOT NULL)::INT
+        |     + (p.first_purchase IS NOT NULL)::INT) AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     // Same pattern as q67 for the transformWithState MapState processor:
     // final running count per (user, type) == batch GROUP BY.

@@ -181,6 +181,43 @@ object Events {
         col("click_value"), col("err_value"))
   }
 
+  /** Conversion window for each [[funnel]] stage. */
+  val FunnelHorizon = "24 hours"
+
+  /** Sequential funnel analytics: per user, the first 'view', the first
+    * 'click' within [[FunnelHorizon]] after it, and the first 'purchase'
+    * within [[FunnelHorizon]] after that — stage = how deep the user got
+    * (1–3; the horizon is what makes partial funnels exist at all in a
+    * dense event stream). The sequence constraint is three conditional
+    * min-aggregations chained by user-keyed joins, NOT a per-user ordered
+    * window: every shuffle is on `user_id` (the aggs and joins
+    * co-partition, AQE reuses the exchange), per-user state is O(1),
+    * and nothing sorts whole event histories — the shape that survives
+    * billions of events per day. Users with no 'view' never enter the
+    * funnel (matching standard funnel semantics).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val horizon = expr(s"INTERVAL $FunnelHorizon")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") >= col("first_view") && col("ts") <= col("first_view") + horizon)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") >= col("first_click") && col("ts") <= col("first_click") + horizon)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(
+        col("user_id"), col("first_view"), col("first_click"), col("first_purchase"),
+        (lit(1) + when(col("first_click").isNotNull, 1).otherwise(0)
+          + when(col("first_purchase").isNotNull, 1).otherwise(0)).cast("int").as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- streaming entry points -------------------------------------------
 
   /** Watermarked streaming variant of [[tumbling]]: events more than

@@ -133,6 +133,18 @@ class StreamingSuite extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("q75: funnel stages are sequenced and the horizon creates dropoff") {
+    val rows = Events.funnel(spark, "/root/testdata/sf0.001").collect()
+    // all three stages present: the 24h horizon must actually split users
+    assert(rows.map(_.getInt(4)).distinct.sorted.toSeq == Seq(1, 2, 3))
+    rows.foreach { r =>
+      val stage = r.getInt(4)
+      assert((stage >= 2) == !r.isNullAt(2) && (stage == 3) == !r.isNullAt(3))
+      if (!r.isNullAt(2)) assert(!r.getTimestamp(2).before(r.getTimestamp(1)))
+      if (!r.isNullAt(3)) assert(!r.getTimestamp(3).before(r.getTimestamp(2)))
+    }
+  }
+
   test("file-source stream over events parquet matches the batch answer") {
     val dir = "/root/testdata/sf0.001"
     val q = Events

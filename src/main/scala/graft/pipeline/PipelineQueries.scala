@@ -59,7 +59,8 @@ object PipelineQueries {
     "q71_hll_union" -> (TextAnalysis.hllUnion _),
     "q73_jaccard_prefix" -> (Dedup.ngramJaccardPrefix _),
     "q74_dedup_stream_final" -> (Events.dedupStreamFinal _),
-    "q75_funnel" -> (Events.funnel _)
+    "q75_funnel" -> (Events.funnel _),
+    "q76_quota_sample" -> (TextAnalysis.quotaSample _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -498,6 +499,20 @@ object PipelineQueries {
     "q74_dedup_stream_final" ->
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // Fixed-width hex sorts lexicographically == numerically, so the
+    // window mirror of the k-bounded aggregator orders by the same key.
+    "q76_quota_sample" ->
+      s"""WITH h AS (SELECT source, doc_id,
+         |            substr(md5('${TextAnalysis.QuotaSalt}' || doc_id), 1, 12) AS sample_key
+         |          FROM documents),
+         |r AS (SELECT source, doc_id, sample_key,
+         |        row_number() OVER (PARTITION BY source
+         |                           ORDER BY sample_key, doc_id) AS rnk
+         |      FROM h)
+         |SELECT source, rnk::INT AS rnk, doc_id, sample_key
+         |FROM r WHERE rnk <= ${TextAnalysis.QuotaPerSource}
+         |ORDER BY source, rnk""".stripMargin,
 
     // The funnel's sequence-within-horizon constraint as chained
     // conditional min-aggs — the same three-CTE chain the Spark side runs.

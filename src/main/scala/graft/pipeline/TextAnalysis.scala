@@ -547,6 +547,44 @@ object TextAnalysis {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** Salt + per-source budget for [[quotaSample]]. */
+  val QuotaSalt = "quota:"
+  val QuotaPerSource = 20
+
+  /** Deterministic per-source quota sampling: each source keeps its
+    * [[QuotaPerSource]] documents with the lexicographically smallest
+    * salted-md5 key — the "fixed budget per domain/source" draw a data-mix
+    * pass runs when a source must contribute AT MOST n documents
+    * regardless of its size (where [[sourceMix]] keeps a fixed FRACTION).
+    * Hash-ordered selection is stable under re-runs, re-partitioning, and
+    * corpus growth (adding documents only displaces the largest keys).
+    * Sources are FEW and HUGE — the worst case for a per-source window —
+    * so selection runs on the k-bounded [[graft.rel.TopK.topKPerGroup]]
+    * aggregator: ≤ k rows per (partition, source) shuffle, never a whole
+    * source sorted. The 48-bit hash prefix is exact in a Double (< 2^53),
+    * so aggregator order == lexicographic hex order == the oracle's.
+    */
+  def quotaSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hk = substring(
+      md5(concat(lit(QuotaSalt), col("doc_id").cast("string"))), 1, 12)
+    val scores = table(spark, dir, "documents")
+      .select(
+        col("source"),
+        // negated: TopKAgg keeps the LARGEST scores, we want smallest keys
+        negate(conv(hk, 16, 10).cast("long").cast("double")).as("score"),
+        col("doc_id"))
+      .as[(String, Double, Long)]
+    graft.rel.TopK.topKPerGroup(scores, QuotaPerSource)
+      .select(
+        col("group").as("source"),
+        col("rnk"),
+        col("id").as("doc_id"),
+        substring(
+          md5(concat(lit(QuotaSalt), col("id").cast("string"))), 1, 12).as("sample_key"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   /** BM25 parameters (the standard Robertson defaults) and results kept
     * per query.
     */

@@ -286,6 +286,18 @@ class PipelineSuite extends AnyFunSuite {
     assert(rows(1L)._4 == h1)
   }
 
+  test("quota sample: never exceeds the per-source budget, deterministic") {
+    val a = TextAnalysis.quotaSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val b = TextAnalysis.quotaSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(a.sameElements(b) && a.nonEmpty)
+    a.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length <= TextAnalysis.QuotaPerSource, src)
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length), src)
+    }
+  }
+
   test("source mixing: deterministic, per-source rates near the weights") {
     val a = TextAnalysis.sourceMix(spark, dir).collect().map(_.getLong(0)).toSet
     val b = TextAnalysis.sourceMix(spark, dir).collect().map(_.getLong(0)).toSet

@@ -60,7 +60,8 @@ object PipelineQueries {
     "q73_jaccard_prefix" -> (Dedup.ngramJaccardPrefix _),
     "q74_dedup_stream_final" -> (Events.dedupStreamFinal _),
     "q75_funnel" -> (Events.funnel _),
-    "q76_quota_sample" -> (TextAnalysis.quotaSample _)
+    "q76_quota_sample" -> (TextAnalysis.quotaSample _),
+    "q77_retention" -> (Events.retention _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -499,6 +500,21 @@ object PipelineQueries {
     "q74_dedup_stream_final" ->
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // Monday-truncated weeks on both engines; week-aligned dates make the
+    // day difference an exact multiple of 7.
+    "q77_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS act_week
+        |  FROM events)
+        |SELECT cohort_week, (datediff('day', cohort_week, act_week) // 7)::INT AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM cohort JOIN active USING (user_id)
+        |WHERE act_week >= cohort_week
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     // Fixed-width hex sorts lexicographically == numerically, so the
     // window mirror of the k-bounded aggregator orders by the same key.

@@ -218,6 +218,35 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Cohort retention: users grouped by signup week (first 'signup'
+    * event, Monday-truncated), counted as retained in every later week
+    * they produced ANY event. Classic growth-analytics companion to
+    * [[funnel]]. Shape: one user-keyed agg for the cohort anchor, one
+    * (user, week) distinct for activity, a user-keyed join, and a final
+    * small agg — every shuffle is on `user_id` until the last (cohort,
+    * offset) rollup, whose cardinality is weeks², not users. Both engines
+    * truncate weeks to Monday and both operands are week-aligned, so the
+    * day-difference is an exact multiple of 7.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("act_week"))
+      .distinct()
+    cohort.join(active, "user_id")
+      .filter(col("act_week") >= col("cohort_week"))
+      .select(
+        col("cohort_week"),
+        (datediff(col("act_week"), col("cohort_week")) / 7).cast("int").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   // ---- streaming entry points -------------------------------------------
 
   /** Watermarked streaming variant of [[tumbling]]: events more than

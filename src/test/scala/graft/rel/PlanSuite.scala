@@ -111,6 +111,12 @@ class PlanSuite extends AnyFunSuite {
     assert(!plan(graft.pipeline.TextAnalysis.curatedTopK(spark, dir)).contains("Window"))
   }
 
+  test("q76: per-source quota sample is the bounded aggregator, not a window") {
+    val ep = execPlan(graft.pipeline.TextAnalysis.quotaSample(spark, dir))
+    assert("ObjectHashAggregate".r.findAllIn(ep).size >= 2, ep)
+    assert(!plan(graft.pipeline.TextAnalysis.quotaSample(spark, dir)).contains("Window"))
+  }
+
   test("no declared query plans a cartesian product") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))

@@ -82,6 +82,18 @@ object Oracles {
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    // ntile casts to INT to match Spark's IntegerType; the (date, key)
+    // order is total per customer so every function is deterministic.
+    "q78_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(coalesce(lead(o_totalprice, 1) OVER w, 0.0), 2) AS next_price,
+        | round(percent_rank() OVER w, 4) AS pct_rank,
+        | round(cume_dist() OVER w, 4) AS cdist,
+        | (ntile(4) OVER w)::INT AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "q09_topk" ->
       """SELECT l_partkey,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

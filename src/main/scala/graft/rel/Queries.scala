@@ -162,6 +162,26 @@ object Queries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** R5 — analytic-function breadth: lead, percent_rank, cume_dist and
+    * ntile in ONE partitioned window pass (Catalyst fuses same-spec
+    * window functions into a single Window node). The order key
+    * (o_orderdate, o_orderkey) is a total order within each customer, so
+    * the position-based functions (lead/ntile) are deterministic
+    * cross-engine; partition-parallel by customer, no global sort.
+    */
+  def q78WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    table(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(lead(col("o_totalprice"), 1, 0.0).over(w), 2).as("next_price"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** R6 — top-k by aggregate: partial-agg → shuffle → TakeOrderedAndProject
     * (Spark never globally sorts for ORDER BY+LIMIT; verified in the plan).
     */
@@ -504,6 +524,7 @@ object Queries {
     "q07_window_rank" -> (q07WindowRank _),
     "q08_window_frame" -> (q08WindowFrame _),
     "q09_topk" -> (q09TopK _),
+    "q78_window_analytics" -> (q78WindowAnalytics _),
     "q10_union_except" -> (q10UnionExcept _),
     "q11_intersect" -> (q11Intersect _),
     "q12_scalar_funcs" -> (q12ScalarFuncs _),

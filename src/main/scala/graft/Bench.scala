@@ -18,8 +18,9 @@ import org.apache.spark.sql.SparkSession
   * and truncated its head. So the FINAL line is compact — short `qNN` keys
   * (the `_name` suffix is dropped; CORRECTNESS files carry the full names),
   * 3-decimal medians, no embedded detail — and the full-name per-run detail
-  * goes to `BENCH_DETAIL.json` in the working directory plus an earlier
-  * stdout line that may scroll out of the tail.
+  * goes to `BENCH_DETAIL.json` in the working directory, never to stdout
+  * (r5's tail landed wholly inside the old detail stdout line, proving the
+  * capture is byte-capped and anything bulky starves the parse target).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,6 +41,11 @@ object Bench {
     try {
       val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       l.groupBy("l_returnflag").count().collect()
+      // footer caches for the other hot tables too — ~30 queries read
+      // documents/embeddings and their first runs were eating the open cost
+      spark.read.parquet(s"$sfDir/documents.parquet").count()
+      spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      spark.read.parquet(s"$sfDir/events.parquet").count()
     } catch { case _: Throwable => () }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // Per query: iters timed runs -> median headline. A failed query reports
@@ -93,7 +99,11 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
-    println(detail)
+    // The per-run detail goes to BENCH_DETAIL.json ONLY — never stdout.
+    // r5 evidence (BENCH_r05.json "parsed": null, tail sitting wholly INSIDE
+    // the detail line): the driver's stdout capture is size-capped, so a
+    // ~20 KB detail line starves the final metric line out of the captured
+    // window. Total stdout from this main must stay small.
     // FINAL stdout line = the driver's parse target; keep it last and small.
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"iters":$iters,"failed":$nFail,"sf":"$sfDir"}""")

@@ -98,7 +98,12 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    catch {
+      // stderr, not stdout: a warning on stdout would compete with the
+      // size-capped tail window the driver parses the metric line from
+      case e: Throwable =>
+        System.err.println(s"WARN: BENCH_DETAIL.json write failed: ${e.getMessage}")
+    }
     // The per-run detail goes to BENCH_DETAIL.json ONLY — never stdout.
     // r5 evidence (BENCH_r05.json "parsed": null, tail sitting wholly INSIDE
     // the detail line): the driver's stdout capture is size-capped, so a

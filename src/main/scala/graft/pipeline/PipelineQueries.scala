@@ -124,12 +124,15 @@ object PipelineQueries {
 
     // Salted-md5 bucketing (same discipline as q60's split): the keep
     // threshold is a 2-hex-char string bound per source, identical on
-    // both engines.
+    // both engines. TRY_CAST, not CAST: a digitless source name yields ''
+    // from regexp_extract, which CAST would throw on — TRY_CAST gives
+    // NULL, NULL % 2 = 0 is NULL, and the CASE falls to the '40' branch,
+    // exactly mirroring Spark's null-falls-to-otherwise semantics.
     "q47_source_mix" ->
       """SELECT doc_id, source, substr(md5('mix:' || doc_id), 1, 2) AS bucket
         |FROM documents
         |WHERE substr(md5('mix:' || doc_id), 1, 2) <
-        |      CASE WHEN CAST(regexp_extract(source, '[0-9]+', 0) AS INT) % 2 = 0
+        |      CASE WHEN TRY_CAST(regexp_extract(source, '[0-9]+', 0) AS INT) % 2 = 0
         |           THEN 'c0' ELSE '40' END
         |ORDER BY doc_id""".stripMargin,
 

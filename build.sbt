@@ -27,9 +27,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Shuffle/spill and JVM temp files go to tmpfs: the box's buffered-disk
+// writeback is intermittently throttled to ~15 MB/s (measured with dd
+// against the ~200 MB/s direct-I/O rate), which is the root cause of the
+// multi-round phantom 2-10x bench swings on unchanged code — shuffle
+// writes crawl whenever the throttle is active. Local-mode shuffle volume
+// at sf<=0.1 is MBs against a 63 GiB tmpfs, and Spark's shutdown hooks
+// remove both dirs' contents on normal exit. (On a real cluster local
+// dirs are per-node fast disks — this is the single-box equivalent.)
+val tmpfsDirs: Seq[String] = {
+  val ds = Seq("/dev/shm/graft-spark-local", "/dev/shm/graft-tmp")
+  ds.foreach(d => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+  ds
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dspark.local.dir=/dev/shm/graft-spark-local",
+  "-Djava.io.tmpdir=/dev/shm/graft-tmp",
   // 32g default: the box has 128 GiB and the bench runs 70+ queries x N
   // iterations in one JVM with session-scoped persisted caches — at 8g the
   // r5 bench degraded as it aged (q58 runs 25->41->76s) from storage/

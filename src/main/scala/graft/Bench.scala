@@ -45,13 +45,23 @@ object Bench {
       // documents/embeddings and their first runs were eating the open cost
       spark.read.parquet(s"$sfDir/documents.parquet").count()
       spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      // events carries nanos timestamps: without the legacy conf the read
+      // throws PARQUET_TYPE_ILLEGAL and the footer never warmed (the
+      // declared events queries set the same conf before reading)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/events.parquet").count()
     } catch { case _: Throwable => () }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // Per query: iters timed runs -> median headline. A failed query reports
     // err and is excluded from the headline total instead of masquerading as
     // a fast run.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset filter for local profiling (comma-separated name
+    // prefixes, e.g. "q62,q73"). The driver never sets it -> full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       var i = 0

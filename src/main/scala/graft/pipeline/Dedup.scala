@@ -235,15 +235,34 @@ object Dedup {
     import spark.implicits._
     val docs = docShingles(spark, dir)
     val ex = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("freq"))
-    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("freq"), col("s"))
-    val prefixLen =
-      col("n_sh") - ceil(col("n_sh") * lit(PrefixJaccardThreshold)).cast("int") + lit(1)
-    val prefixRows = ex
-      .join(freq, "s")
-      .withColumn("rn", row_number().over(byRarity))
-      .filter(col("rn") <= prefixLen)
-      .select(col("doc_id"), col("n_sh"), col("s"))
+    // ONE shingle-keyed aggregation yields the postings AND their length
+    // (= the global shingle frequency); the previous separate
+    // `groupBy(s).count` + re-join of the exploded frame paid a second
+    // full shuffle of the token-scale data for the same information.
+    val withFreq = ex
+      .groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ids"))
+      .select(col("s"), size(col("ids")).as("freq"), explode(col("ids")).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.n_sh").as("n_sh"), col("s"), col("freq"))
+    // Per-doc prefix selection as a doc-grouped JIT'd kernel: sort the
+    // doc's shingles by (freq asc, shingle asc) locally and keep the
+    // first n_sh − ⌈t·n_sh⌉ + 1 — replacing a `row_number` window whose
+    // range sort ran over every (doc, shingle) row. The shingle
+    // tie-break uses UTF-8 binary order so ranks match the window / the
+    // DuckDB oracle on any input (Java's UTF-16 order diverges on
+    // supplementary characters).
+    implicit val utf8: Ordering[String] = graft.rel.TopK.Utf8StringOrdering
+    val prefixRows = withFreq
+      .as[(Long, Int, String, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (doc: Long, rows: Iterator[(Long, Int, String, Int)]) =>
+        val arr = rows.toArray
+        val nSh = arr(0)._2
+        val plen = nSh - math.ceil(nSh * PrefixJaccardThreshold).toInt + 1
+        arr.sortBy(t => (t._4, t._3))(Ordering.Tuple2(Ordering.Int, utf8))
+          .iterator.take(plen).map(t => (doc, nSh, t._3))
+      }
+      .toDF("doc_id", "n_sh", "s")
     val candidates = expandCoOccurrences(spark, prefixRows, None)
       // length filter (exact, standard companion of prefix filtering):
       // J ≥ t ⇒ |∩| ≥ t·|∪| ⇒ min(n1,n2) ≥ t·max(n1,n2) — size-mismatched
@@ -266,8 +285,8 @@ object Dedup {
     * (pointer jumping), so convergence is O(log diameter) — on a length-d
     * chain, ~log₂(d) rounds instead of d (asserted in PipelineSuite).
     * Each round is two partitioned joins + one min-aggregation; each
-    * round's frame is persisted and the previous unpersisted so lineage
-    * stays flat (at 100 TB you'd checkpoint every few rounds — same
+    * round's frame is localCheckpoint'ed so lineage stays flat (at
+    * 100 TB it would be a reliable checkpoint every few rounds — same
     * structure). The driver sees only a per-round change COUNT, never
     * data rows. Canonical = min doc_id of the component, matching
     * [[exactDedup]].
@@ -301,14 +320,26 @@ object Dedup {
     * as node ids and only ever adopt other members' labels), so the
     * label-of-label lookup is a self-join of the label frame — always
     * matching, `left` + coalesce only for belt-and-braces.
+    *
+    * Each round's frame is `localCheckpoint`ed, not merely persisted:
+    * persist caches DATA but keeps the full logical plan, so an N-round
+    * loop builds a plan that grows ~3× per round (labels feed the
+    * neighbor join, the jump self-join, and the update), and AQE
+    * re-renders that nested plan string on every stage — measured
+    * minutes of pure plan-printing on a 17-node chain fixture.
+    * Checkpointing truncates lineage to the materialized RDD each round
+    * (the iterative-algorithm shape; on a cluster it would be a
+    * reliable checkpoint every few rounds). Old rounds' blocks are
+    * released by the context cleaner once dereferenced — bounded by
+    * |nodes| rows per round either way.
     */
   private[pipeline] def propagateLabels(
       pairs: DataFrame,
       maxRounds: Int = 20): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("node", "nbr").persist(lvl)
-    var cached = edges.select(col("node")).distinct().withColumn("lbl", col("node")).persist(lvl)
-    var labels = cached
+    var labels =
+      edges.select(col("node")).distinct().withColumn("lbl", col("node")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -330,10 +361,8 @@ object Dedup {
             col("lbl"),
             coalesce(col("nbrmin"), col("lbl")),
             coalesce(col("jlbl"), col("lbl"))).as("nlbl"))
-        .persist(lvl)
+        .localCheckpoint()
       changed = upd.filter(col("nlbl") < col("lbl")).count()
-      cached.unpersist() // the frame persist() was called on, not a derived view
-      cached = upd
       labels = upd.select(col("node"), col("nlbl").as("lbl"))
       rounds += 1
     }

@@ -595,62 +595,98 @@ object TextAnalysis {
   /** L4 — BM25 retrieval: each benchmark-source document is a query (its
     * DISTINCT terms) scored against every other document, top-[[Bm25TopK]]
     * hits per query. The lexical-retrieval twin of the embedding ANN
-    * family. Shape: the query term set is bounded (a benchmark suite), so
-    * it broadcasts; corpus postings join it term-partitioned (inverted
-    * index — only documents sharing a term are ever scored); per-(query,
-    * doc) scores are one partial-aggregated sum; top-k is the k-bounded
-    * [[graft.rel.TopK.topKPerGroup]] aggregator — the shuffle after the
-    * score agg carries ≤ k rows per (partition, query) instead of a
-    * window sorting every scored (query, doc) pair. N and avgdl are two
-    * eager scalars (table stats at scale). Ranking uses the ROUNDED
-    * score + doc_id for cross-engine tie safety — the same (score desc,
-    * doc_id asc) total order as the window idiom, so results are
-    * identical (q62's hash oracle is unchanged).
+    * family.
+    *
+    * Shape: the query side is a BOUNDED benchmark suite, so it collapses
+    * to one broadcast map `term → (idf, q_ids)` — |query vocabulary|
+    * entries regardless of corpus size. Scoring is then a single
+    * doc-partitioned pass: each document's postings group once, a JIT'd
+    * loop accumulates per-query scores locally (per-doc state ≤
+    * |queries| doubles), and FINAL (query, score, doc) rows feed the
+    * k-bounded [[graft.rel.TopK.topKPerGroup]] aggregator, so the only
+    * post-scoring shuffle carries ≤ k rows per (partition, query).
+    *
+    * Kernel rather than the inverted-index join + explode it replaced:
+    * that plan multiplied EVERY posting by the number of query docs
+    * sharing its term before the (q, doc) score aggregation could reduce
+    * anything — for stopword-like terms contained in every query doc
+    * that is |postings| × |queries| rows through a shuffle (measured
+    * 380 s cold / 10 s warm at sf0.1, where a 31-term shared vocabulary
+    * makes every term degenerate). The kernel does the same
+    * multiply-adds inside one JIT'd loop and never materializes them as
+    * rows. Doc length = Σ tf over the group (identical to the cached
+    * [[docLengths]] frame by construction), so the dl join disappears
+    * too. N and avgdl are two eager scalars (table stats at scale).
+    * Ranking uses the ROUNDED score + doc_id for cross-engine tie
+    * safety — the same (score desc, doc_id asc) total order as before,
+    * so q62's hash oracle is unchanged (per-(q,doc) sum order was
+    * nondeterministic in the aggregate formulation as well; the 6-digit
+    * round absorbs it).
     */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
-    // the shared posting-list cache is referenced three times below; doc
-    // length = Σ tf per doc (identical to size(tokens): every doc emits
-    // ≥1 token row, split("") being [""]), so the corpus is tokenized
-    // ONCE per session instead of three times per invocation
+    // the shared posting-list cache: corpus postings, query-term
+    // extraction, and document frequencies all read the same frame, so
+    // the corpus is tokenized ONCE per session instead of per reference
     val tf = termFreq(spark, dir)
-    val (dl, nDocs, avgdl) = docLengths(spark, dir)
+    val (_, nDocs, avgdl) = docLengths(spark, dir)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
-    // The query side collapses to ONE broadcast row per distinct term:
-    // (term, idf, all q_ids containing it). The corpus join is then
-    // fan-out-free — each (doc, term) posting matches at most one row,
-    // the BM25 contribution is computed ONCE per posting, and only the
-    // codegen'd explode of the q_id array multiplies rows (a narrow
-    // Generate feeding a partially-aggregated groupBy, not a join
-    // blow-up — high-df "stopword" terms shared by every query doc
-    // would otherwise dominate the join).
     val idf = log(
       (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val queriesByTerm = broadcast(
+    import spark.implicits._
+    // |query vocabulary| rows — bounded by the benchmark suite, the same
+    // boundedness that justified broadcasting it as a join side before
+    val qmap: Map[String, (Double, Array[Long])] =
       tf.filter(col("source") === Dedup.BenchSource)
         .select(col("doc_id").as("q_id"), col("term"))
         .distinct()
         .join(dfreq, "term")
         .groupBy(col("term"), idf.as("idf"))
-        .agg(collect_list(col("q_id")).as("qids")))
+        .agg(collect_list(col("q_id")).as("qids"))
+        .as[(String, Double, Array[Long])]
+        .collect()
+        .map { case (t, i, qs) => (t, (i, qs)) }
+        .toMap
+    val bq = spark.sparkContext.broadcast(qmap)
 
-    val tfNorm = col("tf") * (lit(Bm25K1) + 1.0) /
-      (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / lit(avgdl)))
-
-    import spark.implicits._
-    // dl is |corpus| rows — NOT broadcast-hinted (AQE may still choose to
-    // at small SF); the doc_id join stays narrow either way.
+    val k1 = Bm25K1
+    val b = Bm25B
     val scores = tf.filter(col("source") =!= Dedup.BenchSource)
-      .join(dl, "doc_id")
-      .join(queriesByTerm, "term")
-      .select(
-        col("doc_id"),
-        explode(col("qids")).as("q_id"),
-        (col("idf") * tfNorm).as("contrib"))
-      .groupBy(col("q_id"), col("doc_id"))
-      .agg(round(sum(col("contrib")), 6).as("score"))
-      .select(col("q_id"), col("score"), col("doc_id"))
-      .as[(Long, Double, Long)]
+      .select(col("doc_id"), col("term"), col("tf"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (doc: Long, rows: Iterator[(Long, String, Long)]) =>
+        val m = bq.value
+        val postings = rows.toArray
+        var dl = 0.0
+        var i = 0
+        while (i < postings.length) { dl += postings(i)._3.toDouble; i += 1 }
+        val acc = scala.collection.mutable.LongMap.empty[Double]
+        i = 0
+        while (i < postings.length) {
+          m.get(postings(i)._2) match {
+            case Some((idfV, qids)) =>
+              val tfd = postings(i)._3.toDouble
+              // same op order as the Catalyst expression it replaced:
+              // tf·(k1+1) / (tf + k1·((1−b) + (b·dl)/avgdl)), then ·idf
+              val contrib =
+                idfV * (tfd * (k1 + 1.0) / (tfd + k1 * (1.0 - b + b * dl / avgdl)))
+              var j = 0
+              while (j < qids.length) {
+                acc(qids(j)) = acc.getOrElse(qids(j), 0.0) + contrib
+                j += 1
+              }
+            case None => ()
+          }
+          i += 1
+        }
+        acc.iterator.map { case (q, s) =>
+          // Spark SQL round(x, 6) semantics: HALF_UP on the decimal value
+          val rounded = java.math.BigDecimal.valueOf(s)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          (q, rounded, doc)
+        }
+      }
     graft.rel.TopK.topKPerGroup(scores, Bm25TopK)
       .select(
         col("group").as("q_id"),

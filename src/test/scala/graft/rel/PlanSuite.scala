@@ -93,16 +93,20 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
-  test("q62: per-term query lists broadcast; contributions summed with partials; top-k bounded") {
+  test("q62: scoring is one doc-grouped kernel pass; top-k bounded; no explode") {
     val p = plan(graft.pipeline.TextAnalysis.bm25(spark, dir))
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("partial_sum"), p)
-    assert(p.contains("Generate"), p) // the q_id-list explode, not a join fan-out
-    // per-query top-k = k-bounded TopKAgg (partial + final phases), NOT a
-    // window sorting every (q_id, doc) score group
-    val ep = execPlan(graft.pipeline.TextAnalysis.bm25(spark, dir))
-    assert("ObjectHashAggregate".r.findAllIn(ep).size >= 2, ep)
+    // the broadcast query map means NO join and NO q_id explode anywhere
+    // in the scoring plan (the old join + explode shape shuffled
+    // |postings| × |queries| rows); the one Generate left is the token
+    // explode inside the cached termFreq build, so the pin is on joins
+    assert(!p.contains("Join"), p)
     assert(!p.contains("Window"), p)
+    val ep = execPlan(graft.pipeline.TextAnalysis.bm25(spark, dir))
+    // one doc-grouped kernel pass emits final scores...
+    assert(ep.contains("MapGroups"), ep)
+    // ...into the k-bounded TopKAgg (partial + final phases), NOT a
+    // window sorting every (q_id, doc) score group
+    assert("ObjectHashAggregate".r.findAllIn(ep).size >= 2, ep)
   }
 
   test("q61: per-source top-k is the bounded aggregator, not a window") {

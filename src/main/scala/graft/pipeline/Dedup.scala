@@ -274,6 +274,65 @@ object Dedup {
     verifyCandidates(docs, candidates, PrefixJaccardThreshold)
   }
 
+  /** Window length (characters) for cross-document exact substring
+    * duplication: long enough that a shared window is a genuinely copied
+    * run of text rather than a common phrase at this corpus's document
+    * lengths. Production substring dedup uses ~50-token windows (Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better" — the suffix-array exact-substring family this operator's
+    * windowed form approximates in a shuffle-friendly way).
+    */
+  val SubstringWindow = 40
+
+  /** L2 — cross-document exact substring duplication: for every ordered
+    * doc pair, the number of DISTINCT [[SubstringWindow]]-char windows
+    * they share (pairs sharing none never appear). The all-pairs
+    * complement of [[decontaminate]]'s bench-vs-corpus overlap: this is
+    * the signal for literal copy-paste between training documents.
+    *
+    * Shape: per-doc distinct windows stream out of one narrow kernel
+    * pass (dedup via a local hash set — no shuffle), keyed by
+    * `md5(window)` so the shuffled key is 32 hex chars regardless of
+    * window length and the oracle can reproduce it; then the same
+    * inverted-index flow as [[ngramJaccard]] — only documents sharing a
+    * window ever meet, pair counts partial-aggregate map-side. At 100 TB
+    * the ultra-frequent-window risk (boilerplate headers shared by 10^6
+    * docs) is the same as [[ngramJaccard]]'s and takes the same
+    * mitigation, a postings cap ([[MaxPostings]] / [[ngramJaccardCapped]]).
+    * Window positions are UTF-16 code units on the Spark side and
+    * codepoints in the DuckDB oracle — identical on this ASCII corpus;
+    * non-BMP text would need a codepoint-walking kernel.
+    */
+  def substringDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wins = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        if (t.length < SubstringWindow) Iterator.empty
+        else {
+          val seen = new java.util.HashSet[String]((t.length * 2) max 16)
+          (0 to t.length - SubstringWindow).iterator
+            .map(i => t.substring(i, i + SubstringWindow))
+            .filter(seen.add)
+            .map(w => (id, w))
+        }
+      })
+      .toDF("doc_id", "win")
+      .select(col("doc_id"), md5(col("win")).as("k"))
+    wins
+      .groupBy(col("k"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"))
+      .as[Array[Long]]
+      .flatMap(ids => expandPairs(ids.sorted)((a, b) => (a, b)))
+      .toDF("d1", "d2")
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   // ---- dedup groups (connected components) ------------------------------
 
   /** Near-dup PAIRS become dedup GROUPS: connected components over the

@@ -61,7 +61,8 @@ object PipelineQueries {
     "q74_dedup_stream_final" -> (Events.dedupStreamFinal _),
     "q75_funnel" -> (Events.funnel _),
     "q76_quota_sample" -> (TextAnalysis.quotaSample _),
-    "q77_retention" -> (Events.retention _)
+    "q77_retention" -> (Events.retention _),
+    "q79_substring_dup" -> (Dedup.substringDup _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -532,6 +533,19 @@ object PipelineQueries {
          |SELECT source, rnk::INT AS rnk, doc_id, sample_key
          |FROM r WHERE rnk <= ${TextAnalysis.QuotaPerSource}
          |ORDER BY source, rnk""".stripMargin,
+
+    // Distinct char windows per doc (DISTINCT mirrors the kernel's local
+    // hash-set dedup), md5-keyed exactly like the Spark side; range() is
+    // empty for docs shorter than the window on both engines.
+    "q79_substring_dup" ->
+      s"""WITH w AS (
+         |  SELECT DISTINCT doc_id, md5(substr(text, i, ${Dedup.SubstringWindow})) AS k
+         |  FROM documents, UNNEST(range(1, len(text) - ${Dedup.SubstringWindow - 2})) AS t(i)
+         |)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_windows
+         |FROM w a JOIN w b ON a.k = b.k AND a.doc_id < b.doc_id
+         |GROUP BY d1, d2
+         |ORDER BY d1, d2""".stripMargin,
 
     // The funnel's sequence-within-horizon constraint as chained
     // conditional min-aggs — the same three-CTE chain the Spark side runs.

@@ -90,6 +90,25 @@ class PipelineSuite extends AnyFunSuite {
     assert(prefix.nonEmpty)
   }
 
+  test("L2 substring duplication: pair window counts match a brute-force model") {
+    import spark.implicits._
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect() // 500 docs: model only
+    def wins(t: String): Set[String] =
+      if (t.length < Dedup.SubstringWindow) Set.empty
+      else (0 to t.length - Dedup.SubstringWindow)
+        .map(i => t.substring(i, i + Dedup.SubstringWindow)).toSet
+    val expected = (for {
+      (d1, t1) <- docs; (d2, t2) <- docs if d1 < d2
+      n = wins(t1).intersect(wins(t2)).size if n > 0
+    } yield (d1, d2) -> n.toLong).toMap
+    val got = Dedup.substringDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty) // planted near-dups share literal runs of text
+  }
+
   test("pointer jumping: chain component converges in O(log d) rounds, labels exact") {
     import spark.implicits._
     // a 17-node chain: diameter 16, so neighbor-only min propagation needs

@@ -290,11 +290,15 @@ object Dedup {
     * the signal for literal copy-paste between training documents.
     *
     * Shape: per-doc distinct windows stream out of one narrow kernel
-    * pass (dedup via a local hash set — no shuffle), keyed by
-    * `md5(window)` so the shuffled key is 32 hex chars regardless of
-    * window length and the oracle can reproduce it; then the same
-    * inverted-index flow as [[ngramJaccard]] — only documents sharing a
-    * window ever meet, pair counts partial-aggregate map-side. At 100 TB
+    * pass (dedup via a local hash set — no shuffle), keyed by a 128-bit
+    * xxhash pair computed in the same kernel — 16 shuffled bytes
+    * regardless of window length and no per-row MessageDigest; then the
+    * same inverted-index flow as [[ngramJaccard]] — only documents
+    * sharing a window ever meet, pair counts partial-aggregate map-side.
+    * Only COUNTS reach the output, so any injective-modulo-collisions
+    * key yields identical results: the engine keys on the xxhash pair
+    * while the DuckDB oracle keys on `md5(window)`, both with
+    * 2^-128-scale collision risk. At 100 TB
     * the ultra-frequent-window risk (boilerplate headers shared by 10^6
     * docs) is the same as [[ngramJaccard]]'s and takes the same
     * mitigation, a postings cap ([[MaxPostings]] / [[ngramJaccardCapped]]).
@@ -314,13 +318,16 @@ object Dedup {
           (0 to t.length - SubstringWindow).iterator
             .map(i => t.substring(i, i + SubstringWindow))
             .filter(seen.add)
-            .map(w => (id, w))
+            .map { w =>
+              val u = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+              import org.apache.spark.sql.catalyst.expressions.XXH64
+              (id, XXH64.hashUTF8String(u, 42L), XXH64.hashUTF8String(u, 1042L))
+            }
         }
       })
-      .toDF("doc_id", "win")
-      .select(col("doc_id"), md5(col("win")).as("k"))
+      .toDF("doc_id", "h1", "h2")
     wins
-      .groupBy(col("k"))
+      .groupBy(col("h1"), col("h2"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(col("ids"))

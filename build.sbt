@@ -35,16 +35,21 @@ val jdk17AddOpens = Seq(
 // at sf<=0.1 is MBs against a 63 GiB tmpfs, and Spark's shutdown hooks
 // remove both dirs' contents on normal exit. (On a real cluster local
 // dirs are per-node fast disks — this is the single-box equivalent.)
-val tmpfsDirs: Seq[String] = {
-  val ds = Seq("/dev/shm/graft-spark-local", "/dev/shm/graft-tmp")
-  ds.foreach(d => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
-  ds
+// Guarded: hosts without /dev/shm (macOS, slim containers) fall back to the
+// default tmp dirs instead of failing the build load, and the paths are
+// user-scoped so checkouts on a multi-user box don't collide.
+val tmpfsOpts: Seq[String] = {
+  if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) {
+    val user = sys.props.getOrElse("user.name", "anon")
+    val local = s"/dev/shm/graft-$user-spark-local"
+    val tmp = s"/dev/shm/graft-$user-tmp"
+    Seq(local, tmp).foreach(d => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+    Seq(s"-Dspark.local.dir=$local", s"-Djava.io.tmpdir=$tmp")
+  } else Seq.empty
 }
-javaOptions ++= jdk17AddOpens ++ Seq(
+javaOptions ++= jdk17AddOpens ++ tmpfsOpts ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  "-Dspark.local.dir=/dev/shm/graft-spark-local",
-  "-Djava.io.tmpdir=/dev/shm/graft-tmp",
   // 32g default: the box has 128 GiB and the bench runs 70+ queries x N
   // iterations in one JVM with session-scoped persisted caches — at 8g the
   // r5 bench degraded as it aged (q58 runs 25->41->76s) from storage/

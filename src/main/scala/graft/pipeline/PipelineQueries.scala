@@ -62,7 +62,8 @@ object PipelineQueries {
     "q75_funnel" -> (Events.funnel _),
     "q76_quota_sample" -> (TextAnalysis.quotaSample _),
     "q77_retention" -> (Events.retention _),
-    "q79_substring_dup" -> (Dedup.substringDup _)
+    "q79_substring_dup" -> (Dedup.substringDup _),
+    "q80_substring_dup_winnowed" -> (Dedup.substringDupWinnowed _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */

@@ -51,11 +51,20 @@ object Similarity {
       (spark, dir),
       { case (s, d) =>
         graft.functions.GraftFunctions.register(s)
-        table(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        graft.rel.Queries
+          .spread(table(s, d, "embeddings")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
           .withColumn("norm", sqrt(dot(col("v"), col("v"))))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
+
+  /** Unpersists and forgets the session vector memo — for long-lived
+    * services retiring a dataset directory; the next consumer rebuilds.
+    */
+  def clearShared(): Unit = {
+    vectorCache.forEach((_, df) => df.unpersist())
+    vectorCache.clear()
+  }
 
   private def scored(spark: SparkSession, dir: String): DataFrame = {
     val all = vectors(spark, dir)

@@ -26,6 +26,22 @@ object Queries {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spreads a frame across at least `defaultParallelism` partitions before
+    * a kernel-heavy stage. The local testdata tables are ONE parquet file
+    * each (one row group ⇒ one split), so without this every mapPartitions
+    * kernel AND its map-side shuffle write run as a single task on
+    * local[32] — r7's q79 window extraction was the suite's largest
+    * single-task runtime (and therefore its largest host-stall cross
+    * section). At 100 TB a scan already yields thousands of splits and this
+    * is a no-op — the partition-count check is plan metadata, and the
+    * round-robin shuffle only ever fires on pathologically under-split
+    * inputs (never a blanket repartition of the corpus).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** The events table is written with TIMESTAMP(NANOS), which Spark's
     * parquet reader only accepts as a long (nanos since epoch) under the
     * legacy flag. Convert back to a proper timestamp column (microsecond

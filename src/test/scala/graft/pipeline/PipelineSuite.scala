@@ -109,6 +109,59 @@ class PipelineSuite extends AnyFunSuite {
     assert(got.nonEmpty) // planted near-dups share literal runs of text
   }
 
+  test("L2 winnowed substring duplication: subset of exact, counts lower-bound, model-exact") {
+    import spark.implicits._
+    val exact = Dedup.substringDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = Dedup.substringDupWinnowed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every reported pair is a real exact pair and the anchor count never
+    // exceeds the true shared-window count (selection only removes windows)
+    assert(got.keySet.subsetOf(exact.keySet))
+    got.foreach { case (k, n) => assert(n <= exact(k), s"$k: $n > ${exact(k)}") }
+    assert(got.nonEmpty) // planted dups share runs far beyond the guarantee length
+    // and the distributed flow equals the single-machine kernel model exactly
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val fps = docs.map { case (d, t) =>
+      d -> Dedup.winnowKernel(t, Dedup.AnchorWindow).toSet
+    }
+    val expected = (for {
+      (d1, f1) <- fps; (d2, f2) <- fps if d1 < d2
+      n = f1.intersect(f2).size if n > 0
+    } yield (d1, d2) -> n.toLong).toMap
+    assert(got == expected)
+  }
+
+  test("winnowing guarantee: a shared run of SubstringWindow + AnchorWindow - 1 chars is always detected") {
+    val rnd = new scala.util.Random(7)
+    def randStr(n: Int): String =
+      Iterator.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val runLen = Dedup.SubstringWindow + Dedup.AnchorWindow - 1
+    (1 to 100).foreach { _ =>
+      val shared = randStr(runLen)
+      val a = randStr(rnd.nextInt(200)) + shared + randStr(rnd.nextInt(200))
+      val b = randStr(rnd.nextInt(200)) + shared + randStr(rnd.nextInt(200))
+      val fa = Dedup.winnowKernel(a, Dedup.AnchorWindow).toSet
+      val fb = Dedup.winnowKernel(b, Dedup.AnchorWindow).toSet
+      // Schleimer et al. 2003: a full block of shared windows exists in both
+      // docs and its rightmost-min is selected in both — content-defined, so
+      // offsets don't matter. Mod-anchoring (h % w == 0) fails this property.
+      assert(fa.intersect(fb).nonEmpty, s"missed: a=${a.length} b=${b.length}")
+    }
+  }
+
+  test("winnowing: every doc with at least one window contributes at least one fingerprint") {
+    val rnd = new scala.util.Random(11)
+    (1 to 50).foreach { _ =>
+      val n = Dedup.SubstringWindow + rnd.nextInt(60)
+      val t = Iterator.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+      assert(Dedup.winnowKernel(t, Dedup.AnchorWindow).nonEmpty, s"len $n")
+    }
+    assert(Dedup.winnowKernel("x" * (Dedup.SubstringWindow - 1), Dedup.AnchorWindow).isEmpty)
+  }
+
   test("pointer jumping: chain component converges in O(log d) rounds, labels exact") {
     import spark.implicits._
     // a 17-node chain: diameter 16, so neighbor-only min propagation needs

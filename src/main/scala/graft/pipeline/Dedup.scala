@@ -319,7 +319,8 @@ object Dedup {
     * 2^-128-scale collision risk. At 100 TB
     * the ultra-frequent-window risk (boilerplate headers shared by 10^6
     * docs) is the same as [[ngramJaccard]]'s and takes the same
-    * mitigation, a postings cap ([[MaxPostings]] / [[ngramJaccardCapped]]).
+    * mitigation — the [[MaxPostings]] cap [[substringDupWinnowed]]
+    * (the 100 TB path) applies in [[sharedWindowPairCounts]].
     * Window positions are UTF-16 code units on the Spark side and
     * codepoints in the DuckDB oracle — identical on this ASCII corpus;
     * non-BMP text would need a codepoint-walking kernel.
@@ -345,16 +346,39 @@ object Dedup {
         out.iterator
       })
       .toDF("doc_id", "h1", "h2")
-    wins
+    sharedWindowPairCounts(spark, wins, None, "n_windows")
+  }
+
+  /** Inverted-index tail shared by [[substringDup]] and
+    * [[substringDupWinnowed]]: group per-doc window fingerprints by the
+    * 128-bit hash pair, expand each co-occurrence list to ordered doc
+    * pairs, count shared fingerprints per pair. With `cap = Some(c)`,
+    * fingerprints held by more than `c` documents are dropped BEFORE
+    * pair expansion — a fingerprint in p docs expands to p·(p−1)/2 rows,
+    * so one boilerplate header in 10^6 documents of a 100 TB corpus
+    * would alone emit ~5·10^11 pairs; the cap bounds per-fingerprint
+    * fan-out at c²/2 regardless of corpus size (the [[MaxPostings]] /
+    * [[ngramJaccardCapped]] mitigation, applied to the substring family).
+    * Capped counts are a lower bound on uncapped; every emitted pair is
+    * still real (⊆-exact).
+    */
+  private[pipeline] def sharedWindowPairCounts(
+      spark: SparkSession,
+      wins: DataFrame,
+      cap: Option[Int],
+      outCol: String): DataFrame = {
+    import spark.implicits._
+    val grouped = wins
       .groupBy(col("h1"), col("h2"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
+    cap.fold(grouped)(c => grouped.filter(size(col("ids")) <= c))
       .select(col("ids"))
       .as[Array[Long]]
       .flatMap(ids => expandPairs(ids.sorted)((a, b) => (a, b)))
       .toDF("d1", "d2")
       .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("n_windows"))
+      .agg(count(lit(1)).as(outCol))
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -387,6 +411,10 @@ object Dedup {
     * — a lower bound proxy for `n_windows`, every reported pair real
     * (⊆-exact, also asserted). The sliding-window minimum runs O(n) via a
     * monotonic deque, so the kernel stays linear in corpus size.
+    * Fingerprints held by more than [[MaxPostings]] documents are
+    * dropped before pair expansion ([[sharedWindowPairCounts]]) — the
+    * boilerplate-header quadratic-blowup guard this scale path needs
+    * that the exact-oracled [[substringDup]] can't carry.
     */
   def substringDupWinnowed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -396,17 +424,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) => winnowKernel(t, w).map { case (a, b) => (id, a, b) } })
       .toDF("doc_id", "h1", "h2")
-    wins
-      .groupBy(col("h1"), col("h2"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(col("ids"))
-      .as[Array[Long]]
-      .flatMap(ids => expandPairs(ids.sorted)((a, b) => (a, b)))
-      .toDF("d1", "d2")
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("n_anchors"))
-      .orderBy(col("d1"), col("d2"))
+    sharedWindowPairCounts(spark, wins, Some(MaxPostings), "n_anchors")
   }
 
   /** Per-position 128-bit window hashes — (h1, h2) arrays, one entry per

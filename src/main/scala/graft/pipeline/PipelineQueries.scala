@@ -63,7 +63,10 @@ object PipelineQueries {
     "q76_quota_sample" -> (TextAnalysis.quotaSample _),
     "q77_retention" -> (Events.retention _),
     "q79_substring_dup" -> (Dedup.substringDup _),
-    "q80_substring_dup_winnowed" -> (Dedup.substringDupWinnowed _)
+    "q80_substring_dup_winnowed" -> (Dedup.substringDupWinnowed _),
+    "q81_sessions_stream_final" -> (Events.sessionsStreamFinal _),
+    "q82_tumbling_stream_final" -> (Events.tumblingStreamFinal _),
+    "q83_heavy_hitters" -> (TextAnalysis.heavyHitters _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -597,6 +600,38 @@ object PipelineQueries {
         |SELECT user_id, min(ts)::TIMESTAMP AS session_start,
         | max(ts)::TIMESTAMP AS last_event,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // Streamed-append session windows finalize to exactly the batch
+    // sessions (the flush sentinel guarantees every window's watermark
+    // passes) — so q81 shares q30's oracle, now gating the REAL streaming
+    // watermark-finalization path.
+    "q81_sessions_stream_final" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        |SELECT user_id, min(ts)::TIMESTAMP AS session_start,
+        | max(ts)::TIMESTAMP AS last_event,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // Streamed-append tumbling windows under the same flush — q28's oracle.
+    "q82_tumbling_stream_final" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts)::TIMESTAMP AS window_start,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The sketch path's runtime exactness certificate (verified k-th
+    // count > N/(cap+1)) is what licenses hashing an MG-sketch plan
+    // against this plain exact top-k.
+    "q83_heavy_hitters" ->
+      s"""SELECT w AS token, count(*) AS n
+         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |GROUP BY 1 ORDER BY n DESC, token LIMIT ${TextAnalysis.HeavyHittersK}""".stripMargin
   )
 }

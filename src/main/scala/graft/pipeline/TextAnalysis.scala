@@ -835,6 +835,133 @@ object TextAnalysis {
     */
   val ManifestQualityGate = 3.5
 
+  /** Result size for [[heavyHitters]]. */
+  val HeavyHittersK = 20
+
+  /** Misra–Gries summary capacity for [[heavyHitters]]: each partition's
+    * summary holds at most this many counters, so per-partition state is
+    * bounded regardless of vocabulary size and the summed lower bounds
+    * carry global error ≤ N/(capacity+1) (Misra & Gries 1982; the merge-
+    * by-summation bound is Agarwal et al. 2012, "Mergeable Summaries").
+    */
+  val MgCapacity = 4096
+
+  /** Bounded-memory frequency summary of one token stream: at most `m`
+    * counters; when a new token arrives into a full summary every counter
+    * decrements by 1 (zeros evicted) — the classic Misra–Gries invariant
+    * that any token with true count f > n/(m+1) survives with counter
+    * c ∈ [f − n/(m+1), f]. Amortized O(1) per token: each decrement event
+    * is paid for by the insertions it cancels.
+    */
+  private[pipeline] def misraGries(
+      it: Iterator[String], m: Int): scala.collection.mutable.HashMap[String, Long] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    while (it.hasNext) {
+      val t = it.next()
+      counts.get(t) match {
+        case Some(c) => counts.update(t, c + 1)
+        case None if counts.size < m => counts.update(t, 1L)
+        case None =>
+          // decrement-all: drop every counter by 1, evict zeros
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counts.mapValuesInPlace((_, c) => c - 1)
+          counts.foreach { case (k, c) => if (c == 0L) dead += k }
+          dead.foreach(counts.remove)
+      }
+    }
+    counts
+  }
+
+  /** L4/L5 — EXACT top-[[HeavyHittersK]] tokens by corpus frequency,
+    * computed the way a 100 TB run has to: a full
+    * `explode(tokens) → groupBy(token)` shuffles one row per token
+    * OCCURRENCE over a 10^10-key space, so instead (1) each partition
+    * builds a bounded [[misraGries]] summary — only summaries cross the
+    * wire, ≤ capacity × partitions rows; (2) summing counters gives
+    * per-token lower bounds `lb` with f ∈ [lb, lb + N/(cap+1)] (the
+    * mergeable-summaries bound); (3) every summary token whose upper
+    * bound reaches the k-th largest lower bound is a CANDIDATE — since
+    * f ≥ lb pointwise, the true k-th frequency dominates the k-th lower
+    * bound, so every true top-k token that SURVIVED into a summary is
+    * provably a candidate; (4) one re-scan counts only the candidates
+    * exactly (a broadcast semi-join on the ≤ cap × partitions candidate
+    * relation filters BEFORE the shuffle, so the second pass shuffles
+    * candidate occurrences, not the vocabulary). A token can evade every
+    * summary only if f ≤ N/(cap+1), so when the verified k-th count
+    * exceeds that error the result is PROVABLY exact — checked at
+    * runtime, with a full exact-aggregation fallback when the check
+    * fails (uniform-ish data, where the sketch can't help anyway) —
+    * which is what lets an approximate-sketch plan carry an exact hash
+    * oracle. Driver state: two k-row collects + the bounded candidate
+    * relation. Tokenization matches [[Shingles.tokens]]
+    * (`split(" ", -1)` ≡ Spark `split(text, ' ')` ≡ DuckDB
+    * `string_split`).
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = HeavyHittersK
+    def texts = graft.rel.Queries
+      .spread(table(spark, dir, "documents").select(col("text")))
+      .as[String]
+    def exactFull = texts
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+    val partials = texts
+      .mapPartitions { it =>
+        var np = 0L
+        val counted = it.flatMap { t =>
+          val ws = t.split(" ", -1); np += ws.length; ws.iterator
+        }
+        val summary = misraGries(counted, MgCapacity)
+        // np is read AFTER misraGries drained the iterator. Every
+        // partition emits one c=0 marker row carrying its token total —
+        // real counters are always ≥ 1, and a partition CAN end with an
+        // empty summary (a decrement event may zero every counter), so
+        // deriving N from summary rows alone would undercount and shrink
+        // the error bound the exactness certificate leans on.
+        Iterator(("", 0L, np)) ++
+          summary.iterator.map { case (tok, c) => (tok, c, np) }
+      }
+      .toDF("token", "c", "np")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (err, candidates) =
+      try {
+        val n = partials.filter(col("c") === 0L)
+          .agg(coalesce(sum(col("np")), lit(0L))).collect()(0).getLong(0)
+        val e = n / (MgCapacity + 1L)
+        val summed = partials.filter(col("c") > 0L)
+          .groupBy(col("token")).agg(sum(col("c")).as("lb"))
+        val kthLb = summed
+          .orderBy(col("lb").desc, col("token"))
+          .limit(k)
+          .collect()
+          .lastOption.map(_.getLong(1)).getOrElse(0L)
+        // candidate tokens collected to a local relation — bounded by the
+        // UNION OF SUMMARIES (≤ capacity × partitions), never vocabulary
+        (e, summed.filter(col("lb") + lit(e) >= lit(kthLb)).select(col("token")).as[String].collect())
+      } finally partials.unpersist()
+    val verified = texts
+      .select(explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(candidates.toSeq.toDF("token")), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+      .collect()
+    // exactness certificate: every token absent from all summaries has
+    // f ≤ err, so a verified k-th count > err proves no token outside the
+    // candidate set belongs in the top k
+    if (verified.length == k && verified.last.getLong(1) > err)
+      spark.createDataFrame(
+        java.util.Arrays.asList(verified: _*),
+        new org.apache.spark.sql.types.StructType()
+          .add("token", "string").add("n", "long", nullable = false))
+    else exactFull
+  }
+
   /** The composed end-of-pipeline query: the training manifest = documents
     * that (1) are their exact-dedup group's canonical member, (2) land in
     * the deterministic 'train' split, and (3) clear the quality gate —

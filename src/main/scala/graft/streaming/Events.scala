@@ -389,6 +389,132 @@ object Events {
       .toDF("user_id", "event_type", "n_so_far")
   }
 
+  /** User id of the watermark-flush sentinel event injected by
+    * [[stageWithFlush]] — filtered back out of every drained result.
+    */
+  val FlushSentinelUser = -1L
+
+  /** (staged directory, max raw event ts in nanos) per source dir —
+    * staging copies files once per JVM; every drain re-reads the same
+    * staged directory.
+    */
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** Stages the events table for an APPEND-mode drain. Append mode only
+    * emits a window once the watermark passes its end, and the watermark
+    * trails the max seen event time — so draining the bare table would
+    * withhold every window newer than (max ts − delay) and the streamed
+    * result could never equal the batch oracle. The stage directory holds
+    * the raw events file plus a one-event sentinel file whose timestamp
+    * sits ONE DAY past the table max, with file modification times
+    * ordered so the file source (which sorts by mod time) processes the
+    * sentinel LAST under `maxFilesPerTrigger=1`: batch 1 delivers every
+    * real event while the watermark is still at its initial value
+    * (nothing is late), then the sentinel batch advances the watermark
+    * past every real window's end, and the closing no-data batch emits
+    * them all. The sentinel's own row is filtered from results by
+    * [[FlushSentinelUser]]. This is the standard "advance event time to
+    * flush" testing idiom, staged through real files so the declared
+    * query still exercises the production file-source path.
+    */
+  private def stageWithFlush(spark: SparkSession, dir: String): (String, Long) =
+    stageCache.computeIfAbsent(
+      dir,
+      { d =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$d/events.parquet")
+        val maxNanos = raw.agg(max(col("ts"))).collect()(0).getLong(0)
+        val stage = java.nio.file.Files.createTempDirectory("graft-flush-stage-")
+        val evDst = stage.resolve("00_events.parquet")
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"), evDst)
+        // sentinel row in the RAW schema (ts is long nanos under the
+        // legacy conf), one day past the table max
+        val sentinelNanos = maxNanos + 86400L * 1000000000L
+        val values = raw.schema.fields.map { f =>
+          (f.name, f.dataType.typeName) match {
+            case ("ts", _) => sentinelNanos
+            case ("user_id", _) => FlushSentinelUser
+            case ("event_id", _) => -1L
+            case (_, "string") => "flush"
+            case (_, "double") => 0.0
+            case (_, "long") => -1L
+            case (_, "integer") => -1
+            case _ => null
+          }
+        }
+        val row: org.apache.spark.sql.Row = org.apache.spark.sql.Row.fromSeq(values.toSeq)
+        val tmpOut = stage.resolve("sentinel_tmp")
+        spark
+          .createDataFrame(java.util.Arrays.asList(row), raw.schema)
+          .coalesce(1)
+          .write
+          .parquet(tmpOut.toString)
+        val part = java.nio.file.Files
+          .list(tmpOut)
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst()
+          .get()
+        java.nio.file.Files.move(part, stage.resolve("01_sentinel.parquet"))
+        // mod-time order = processing order for the file source
+        java.nio.file.Files.setLastModifiedTime(
+          evDst,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+        (stage.toString, maxNanos)
+      })
+
+  /** File stream over a [[stageWithFlush]] directory: one file per
+    * micro-batch, real events first, sentinel last.
+    */
+  private def readStagedEventStream(ss: SparkSession, dir: String, stagedDir: String): DataFrame = {
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = ss.read.parquet(s"$dir/events.parquet").schema
+    ss.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Declared-query wrapper driving [[sessionsStream]] — watermarked
+    * session windows in APPEND mode — through a real streaming
+    * execution: windows are held in state until the watermark passes
+    * their end (the flush sentinel guarantees that happens for every
+    * real session), so the emitted rows are the FINALIZED sessions and
+    * must equal the batch [[sessions]] aggregate — the same oracle as
+    * q30, now gating the watermark-finalization path itself.
+    */
+  def sessionsStreamFinal(spark: SparkSession, dir: String): DataFrame = {
+    val (stage, _) = stageWithFlush(spark, dir)
+    drainToLocal(
+      spark,
+      "sessions_stream_final",
+      ss => sessionsStream(readStagedEventStream(ss, dir, stage)),
+      "append") { t =>
+      t.filter(col("user_id") =!= FlushSentinelUser)
+        .orderBy(col("user_id"), col("session_start"))
+    }
+  }
+
+  /** Declared-query wrapper driving [[tumblingStream]] — watermarked
+    * tumbling windows in APPEND mode — through a real streaming
+    * execution with the flush sentinel; the finalized windows (sentinel's
+    * own window filtered by its start time) must equal the batch
+    * [[tumbling]] aggregate — q28's oracle gating append finalization.
+    */
+  def tumblingStreamFinal(spark: SparkSession, dir: String): DataFrame = {
+    val (stage, maxNanos) = stageWithFlush(spark, dir)
+    val cutoffMicros = maxNanos / 1000L
+    drainToLocal(
+      spark,
+      "tumbling_stream_final",
+      ss => tumblingStream(readStagedEventStream(ss, dir, stage)),
+      "append") { t =>
+      t.filter(col("window_start") <= expr(s"timestamp_micros(${cutoffMicros}L)"))
+        .orderBy(col("window_start"))
+    }
+  }
+
   /** File-based stream source over an events parquet directory — the
     * production `readStream` shape (one file = one micro-batch at test
     * scale; schema comes from the batch table).

@@ -71,6 +71,17 @@ object KernelProperties extends Properties("Kernels") {
       }
     }
 
+  property("misraGries: size <= m; heavy tokens survive; counts in [f - n/(m+1), f]") =
+    forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")), Gen.choose(1, 6)) {
+      (s, m) =>
+        val summary = TextAnalysis.misraGries(s.iterator, m)
+        val f = s.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val err = s.length.toLong / (m + 1L)
+        summary.size <= m &&
+        f.forall { case (t, ft) => ft <= err || summary.contains(t) } &&
+        summary.forall { case (t, c) => c <= f(t) && c >= f(t) - err }
+    }
+
   property("nearestCentroid: returns the argmin index, lowest on ties") =
     forAll(
       Gen.nonEmptyListOf(Gen.listOfN(4, Gen.choose(-5.0, 5.0)).map(_.toArray)).map(_.toArray),

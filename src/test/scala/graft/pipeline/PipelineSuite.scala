@@ -127,11 +127,60 @@ class PipelineSuite extends AnyFunSuite {
     val fps = docs.map { case (d, t) =>
       d -> Dedup.winnowKernel(t, Dedup.AnchorWindow).toSet
     }
+    // model the MaxPostings guard too: fingerprints held by more than
+    // cap docs never generate pairs (none on this corpus — asserted, so
+    // the cap is verified a no-op here and the subset check above is
+    // exact; the cap's dropping behavior has its own synthetic test)
+    val postings = fps.flatMap { case (d, f) => f.map(_ -> d) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(postings.values.max <= Dedup.MaxPostings)
+    val hot = postings.filter(_._2 > Dedup.MaxPostings).keySet
     val expected = (for {
       (d1, f1) <- fps; (d2, f2) <- fps if d1 < d2
-      n = f1.intersect(f2).size if n > 0
+      n = f1.intersect(f2).count(!hot.contains(_)) if n > 0
     } yield (d1, d2) -> n.toLong).toMap
     assert(got == expected)
+  }
+
+  test("L4/L5 heavy hitters: sketch-certified top-k equals the brute-force exact model") {
+    import spark.implicits._
+    val texts = graft.rel.Queries
+      .table(spark, dir, "documents").select("text").as[String].collect()
+    val f = scala.collection.mutable.HashMap.empty[String, Long]
+    texts.foreach(_.split(" ", -1).foreach(t => f.update(t, f.getOrElse(t, 0L) + 1)))
+    val expected = f.toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(TextAnalysis.HeavyHittersK)
+    val got = TextAnalysis.heavyHitters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // and the exactness certificate actually held (the sketch path ran,
+    // not the fallback): the k-th count must clear the MG error bound
+    val n = f.values.sum
+    assert(expected.last._2 > n / (TextAnalysis.MgCapacity + 1L),
+      s"corpus no longer certifies: kth=${expected.last._2} err=${n / (TextAnalysis.MgCapacity + 1L)}")
+  }
+
+  test("misraGries: a decrement event can empty the summary (why heavyHitters carries marker rows for N)") {
+    // m=1: "a" occupies the only counter; "b" arrives into a full map,
+    // decrements a to 0 (evicted) and is itself NOT inserted — the
+    // partition ends with np=2 tokens but ZERO summary rows, so N must
+    // travel on a dedicated marker row, not piggyback on summary entries
+    assert(TextAnalysis.misraGries(Iterator("a", "b"), 1).isEmpty)
+  }
+
+  test("L2 winnowed substring dup: fingerprints above the postings cap are dropped before pair expansion") {
+    import spark.implicits._
+    // hot fingerprint in cap+1 docs, rare fingerprint in 2 of them: the
+    // capped tail must emit ONLY the rare pair, the uncapped tail all pairs
+    val cap = Dedup.MaxPostings
+    val hotDocs = (0L until (cap + 1L)).map(d => (d, 1L, 1L))
+    val rare = Seq((0L, 2L, 2L), (1L, 2L, 2L))
+    val wins = (hotDocs ++ rare).toDF("doc_id", "h1", "h2")
+    val capped = Dedup.sharedWindowPairCounts(spark, wins, Some(cap), "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == Map((0L, 1L) -> 1L))
+    val uncapped = Dedup.sharedWindowPairCounts(spark, wins, None, "n").collect()
+    assert(uncapped.length == (cap + 1) * cap / 2) // all hot pairs present
   }
 
   test("winnowing guarantee: a shared run of SubstringWindow + AnchorWindow - 1 chars is always detected") {

@@ -133,6 +133,25 @@ class StreamingSuite extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("q81: streamed-append session windows finalize to exactly the batch sessions") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Events.sessionsStreamFinal(spark, dir)
+    val batch = Events.sessionsBatch(spark, dir)
+    // append mode emits a session only once the watermark passes its end;
+    // the flush sentinel guarantees that for EVERY real session, so the
+    // streamed result must equal the batch aggregate row-for-row
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
+  test("q82: streamed-append tumbling windows finalize to exactly the batch windows") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Events.tumblingStreamFinal(spark, dir)
+    val batch = Events.tumblingBatch(spark, dir)
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("q75: funnel stages are sequenced and the horizon creates dropoff") {
     val rows = Events.funnel(spark, "/root/testdata/sf0.001").collect()
     // all three stages present: the 24h horizon must actually split users

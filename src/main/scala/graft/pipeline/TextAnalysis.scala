@@ -897,19 +897,23 @@ object TextAnalysis {
     * (`split(" ", -1)` ≡ Spark `split(text, ' ')` ≡ DuckDB
     * `string_split`).
     */
-  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+  /** The corpus text column, kernel-spread (see [[heavyHitters]]). */
+  private def hhTexts(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    val k = HeavyHittersK
-    def texts = graft.rel.Queries
+    graft.rel.Queries
       .spread(table(spark, dir, "documents").select(col("text")))
       .as[String]
-    def exactFull = texts
-      .select(explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token"))
-      .limit(k)
-    val partials = texts
+  }
+
+  /** Sketch pass of [[heavyHitters]]: per-partition Misra–Gries summary
+    * rows (token, c ≥ 1, np) plus one c=0 marker row per partition
+    * carrying the partition token total np. Exposed for PlanSuite — the
+    * only shuffle downstream of this frame is over ≤ cap × partitions
+    * summary rows.
+    */
+  private[graft] def hhPartials(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    hhTexts(spark, dir)
       .mapPartitions { it =>
         var np = 0L
         val counted = it.flatMap { t =>
@@ -926,6 +930,35 @@ object TextAnalysis {
           summary.iterator.map { case (tok, c) => (tok, c, np) }
       }
       .toDF("token", "c", "np")
+  }
+
+  /** Verification pass of [[heavyHitters]]: exact counts for the
+    * candidate tokens only — the candidate relation broadcasts and the
+    * semi-join filters BEFORE the count shuffle, so only candidate
+    * occurrences ever cross the wire. Exposed for PlanSuite.
+    */
+  private[graft] def hhVerify(
+      spark: SparkSession, dir: String, candidates: Seq[String]): DataFrame = {
+    import spark.implicits._
+    hhTexts(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(candidates.toDF("token")), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(HeavyHittersK)
+  }
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = HeavyHittersK
+    def exactFull = hhTexts(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+    val partials = hhPartials(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (err, candidates) =
       try {
@@ -943,14 +976,7 @@ object TextAnalysis {
         // UNION OF SUMMARIES (≤ capacity × partitions), never vocabulary
         (e, summed.filter(col("lb") + lit(e) >= lit(kthLb)).select(col("token")).as[String].collect())
       } finally partials.unpersist()
-    val verified = texts
-      .select(explode(split(col("text"), " ")).as("token"))
-      .join(broadcast(candidates.toSeq.toDF("token")), Seq("token"), "left_semi")
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token"))
-      .limit(k)
-      .collect()
+    val verified = hhVerify(spark, dir, candidates.toSeq).collect()
     // exactness certificate: every token absent from all summaries has
     // f ≤ err, so a verified k-th count > err proves no token outside the
     // candidate set belongs in the top k

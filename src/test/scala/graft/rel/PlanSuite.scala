@@ -2,6 +2,7 @@ package graft.rel
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -119,6 +120,38 @@ class PlanSuite extends AnyFunSuite {
     val ep = execPlan(graft.pipeline.TextAnalysis.quotaSample(spark, dir))
     assert("ObjectHashAggregate".r.findAllIn(ep).size >= 2, ep)
     assert(!plan(graft.pipeline.TextAnalysis.quotaSample(spark, dir)).contains("Window"))
+  }
+
+  test("q83: verify pass semi-joins a broadcast candidate relation before the count shuffle") {
+    val p = plan(graft.pipeline.TextAnalysis.hhVerify(spark, dir, Seq("the", "a", "of")))
+    // candidates reach executors via broadcast; the semi-join drops
+    // non-candidate tokens BEFORE any aggregation exchange
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // counting aggregates map-side first; final top-k is bounded, not a
+    // global sort
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.replaceFirst("TakeOrderedAndProject", "").contains("Sort ("), p)
+  }
+
+  test("q83: sketch pass shuffles only bounded summary rows") {
+    // the ONLY exchange downstream of the Misra-Gries kernel is over its
+    // summary rows (<= capacity x partitions) — the token-occurrence
+    // stream itself never shuffles
+    val summed = graft.pipeline.TextAnalysis
+      .hhPartials(spark, dir)
+      .filter(col("c") > 0L)
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("lb"))
+    val ep = execPlan(summed)
+    // exactly one HASH exchange (the summary-row groupBy); the only other
+    // exchange is the upstream round-robin spread of the single-file scan,
+    // which carries doc rows, not token occurrences
+    assert("Exchange hashpartitioning".r.findAllIn(ep).size == 1, ep)
+    assert("Exchange".r.findAllIn(ep).size == 2, ep)
+    assert(ep.contains("partial_sum"), ep)
+    assert(ep.contains("MapPartitions"), ep)
   }
 
   test("no declared query plans a cartesian product") {

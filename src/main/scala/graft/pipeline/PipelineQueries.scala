@@ -66,7 +66,8 @@ object PipelineQueries {
     "q80_substring_dup_winnowed" -> (Dedup.substringDupWinnowed _),
     "q81_sessions_stream_final" -> (Events.sessionsStreamFinal _),
     "q82_tumbling_stream_final" -> (Events.tumblingStreamFinal _),
-    "q83_heavy_hitters" -> (TextAnalysis.heavyHitters _)
+    "q83_heavy_hitters" -> (TextAnalysis.heavyHitters _),
+    "q84_enriched_segments_final" -> (Events.enrichedSegmentsFinal _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -632,6 +633,15 @@ object PipelineQueries {
     "q83_heavy_hitters" ->
       s"""SELECT w AS token, count(*) AS n
          |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |GROUP BY 1 ORDER BY n DESC, token LIMIT ${TextAnalysis.HeavyHittersK}""".stripMargin
+         |GROUP BY 1 ORDER BY n DESC, token LIMIT ${TextAnalysis.HeavyHittersK}""".stripMargin,
+
+    // Stream-static enrichment + complete-mode aggregation must equal the
+    // batch join + GROUP BY — values reach segments only through the
+    // per-micro-batch broadcast join.
+    "q84_enriched_segments_final" ->
+      """SELECT coalesce(c.c_mktsegment, '(unmatched)') AS mktsegment,
+        | count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

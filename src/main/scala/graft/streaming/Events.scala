@@ -515,6 +515,35 @@ object Events {
     }
   }
 
+  /** Declared-query wrapper driving [[enrichWithDim]] — stream-static
+    * broadcast enrichment — through a real streaming execution, feeding a
+    * COMPLETE-mode aggregation (the one output mode the other wrappers
+    * don't cover; complete needs no watermark, so a stateless enrichment
+    * → aggregate drain finalizes without a flush sentinel): per-segment
+    * event count + value sum, where segments only exist on the static
+    * customer dimension. The values can only reach their segment through
+    * the broadcast join inside the micro-batch, so equality with the
+    * batch join+GROUP BY oracle gates the enrichment path itself. The
+    * static side broadcasts per micro-batch and never becomes state; the
+    * aggregate is one row per segment.
+    */
+  def enrichedSegmentsFinal(spark: SparkSession, dir: String): DataFrame =
+    drainToLocal(
+      spark,
+      "enriched_segments_final",
+      { ss =>
+        val dim = ss.read
+          .parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("mktsegment"))
+        enrichWithDim(readEventStream(ss, dir), dim, "user_id")
+          .groupBy(coalesce(col("mktsegment"), lit("(unmatched)")).as("mktsegment"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      },
+      "complete") { t =>
+      t.select(col("mktsegment"), col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("mktsegment"))
+    }
+
   /** File-based stream source over an events parquet directory — the
     * production `readStream` shape (one file = one micro-batch at test
     * scale; schema comes from the batch table).

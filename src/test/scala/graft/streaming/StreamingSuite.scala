@@ -152,6 +152,24 @@ class StreamingSuite extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("q84: streamed enrichment + complete-mode aggregate equals the batch join + group-by") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Events.enrichedSegmentsFinal(spark, dir)
+    val batch = graft.rel.Queries.events(spark, dir)
+      .join(
+        spark.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("mktsegment")),
+        Seq("user_id"), "left")
+      .groupBy(org.apache.spark.sql.functions.coalesce(col("mktsegment"), org.apache.spark.sql.functions.lit("(unmatched)")).as("mktsegment"))
+      .agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.sum(col("value")), 2).as("sum_value"))
+    // every event's value can only reach its segment through the
+    // per-micro-batch broadcast join — equality gates the enrichment path
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("q75: funnel stages are sequenced and the horizon creates dropoff") {
     val rows = Events.funnel(spark, "/root/testdata/sf0.001").collect()
     // all three stages present: the 24h horizon must actually split users

@@ -67,7 +67,8 @@ object PipelineQueries {
     "q81_sessions_stream_final" -> (Events.sessionsStreamFinal _),
     "q82_tumbling_stream_final" -> (Events.tumblingStreamFinal _),
     "q83_heavy_hitters" -> (TextAnalysis.heavyHitters _),
-    "q84_enriched_segments_final" -> (Events.enrichedSegmentsFinal _)
+    "q84_enriched_segments_final" -> (Events.enrichedSegmentsFinal _),
+    "q85_stream_sink_roundtrip" -> (Events.streamSinkRoundtrip _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -642,6 +643,13 @@ object PipelineQueries {
       """SELECT coalesce(c.c_mktsegment, '(unmatched)') AS mktsegment,
         | count(*) AS n_events, round(sum(e.value), 2) AS sum_value
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The streamed parquet sink's committed files must round-trip every
+    // source row exactly once — row identity with the batch table IS the
+    // exactly-once gate.
+    "q85_stream_sink_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -544,6 +544,41 @@ object Events {
         .orderBy(col("mktsegment"))
     }
 
+  /** Declared-query wrapper gating the production FILE-SINK path — the
+    * one sink the memory-sink drains don't cover: the event stream
+    * writes through a parquet `writeStream` sink with a checkpoint
+    * (append mode, `Trigger.AvailableNow`), then the COMMITTED files are
+    * read back. The sink's commit log is what guarantees exactly-once
+    * output — every source row lands in exactly one committed file — so
+    * the read-back rows must equal the batch table row for row, which is
+    * the oracle. A fresh sink + checkpoint directory per invocation
+    * keeps re-runs independent (a reused checkpoint would no-op the
+    * second run: the source offsets are already committed).
+    */
+  def streamSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-sink-")
+    val q = readEventStream(ss, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$root/data")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // read back on the CALLER's session: only files the sink's commit
+    // log recorded are visible to this read (the _spark_metadata log)
+    // no arithmetic — a pure identity gate (parquet round-trips doubles
+    // bit-exactly, so the oracle needs no rounding)
+    spark.read
+      .parquet(s"$root/data")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** File-based stream source over an events parquet directory — the
     * production `readStream` shape (one file = one micro-batch at test
     * scale; schema comes from the batch table).

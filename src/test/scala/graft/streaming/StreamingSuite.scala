@@ -170,6 +170,17 @@ class StreamingSuite extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("q85: parquet file sink round-trips every source row exactly once") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Events.streamSinkRoundtrip(spark, dir)
+    val batch = graft.rel.Queries.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    // the sink's commit log is the exactly-once mechanism: no row lost,
+    // no row duplicated, values bit-exact through the parquet round-trip
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("q75: funnel stages are sequenced and the horizon creates dropoff") {
     val rows = Events.funnel(spark, "/root/testdata/sf0.001").collect()
     // all three stages present: the 24h horizon must actually split users

@@ -160,6 +160,23 @@ class PipelineSuite extends AnyFunSuite {
       s"corpus no longer certifies: kth=${expected.last._2} err=${n / (TextAnalysis.MgCapacity + 1L)}")
   }
 
+  test("heavy hitters: fewer distinct tokens than k falls back to the exact aggregation") {
+    import spark.implicits._
+    // 3 distinct tokens < k=20 -> the certificate (verified.length == k)
+    // cannot hold, so the full-aggregation fallback must produce the
+    // exact counts — the branch the certified sf corpus never takes
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hh-fallback-")
+    Seq(
+      (1L, "a a b", "en", "s1", 5L),
+      (2L, "b c", "en", "s1", 3L),
+      (3L, "a", "en", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.heavyHitters(spark, tmp.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
   test("misraGries: a decrement event can empty the summary (why heavyHitters carries marker rows for N)") {
     // m=1: "a" occupies the only counter; "b" arrives into a full map,
     // decrements a to 0 (evicted) and is itself NOT inserted — the

@@ -68,7 +68,8 @@ object PipelineQueries {
     "q82_tumbling_stream_final" -> (Events.tumblingStreamFinal _),
     "q83_heavy_hitters" -> (TextAnalysis.heavyHitters _),
     "q84_enriched_segments_final" -> (Events.enrichedSegmentsFinal _),
-    "q85_stream_sink_roundtrip" -> (Events.streamSinkRoundtrip _)
+    "q85_stream_sink_roundtrip" -> (Events.streamSinkRoundtrip _),
+    "q86_sliding_stream_final" -> (Events.slidingStreamFinal _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -650,6 +651,16 @@ object PipelineQueries {
     // exactly-once gate.
     "q85_stream_sink_roundtrip" ->
       """SELECT event_id, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // Streamed-append sliding windows under the flush sentinel — q29's
+    // oracle, finalized through real multi-window state.
+    "q86_sliding_stream_final" ->
+      """SELECT window_start::TIMESTAMP AS window_start, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start, value
+        |  FROM events CROSS JOIN (VALUES (0), (1)) t(k))
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

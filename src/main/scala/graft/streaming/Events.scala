@@ -281,6 +281,9 @@ object Events {
   def tumblingStream(ev: DataFrame, delay: String = "10 minutes"): DataFrame =
     tumbling(ev.withWatermark("ts", delay))
 
+  def slidingStream(ev: DataFrame, delay: String = "10 minutes"): DataFrame =
+    sliding(ev.withWatermark("ts", delay))
+
   def sessionsStream(ev: DataFrame, delay: String = "10 minutes"): DataFrame =
     sessions(ev.withWatermark("ts", delay))
 
@@ -509,6 +512,26 @@ object Events {
       spark,
       "tumbling_stream_final",
       ss => tumblingStream(readStagedEventStream(ss, dir, stage)),
+      "append") { t =>
+      t.filter(col("window_start") <= expr(s"timestamp_micros(${cutoffMicros}L)"))
+        .orderBy(col("window_start"))
+    }
+  }
+
+  /** [[tumblingStreamFinal]]'s sliding twin — every event lands in TWO
+    * overlapping windows, so append finalization additionally proves the
+    * state store tracks and flushes multiple concurrent windows per
+    * event; q29's batch oracle. Sentinel windows all start after the
+    * real-data cutoff (the sentinel sits one day out), so the same
+    * start-time filter removes exactly them.
+    */
+  def slidingStreamFinal(spark: SparkSession, dir: String): DataFrame = {
+    val (stage, maxNanos) = stageWithFlush(spark, dir)
+    val cutoffMicros = maxNanos / 1000L
+    drainToLocal(
+      spark,
+      "sliding_stream_final",
+      ss => slidingStream(readStagedEventStream(ss, dir, stage)),
       "append") { t =>
       t.filter(col("window_start") <= expr(s"timestamp_micros(${cutoffMicros}L)"))
         .orderBy(col("window_start"))

@@ -152,6 +152,16 @@ class StreamingSuite extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("q86: streamed-append sliding windows finalize to exactly the batch windows") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Events.slidingStreamFinal(spark, dir)
+    val batch = Events.slidingBatch(spark, dir)
+    // each event lives in TWO overlapping windows — finalization must
+    // flush every concurrently-open window, not just the latest
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("q84: streamed enrichment + complete-mode aggregate equals the batch join + group-by") {
     val dir = "/root/testdata/sf0.001"
     val got = Events.enrichedSegmentsFinal(spark, dir)

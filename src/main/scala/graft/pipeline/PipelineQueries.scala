@@ -69,7 +69,8 @@ object PipelineQueries {
     "q83_heavy_hitters" -> (TextAnalysis.heavyHitters _),
     "q84_enriched_segments_final" -> (Events.enrichedSegmentsFinal _),
     "q85_stream_sink_roundtrip" -> (Events.streamSinkRoundtrip _),
-    "q86_sliding_stream_final" -> (Events.slidingStreamFinal _)
+    "q86_sliding_stream_final" -> (Events.slidingStreamFinal _),
+    "q87_interval_join_stream_final" -> (Events.intervalJoinStreamFinal _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -661,6 +662,18 @@ object PipelineQueries {
         |FROM (
         |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start, value
         |  FROM events CROSS JOIN (VALUES (0), (1)) t(k))
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The interval join driven through a real multi-batch drain (split
+    // boundaries bisect matched pairs, so clicks join errors held in
+    // cross-batch join state) must still equal q69's batch join.
+    "q87_interval_join_stream_final" ->
+      """SELECT c.user_id, c.ts AS click_ts, c.value AS click_value,
+        | e.ts AS err_ts, e.value AS err_value
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id
+        | AND e.ts <= c.ts AND e.ts >= c.ts - INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click' AND e.event_type = 'error'
+        |ORDER BY c.user_id, click_ts, err_ts, click_value, err_value""".stripMargin
   )
 }

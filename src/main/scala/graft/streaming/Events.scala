@@ -466,6 +466,160 @@ object Events {
         (stage.toString, maxNanos)
       })
 
+  /** [[clicksWithRecentErrors]]'s default horizon in raw nanos. */
+  private val HorizonNanos = 30L * 60 * 1000000000L
+
+  /** (staged directory, boundary-bisected pair count) per source dir. */
+  private val timeSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+
+  /** Stages the events table as SEVERAL time-ordered files (one
+    * micro-batch each under `maxFilesPerTrigger=1`) plus a flush-sentinel
+    * file processed last. Unlike [[stageWithFlush]]'s single data file,
+    * the split boundaries here are chosen ADVERSARIALLY for the
+    * stream-stream interval join: up to three boundaries each bisect a
+    * matched (error, click) pair in event time, so the click arrives in a
+    * LATER micro-batch than the error it must join — the join can only
+    * produce it from error rows buffered in join state across a batch
+    * boundary. (A naive even split can't do this: the 30-minute horizon
+    * is ~0.1% of the table's 30-day span, so measured cross-slice pairs
+    * under an even 4-split are ZERO at every SF — every match would
+    * happen inside one batch and cross-batch state would go untested.)
+    * Slices stay time-ordered, so no event is ever watermark-late: batch
+    * i+1's rows are all newer than batch i's max, and an error is never
+    * evicted before its cross-boundary click arrives (watermark after
+    * batch i is max_i − delay < boundary − delay ≤ click_ts − delay,
+    * while the error lives until err_ts + horizon ≥ click_ts). The
+    * sentinel file carries BOTH a click and an error row at
+    * [[FlushSentinelUser]] one day past the table max, so the watermark
+    * on EACH join side advances past all real data and per-side state
+    * eviction actually runs before the closing no-data batch. Pair
+    * discovery collects the strict matched pairs — bounded
+    * test-staging cost (the pair set is the query's own output), not a
+    * production operator.
+    */
+  private[streaming] def stageTimeSplitWithFlush(spark: SparkSession, dir: String): (String, Int) =
+    timeSplitCache.computeIfAbsent(
+      dir,
+      { d =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$d/events.parquet")
+        val mm = raw.agg(min(col("ts")), max(col("ts"))).collect()(0)
+        val (minNanos, maxNanos) = (mm.getLong(0), mm.getLong(1))
+        // strict matched pairs (err strictly before click), in raw nanos
+        val clicks = raw.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts"))
+        val errs = raw.filter(col("event_type") === "error")
+          .select(col("user_id").as("eu"), col("ts").as("ets"))
+        val pairs = clicks
+          .join(
+            errs,
+            col("user_id") === col("eu") &&
+              col("ets") < col("cts") && col("ets") >= col("cts") - HorizonNanos)
+          .select(col("ets"), col("cts"))
+          .orderBy(col("cts"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        // greedy: up to 3 strictly-increasing midpoints, each inside its
+        // pair's (err_ts, click_ts] — that pair is then provably split
+        // across consecutive micro-batches
+        val boundaries = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var bisected = 0
+        pairs.foreach { case (ets, cts) =>
+          val b = ets + (cts - ets) / 2 + 1 // in (ets, cts]
+          if (boundaries.size < 3 && (boundaries.isEmpty || b > boundaries.last)) {
+            boundaries += b
+            bisected += 1
+          }
+        }
+        // degenerate data (no strict pairs): even time split — the drain
+        // is still multi-batch, just without guaranteed cross-batch pairs
+        if (boundaries.isEmpty) {
+          val span = maxNanos - minNanos + 1
+          (1 to 3).foreach(i => boundaries += minNanos + span * i / 4)
+        }
+        val cuts = (minNanos +: boundaries.toSeq :+ (maxNanos + 1)).distinct.sorted
+        val stage = java.nio.file.Files.createTempDirectory("graft-timesplit-stage-")
+        def writeOne(df: DataFrame, name: String, modMillis: Long): Unit = {
+          val tmpOut = stage.resolve(s"tmp_$name")
+          df.coalesce(1).write.parquet(tmpOut.toString)
+          val part = java.nio.file.Files
+            .list(tmpOut)
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst()
+            .get()
+          val dst = stage.resolve(name)
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(modMillis))
+        }
+        val now = System.currentTimeMillis()
+        val n = cuts.size - 1
+        // mod-time order = file-source processing order: slices oldest-
+        // first, sentinel last
+        cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+          writeOne(
+            raw.filter(col("ts") >= lo && col("ts") < hi),
+            f"$i%02d_events.parquet",
+            now - (n + 1 - i) * 60000L)
+        }
+        val sentinelNanos = maxNanos + 86400L * 1000000000L
+        def sentinelRow(tpe: String, id: Long): org.apache.spark.sql.Row =
+          org.apache.spark.sql.Row.fromSeq(raw.schema.fields.map { f =>
+            (f.name, f.dataType.typeName) match {
+              case ("ts", _) => sentinelNanos
+              case ("user_id", _) => FlushSentinelUser
+              case ("event_id", _) => id
+              case ("event_type", _) => tpe
+              case (_, "string") => "flush"
+              case (_, "double") => 0.0
+              case (_, "long") => -1L
+              case (_, "integer") => -1
+              case _ => null
+            }
+          }.toSeq)
+        writeOne(
+          spark.createDataFrame(
+            java.util.Arrays.asList(sentinelRow("click", -1L), sentinelRow("error", -2L)),
+            raw.schema),
+          f"$n%02d_sentinel.parquet",
+          now)
+        (stage.toString, bisected)
+      })
+
+  /** Declared-query wrapper driving [[clicksWithRecentErrors]] — the
+    * watermarked stream-stream interval join — through a REAL multi-batch
+    * streaming execution over a [[stageTimeSplitWithFlush]] directory.
+    * q69 gates the join's SEMANTICS on its batch twin; this gates the
+    * streaming EXECUTION: the staged split guarantees clicks whose
+    * matching error arrived in an earlier micro-batch (served from join
+    * state, not from the current batch), and the click+error sentinel
+    * pair advances both sides' watermarks so bounded-state eviction runs
+    * before the drain closes. Inner-join results emit as matched (append
+    * mode), so the drained rows must equal q69's batch join exactly.
+    */
+  def intervalJoinStreamFinal(spark: SparkSession, dir: String): DataFrame = {
+    val (stage, _) = stageTimeSplitWithFlush(spark, dir)
+    drainToLocal(
+      spark,
+      "interval_join_stream_final",
+      { ss =>
+        val ev = readStagedEventStream(ss, dir, stage)
+        clicksWithRecentErrors(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "error"))
+      },
+      "append") { t =>
+      t.filter(col("user_id") =!= FlushSentinelUser)
+        .select(
+          col("user_id"), col("click_ts"), col("click_value"),
+          col("err_ts"), col("err_value"))
+        .orderBy(
+          col("user_id"), col("click_ts"), col("err_ts"),
+          col("click_value"), col("err_value"))
+    }
+  }
+
   /** File stream over a [[stageWithFlush]] directory: one file per
     * micro-batch, real events first, sentinel last.
     */

@@ -162,6 +162,21 @@ class StreamingSuite extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("q87: multi-batch streamed interval join equals the batch twin, with cross-batch pairs") {
+    val dir = "/root/testdata/sf0.001"
+    // the staged split must have bisected at least one matched pair — a
+    // click in a later micro-batch than the error it joins, so the match
+    // can only come from join state carried across the batch boundary
+    val (stage, bisected) = Events.stageTimeSplitWithFlush(spark, dir)
+    assert(bisected >= 1, "no matched pair split across micro-batches")
+    val nFiles = java.nio.file.Files.list(java.nio.file.Paths.get(stage)).count()
+    assert(nFiles >= 3, s"expected multiple micro-batch files, got $nFiles")
+    val got = Events.intervalJoinStreamFinal(spark, dir)
+    val batch = Events.clicksWithRecentErrorsBatch(spark, dir)
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("q84: streamed enrichment + complete-mode aggregate equals the batch join + group-by") {
     val dir = "/root/testdata/sf0.001"
     val got = Events.enrichedSegmentsFinal(spark, dir)

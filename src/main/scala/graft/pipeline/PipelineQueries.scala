@@ -70,7 +70,8 @@ object PipelineQueries {
     "q84_enriched_segments_final" -> (Events.enrichedSegmentsFinal _),
     "q85_stream_sink_roundtrip" -> (Events.streamSinkRoundtrip _),
     "q86_sliding_stream_final" -> (Events.slidingStreamFinal _),
-    "q87_interval_join_stream_final" -> (Events.intervalJoinStreamFinal _)
+    "q87_interval_join_stream_final" -> (Events.intervalJoinStreamFinal _),
+    "q88_restart_recovery" -> (Events.restartRecoveryFinal _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -674,6 +675,15 @@ object PipelineQueries {
         |  ON c.user_id = e.user_id
         | AND e.ts <= c.ts AND e.ts >= c.ts - INTERVAL 30 MINUTE
         |WHERE c.event_type = 'click' AND e.event_type = 'error'
-        |ORDER BY c.user_id, click_ts, err_ts, click_value, err_value""".stripMargin
+        |ORDER BY c.user_id, click_ts, err_ts, click_value, err_value""".stripMargin,
+
+    // Two streaming executions over one checkpoint (stop after the first
+    // slices, restart, finish): recovered watermark + open-window state
+    // must still yield the batch tumbling aggregate exactly once — q82's
+    // oracle through a kill/restart boundary.
+    "q88_restart_recovery" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts)::TIMESTAMP AS window_start,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -469,9 +469,11 @@ object Events {
   /** [[clicksWithRecentErrors]]'s default horizon in raw nanos. */
   private val HorizonNanos = 30L * 60 * 1000000000L
 
-  /** (staged directory, boundary-bisected pair count) per source dir. */
+  /** (staged directory, boundary-bisected pair count, max raw event ts
+    * in nanos) per source dir.
+    */
   private val timeSplitCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int, Long)]()
 
   /** Stages the events table as SEVERAL time-ordered files (one
     * micro-batch each under `maxFilesPerTrigger=1`) plus a flush-sentinel
@@ -498,7 +500,7 @@ object Events {
     * test-staging cost (the pair set is the query's own output), not a
     * production operator.
     */
-  private[streaming] def stageTimeSplitWithFlush(spark: SparkSession, dir: String): (String, Int) =
+  private[streaming] def stageTimeSplitWithFlush(spark: SparkSession, dir: String): (String, Int, Long) =
     timeSplitCache.computeIfAbsent(
       dir,
       { d =>
@@ -584,7 +586,7 @@ object Events {
             raw.schema),
           f"$n%02d_sentinel.parquet",
           now)
-        (stage.toString, bisected)
+        (stage.toString, bisected, maxNanos)
       })
 
   /** Declared-query wrapper driving [[clicksWithRecentErrors]] — the
@@ -599,7 +601,7 @@ object Events {
     * mode), so the drained rows must equal q69's batch join exactly.
     */
   def intervalJoinStreamFinal(spark: SparkSession, dir: String): DataFrame = {
-    val (stage, _) = stageTimeSplitWithFlush(spark, dir)
+    val (stage, _, _) = stageTimeSplitWithFlush(spark, dir)
     drainToLocal(
       spark,
       "interval_join_stream_final",
@@ -618,6 +620,74 @@ object Events {
           col("user_id"), col("click_ts"), col("err_ts"),
           col("click_value"), col("err_value"))
     }
+  }
+
+  /** Declared-query wrapper gating CHECKPOINT RESTART RECOVERY — the
+    * fault-tolerance path none of the other wrappers touch (q85 proves
+    * exactly-once through one uninterrupted run; production failure means
+    * a NEW query process resuming someone else's checkpoint). Two
+    * separate streaming executions share one checkpoint: run 1 sees only
+    * the first two time-slice files of a [[stageTimeSplitWithFlush]]
+    * directory and drains them into a checkpointed parquet sink — ending
+    * with the tail windows of slice 1 still OPEN in the state store and
+    * the source offsets/watermark committed. The remaining slices and the
+    * flush sentinel are then added and run 2 starts from the SAME
+    * checkpoint: it must recover the watermark and open-window state
+    * (a lost watermark would re-finalize run 1's windows → duplicate
+    * sink rows; lost window state would undercount the recovered
+    * windows), process the rest, and flush everything. The committed
+    * files across BOTH runs must equal the batch tumbling aggregate
+    * exactly once — q82's oracle through a kill/restart boundary.
+    * A fresh sink+checkpoint per invocation keeps re-runs independent;
+    * the per-JVM staged source directory is copied per invocation since
+    * run 2 mutates the visible file set.
+    */
+  def restartRecoveryFinal(spark: SparkSession, dir: String): DataFrame = {
+    val (stage, _, maxNanos) = stageTimeSplitWithFlush(spark, dir)
+    val cutoffMicros = maxNanos / 1000L
+    val root = java.nio.file.Files.createTempDirectory("graft-restart-")
+    val src = java.nio.file.Files.createDirectory(root.resolve("src"))
+    val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    // name order == slice order == mod-time order (00_, 01_, …, sentinel)
+    java.nio.file.Files.list(java.nio.file.Paths.get(stage)).sorted()
+      .forEach(p => all += p)
+    def reveal(p: java.nio.file.Path): Unit = {
+      val dst = src.resolve(p.getFileName)
+      java.nio.file.Files.copy(p, dst)
+      // preserve the staged mod-time order (copy does not) — the file
+      // source processes by mod time under maxFilesPerTrigger=1
+      java.nio.file.Files.setLastModifiedTime(dst, java.nio.file.Files.getLastModifiedTime(p))
+    }
+    def drainRun(): Unit = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+      val q = tumblingStream(readStagedEventStream(ss, dir, src.toString))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$root/data")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    all.take(2).foreach(reveal)
+    drainRun() // run 1: partial data, open windows left in state
+    // the restart boundary must SPLIT the work, or this gate degenerates
+    // into q82: run 1 has to finalize some windows (watermark advanced
+    // and the sink committed before the stop) …
+    val run1Rows = spark.read.parquet(s"$root/data").count()
+    require(run1Rows > 0, "restart gate degenerate: run 1 committed no windows")
+    all.drop(2).foreach(reveal)
+    drainRun() // run 2: fresh execution recovers state from the checkpoint
+    val out = spark.read
+      .parquet(s"$root/data")
+      .filter(col("window_start") <= expr(s"timestamp_micros(${cutoffMicros}L)"))
+      .select(col("window_start"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"))
+    // … and run 2 has to add the recovered remainder on top of it
+    require(out.count() > run1Rows, "restart gate degenerate: run 2 added no windows")
+    out
   }
 
   /** File stream over a [[stageWithFlush]] directory: one file per

@@ -167,13 +167,25 @@ class StreamingSuite extends AnyFunSuite {
     // the staged split must have bisected at least one matched pair — a
     // click in a later micro-batch than the error it joins, so the match
     // can only come from join state carried across the batch boundary
-    val (stage, bisected) = Events.stageTimeSplitWithFlush(spark, dir)
+    val (stage, bisected, _) = Events.stageTimeSplitWithFlush(spark, dir)
     assert(bisected >= 1, "no matched pair split across micro-batches")
     val nFiles = java.nio.file.Files.list(java.nio.file.Paths.get(stage)).count()
     assert(nFiles >= 3, s"expected multiple micro-batch files, got $nFiles")
     val got = Events.intervalJoinStreamFinal(spark, dir)
     val batch = Events.clicksWithRecentErrorsBatch(spark, dir)
     assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
+  test("q88: restart from checkpoint recovers watermark and window state, exactly once") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Events.restartRecoveryFinal(spark, dir)
+    val batch = Events.tumblingBatch(spark, dir)
+    // run 2 is a NEW streaming execution resuming run 1's checkpoint: a
+    // lost watermark would re-emit run 1's finalized windows (duplicate
+    // rows), lost state would undercount the windows open at the stop —
+    // either breaks row-for-row equality with the batch aggregate
+    assert(got.count() == batch.count())
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 

@@ -71,7 +71,8 @@ object PipelineQueries {
     "q85_stream_sink_roundtrip" -> (Events.streamSinkRoundtrip _),
     "q86_sliding_stream_final" -> (Events.slidingStreamFinal _),
     "q87_interval_join_stream_final" -> (Events.intervalJoinStreamFinal _),
-    "q88_restart_recovery" -> (Events.restartRecoveryFinal _)
+    "q88_restart_recovery" -> (Events.restartRecoveryFinal _),
+    "q89_timer_sessions_final" -> (Events.timerSessionsFinal _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -684,6 +685,23 @@ object PipelineQueries {
     "q88_restart_recovery" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts)::TIMESTAMP AS window_start,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Event-time-timer sessionization must reproduce q30's gaps-and-
+    // islands sessions exactly: every session emitted once, either
+    // broken inline by a later event or expired by its inactivity timer.
+    "q89_timer_sessions_final" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        |SELECT user_id, min(ts)::TIMESTAMP AS session_start,
+        | max(ts)::TIMESTAMP AS last_event,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
   )
 }

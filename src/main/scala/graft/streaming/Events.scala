@@ -378,6 +378,125 @@ object Events {
     }
   }
 
+  /** [[TimerSessionizer]] state: one open session per user, times in
+    * event-time MICROS (the staged stream's timestamp precision).
+    */
+  case class TimerSessionState(start: Long, last: Long, n: Long, sum: Double)
+
+  /** Event-time-TIMER sessionizer via `transformWithState` — the timer
+    * half of the Spark 4 arbitrary-state API ([[EventTypeCounter]] covers
+    * typed state; this covers `registerTimer`/`handleExpiredTimer`).
+    * Semantics mirror [[sessions]]/q30 exactly: events merge into the
+    * open session when the gap is ≤ `gapMicros` (strictly larger starts
+    * a new one). A session is emitted EITHER inline, when a later event
+    * breaks it, OR from [[handleExpiredTimer]], when the watermark passes
+    * last_event + gap — the inactivity-timeout shape (abandoned carts,
+    * connection reaping) that pure window operators can't express.
+    * Determinism over a [[stageTimeSplitWithFlush]] drain: slices are
+    * disjoint ascending, so when a timer at last+gap expires (watermark =
+    * some batch max − delay ≥ last+gap), every future event's time
+    * exceeds that batch max > last+gap and can never merge into the
+    * expired session. Timers are re-armed on every input batch (old one
+    * deleted), so an in-batch merge always precedes expiry for its key.
+    */
+  class TimerSessionizer(gapMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Double), (Long, Long, Long, Long, Double)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var session: ValueState[TimerSessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[TimerSessionState](
+        "session", Encoders.product[TimerSessionState], TTLConfig.NONE)
+
+    private def micros(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        timers: TimerValues): Iterator[(Long, Long, Long, Long, Double)] = {
+      // batch-local sort: file order within a slice is arbitrary; cross-
+      // batch order is guaranteed by the ascending time slices
+      val sorted = rows.map { case (_, ts, v) => (micros(ts), v) }.toArray.sortBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
+      var st = if (session.exists()) session.get() else null
+      sorted.foreach { case (ts, v) =>
+        if (st == null) st = TimerSessionState(ts, ts, 1, v)
+        else if (ts - st.last > gapMicros) {
+          out += ((user, st.start, st.last, st.n, st.sum))
+          st = TimerSessionState(ts, ts, 1, v)
+        } else st = TimerSessionState(st.start, ts, st.n + 1, st.sum + v)
+      }
+      session.update(st)
+      // re-arm: exactly one live timer per key, at the open session's
+      // inactivity deadline (ms granularity; +1 rounds the micros
+      // truncation up so the timer never fires a hair early)
+      val h = getHandle
+      h.listTimers().foreach(t => h.deleteTimer(t))
+      h.registerTimer(st.last / 1000L + gapMicros / 1000L + 1L)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, Double)] =
+      if (session.exists()) {
+        val st = session.get()
+        session.clear()
+        Iterator((user, st.start, st.last, st.n, st.sum))
+      } else Iterator.empty
+  }
+
+  /** Per-user sessions via [[TimerSessionizer]] (event-time timers).
+    * Input must carry a watermark on `ts`; output times are micros.
+    */
+  def timerSessions(spark: SparkSession, ev: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    ev.withWatermark("ts", delay)
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp], col("value").as[Double])
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new TimerSessionizer(30L * 60 * 1000000L), TimeMode.EventTime(), OM.Update())
+      .toDF("user_id", "start_us", "last_us", "n_events", "sum_value")
+  }
+
+  /** Declared-query wrapper driving [[timerSessions]] through a real
+    * multi-batch drain: sessions accumulate in ValueState across slices,
+    * break inline, or are emitted by their inactivity timer once the
+    * watermark (pushed past everything by the flush sentinel) expires it.
+    * Every session is emitted exactly once, so the result must equal the
+    * batch [[sessions]] aggregate — q30's gaps-and-islands oracle now
+    * gating the event-time-timer path.
+    */
+  def timerSessionsFinal(spark: SparkSession, dir: String): DataFrame = {
+    val (stage, _, _) = stageTimeSplitWithFlush(spark, dir)
+    drainToLocal(
+      spark,
+      "timer_sessions_final",
+      { ss =>
+        ss.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        timerSessions(ss, readStagedEventStream(ss, dir, stage))
+      },
+      "update") { t =>
+      t.filter(col("user_id") =!= FlushSentinelUser)
+        .select(
+          col("user_id"),
+          expr("timestamp_micros(start_us)").as("session_start"),
+          expr("timestamp_micros(last_us)").as("last_event"),
+          col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }
+  }
+
   /** Per-user event-type counts via `transformWithState` (Spark 4 typed-
     * state operator). Emits one row per (user, type) touched in a batch
     * with the count so far.

@@ -189,6 +189,18 @@ class StreamingSuite extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("q89: event-time-timer sessions equal the batch session windows") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Events.timerSessionsFinal(spark, dir)
+    val batch = Events.sessionsBatch(spark, dir)
+    // sessions are emitted once each: inline when a later event breaks
+    // them, or from handleExpiredTimer once the watermark (driven past
+    // everything by the flush sentinel) passes last_event + gap — so the
+    // timer path must reproduce the session-window aggregate exactly
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("q84: streamed enrichment + complete-mode aggregate equals the batch join + group-by") {
     val dir = "/root/testdata/sf0.001"
     val got = Events.enrichedSegmentsFinal(spark, dir)

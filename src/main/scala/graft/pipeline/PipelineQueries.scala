@@ -72,7 +72,8 @@ object PipelineQueries {
     "q86_sliding_stream_final" -> (Events.slidingStreamFinal _),
     "q87_interval_join_stream_final" -> (Events.intervalJoinStreamFinal _),
     "q88_restart_recovery" -> (Events.restartRecoveryFinal _),
-    "q89_timer_sessions_final" -> (Events.timerSessionsFinal _)
+    "q89_timer_sessions_final" -> (Events.timerSessionsFinal _),
+    "q90_interval_join_outer_final" -> (Events.intervalJoinOuterStreamFinal _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -702,6 +703,19 @@ object PipelineQueries {
         |SELECT user_id, min(ts)::TIMESTAMP AS session_start,
         | max(ts)::TIMESTAMP AS last_event,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // LEFT OUTER stream-stream interval join: unmatched clicks null-pad
+    // only after the watermark proves no in-horizon error can arrive —
+    // the outer-finalization path, hash-gated against the batch LEFT
+    // JOIN (error conditions in ON, not WHERE, so unmatched rows live).
+    "q90_interval_join_outer_final" ->
+      """SELECT c.user_id, c.ts AS click_ts, c.value AS click_value,
+        | e.ts AS err_ts, e.value AS err_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id
+        | AND e.ts <= c.ts AND e.ts >= c.ts - INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_ts, err_ts, click_value, err_value""".stripMargin
   )
 }

@@ -334,7 +334,8 @@ object Events {
       clicks: DataFrame,
       errors: DataFrame,
       delay: String = "10 minutes",
-      horizon: String = "30 minutes"): DataFrame = {
+      horizon: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", delay)
       .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
     val e = errors.withWatermark("ts", delay)
@@ -343,7 +344,8 @@ object Events {
       e,
       col("user_id") === col("e_user") &&
         col("err_ts") <= col("click_ts") &&
-        col("err_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
+        col("err_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"),
+      joinType)
       .drop("e_user")
   }
 
@@ -729,6 +731,41 @@ object Events {
         clicksWithRecentErrors(
           ev.filter(col("event_type") === "click"),
           ev.filter(col("event_type") === "error"))
+      },
+      "append") { t =>
+      t.filter(col("user_id") =!= FlushSentinelUser)
+        .select(
+          col("user_id"), col("click_ts"), col("click_value"),
+          col("err_ts"), col("err_value"))
+        .orderBy(
+          col("user_id"), col("click_ts"), col("err_ts"),
+          col("click_value"), col("err_value"))
+    }
+  }
+
+  /** [[intervalJoinStreamFinal]]'s LEFT OUTER twin — a genuinely
+    * different execution path: inner-join rows emit eagerly as matched,
+    * but an outer join's unmatched clicks can only emit (null-padded)
+    * once the watermark proves no in-horizon error can still arrive, so
+    * this gates the outer-join state-FINALIZATION machinery the inner
+    * drain never touches. The sentinel advances both watermarks past all
+    * real data, so every unmatched click null-pads before the drain
+    * closes; matched rows must equal q87's and the union must equal the
+    * batch LEFT JOIN row set (q90's oracle). The sentinel click matches
+    * the sentinel error (same user/ts), so no null-padded sentinel row
+    * survives the user filter either way.
+    */
+  def intervalJoinOuterStreamFinal(spark: SparkSession, dir: String): DataFrame = {
+    val (stage, _, _) = stageTimeSplitWithFlush(spark, dir)
+    drainToLocal(
+      spark,
+      "interval_join_outer_stream_final",
+      { ss =>
+        val ev = readStagedEventStream(ss, dir, stage)
+        clicksWithRecentErrors(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "error"),
+          joinType = "leftOuter")
       },
       "append") { t =>
       t.filter(col("user_id") =!= FlushSentinelUser)

@@ -189,6 +189,22 @@ class StreamingSuite extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("q90: left-outer streamed interval join equals the batch left join, nulls included") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Events.intervalJoinOuterStreamFinal(spark, dir)
+    val ev = graft.rel.Queries.events(spark, dir)
+    val batch = Events.clicksWithRecentErrors(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "error"),
+      joinType = "leftOuter")
+      .select(col("user_id"), col("click_ts"), col("click_value"), col("err_ts"), col("err_value"))
+    // every unmatched click must null-pad exactly once (watermark-driven
+    // finalization), every matched click exactly its match rows
+    assert(got.count() == batch.count())
+    assert(got.filter(col("err_ts").isNull).count() > 0, "no unmatched clicks — outer path untested")
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("q89: event-time-timer sessions equal the batch session windows") {
     val dir = "/root/testdata/sf0.001"
     val got = Events.timerSessionsFinal(spark, dir)

@@ -554,6 +554,40 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** L2 composition — CANONICAL REPRESENTATIVE SELECTION, the step that
+    * turns dedup groups into a training corpus: per near-dup group keep
+    * the highest-quality member ([[TextAnalysis.qualityScore]]'s
+    * composite; ties broken to the lowest doc_id), singletons keep
+    * themselves. This is the "dedup, then keep the best copy" pass every
+    * production pipeline runs between grouping and training — the group
+    * labels alone don't say WHICH duplicate survives.
+    *
+    * Shape at 100 TB: one broadcast-or-shuffle join of the corpus onto
+    * the (much smaller) group-label frame, one join onto the quality
+    * frame (both key-partitioned on doc_id), and one hash aggregation on
+    * the group key whose `max_by(struct)` argmax keeps partial
+    * aggregation — no window sort over the corpus, no driver collection.
+    * Ranking compares the ROUNDED quality (4 dp, exactly the q23-green
+    * value) so the argmax is engine-portable, then doc_id descending
+    * inside the struct so the max picks the LOWEST id on ties.
+    */
+  def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    val groups = dedupGroups(spark, dir) // (doc_id, canonical_id) — grouped docs only
+    val quality = TextAnalysis.qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"))
+      .join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("canonical_id"), col("doc_id")).as("group_id"))
+      .join(quality, "doc_id")
+      .groupBy(col("group_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("kept_doc"),
+        max(col("quality")).as("quality"))
+      .select(col("group_id"), col("kept_doc"), col("n_members"), col("quality"))
+      .orderBy(col("group_id"))
+  }
+
   /** Min-label propagation with pointer jumping over an undirected pair
     * graph. Returns (converged (node, lbl) frame, rounds taken). Every
     * label value is itself a node id of the same component (labels start

@@ -73,7 +73,8 @@ object PipelineQueries {
     "q87_interval_join_stream_final" -> (Events.intervalJoinStreamFinal _),
     "q88_restart_recovery" -> (Events.restartRecoveryFinal _),
     "q89_timer_sessions_final" -> (Events.timerSessionsFinal _),
-    "q90_interval_join_outer_final" -> (Events.intervalJoinOuterStreamFinal _)
+    "q90_interval_join_outer_final" -> (Events.intervalJoinOuterStreamFinal _),
+    "q91_canonical_docs" -> (Dedup.canonicalDocs _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -716,6 +717,50 @@ object PipelineQueries {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
         |  ON c.user_id = e.user_id
         | AND e.ts <= c.ts AND e.ts >= c.ts - INTERVAL 30 MINUTE
-        |ORDER BY c.user_id, click_ts, err_ts, click_value, err_value""".stripMargin
+        |ORDER BY c.user_id, click_ts, err_ts, click_value, err_value""".stripMargin,
+
+    // Canonical representative selection: q58's groups + q23's quality,
+    // keep the best member per group (ties -> lowest doc_id), singletons
+    // keep themselves. Ranks on the 4-dp ROUNDED quality both engines
+    // already hash-agree on (q23), so the argmax is portable.
+    "q91_canonical_docs" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 3
+        |             THEN list_distinct(list_transform(range(1, len(w)-1),
+        |                    i -> array_to_string(w[i:i+2], ' ')))
+        |             ELSE [] END AS sh
+        |      FROM d),
+        |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s WHERE len(sh) > 0),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2, count(*) AS c
+        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT d1, d2 FROM p WHERE 1.0*c/(n1+n2-c) >= 0.5),
+        |ed AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+        |r(a, b) AS (SELECT a, b FROM ed
+        |            UNION
+        |            SELECT r.a, ed.b FROM r JOIN ed ON r.b = ed.a),
+        |lab AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM r GROUP BY a),
+        |qual AS (SELECT doc_id,
+        |    round(ln(1+len(w)) * (1 - stop_hits/len(w)) * (1 - punct/length(text)), 4) AS quality
+        |  FROM (
+        |    SELECT doc_id, text, string_split(text, ' ') AS w,
+        |      1.0*len(list_filter(string_split(text, ' '),
+        |          x -> x IN ('the','a','and','of','to','in','is','it'))) AS stop_hits,
+        |      1.0*length(regexp_replace(text, '[a-z ]', '', 'g')) AS punct
+        |    FROM documents)),
+        |g AS (SELECT dd.doc_id, coalesce(l.canonical_id, dd.doc_id) AS group_id, q.quality
+        |      FROM documents dd
+        |      LEFT JOIN lab l ON dd.doc_id = l.doc_id
+        |      JOIN qual q ON dd.doc_id = q.doc_id),
+        |rk AS (SELECT group_id, doc_id, quality,
+        |        row_number() OVER (PARTITION BY group_id
+        |                           ORDER BY quality DESC, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY group_id) AS n_members,
+        |        max(quality) OVER (PARTITION BY group_id) AS maxq
+        |      FROM g)
+        |SELECT group_id, doc_id AS kept_doc, n_members, maxq AS quality
+        |FROM rk WHERE rn = 1 ORDER BY group_id""".stripMargin
   )
 }

@@ -543,6 +543,26 @@ class PipelineSuite extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("canonical docs: best-quality member survives per group, singletons keep themselves") {
+    val groups = Dedup.dedupGroups(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = TextAnalysis.qualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val got = Dedup.canonicalDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // model: group every doc by its (coalesced) label, keep argmax quality
+    // with lowest-doc_id tie-break
+    val byGroup = quality.keys.groupBy(d => groups.getOrElse(d, d))
+    val expected = byGroup.map { case (g, members) =>
+      val kept = members.minBy(d => (-quality(d), d))
+      (g, kept, members.size.toLong, members.map(quality).max)
+    }.toSet
+    assert(got.toSet == expected)
+    // coverage: every doc is in exactly one group; real dup groups exist
+    assert(got.map(_._3).sum == quality.size)
+    assert(got.exists(_._3 > 1), "no multi-member dup group — selection untested")
+  }
+
   test("k-means matches a driver-side Lloyd model (margin-robust)") {
     import spark.implicits._
     val vecs = graft.rel.Queries.table(spark, dir, "embeddings")

@@ -122,6 +122,16 @@ class PlanSuite extends AnyFunSuite {
     assert(!plan(graft.pipeline.TextAnalysis.quotaSample(spark, dir)).contains("Window"))
   }
 
+  test("q91: canonical selection is a partial-agg argmax, not a corpus window sort") {
+    val df = graft.pipeline.Dedup.canonicalDocs(spark, dir)
+    val ep = execPlan(df)
+    // max_by argmax must keep its map-side partial phase (partial_max_by
+    // before the group-key exchange), and nothing may plan a Window —
+    // a row_number-per-group rewrite would sort the whole corpus
+    assert(ep.contains("partial_max_by") || ep.contains("partial_maxby"), ep)
+    assert(!plan(df).contains("Window"), "corpus-wide window sort crept into q91")
+  }
+
   test("q83: verify pass semi-joins a broadcast candidate relation before the count shuffle") {
     val p = plan(graft.pipeline.TextAnalysis.hhVerify(spark, dir, Seq("the", "a", "of")))
     // candidates reach executors via broadcast; the semi-join drops

@@ -562,23 +562,25 @@ object Dedup {
     * production pipeline runs between grouping and training — the group
     * labels alone don't say WHICH duplicate survives.
     *
-    * Shape at 100 TB: one broadcast-or-shuffle join of the corpus onto
-    * the (much smaller) group-label frame, one join onto the quality
-    * frame (both key-partitioned on doc_id), and one hash aggregation on
-    * the group key whose `max_by(struct)` argmax keeps partial
-    * aggregation — no window sort over the corpus, no driver collection.
+    * Shape at 100 TB: the quality frame already carries exactly one row
+    * per corpus document, so it IS the doc enumeration — one join of it
+    * onto the (much smaller) group-label frame and one hash aggregation
+    * on the group key whose `max_by(struct)` argmax keeps partial
+    * aggregation — no second corpus scan, no window sort, no driver
+    * collection.
     * Ranking compares the ROUNDED quality (4 dp, exactly the q23-green
     * value) so the argmax is engine-portable, then doc_id descending
     * inside the struct so the max picks the LOWEST id on ties.
     */
   def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
     val groups = dedupGroups(spark, dir) // (doc_id, canonical_id) — grouped docs only
-    val quality = TextAnalysis.qualityScore(spark, dir).select(col("doc_id"), col("quality"))
-    table(spark, dir, "documents")
-      .select(col("doc_id"))
+    TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
       .join(groups, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("canonical_id"), col("doc_id")).as("group_id"))
-      .join(quality, "doc_id")
+      .select(
+        col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("group_id"),
+        col("quality"))
       .groupBy(col("group_id"))
       .agg(
         count(lit(1)).as("n_members"),

@@ -334,7 +334,7 @@ object Events {
       clicks: DataFrame,
       errors: DataFrame,
       delay: String = "10 minutes",
-      horizon: String = "30 minutes",
+      horizon: String = s"$IntervalJoinHorizonMinutes minutes",
       joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", delay)
       .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
@@ -552,34 +552,12 @@ object Events {
         val stage = java.nio.file.Files.createTempDirectory("graft-flush-stage-")
         val evDst = stage.resolve("00_events.parquet")
         java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"), evDst)
-        // sentinel row in the RAW schema (ts is long nanos under the
-        // legacy conf), one day past the table max
-        val sentinelNanos = maxNanos + 86400L * 1000000000L
-        val values = raw.schema.fields.map { f =>
-          (f.name, f.dataType.typeName) match {
-            case ("ts", _) => sentinelNanos
-            case ("user_id", _) => FlushSentinelUser
-            case ("event_id", _) => -1L
-            case (_, "string") => "flush"
-            case (_, "double") => 0.0
-            case (_, "long") => -1L
-            case (_, "integer") => -1
-            case _ => null
-          }
-        }
-        val row: org.apache.spark.sql.Row = org.apache.spark.sql.Row.fromSeq(values.toSeq)
-        val tmpOut = stage.resolve("sentinel_tmp")
-        spark
-          .createDataFrame(java.util.Arrays.asList(row), raw.schema)
-          .coalesce(1)
-          .write
-          .parquet(tmpOut.toString)
-        val part = java.nio.file.Files
-          .list(tmpOut)
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst()
-          .get()
-        java.nio.file.Files.move(part, stage.resolve("01_sentinel.parquet"))
+        writeSingleParquet(
+          spark.createDataFrame(
+            java.util.Arrays.asList(sentinelRow(raw.schema, maxNanos, "flush", -1L)),
+            raw.schema),
+          stage.resolve("01_sentinel.parquet"),
+          System.currentTimeMillis())
         // mod-time order = processing order for the file source
         java.nio.file.Files.setLastModifiedTime(
           evDst,
@@ -587,8 +565,60 @@ object Events {
         (stage.toString, maxNanos)
       })
 
-  /** [[clicksWithRecentErrors]]'s default horizon in raw nanos. */
-  private val HorizonNanos = 30L * 60 * 1000000000L
+  /** Sentinel row in the RAW events schema (ts long nanos under the
+    * legacy conf), one day past the table max — shared by both staging
+    * paths so a schema change is handled in exactly one match block.
+    */
+  private def sentinelRow(
+      schema: org.apache.spark.sql.types.StructType,
+      maxNanos: Long,
+      tpe: String,
+      id: Long): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row.fromSeq(schema.fields.map { f =>
+      (f.name, f.dataType.typeName) match {
+        case ("ts", _) => maxNanos + 86400L * 1000000000L
+        case ("user_id", _) => FlushSentinelUser
+        case ("event_id", _) => id
+        case ("event_type", _) => tpe
+        case (_, "string") => "flush"
+        case (_, "double") => 0.0
+        case (_, "long") => -1L
+        case (_, "integer") => -1
+        case _ => null
+      }
+    }.toSeq)
+
+  /** Writes `df` as exactly one parquet file at `dst` with the given mod
+    * time. Spark's working directory (part files, _SUCCESS, .crc) is
+    * deleted after the move, so a staged directory contains DATA FILES
+    * ONLY — listings of it (the file source, [[restartRecoveryFinal]]'s
+    * reveal copy) never see write-side litter.
+    */
+  private def writeSingleParquet(df: DataFrame, dst: java.nio.file.Path, modMillis: Long): Unit = {
+    val tmpOut = java.nio.file.Files.createTempDirectory(dst.getParent, "graft-write-tmp-")
+    val outDir = tmpOut.resolve("out")
+    df.coalesce(1).write.parquet(outDir.toString)
+    val part = java.nio.file.Files
+      .list(outDir)
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst()
+      .get()
+    java.nio.file.Files.move(part, dst)
+    java.nio.file.Files.setLastModifiedTime(
+      dst, java.nio.file.attribute.FileTime.fromMillis(modMillis))
+    java.nio.file.Files.walk(tmpOut).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  /** Stream-stream interval-join horizon in minutes — the ONE source for
+    * both the join's default horizon and the staging pair discovery; two
+    * independent constants would let them drift and silently void the
+    * bisected-pair guarantee.
+    */
+  val IntervalJoinHorizonMinutes = 30L
+
+  /** [[IntervalJoinHorizonMinutes]] in raw nanos. */
+  private val HorizonNanos = IntervalJoinHorizonMinutes * 60 * 1000000000L
 
   /** (staged directory, boundary-bisected pair count, max raw event ts
     * in nanos) per source dir.
@@ -616,10 +646,13 @@ object Events {
     * sentinel file carries BOTH a click and an error row at
     * [[FlushSentinelUser]] one day past the table max, so the watermark
     * on EACH join side advances past all real data and per-side state
-    * eviction actually runs before the closing no-data batch. Pair
-    * discovery collects the strict matched pairs — bounded
-    * test-staging cost (the pair set is the query's own output), not a
-    * production operator.
+    * eviction actually runs before the closing no-data batch. Boundary
+    * selection targets the ¼/½/¾ points of the time span and picks the
+    * matched pair whose midpoint lands nearest each target (one
+    * TakeOrdered row per target — no pair set ever reaches the driver):
+    * earliest-first selection would cluster every cut at the span start
+    * on pair-dense data, leaving [[restartRecoveryFinal]]'s run 1 with
+    * almost no span and its committed-windows guard near zero.
     */
   private[streaming] def stageTimeSplitWithFlush(spark: SparkSession, dir: String): (String, Int, Long) =
     timeSplitCache.computeIfAbsent(
@@ -629,83 +662,57 @@ object Events {
         val raw = spark.read.parquet(s"$d/events.parquet")
         val mm = raw.agg(min(col("ts")), max(col("ts"))).collect()(0)
         val (minNanos, maxNanos) = (mm.getLong(0), mm.getLong(1))
-        // strict matched pairs (err strictly before click), in raw nanos
+        // strict matched pairs (err strictly before click), in raw nanos;
+        // b = midpoint + 1 lies in (err_ts, click_ts], so a cut at b
+        // provably splits that pair across consecutive micro-batches
         val clicks = raw.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("cts"))
         val errs = raw.filter(col("event_type") === "error")
           .select(col("user_id").as("eu"), col("ts").as("ets"))
-        val pairs = clicks
+        val pairMids = clicks
           .join(
             errs,
             col("user_id") === col("eu") &&
               col("ets") < col("cts") && col("ets") >= col("cts") - HorizonNanos)
-          .select(col("ets"), col("cts"))
-          .orderBy(col("cts"))
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-        // greedy: up to 3 strictly-increasing midpoints, each inside its
-        // pair's (err_ts, click_ts] — that pair is then provably split
-        // across consecutive micro-batches
-        val boundaries = scala.collection.mutable.ArrayBuffer.empty[Long]
-        var bisected = 0
-        pairs.foreach { case (ets, cts) =>
-          val b = ets + (cts - ets) / 2 + 1 // in (ets, cts]
-          if (boundaries.size < 3 && (boundaries.isEmpty || b > boundaries.last)) {
-            boundaries += b
-            bisected += 1
-          }
-        }
+          // integer DIV: Spark's `/` promotes longs to double, whose ulp
+          // at nano-epoch magnitude (~2^60) is hundreds of ns
+          .select(expr("ets + (cts - ets) DIV 2 + 1").as("b"))
+          .persist()
+        // one bisecting pair near each ¼/½/¾ span target: TakeOrdered —
+        // one row to the driver per target, never the pair set
+        val targets = (1 to 3).map(k => minNanos + (maxNanos - minNanos + 1) * k / 4)
+        val picked = targets.flatMap { t =>
+          pairMids.orderBy(abs(col("b") - t)).limit(1).collect().headOption.map(_.getLong(0))
+        }.distinct.sorted
+        pairMids.unpersist()
+        val bisected = picked.size
         // degenerate data (no strict pairs): even time split — the drain
         // is still multi-batch, just without guaranteed cross-batch pairs
-        if (boundaries.isEmpty) {
-          val span = maxNanos - minNanos + 1
-          (1 to 3).foreach(i => boundaries += minNanos + span * i / 4)
-        }
-        val cuts = (minNanos +: boundaries.toSeq :+ (maxNanos + 1)).distinct.sorted
+        val boundaries =
+          if (picked.nonEmpty) picked
+          else {
+            val span = maxNanos - minNanos + 1
+            (1 to 3).map(i => minNanos + span * i / 4)
+          }
+        val cuts = (minNanos +: boundaries :+ (maxNanos + 1)).distinct.sorted
         val stage = java.nio.file.Files.createTempDirectory("graft-timesplit-stage-")
-        def writeOne(df: DataFrame, name: String, modMillis: Long): Unit = {
-          val tmpOut = stage.resolve(s"tmp_$name")
-          df.coalesce(1).write.parquet(tmpOut.toString)
-          val part = java.nio.file.Files
-            .list(tmpOut)
-            .filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst()
-            .get()
-          val dst = stage.resolve(name)
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(
-            dst, java.nio.file.attribute.FileTime.fromMillis(modMillis))
-        }
         val now = System.currentTimeMillis()
         val n = cuts.size - 1
         // mod-time order = file-source processing order: slices oldest-
         // first, sentinel last
         cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
-          writeOne(
+          writeSingleParquet(
             raw.filter(col("ts") >= lo && col("ts") < hi),
-            f"$i%02d_events.parquet",
+            stage.resolve(f"$i%02d_events.parquet"),
             now - (n + 1 - i) * 60000L)
         }
-        val sentinelNanos = maxNanos + 86400L * 1000000000L
-        def sentinelRow(tpe: String, id: Long): org.apache.spark.sql.Row =
-          org.apache.spark.sql.Row.fromSeq(raw.schema.fields.map { f =>
-            (f.name, f.dataType.typeName) match {
-              case ("ts", _) => sentinelNanos
-              case ("user_id", _) => FlushSentinelUser
-              case ("event_id", _) => id
-              case ("event_type", _) => tpe
-              case (_, "string") => "flush"
-              case (_, "double") => 0.0
-              case (_, "long") => -1L
-              case (_, "integer") => -1
-              case _ => null
-            }
-          }.toSeq)
-        writeOne(
+        writeSingleParquet(
           spark.createDataFrame(
-            java.util.Arrays.asList(sentinelRow("click", -1L), sentinelRow("error", -2L)),
+            java.util.Arrays.asList(
+              sentinelRow(raw.schema, maxNanos, "click", -1L),
+              sentinelRow(raw.schema, maxNanos, "error", -2L)),
             raw.schema),
-          f"$n%02d_sentinel.parquet",
+          stage.resolve(f"$n%02d_sentinel.parquet"),
           now)
         (stage.toString, bisected, maxNanos)
       })
@@ -721,27 +728,8 @@ object Events {
     * before the drain closes. Inner-join results emit as matched (append
     * mode), so the drained rows must equal q69's batch join exactly.
     */
-  def intervalJoinStreamFinal(spark: SparkSession, dir: String): DataFrame = {
-    val (stage, _, _) = stageTimeSplitWithFlush(spark, dir)
-    drainToLocal(
-      spark,
-      "interval_join_stream_final",
-      { ss =>
-        val ev = readStagedEventStream(ss, dir, stage)
-        clicksWithRecentErrors(
-          ev.filter(col("event_type") === "click"),
-          ev.filter(col("event_type") === "error"))
-      },
-      "append") { t =>
-      t.filter(col("user_id") =!= FlushSentinelUser)
-        .select(
-          col("user_id"), col("click_ts"), col("click_value"),
-          col("err_ts"), col("err_value"))
-        .orderBy(
-          col("user_id"), col("click_ts"), col("err_ts"),
-          col("click_value"), col("err_value"))
-    }
-  }
+  def intervalJoinStreamFinal(spark: SparkSession, dir: String): DataFrame =
+    intervalJoinDrain(spark, dir, "interval_join_stream_final", "inner")
 
   /** [[intervalJoinStreamFinal]]'s LEFT OUTER twin — a genuinely
     * different execution path: inner-join rows emit eagerly as matched,
@@ -755,17 +743,28 @@ object Events {
     * the sentinel error (same user/ts), so no null-padded sentinel row
     * survives the user filter either way.
     */
-  def intervalJoinOuterStreamFinal(spark: SparkSession, dir: String): DataFrame = {
+  def intervalJoinOuterStreamFinal(spark: SparkSession, dir: String): DataFrame =
+    intervalJoinDrain(spark, dir, "interval_join_outer_stream_final", "leftOuter")
+
+  /** Shared drain for the two interval-join gates: the click/error split,
+    * sentinel filter, projection, and total ordering must stay identical
+    * between the inner and outer variants or their oracles diverge.
+    */
+  private def intervalJoinDrain(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      joinType: String): DataFrame = {
     val (stage, _, _) = stageTimeSplitWithFlush(spark, dir)
     drainToLocal(
       spark,
-      "interval_join_outer_stream_final",
+      name,
       { ss =>
         val ev = readStagedEventStream(ss, dir, stage)
         clicksWithRecentErrors(
           ev.filter(col("event_type") === "click"),
           ev.filter(col("event_type") === "error"),
-          joinType = "leftOuter")
+          joinType = joinType)
       },
       "append") { t =>
       t.filter(col("user_id") =!= FlushSentinelUser)
@@ -804,9 +803,10 @@ object Events {
     val root = java.nio.file.Files.createTempDirectory("graft-restart-")
     val src = java.nio.file.Files.createDirectory(root.resolve("src"))
     val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    // name order == slice order == mod-time order (00_, 01_, …, sentinel)
+    // name order == slice order == mod-time order (00_, 01_, …, sentinel);
+    // data files only, even if the stage dir ever grows other entries
     java.nio.file.Files.list(java.nio.file.Paths.get(stage)).sorted()
-      .forEach(p => all += p)
+      .forEach(p => if (p.getFileName.toString.endsWith(".parquet")) all += p)
     def reveal(p: java.nio.file.Path): Unit = {
       val dst = src.resolve(p.getFileName)
       java.nio.file.Files.copy(p, dst)

@@ -38,17 +38,24 @@ object Events {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
 
-  /** S2 — session windows per user with a 30-minute inactivity gap. The
-    * session END is emitted as last-event time (window.end − gap) so the
-    * batch oracle can reproduce it with max(ts).
+  /** Session inactivity gap in minutes — one source for the
+    * session-window operator, the timer sessionizer, and their tests
+    * (the oracles' INTERVAL 30 MINUTE literals are pinned by hash).
+    */
+  val SessionGapMinutes = 30L
+
+  /** S2 — session windows per user with a [[SessionGapMinutes]]
+    * inactivity gap. The session END is emitted as last-event time
+    * (window.end − gap) so the batch oracle can reproduce it with
+    * max(ts).
     */
   def sessions(ev: DataFrame): DataFrame =
-    ev.groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+    ev.groupBy(session_window(col("ts"), s"$SessionGapMinutes minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .select(
         col("user_id"),
         col("w.start").as("session_start"),
-        (col("w.end") - expr("INTERVAL 30 MINUTES")).as("last_event"),
+        (col("w.end") - expr(s"INTERVAL $SessionGapMinutes MINUTES")).as("last_event"),
         col("n_events"),
         col("sum_value"))
 
@@ -464,7 +471,9 @@ object Events {
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .transformWithState(
-        new TimerSessionizer(30L * 60 * 1000000L), TimeMode.EventTime(), OM.Update())
+        new TimerSessionizer(SessionGapMinutes * 60 * 1000000L),
+        TimeMode.EventTime(),
+        OM.Update())
       .toDF("user_id", "start_us", "last_us", "n_events", "sum_value")
   }
 

@@ -189,6 +189,69 @@ class StreamingSuite extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("q89 model: random event sets through multi-batch timers equal the session model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // RocksDB provider on the SHARED test session for the duration
+    // (transformWithState requires it); restored in finally — suites run
+    // sequentially in the forked test JVM
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(42)
+      for (trial <- 1 to 4) {
+        val base = ts("2024-01-01 00:00:00").getTime
+        // per-user DISTINCT minute offsets: ts ties within a user would
+        // make the in-batch sort order (and double-sum order) ambiguous
+        val events = (1 to (2 + rnd.nextInt(4))).flatMap { user =>
+          val offs = scala.collection.mutable.SortedSet.empty[Int]
+          (0 until (3 + rnd.nextInt(8))).foreach(_ => offs += rnd.nextInt(600))
+          offs.toSeq.map(m => (new Timestamp(base + m * 60000L), user.toLong, (m % 7).toDouble))
+        }.sortBy(_._1.getTime)
+        val input = MemoryStream[(Timestamp, Long, Double)]
+        val q = Events.timerSessions(spark, input.toDF.toDF("ts", "user_id", "value"))
+          .writeStream.format("memory").queryName(s"timer_model_$trial")
+          .outputMode(OutputMode.Update()).start()
+        try {
+          // three time-ordered chunks of the sorted sequence = the same
+          // disjoint-ascending micro-batch shape the staged drain proves
+          // deterministic; then a far-future flush event fires all timers
+          val (c1, c2) = (events.size / 3, 2 * events.size / 3)
+          Seq(events.slice(0, c1), events.slice(c1, c2), events.drop(c2))
+            .filter(_.nonEmpty)
+            .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+          input.addData((new Timestamp(base + 100L * 86400000L), -1L, 0.0))
+          q.processAllAvailable()
+          val got = spark.table(s"timer_model_$trial")
+            .filter(col("user_id") =!= -1L)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+            .toSet
+          val gapUs = Events.SessionGapMinutes * 60 * 1000000L
+          val model = events.groupBy(_._2).flatMap { case (u, evs) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
+            var start = -1L; var last = -1L; var n = 0L; var sum = 0.0
+            evs.sortBy(_._1.getTime).foreach { case (t, _, v) =>
+              val us = t.getTime * 1000L
+              if (start < 0) { start = us; last = us; n = 1; sum = v }
+              else if (us - last > gapUs) {
+                out += ((u, start, last, n, sum)); start = us; last = us; n = 1; sum = v
+              } else { last = us; n += 1; sum += v }
+            }
+            if (start >= 0) out += ((u, start, last, n, sum))
+            out
+          }.toSet
+          assert(got == model, s"trial $trial: $got vs $model")
+        } finally q.stop()
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("q90: left-outer streamed interval join equals the batch left join, nulls included") {
     val dir = "/root/testdata/sf0.001"
     val got = Events.intervalJoinOuterStreamFinal(spark, dir)

@@ -74,7 +74,9 @@ object PipelineQueries {
     "q88_restart_recovery" -> (Events.restartRecoveryFinal _),
     "q89_timer_sessions_final" -> (Events.timerSessionsFinal _),
     "q90_interval_join_outer_final" -> (Events.intervalJoinOuterStreamFinal _),
-    "q91_canonical_docs" -> (Dedup.canonicalDocs _)
+    "q91_canonical_docs" -> (Dedup.canonicalDocs _),
+    "q94_pq_codes" -> (Similarity.pqCodes _),
+    "q95_skipgram_pairs" -> (TextAnalysis.skipgramPairs _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -761,6 +763,20 @@ object PipelineQueries {
         |        max(quality) OVER (PARTITION BY group_id) AS maxq
         |      FROM g)
         |SELECT group_id, doc_id AS kept_doc, n_members, maxq AS quality
-        |FROM rk WHERE rn = 1 ORDER BY group_id""".stripMargin
+        |FROM rk WHERE rn = 1 ORDER BY group_id""".stripMargin,
+
+    // q94 (PQ codes) is rows-only: per-subspace Lloyd refinement, same
+    // reason as q59. q95's unnest oracle mirrors the kernel's forward
+    // pairs at distances 1..SkipgramWindow; the (cnt DESC, w1, w2) order
+    // is total so the LIMIT boundary is deterministic in both engines.
+    "q95_skipgram_pairs" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |i AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM t),
+        |p AS (
+        |  SELECT w[i] AS w1, w[i+1] AS w2 FROM i WHERE i + 1 <= len(w)
+        |  UNION ALL
+        |  SELECT w[i] AS w1, w[i+2] AS w2 FROM i WHERE i + 2 <= len(w))
+        |SELECT w1, w2, count(*) AS cnt FROM p GROUP BY w1, w2
+        |ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin
   )
 }

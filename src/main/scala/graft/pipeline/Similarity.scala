@@ -337,6 +337,110 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // ---- product quantization ---------------------------------------------
+
+  /** PQ geometry ([[pqCodes]]): M subspaces × K centroids per subspace.
+    * The 64-dim corpus splits into 8 subvectors of 8 dims; a code is one
+    * nibble per subspace (8 × log2 16 = 32 bits per vector vs 64 × 8
+    * bytes of float64 — a 128× compression), the Jégou-et-al.-2011 IVF-PQ
+    * compressed-residual shape at the codebook sizes real ANN indexes use
+    * per segment.
+    */
+  val PqM = 8
+  val PqK = 16
+  val PqIters = 5
+
+  /** Nearest sub-centroid for the subvector of `v` starting at `off` —
+    * the JIT'd inner loop shared by the distributed passes and the
+    * PipelineSuite model.
+    */
+  private[pipeline] def nearestSub(
+      cents: Array[Array[Double]], v: Array[Double], off: Int): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < cv.length) { val t = v(off + i) - cv(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** L3 — product quantization: per-subspace Lloyd codebooks (same
+    * deterministic lowest-vec_id init and broadcast/partial-sum update
+    * discipline as [[kmeans]] — driver state is M×K×subDim regardless of
+    * corpus size, all M subspaces train in ONE pass per iteration), then
+    * one assignment pass emitting each vector's M-nibble code and its
+    * reconstruction error. This is the compression half of an IVF-PQ ANN
+    * index: at 100 TB the codebook is still a few KB broadcast while the
+    * corpus never leaves its partitions (the two `collect`s are the k×dim
+    * partial-sum merge and nothing else). Declared rows-only (iterative
+    * refinement, like q59) with a margin-robust same-algorithm model test
+    * in PipelineSuite.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir).select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    val init = vecs.orderBy(col("vec_id")).limit(PqK).collect().map(_._2)
+    val dim = init.head.length
+    require(dim % PqM == 0, s"dim $dim not divisible by $PqM subspaces")
+    val subDim = dim / PqM
+    // cents(m)(k) = subspace m's k-th centroid; k clamps to corpus size
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
+      init.map(v => java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim))
+    }
+    var iter = 0
+    while (iter < PqIters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val sums = vecs.rdd
+        .flatMap { case (_, v) =>
+          val cs = bc.value
+          Iterator.tabulate(cs.length) { m =>
+            val sub = java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim)
+            ((m, nearestSub(cs(m), v, m * subDim)), (sub, 1L))
+          }
+        }
+        .reduceByKey { (x, y) =>
+          val s = new Array[Double](x._1.length)
+          var i = 0
+          while (i < s.length) { s(i) = x._1(i) + y._1(i); i += 1 }
+          (s, x._2 + y._2)
+        }
+        .collect()
+        .toMap
+      bc.unpersist(blocking = false)
+      cents = Array.tabulate(PqM) { m =>
+        Array.tabulate(cents(m).length) { c =>
+          sums.get((m, c)).map { case (s, n) => s.map(_ / n) }.getOrElse(cents(m)(c))
+        }
+      }
+      iter += 1
+    }
+    val bc = spark.sparkContext.broadcast(cents)
+    vecs
+      .map { case (id, v) =>
+        val cs = bc.value
+        val codes = new Array[Int](cs.length)
+        var err = 0.0
+        var m = 0
+        while (m < cs.length) {
+          val c = nearestSub(cs(m), v, m * subDim)
+          codes(m) = c
+          val cv = cs(m)(c)
+          var i = 0
+          while (i < cv.length) { val t = v(m * subDim + i) - cv(i); err += t * t; i += 1 }
+          m += 1
+        }
+        (id, codes.toSeq, err)
+      }
+      .toDF("vec_id", "codes", "recon_error")
+      .orderBy(col("vec_id"))
+  }
+
   // ---- embedding-cosine near-dup (all-pairs, LSH-bucketed) --------------
 
   /** All-pairs near-dup threshold (see PipelineQueries probe: the corpus

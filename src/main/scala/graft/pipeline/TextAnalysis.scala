@@ -350,6 +350,61 @@ object TextAnalysis {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /** Skip-gram context window (max token distance) and result size for
+    * [[skipgramPairs]].
+    */
+  val SkipgramWindow = 2
+  val SkipgramTopK = 50
+
+  /** Forward skip-gram pairs of one document: (wᵢ, wᵢ₊d) for every
+    * 1 ≤ d ≤ window — the word2vec/SGNS training-pair extraction. Lazy
+    * iterator for the same reason as [[bigramKernel]]: the Catalyst
+    * sequence/transform expansion is CodegenFallback and allocates a
+    * struct per pair; this JIT'd loop emits plain tuples.
+    */
+  private[pipeline] def skipgramKernel(
+      text: String, window: Int): Iterator[(String, String)] = {
+    val w = text.split(" ")
+    if (w.length < 2) Iterator.empty
+    else new Iterator[(String, String)] {
+      private var i = 0
+      private var d = 1
+      def hasNext: Boolean = i + d < w.length && d <= window
+      def next(): (String, String) = {
+        val p = (w(i), w(i + d))
+        if (d < window && i + d + 1 < w.length) d += 1
+        else { i += 1; d = 1 }
+        p
+      }
+    }
+  }
+
+  /** L4 — skip-gram co-occurrence counts: the (center, context) pair
+    * extraction word2vec-style embedding training runs over a corpus,
+    * surfaced as the [[SkipgramTopK]] most frequent pairs. One kernel
+    * pass emits pairs directly from each document's token array — no
+    * posexplode + positional self-join, which would shuffle the token
+    * table twice and join on position ranges. The count aggregation
+    * map-side-combines the Zipfian head before its shuffle (bounded by
+    * |distinct pairs|, not corpus tokens), and the final top-k is
+    * TakeOrderedAndProject — k rows per partition cross the last
+    * exchange. Ordering (cnt DESC, w1, w2) is total, so the k-boundary
+    * is deterministic and the query hash-gates against a DuckDB unnest
+    * oracle.
+    */
+  def skipgramPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.rel.Queries
+      .spread(table(spark, dir, "documents").select(col("text")))
+      .as[String]
+      .mapPartitions(_.flatMap(skipgramKernel(_, SkipgramWindow)))
+      .toDF("w1", "w2")
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(SkipgramTopK)
+  }
+
   /** Salt for [[sourceMix]]'s hash — independent of [[SplitSalt]] so the
     * mix and the split draws are uncorrelated.
     */

@@ -270,6 +270,42 @@ object Oracles {
         | round(avg(value), 4) AS avg_value,
         | round(max(value), 2) AS max_value,
         | count(*) AS n_events
-        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q92_full_outer_join" ->
+      """WITH rich AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 5000),
+        |spenders AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         round(sum(o_totalprice), 2) AS total_spent
+        |  FROM orders GROUP BY o_custkey
+        |  HAVING round(sum(o_totalprice), 2) > 2500000)
+        |SELECT coalesce(c_custkey, o_custkey) AS cust_id, c_name, c_acctbal,
+        |       n_orders, total_spent
+        |FROM rich FULL OUTER JOIN spenders ON c_custkey = o_custkey
+        |ORDER BY cust_id""".stripMargin,
+
+    "q93_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |mx AS (SELECT max(o_orderkey) AS m FROM base),
+        |changes AS (
+        |  SELECT o_orderkey AS k, 'D' AS op, NULL::BIGINT AS new_custkey,
+        |         NULL::VARCHAR AS new_status, NULL::DOUBLE AS new_price
+        |  FROM base WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', o_custkey, o_orderstatus,
+        |         o_totalprice * 2
+        |  FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + mx.m + 1, 'I', o_custkey, 'O', 100.0
+        |  FROM base, mx WHERE o_orderkey % 101 = 0)
+        |SELECT coalesce(base.o_orderkey, changes.k) AS o_orderkey,
+        |       coalesce(changes.new_custkey, base.o_custkey) AS o_custkey,
+        |       coalesce(changes.new_status, base.o_orderstatus) AS o_orderstatus,
+        |       coalesce(changes.new_price, base.o_totalprice) AS o_totalprice
+        |FROM base FULL OUTER JOIN changes ON base.o_orderkey = changes.k
+        |WHERE changes.op IS NULL OR changes.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

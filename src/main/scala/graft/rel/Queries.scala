@@ -529,6 +529,83 @@ object Queries {
       .orderBy(col("window_id"))
   }
 
+  /** R3 — full outer join, the one outer shape q03–q05 don't cover:
+    * high-balance customers reconciled against big-spender order
+    * aggregates. Both predicates are chosen so each side contributes
+    * unmatched rows (left-only: rich customers who spent little;
+    * right-only: big spenders with modest balances) — the null-padding
+    * paths on BOTH sides execute. The agg side is pre-aggregated to one
+    * row per key before the join, so the full-outer shuffle moves one
+    * row per customer, never the orders table; at scale both sides are
+    * key-partitioned and AQE picks sort-merge.
+    */
+  def q92FullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val rich = table(spark, dir, "customer")
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val spenders = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_spent"))
+      .filter(col("total_spent") > 2500000.0)
+    rich
+      .join(spenders, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("cust_id"),
+        col("c_name"),
+        col("c_acctbal"),
+        col("n_orders"),
+        col("total_spent"))
+      .orderBy(col("cust_id"))
+  }
+
+  /** CDC merge / upsert (MERGE INTO semantics): apply a change feed —
+    * updates, deletes, and inserts — to the orders snapshot and emit the
+    * new snapshot. The feed is derived deterministically from the
+    * snapshot itself so the oracle can rebuild it: keys ≡ 0 (mod 13) are
+    * deleted, keys ≡ 0 (mod 7) are re-priced ×2 (delete wins on
+    * overlap, the usual CDC precedence; the doubling is exact in binary
+    * FP, so Spark and DuckDB agree bit-for-bit — ×1.1 would hit
+    * round-half ties where the two engines' round() semantics diverge),
+    * and each key ≡ 0 (mod 101)
+    * produces an insert at key + max_key + 1. The apply itself is one
+    * key-partitioned full-outer join of snapshot vs changes with
+    * per-row op precedence — the standard distributed MERGE shape: at
+    * 100 TB both sides hash-partition on the key (or co-locate via
+    * bucketing) and no driver-side state exists. The max-key lookup is a
+    * 1-row scalar agg used only to mint collision-free insert keys.
+    */
+  def q93MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    val maxKey = base.agg(max(col("o_orderkey"))).head().getLong(0)
+    val deletes = base
+      .filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("k"), lit("D").as("op"),
+        lit(null).cast("long").as("new_custkey"),
+        lit(null).cast("string").as("new_status"),
+        lit(null).cast("double").as("new_price"))
+    val updates = base
+      .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("k"), lit("U").as("op"),
+        col("o_custkey").as("new_custkey"), col("o_orderstatus").as("new_status"),
+        (col("o_totalprice") * 2).as("new_price"))
+    val inserts = base
+      .filter(col("o_orderkey") % 101 === 0)
+      .select((col("o_orderkey") + maxKey + 1).as("k"), lit("I").as("op"),
+        col("o_custkey").as("new_custkey"), lit("O").as("new_status"),
+        lit(100.0).as("new_price"))
+    val changes = deletes.unionAll(updates).unionAll(inserts)
+    base
+      .join(changes, col("o_orderkey") === col("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("o_orderkey"), col("k")).as("o_orderkey"),
+        coalesce(col("new_custkey"), col("o_custkey")).as("o_custkey"),
+        coalesce(col("new_status"), col("o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -560,6 +637,8 @@ object Queries {
     "q53_bucketed_join" -> (q53BucketedJoin _),
     "q64_percentile_approx" -> (q64PercentileApprox _),
     "q65_mr_wordcount_algebraic" -> (q65MrWordCountAlgebraic _),
-    "q72_daily_stats" -> (q72DailyStats _)
+    "q72_daily_stats" -> (q72DailyStats _),
+    "q92_full_outer_join" -> (q92FullOuterJoin _),
+    "q93_merge_upsert" -> (q93MergeUpsert _)
   )
 }

@@ -598,6 +598,83 @@ class PipelineSuite extends AnyFunSuite {
     assert(checked > vecs.length / 2) // the margin filter must not trivialize
   }
 
+  test("pq codes match a driver-side product-quantization model (margin-robust)") {
+    import spark.implicits._
+    val vecs = graft.rel.Queries.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val dim = vecs.head._2.length
+    val subDim = dim / Similarity.PqM
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(Similarity.PqM) { m =>
+      vecs.take(Similarity.PqK).map { case (_, v) =>
+        java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim)
+      }
+    }
+    for (_ <- 0 until Similarity.PqIters) {
+      cents = Array.tabulate(Similarity.PqM) { m =>
+        val byC = vecs.groupBy { case (_, v) => Similarity.nearestSub(cents(m), v, m * subDim) }
+        Array.tabulate(Similarity.PqK) { c =>
+          byC.get(c) match {
+            case Some(members) =>
+              val s = new Array[Double](subDim)
+              members.foreach { case (_, v) =>
+                for (i <- 0 until subDim) s(i) += v(m * subDim + i)
+              }
+              s.map(_ / members.length)
+            case None => cents(m)(c)
+          }
+        }
+      }
+    }
+    val got = Similarity.pqCodes(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Int](1).toArray, r.getDouble(2))).toMap
+    assert(got.size == vecs.length)
+    got.values.foreach { case (codes, err) =>
+      assert(codes.length == Similarity.PqM && codes.forall(c => c >= 0 && c < Similarity.PqK))
+      assert(err >= 0.0)
+    }
+    // per (vector, subspace): expect the model's code unless the top-2
+    // margin is within FP noise of the order-sensitive distributed sums
+    var checked = 0
+    vecs.foreach { case (id, v) =>
+      (0 until Similarity.PqM).foreach { m =>
+        val d = cents(m).map { c =>
+          var s = 0.0
+          for (i <- 0 until subDim) { val t = v(m * subDim + i) - c(i); s += t * t }
+          s
+        }
+        val best = d.indices.minBy(d)
+        val margin = d.sorted.tail.head - d(best)
+        if (margin > 1e-9) { assert(got(id)._1(m) == best, s"vec $id sub $m"); checked += 1 }
+      }
+    }
+    assert(checked > vecs.length * Similarity.PqM / 2)
+  }
+
+  test("skip-gram pairs match a driver-side window model") {
+    import spark.implicits._
+    val docs = graft.rel.Queries.table(spark, dir, "documents")
+      .select("text").as[String].collect()
+    val model = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { t =>
+      val w = t.split(" ")
+      for (i <- w.indices; d <- 1 to TextAnalysis.SkipgramWindow if i + d < w.length)
+        model((w(i), w(i + d))) = model.getOrElse((w(i), w(i + d)), 0L) + 1
+    }
+    val expect = model.toSeq
+      .sortBy { case ((w1, w2), c) => (-c, w1, w2) }
+      .take(TextAnalysis.SkipgramTopK)
+      .map { case ((w1, w2), c) => (w1, w2, c) }
+    val got = TextAnalysis.skipgramPairs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // the kernel alone agrees with a naive nested-loop expansion
+    val t = docs.head
+    val w = t.split(" ")
+    val naive = (for (i <- w.indices; d <- 1 to 2 if i + d < w.length) yield (w(i), w(i + d))).toSeq
+    assert(TextAnalysis.skipgramKernel(t, 2).toSeq == naive)
+  }
+
   test("split assignment: deterministic, fractions near 90/5/5") {
     val a = TextAnalysis.splitAssign(spark, dir).collect().map(r => (r.getLong(0), r.getString(1)))
     val b = TextAnalysis.splitAssign(spark, dir).collect().map(r => (r.getLong(0), r.getString(1)))

@@ -164,6 +164,32 @@ class PlanSuite extends AnyFunSuite {
     assert(ep.contains("MapPartitions"), ep)
   }
 
+  test("q95: skip-gram pairs are one kernel pass; counts partial-agg; top-k bounded") {
+    val df = graft.pipeline.TextAnalysis.skipgramPairs(spark, dir)
+    val p = plan(df)
+    val ep = execPlan(df)
+    // pairs come from the typed kernel, not a posexplode + positional
+    // self-join (no Generate, no Join anywhere)
+    assert(ep.contains("MapPartitions"), ep)
+    assert(!p.contains("Generate") && !p.contains("Join"), p)
+    // pair counts combine map-side; the final top-k is the k-bounded
+    // TakeOrderedAndProject, never a global sort
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.replaceFirst("TakeOrderedAndProject", "").contains("Sort ("), p)
+  }
+
+  test("q92/q93: outer joins are key-partitioned sort-merge, agg side pre-reduced") {
+    val p92 = plan(Queries.q92FullOuterJoin(spark, dir))
+    assert(p92.contains("SortMergeJoin") && p92.contains("FullOuter"), p92)
+    // the orders aggregate reduces to one row per customer BEFORE the
+    // join (partial + final agg upstream of the join exchange)
+    assert(p92.contains("partial_count"), p92)
+    val p93 = plan(Queries.q93MergeUpsert(spark, dir))
+    assert(p93.contains("SortMergeJoin") && p93.contains("FullOuter"), p93)
+    assert(!p93.contains("CartesianProduct"), p93)
+  }
+
   test("no declared query plans a cartesian product") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))

@@ -554,6 +554,43 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Salt for [[leakageSafeSplit]]'s group hash — independent of
+    * [[TextAnalysis.SplitSalt]] so the group deal and the per-doc deal
+    * are uncorrelated draws.
+    */
+  val GroupSplitSalt = "gsplit:"
+
+  /** L2/L4 composition — LEAKAGE-SAFE train/val/test split: the split is
+    * dealt per near-dup GROUP (md5 of the salted canonical id, same
+    * md5-prefix range gates as [[TextAnalysis.splitAssign]]), and every
+    * member inherits its group's split. A per-document split puts
+    * near-duplicates of training documents into the eval set — the
+    * classic contamination that inflates eval numbers; splitting at the
+    * group level is how production corpora prevent it. Plan shape: the
+    * converged [[dedupGroups]] labels (nodes of the pair graph only)
+    * left-join the corpus id list, singletons coalesce to themselves, and
+    * the gate is one narrow hash — nothing here shuffles the text.
+    * Hash-gated: the oracle composes q58's recursive-CTE labels with
+    * q60's gate expression.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val groups = dedupGroups(spark, dir) // (doc_id, canonical_id), graph nodes only
+    val docs = table(spark, dir, "documents").select(col("doc_id"))
+    val withGroup = docs
+      .join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("canonical_id"), col("doc_id")).as("group_id"))
+    val h = md5(concat(lit(GroupSplitSalt), col("group_id").cast("string")))
+    withGroup
+      .select(
+        col("doc_id"),
+        col("group_id"),
+        when(h < TextAnalysis.TrainUpper, "train")
+          .when(h < TextAnalysis.ValUpper, "val")
+          .otherwise("test")
+          .as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** L2 composition — CANONICAL REPRESENTATIVE SELECTION, the step that
     * turns dedup groups into a training corpus: per near-dup group keep
     * the highest-quality member ([[TextAnalysis.qualityScore]]'s

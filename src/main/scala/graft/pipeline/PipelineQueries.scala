@@ -76,7 +76,9 @@ object PipelineQueries {
     "q90_interval_join_outer_final" -> (Events.intervalJoinOuterStreamFinal _),
     "q91_canonical_docs" -> (Dedup.canonicalDocs _),
     "q94_pq_codes" -> (Similarity.pqCodes _),
-    "q95_skipgram_pairs" -> (TextAnalysis.skipgramPairs _)
+    "q95_skipgram_pairs" -> (TextAnalysis.skipgramPairs _),
+    "q96_group_split" -> (Dedup.leakageSafeSplit _),
+    "q97_pq_ann" -> (Similarity.pqAnn _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -777,6 +779,37 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT w[i] AS w1, w[i+2] AS w2 FROM i WHERE i + 2 <= len(w))
         |SELECT w1, w2, count(*) AS cnt FROM p GROUP BY w1, w2
-        |ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin
+        |ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // q96: q58's recursive-CTE group labels + q60's md5 range gates,
+    // dealt on the salted canonical id so every group member lands in
+    // the same split. q97 (PQ-ADC ANN) is rows-only: quantized
+    // distances, same reason as q94/q59.
+    "q96_group_split" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 3
+        |             THEN list_distinct(list_transform(range(1, len(w)-1),
+        |                    i -> array_to_string(w[i:i+2], ' ')))
+        |             ELSE [] END AS sh
+        |      FROM d),
+        |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s WHERE len(sh) > 0),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2, count(*) AS c
+        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT d1, d2 FROM p WHERE 1.0*c/(n1+n2-c) >= 0.5),
+        |ed AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+        |r(a, b) AS (SELECT a, b FROM ed
+        |            UNION
+        |            SELECT r.a, ed.b FROM r JOIN ed ON r.b = ed.a),
+        |lab AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM r GROUP BY a),
+        |g AS (SELECT dd.doc_id, coalesce(l.canonical_id, dd.doc_id) AS group_id
+        |      FROM documents dd LEFT JOIN lab l ON dd.doc_id = l.doc_id)
+        |SELECT doc_id, group_id,
+        | CASE WHEN md5('gsplit:' || group_id::VARCHAR) < 'e6' THEN 'train'
+        |      WHEN md5('gsplit:' || group_id::VARCHAR) < 'f3' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM g ORDER BY doc_id""".stripMargin
   )
 }

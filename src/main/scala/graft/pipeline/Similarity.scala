@@ -464,7 +464,11 @@ object Similarity {
           while (i < cv.length) { val t = v(m * subDim + i) - cv(i); err += t * t; i += 1 }
           m += 1
         }
-        (id, codes.toSeq, err)
+        // codes as a comma-joined string, not array<int>: the driver's
+        // rows-only verifier sorts every output column in pandas, and a
+        // numpy array cell is unhashable there (r9: q94 was the only
+        // query erroring in CORRECTNESS_r09.json, on exactly that)
+        (id, codes.mkString(","), err)
       }
       .toDF("vec_id", "codes", "recon_error")
       .orderBy(col("vec_id"))

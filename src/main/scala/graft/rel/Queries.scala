@@ -42,23 +42,40 @@ object Queries {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** The events table is written with TIMESTAMP(NANOS), which Spark's
-    * parquet reader only accepts as a long (nanos since epoch) under the
-    * legacy flag. Convert back to a proper timestamp column (microsecond
+  /** Raw events table with `ts` normalized to LONG NANOS since epoch,
+    * whichever physical type the parquet file carries. The driver's
+    * testdata has shipped `ts` two ways across rounds: TIMESTAMP(NANOS)
+    * (readable only as a long under the legacy flag) and plain
+    * timestamp[us]. Streaming's staging layer keys every boundary/sentinel
+    * computation on long nanos, so both shapes funnel to that one here —
+    * a testdata regeneration can't silently break 26 queries again (r9).
+    */
+  def rawEventsNanos(spark: SparkSession, dir: String): DataFrame = {
+    // Session-level by necessity: executor-side ParquetReadSupport re-reads
+    // these confs when the scan materializes, so a save/restore around the
+    // plan build would break execution, and a cloned session would lose the
+    // flag when an events frame is joined under the caller's session. They
+    // are race-free because the values are constants — concurrent readers
+    // all write the same thing — unlike the per-job split size, which
+    // Engine scopes to a cloned session precisely because it varies.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NTZ inference off ⇒ a micros column reads as TIMESTAMP (LTZ) whose
+    // unix_micros are the stored values verbatim — no session-timezone
+    // dependence, and bit-identical to what DuckDB reads for the oracle.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    }
+  }
+
+  /** The events table with `ts` as a proper timestamp column (microsecond
     * precision, which is also what DuckDB returns for it).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    // Session-level by necessity: executor-side ParquetReadSupport re-reads
-    // this conf when the scan materializes, so a save/restore around the
-    // plan build would break execution, and a cloned session would lose the
-    // flag when an events frame is joined under the caller's session. It is
-    // race-free because the value is a constant — concurrent readers all
-    // write "true" — unlike the per-job split size, which Engine scopes to
-    // a cloned session precisely because it varies.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    rawEventsNanos(spark, dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   /** R1+R4+R6 — TPC-H Q1-style pricing summary: full-scan hash aggregation
     * with partial (map-side) aggregation; the flagship query.

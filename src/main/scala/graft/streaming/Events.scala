@@ -555,22 +555,21 @@ object Events {
     stageCache.computeIfAbsent(
       dir,
       { d =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = spark.read.parquet(s"$d/events.parquet")
+        // normalized to long-nanos ts whatever the source file's physical
+        // type — the staged files then carry ONE schema both sentinel
+        // construction and the staged readStream can rely on
+        val raw = graft.rel.Queries.rawEventsNanos(spark, d)
         val maxNanos = raw.agg(max(col("ts"))).collect()(0).getLong(0)
         val stage = java.nio.file.Files.createTempDirectory("graft-flush-stage-")
         val evDst = stage.resolve("00_events.parquet")
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"), evDst)
+        // mod-time order = processing order for the file source
+        writeSingleParquet(raw, evDst, System.currentTimeMillis() - 60000)
         writeSingleParquet(
           spark.createDataFrame(
             java.util.Arrays.asList(sentinelRow(raw.schema, maxNanos, "flush", -1L)),
             raw.schema),
           stage.resolve("01_sentinel.parquet"),
           System.currentTimeMillis())
-        // mod-time order = processing order for the file source
-        java.nio.file.Files.setLastModifiedTime(
-          evDst,
-          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
         (stage.toString, maxNanos)
       })
 
@@ -667,8 +666,7 @@ object Events {
     timeSplitCache.computeIfAbsent(
       dir,
       { d =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = spark.read.parquet(s"$d/events.parquet")
+        val raw = graft.rel.Queries.rawEventsNanos(spark, d)
         val mm = raw.agg(min(col("ts")), max(col("ts"))).collect()(0)
         val (minNanos, maxNanos) = (mm.getLong(0), mm.getLong(1))
         // strict matched pairs (err strictly before click), in raw nanos;
@@ -859,8 +857,10 @@ object Events {
     * micro-batch, real events first, sentinel last.
     */
   private def readStagedEventStream(ss: SparkSession, dir: String, stagedDir: String): DataFrame = {
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = ss.read.parquet(s"$dir/events.parquet").schema
+    // staged files are written by [[stageWithFlush]]/[[stageTimeSplitWithFlush]]
+    // with ts ALREADY normalized to long nanos, whatever the source table's
+    // physical type — so probe the STAGED schema, not the source's
+    val schema = ss.read.parquet(stagedDir).schema
     ss.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -997,13 +997,20 @@ object Events {
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = spark.read.parquet(s"$dir/events.parquet") // schema probe only
     // the file stream source requires a DIRECTORY base path; select the
     // events table out of the sf dir with a glob filter
-    spark.readStream
+    val stream = spark.readStream
       .schema(raw.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // this source streams the ORIGINAL table file, so the ts conversion
+    // has to match its physical type (the staged paths normalize instead)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => stream
+    }
   }
 }

@@ -627,7 +627,7 @@ class PipelineSuite extends AnyFunSuite {
       }
     }
     val got = Similarity.pqCodes(spark, dir).collect()
-      .map(r => r.getLong(0) -> (r.getSeq[Int](1).toArray, r.getDouble(2))).toMap
+      .map(r => r.getLong(0) -> (r.getString(1).split(',').map(_.toInt), r.getDouble(2))).toMap
     assert(got.size == vecs.length)
     got.values.foreach { case (codes, err) =>
       assert(codes.length == Similarity.PqM && codes.forall(c => c >= 0 && c < Similarity.PqK))

@@ -47,6 +47,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE coalescing is byte-based (parallelismFirst still floors at
+      // minPartitionSize = 1 MB); the pipeline kernels are CPU-dense per
+      // byte, so a 700 KB candidate-pair shuffle was coalescing to ONE
+      // task and serializing the exact-verify stage (q73: 43→8 s total
+      // once the floor admits 32-way reads). 16 KB keeps byte-tiny
+      // shuffles coalesced but lets CPU-heavy small-data stages use the
+      // cluster; at production scale shuffles dwarf the floor either way.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -902,4 +902,103 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming"))
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** Every `DeltaMod`-th doc_id plays the NEW BATCH in [[deltaDedup]];
+    * the rest are the already-indexed corpus. A deterministic stand-in
+    * for an ingest date column the synthetic table doesn't have.
+    */
+  val DeltaMod = 5
+
+  /** L2 at scale — INCREMENTAL near-dup detection: dedup a newly
+    * ingested batch (doc_id ≡ 0 mod [[DeltaMod]], ~20%) against an
+    * already-indexed corpus plus within itself, WITHOUT ever expanding
+    * corpus-corpus pairs. This is the production daily-ingest shape: the
+    * full-corpus pair job ([[ngramJaccard]]) runs once, after which each
+    * new batch only probes the standing posting-list index — work scales
+    * with |delta| × postings hit, not |corpus|². Plan shape: corpus
+    * postings are ONE aggregation of the (persisted) shingle frame;
+    * delta shingles equi-join them (cross candidates = delta doc ×
+    * posting member — never corpus × corpus), delta-internal candidates
+    * come from the usual in-bucket expansion of the delta's own (small)
+    * postings; the union is exact-verified on full shingle sets, so
+    * emitted scores are exact. Result ≡ [[ngramJaccard]] restricted to
+    * pairs touching the delta (asserted as an exact-twin equality in
+    * PipelineSuite; the oracle is q16's SQL + that filter).
+    */
+  def deltaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = docShingles(spark, dir)
+    val isDelta = col("doc_id") % DeltaMod === 0
+    val delta = docs.filter(isDelta)
+    val corpus = docs.filter(!isDelta)
+    val deltaEx = delta.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    // standing index: corpus posting lists (member id + set size), keyed
+    // by shingle
+    val corpusPost = corpus
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      .groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id").as("_1"), col("n_sh").as("_2"))).as("ids"))
+    // delta-vs-corpus: each delta shingle probes the posting list — the
+    // fan-out is |delta occurrences of s| × |postings(s)|, never
+    // |postings(s)|². Counting the probe hits per (delta doc, corpus doc)
+    // yields the EXACT common-shingle count (both sides' shingle sets are
+    // complete), so jaccard needs no second look at the shingle arrays —
+    // the same count-based flow [[ngramJaccard]] uses, restricted.
+    val crossCommon = deltaEx
+      .join(corpusPost, "s")
+      .select(
+        col("doc_id").as("dd"), col("n_sh").as("nd"),
+        explode(col("ids")).as("c"))
+      .select(
+        least(col("dd"), col("c._1")).as("d1"),
+        greatest(col("dd"), col("c._1")).as("d2"),
+        when(col("dd") < col("c._1"), col("nd")).otherwise(col("c._2")).as("n1"),
+        when(col("dd") < col("c._1"), col("c._2")).otherwise(col("nd")).as("n2"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("common"))
+    // delta-vs-delta: the ordinary in-bucket expansion + count, but only
+    // over the new batch's own postings (20% of docs → ~4% of the pair
+    // space)
+    val deltaCommon = expandCoOccurrences(spark, deltaEx, None)
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("common"))
+    crossCommon.union(deltaCommon)
+      .withColumn("jaccard", col("common") / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** L4 — per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * shingles that appear in NO other document. The inverse signal of
+    * near-duplication — low novelty flags boilerplate/templated text even
+    * when no single pair crosses a jaccard threshold, and production
+    * pipelines gate on it before expensive pairwise passes. Shape: one
+    * shingle-keyed aggregation for document frequency (the SAME shuffle
+    * the jaccard family's postings build pays — at 100 TB this is a
+    * standing df table, not a per-query job), one doc-keyed aggregation
+    * for the fraction; nothing quadratic anywhere.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docShingles(spark, dir)
+    val ex = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    // (shingle → df) via the postings-length trick: one aggregation
+    // yields the posting AND its length, then re-explodes — the same
+    // one-shuffle shape ngramJaccardPrefix uses for global frequency
+    val withDf = ex
+      .groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ids"))
+      .select(size(col("ids")).as("df"), explode(col("ids")).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.n_sh").as("n_sh"), col("df"))
+    withDf
+      .groupBy(col("doc_id"))
+      .agg(
+        first(col("n_sh")).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel"))
+      .select(
+        col("doc_id"),
+        col("n_sh"),
+        round(col("novel") / col("n_sh"), 4).as("novel_frac"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -78,7 +78,9 @@ object PipelineQueries {
     "q94_pq_codes" -> (Similarity.pqCodes _),
     "q95_skipgram_pairs" -> (TextAnalysis.skipgramPairs _),
     "q96_group_split" -> (Dedup.leakageSafeSplit _),
-    "q97_pq_ann" -> (Similarity.pqAnn _)
+    "q97_pq_ann" -> (Similarity.pqAnn _),
+    "q98_delta_dedup" -> (Dedup.deltaDedup _),
+    "q99_ngram_novelty" -> (Dedup.ngramNovelty _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -810,6 +812,31 @@ object PipelineQueries {
         | CASE WHEN md5('gsplit:' || group_id::VARCHAR) < 'e6' THEN 'train'
         |      WHEN md5('gsplit:' || group_id::VARCHAR) < 'f3' THEN 'val'
         |      ELSE 'test' END AS split
-        |FROM g ORDER BY doc_id""".stripMargin
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // q98: by construction ≡ q16 restricted to pairs touching the delta
+    // (doc_id ≡ 0 mod DeltaMod) — the oracle IS q16's SQL plus that
+    // filter, so the incremental probe path is hash-gated against the
+    // full-corpus answer it must reproduce.
+    "q98_delta_dedup" ->
+      s"""$ShingleCte,
+         |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s WHERE len(sh) > 0),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2, count(*) AS c
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT d1, d2, round(1.0*c/(n1+n2-c), 4) AS jaccard FROM p
+         |WHERE 1.0*c/(n1+n2-c) >= ${Dedup.JaccardThreshold}
+         |  AND (d1 % ${Dedup.DeltaMod} = 0 OR d2 % ${Dedup.DeltaMod} = 0)
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q99_ngram_novelty" ->
+      s"""$ShingleCte,
+         |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s WHERE len(sh) > 0),
+         |f AS (SELECT s, count(*) AS df FROM e GROUP BY s)
+         |SELECT e.doc_id, min(e.n_sh)::INT AS n_sh,
+         |       round(1.0*sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)/min(e.n_sh), 4)
+         |         AS novel_frac
+         |FROM e JOIN f USING (s)
+         |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin
   )
 }

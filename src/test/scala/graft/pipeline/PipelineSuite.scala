@@ -42,6 +42,47 @@ class PipelineSuite extends AnyFunSuite {
     assert(got.nonEmpty) // the corpus has planted near-dups
   }
 
+  test("L2 delta dedup == exact jaccard restricted to pairs touching the delta") {
+    val exact = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = exact
+      .filter { case (d1, d2, _) => d1 % Dedup.DeltaMod == 0 || d2 % Dedup.DeltaMod == 0 }
+      .toSet
+    val got = Dedup.deltaDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected) // incremental probe path reproduces the full answer
+    assert(got.nonEmpty && got.size < exact.length) // a real restriction
+  }
+
+  test("L4 n-gram novelty matches a driver-side document-frequency model") {
+    import spark.implicits._
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> sh(t) }.filter(_._2.nonEmpty)
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    sets.foreach { case (_, s) => s.foreach(g => df(g) = df.getOrElse(g, 0) + 1) }
+    val model = sets.map { case (id, s) =>
+      val novel = s.count(df(_) == 1)
+      id -> (s.size, BigDecimal(novel.toDouble / s.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = Dedup.ngramNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got.keySet == model.keySet)
+    got.foreach { case (id, (n, frac)) =>
+      assert(n == model(id)._1, s"doc $id n_sh")
+      assert(math.abs(frac - model(id)._2) < 1e-9, s"doc $id novel_frac")
+    }
+    // boilerplate-heavy corpus sanity: novelty must actually discriminate
+    assert(got.values.map(_._2).toSet.size > 1)
+  }
+
   test("L2 minhash-LSH: subset of exact pairs with recall >= 0.9") {
     val exact = Dedup.ngramJaccard(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minhashLsh(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -190,6 +190,25 @@ class PlanSuite extends AnyFunSuite {
     assert(!p93.contains("CartesianProduct"), p93)
   }
 
+  test("q98: one posting-probe join, count-based — no verify pass, no window") {
+    val p = plan(graft.pipeline.Dedup.deltaDedup(spark, dir))
+    // the probe-hit counts ARE the common counts: a second look at the
+    // shingle arrays (array_intersect) would mean the verify pass crept
+    // back; more than one Join would mean corpus postings self-join
+    assert(!p.contains("array_intersect"), p)
+    // executed plan: each operator appears once, so one join node == one
+    // "Join" operator line (FormattedMode would double-count)
+    val ep = execPlan(graft.pipeline.Dedup.deltaDedup(spark, dir))
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r.findAllIn(ep).size == 1, ep)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q99: novelty is two aggregations, no join, no window") {
+    val p = plan(graft.pipeline.Dedup.ngramNovelty(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("no declared query plans a cartesian product") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))

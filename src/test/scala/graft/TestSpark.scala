@@ -10,6 +10,9 @@ object TestSpark {
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "8")
+      // same AQE floor as Bench/Verify: byte-based coalescing serializes
+      // CPU-dense small-byte stages (see Bench.scala)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -43,21 +43,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // AQE coalescing is byte-based (parallelismFirst still floors at
-      // minPartitionSize = 1 MB); the pipeline kernels are CPU-dense per
-      // byte, so a 700 KB candidate-pair shuffle was coalescing to ONE
-      // task and serializing the exact-verify stage (q73: 43→8 s total
-      // once the floor admits 32-way reads). 16 KB keeps byte-tiny
-      // shuffles coalesced but lets CPU-heavy small-data stages use the
-      // cluster; at production scale shuffles dwarf the floor either way.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(s"local[$cpus]", cpus.toInt)
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     // Uncounted warmup: JIT + codegen + parquet footer caches, so the

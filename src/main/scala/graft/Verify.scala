@@ -7,17 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // same floor as Bench: AQE's byte-based coalescing serializes
-      // CPU-dense small-byte stages (see Bench.scala) — results are
-      // partition-count independent, but the dump shouldn't crawl
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(s"local[$cpus]", cpus.toInt)
     new java.io.File(outDir).mkdirs()
     // Iteration aid (mirrors Bench's SPARK_GRAFT_BENCH_ONLY): restrict the
     // dump to a comma-separated subset. The driver never sets it — its run

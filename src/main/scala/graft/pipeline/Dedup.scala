@@ -248,19 +248,26 @@ object Dedup {
     * bounded by shingles-per-document (document length), never by corpus
     * size.
     */
+  /** (doc_id, n_sh, s, freq) from ONE shingle-keyed aggregation: the
+    * posting and its length (= the shingle's global document frequency)
+    * come out of the same shuffle — a separate `groupBy(s).count` +
+    * re-join of the exploded frame would pay a second full shuffle of
+    * the token-scale data for the same information. Shared by the
+    * prefix-filter ranking ([[ngramJaccardPrefix]]) and the novelty
+    * scorer ([[ngramNovelty]]), which must agree on what "document
+    * frequency" means.
+    */
+  private def withGlobalFreq(ex: DataFrame): DataFrame =
+    ex.groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ids"))
+      .select(col("s"), size(col("ids")).as("freq"), explode(col("ids")).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.n_sh").as("n_sh"), col("s"), col("freq"))
+
   def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = docShingles(spark, dir)
     val ex = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    // ONE shingle-keyed aggregation yields the postings AND their length
-    // (= the global shingle frequency); the previous separate
-    // `groupBy(s).count` + re-join of the exploded frame paid a second
-    // full shuffle of the token-scale data for the same information.
-    val withFreq = ex
-      .groupBy(col("s"))
-      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ids"))
-      .select(col("s"), size(col("ids")).as("freq"), explode(col("ids")).as("d"))
-      .select(col("d.doc_id").as("doc_id"), col("d.n_sh").as("n_sh"), col("s"), col("freq"))
+    val withFreq = withGlobalFreq(ex)
     // Per-doc prefix selection as a doc-grouped JIT'd kernel: sort the
     // doc's shingles by (freq asc, shingle asc) locally and keep the
     // first n_sh − ⌈t·n_sh⌉ + 1 — replacing a `row_number` window whose
@@ -940,11 +947,12 @@ object Dedup {
       .agg(collect_list(struct(col("doc_id").as("_1"), col("n_sh").as("_2"))).as("ids"))
     // delta-vs-corpus: each delta shingle probes the posting list — the
     // fan-out is |delta occurrences of s| × |postings(s)|, never
-    // |postings(s)|². Counting the probe hits per (delta doc, corpus doc)
-    // yields the EXACT common-shingle count (both sides' shingle sets are
-    // complete), so jaccard needs no second look at the shingle arrays —
-    // the same count-based flow [[ngramJaccard]] uses, restricted.
-    val crossCommon = deltaEx
+    // |postings(s)|². One probe hit = one shared shingle, so counting
+    // hits per (delta doc, corpus doc) yields the EXACT common-shingle
+    // count (both sides' shingle sets are complete) and jaccard needs no
+    // second look at the shingle arrays — the same count-based flow
+    // [[ngramJaccard]] uses, restricted.
+    val crossPairs = deltaEx
       .join(corpusPost, "s")
       .select(
         col("doc_id").as("dd"), col("n_sh").as("nd"),
@@ -954,15 +962,16 @@ object Dedup {
         greatest(col("dd"), col("c._1")).as("d2"),
         when(col("dd") < col("c._1"), col("nd")).otherwise(col("c._2")).as("n1"),
         when(col("dd") < col("c._1"), col("c._2")).otherwise(col("nd")).as("n2"))
+    // delta-vs-delta: the ordinary in-bucket expansion, but only over the
+    // new batch's own postings (20% of docs → ~4% of the pair space).
+    // The two key spaces are disjoint (cross pairs always straddle the
+    // mod boundary), so ONE aggregation over the unioned co-occurrence
+    // rows counts both, and the jaccard finalization runs once.
+    val deltaPairs = expandCoOccurrences(spark, deltaEx, None)
+      .select(col("d1"), col("d2"), col("n1"), col("n2"))
+    crossPairs.union(deltaPairs)
       .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("common"))
-    // delta-vs-delta: the ordinary in-bucket expansion + count, but only
-    // over the new batch's own postings (20% of docs → ~4% of the pair
-    // space)
-    val deltaCommon = expandCoOccurrences(spark, deltaEx, None)
-      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
-      .agg(count(lit(1)).as("common"))
-    crossCommon.union(deltaCommon)
       .withColumn("jaccard", col("common") / (col("n1") + col("n2") - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
@@ -982,19 +991,11 @@ object Dedup {
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val docs = docShingles(spark, dir)
     val ex = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    // (shingle → df) via the postings-length trick: one aggregation
-    // yields the posting AND its length, then re-explodes — the same
-    // one-shuffle shape ngramJaccardPrefix uses for global frequency
-    val withDf = ex
-      .groupBy(col("s"))
-      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ids"))
-      .select(size(col("ids")).as("df"), explode(col("ids")).as("d"))
-      .select(col("d.doc_id").as("doc_id"), col("d.n_sh").as("n_sh"), col("df"))
-    withDf
+    withGlobalFreq(ex)
       .groupBy(col("doc_id"))
       .agg(
         first(col("n_sh")).as("n_sh"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel"))
+        sum(when(col("freq") === 1, 1L).otherwise(0L)).as("novel"))
       .select(
         col("doc_id"),
         col("n_sh"),

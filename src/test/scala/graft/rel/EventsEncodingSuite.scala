@@ -1,0 +1,65 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The events table's `ts` column has shipped two physical parquet
+  * encodings across driver testdata generations: TIMESTAMP(NANOS),
+  * which Spark can only read as a long under the legacy
+  * `nanosAsLong` conf, and plain timestamp[us]. Rounds 8–9 lost all 26
+  * events-backed queries to that drift; [[Queries.rawEventsNanos]] is
+  * the single normalization boundary that must make BOTH encodings
+  * read identically — pinned here by materializing the same rows under
+  * each encoding and asserting the loaders agree row-for-row.
+  */
+class EventsEncodingSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeBoth(): (String, String) = {
+    import spark.implicits._
+    val micros = Seq(
+      (1L, 1700000000000000L, 10L, "click", 1.5, "{}"),
+      (2L, 1700000123456789L, 11L, "error", 2.5, "{}"),
+      (3L, 1700009999999999L, 10L, "view", -0.5, "{}"))
+    val base = micros
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    val legacyDir = java.nio.file.Files.createTempDirectory("graft-ev-long-").toString
+    val microsDir = java.nio.file.Files.createTempDirectory("graft-ev-ts-").toString
+    // legacy shape: what a TIMESTAMP(NANOS) file looks like to Spark
+    // under the nanosAsLong conf — a LongType nanos column
+    base.select(
+      col("event_id"), (col("us") * 1000L).as("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$legacyDir/events.parquet")
+    // current shape: a plain micros timestamp column
+    base.select(
+      col("event_id"), timestamp_micros(col("us")).as("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$microsDir/events.parquet")
+    (legacyDir, microsDir)
+  }
+
+  test("rawEventsNanos normalizes long-nanos and micros-timestamp files identically") {
+    val (legacyDir, microsDir) = writeBoth()
+    val a = Queries.rawEventsNanos(spark, legacyDir)
+      .orderBy("event_id").collect().toSeq
+    val b = Queries.rawEventsNanos(spark, microsDir)
+      .orderBy("event_id").collect().toSeq
+    assert(a == b)
+    assert(a.head.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    // nanos round-trip exactly (micros × 1000)
+    assert(a.map(_.getAs[Long]("ts")) ==
+      Seq(1700000000000000L, 1700000123456789L, 1700009999999999L).map(_ * 1000L))
+  }
+
+  test("events() yields the same timestamp column from either encoding") {
+    val (legacyDir, microsDir) = writeBoth()
+    val a = Queries.events(spark, legacyDir).orderBy("event_id").collect().toSeq
+    val b = Queries.events(spark, microsDir).orderBy("event_id").collect().toSeq
+    assert(a == b)
+    assert(a.head.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(a.head.getAs[java.sql.Timestamp]("ts").getTime == 1700000000000L)
+  }
+}

@@ -927,10 +927,15 @@ object Dedup {
     * delta shingles equi-join them (cross candidates = delta doc ×
     * posting member — never corpus × corpus), delta-internal candidates
     * come from the usual in-bucket expansion of the delta's own (small)
-    * postings; the union is exact-verified on full shingle sets, so
-    * emitted scores are exact. Result ≡ [[ngramJaccard]] restricted to
-    * pairs touching the delta (asserted as an exact-twin equality in
-    * PipelineSuite; the oracle is q16's SQL + that filter).
+    * postings. Result ≡ [[ngramJaccard]] restricted to pairs touching
+    * the delta (asserted as an exact-twin equality in PipelineSuite; the
+    * oracle is q16's SQL + that filter). Residual 100 TB risk is the
+    * same one the full-corpus job has — a boilerplate shingle whose
+    * posting list is huge makes the probe fan out |delta hits| ×
+    * |postings| — and the same [[MaxPostings]] cap composes here
+    * unchanged (drop hot postings from the probe index, exact-verify the
+    * survivors, q66's recall trade); this declared variant stays uncapped
+    * because it is the hash-gated exact twin.
     */
   def deltaDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

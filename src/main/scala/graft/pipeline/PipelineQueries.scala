@@ -80,7 +80,8 @@ object PipelineQueries {
     "q96_group_split" -> (Dedup.leakageSafeSplit _),
     "q97_pq_ann" -> (Similarity.pqAnn _),
     "q98_delta_dedup" -> (Dedup.deltaDedup _),
-    "q99_ngram_novelty" -> (Dedup.ngramNovelty _)
+    "q99_ngram_novelty" -> (Dedup.ngramNovelty _),
+    "q100_token_budget" -> (TextAnalysis.tokenBudgetSample _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -837,6 +838,23 @@ object PipelineQueries {
          |       round(1.0*sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)/min(e.n_sh), 4)
          |         AS novel_frac
          |FROM e JOIN f USING (s)
-         |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin,
+
+    // q100: per-source salted-hash-ordered prefix sum gated at the token
+    // budget — window cumsum is directly expressible in both engines; the
+    // INT cast matches Spark's size() IntegerType, BIGINT matches the
+    // window sum's LongType.
+    "q100_token_budget" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |             len(string_split(text, ' '))::INT AS n_tokens,
+         |             md5('${TextAnalysis.TokenBudgetSalt}' || doc_id::VARCHAR) AS h
+         |           FROM documents),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |        sum(n_tokens::BIGINT) OVER (PARTITION BY source
+         |                                    ORDER BY h, doc_id)::BIGINT AS cum_tokens
+         |      FROM t)
+         |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= ${TextAnalysis.TokenBudgetPerSource}
+         |ORDER BY source, doc_id""".stripMargin
   )
 }

@@ -668,6 +668,46 @@ object TextAnalysis {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** Per-source token budget for [[tokenBudgetSample]] — sized so the
+    * gate bites at every SF (each sf0.01 source carries ~1,100–1,550
+    * tokens; larger SFs carry more, so the kept fraction shrinks with
+    * scale exactly as a fixed real-world budget would).
+    */
+  val TokenBudgetPerSource = 700L
+  val TokenBudgetSalt = "tbudget:"
+
+  /** L4 — BUDGETED corpus assembly: fill each source up to
+    * [[TokenBudgetPerSource]] tokens (not documents — "give me N tokens
+    * per source", the unit training runs actually budget in), taking
+    * documents in salted-md5 order so the selection is deterministic,
+    * uniform, and stable under corpus growth: a new document only
+    * displaces ones that hash after it. Complements [[quotaSample]]
+    * (fixed COUNT per source) and [[sourceMix]] (fixed RATE per source).
+    *
+    * Shape at 100 TB: one shuffle on the source key, then a per-source
+    * ORDERED prefix sum — a genuine sort-within-partition, which is the
+    * honest plan for a prefix-dependent gate (the k-bounded aggregator
+    * trick does not apply: membership depends on the running total of
+    * everything hashed earlier, not on a per-row rank being ≤ k). Skewed
+    * source cardinalities sort per source, never globally; emitted rows
+    * carry the running total so the gate is auditable downstream.
+    */
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    table(spark, dir, "documents")
+      .select(
+        col("source"),
+        col("doc_id"),
+        size(Shingles.tokens(col("text"))).as("n_tokens"),
+        md5(concat(lit(TokenBudgetSalt), col("doc_id").cast("string"))).as("h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= TokenBudgetPerSource)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** BM25 parameters (the standard Robertson defaults) and results kept
     * per query.
     */

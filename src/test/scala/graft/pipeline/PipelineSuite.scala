@@ -83,6 +83,37 @@ class PipelineSuite extends AnyFunSuite {
     assert(got.values.map(_._2).toSet.size > 1)
   }
 
+  test("token budget: per-source prefix fill in salted-hash order, budget never exceeded") {
+    import spark.implicits._
+    val docs = graft.rel.Queries.table(spark, dir, "documents")
+      .select("source", "doc_id", "text").as[(String, Long, String)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val model = docs
+      .map { case (src, id, t) =>
+        (src, id, t.split(" ").length, md5hex(TextAnalysis.TokenBudgetSalt + id))
+      }
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (r._4, r._2)).toSeq.flatMap { case (src, id, n, _) =>
+          cum += n
+          if (cum <= TextAnalysis.TokenBudgetPerSource) Some((src, id, n, cum)) else None
+        }
+      }
+      .toSet
+    val rows = TextAnalysis.tokenBudgetSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(rows == model)
+    // every source's kept set respects the budget and is non-empty
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._3.toLong).sum <= TextAnalysis.TokenBudgetPerSource, src)
+      assert(rs.nonEmpty, src)
+    }
+  }
+
   test("L2 minhash-LSH: subset of exact pairs with recall >= 0.9") {
     val exact = Dedup.ngramJaccard(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minhashLsh(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -41,6 +41,14 @@ class EventsEncodingSuite extends AnyFunSuite {
     (legacyDir, microsDir)
   }
 
+  /** A REAL TIMESTAMP(NANOS) parquet file (Spark cannot write one, so it
+    * is a committed pyarrow-written fixture with the same rows as
+    * [[writeBoth]]) — readable ONLY under the `nanosAsLong` conf, which
+    * is exactly the path a nanos testdata regeneration exercises.
+    */
+  private val nanosFixtureDir =
+    new java.io.File("src/test/resources/events_nanos").getAbsolutePath
+
   test("rawEventsNanos normalizes long-nanos and micros-timestamp files identically") {
     val (legacyDir, microsDir) = writeBoth()
     val a = Queries.rawEventsNanos(spark, legacyDir)
@@ -52,6 +60,18 @@ class EventsEncodingSuite extends AnyFunSuite {
     // nanos round-trip exactly (micros × 1000)
     assert(a.map(_.getAs[Long]("ts")) ==
       Seq(1700000000000000L, 1700000123456789L, 1700009999999999L).map(_ * 1000L))
+  }
+
+  test("rawEventsNanos reads a genuine TIMESTAMP(NANOS) file (the r8-r9 drift shape)") {
+    val (_, microsDir) = writeBoth()
+    // without the legacy conf this scan throws Illegal Parquet type —
+    // rows agreeing with the micros encoding proves the conf is applied
+    // on the real nanos-typed path, not just simulated with a long column
+    val a = Queries.rawEventsNanos(spark, nanosFixtureDir)
+      .orderBy("event_id").collect().toSeq
+    val b = Queries.rawEventsNanos(spark, microsDir)
+      .orderBy("event_id").collect().toSeq
+    assert(a == b)
   }
 
   test("events() yields the same timestamp column from either encoding") {

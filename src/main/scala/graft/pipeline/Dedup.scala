@@ -747,6 +747,54 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** False-positive rate for [[decontaminateBloom]]'s prefilter. */
+  val DecontBloomFpp = 0.01
+
+  /** Benchmark decontamination via a BLOOM prefilter — [[decontaminate]]'s
+    * scale path for when the benchmark n-gram set is too big to broadcast
+    * exactly (a full eval-suite union at 100 TB is 10^8+ grams — tens of
+    * GBs as strings, ~100 MB as a 1% bloom filter). Two passes, exact
+    * result:
+    *
+    *  1. PREFILTER — the bloom filter (KBs–MBs, built by one aggregation
+    *     over the bench grams) broadcasts to every executor; the corpus
+    *     streams through `mightContain` and ~99% of its grams drop
+    *     without shuffling anything.
+    *  2. VERIFY — only the bloom survivors (true hits + fpp false
+    *     positives) shuffle into an equi-join against the exact bench
+    *     gram TABLE — which never broadcasts and never fans out — so
+    *     emitted hit counts are exact and hash-equal to [[decontaminate]]
+    *     (same oracle as q54).
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, t) =>
+          ngramKernel(t, DecontGramSize).iterator.map(g => (id, g))
+        })
+        .toDF("doc_id", "gram")
+    val benchGrams = grams(docs.filter(col("source") === BenchSource))
+      .select(col("gram")).distinct().persist()
+    // sized to the actual distinct count — production knows its eval
+    // suite's cardinality; the count also materializes the persisted
+    // frame the verify join reuses
+    val n = benchGrams.count()
+    val bf = benchGrams.stat.bloomFilter("gram", math.max(n, 1L), DecontBloomFpp)
+    val bcBf = spark.sparkContext.broadcast(bf)
+    val survivors = grams(docs.filter(col("source") =!= BenchSource))
+      .as[(Long, String)]
+      .filter(t => bcBf.value.mightContainString(t._2))
+      .toDF("doc_id", "gram")
+    survivors
+      .join(benchGrams, "gram") // shuffle join of the tiny survivor set
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** Signature length K, banded as B bands × R rows (K = B*R). With

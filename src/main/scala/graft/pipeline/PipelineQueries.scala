@@ -81,7 +81,8 @@ object PipelineQueries {
     "q97_pq_ann" -> (Similarity.pqAnn _),
     "q98_delta_dedup" -> (Dedup.deltaDedup _),
     "q99_ngram_novelty" -> (Dedup.ngramNovelty _),
-    "q100_token_budget" -> (TextAnalysis.tokenBudgetSample _)
+    "q100_token_budget" -> (TextAnalysis.tokenBudgetSample _),
+    "q101_bloom_decontaminate" -> (Dedup.decontaminateBloom _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -855,6 +856,22 @@ object PipelineQueries {
          |      FROM t)
          |SELECT source, doc_id, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= ${TextAnalysis.TokenBudgetPerSource}
-         |ORDER BY source, doc_id""".stripMargin
+         |ORDER BY source, doc_id""".stripMargin,
+
+    // q101: the bloom prefilter only DISCARDS grams (false positives are
+    // re-checked by the exact verify join), so the result is exactly
+    // q54's — same oracle SQL, gating the two-pass scale path end-to-end.
+    "q101_bloom_decontaminate" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, source, gram FROM (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, greatest(len(w)-3, 1)),
+        |      i -> array_to_string(w[i:i+4], ' '))) AS gram
+        |  FROM t)),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |train AS (SELECT doc_id, gram FROM g WHERE source <> 'src0')
+        |SELECT train.doc_id, count(*) AS n_hits
+        |FROM train JOIN bench USING (gram)
+        |GROUP BY train.doc_id ORDER BY train.doc_id""".stripMargin
   )
 }

@@ -118,6 +118,17 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("bloom decontamination == exact broadcast decontamination") {
+    val exact = Dedup.decontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = Dedup.decontaminateBloom(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the prefilter only discards; false positives die in the verify
+    // join — so hit counts must be identical, not merely a superset
+    assert(bloom == exact)
+    assert(bloom.nonEmpty)
+  }
+
   test("L2 minhash-LSH: subset of exact pairs with recall >= 0.9") {
     val exact = Dedup.ngramJaccard(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minhashLsh(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -82,7 +82,10 @@ object PipelineQueries {
     "q98_delta_dedup" -> (Dedup.deltaDedup _),
     "q99_ngram_novelty" -> (Dedup.ngramNovelty _),
     "q100_token_budget" -> (TextAnalysis.tokenBudgetSample _),
-    "q101_bloom_decontaminate" -> (Dedup.decontaminateBloom _)
+    "q101_bloom_decontaminate" -> (Dedup.decontaminateBloom _),
+    // q102 is rows-only: candidates depend on the trained PQ codebook
+    // and the IVF cell assignment, same reason as q97/q40.
+    "q102_ivf_pq_ann" -> (Similarity.ivfPqAnn _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */

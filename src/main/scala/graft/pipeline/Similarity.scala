@@ -542,6 +542,20 @@ object Similarity {
     val cand = graft.rel.TopK
       .topKPerGroup(adcPairs, PqRerank)
       .select(col("group").as("probe_id"), col("id").as("cand_id"))
+    exactL2Rerank(spark, dir, cand)
+  }
+
+  /** Exact-L2 rerank of an ADC candidate list — the shared tail of
+    * [[pqAnn]] and [[ivfPqAnn]]: only the (broadcastable by construction)
+    * candidate rows rejoin the vector corpus for true distances, fixing
+    * the quantization error ADC alone leaves in the ranking.
+    */
+  private def exactL2Rerank(
+      spark: SparkSession,
+      dir: String,
+      cand: DataFrame): DataFrame = {
+    import spark.implicits._
+    val corpus = vectors(spark, dir).filter(col("vec_id") % ProbeEvery =!= 0)
     val probeSide = vectors(spark, dir)
       .filter(col("vec_id") % ProbeEvery === 0)
       .select(col("vec_id").as("pid"), col("v").as("pv"), col("norm").as("pnorm"))
@@ -563,6 +577,99 @@ object Similarity {
         // tiny negative for near-identical vectors, so clamp before sqrt
         round(sqrt(greatest(lit(0.0), -col("score"))), 6).as("l2_dist"))
       .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** L3 capstone — IVF-PQ ANN, the composed production index (Jégou et
+    * al. 2011 "Product Quantization for Nearest Neighbor Search", the
+    * IVFADC system): [[annIvf]]'s coarse quantizer restricts each probe
+    * to its [[NProbe]] nearest cells, and ONLY vectors in those cells
+    * are ADC-scored against the probe's M×K lookup table; the top
+    * [[PqRerank]] per probe get exact distances ([[exactL2Rerank]]).
+    * Versus [[pqAnn]] (which ADC-scores the WHOLE corpus per probe) the
+    * scan shrinks to ~NProbe/C of the corpus — at 100 TB this is the
+    * difference between scanning every code and scanning a few posting
+    * cells per query, which is why deployed indexes are IVF+PQ and not
+    * either half alone. Corpus codes are computed ONCE (one kernel pass,
+    * the stand-in for the stored code table) and joined to the
+    * cell-matched (probe, vector) pairs; ADC scoring is then M lookups
+    * per pair. Declared rows-only (candidates depend on the trained
+    * codebook AND the cell assignment); PipelineSuite gates recall
+    * against the exact L2 ranking.
+    */
+  def ivfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = pqTrain(spark, dir)
+    val subDim = cents(0)(0).length
+    val all = vectors(spark, dir)
+    val centroids = broadcast(
+      all.filter(col("vec_id") % CentroidEvery === 1)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm")))
+    def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cent_id"))
+      df.join(centroids)
+        .withColumn("ccos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+        .withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= keep)
+        .drop("cv", "cnorm", "ccos", "crnk")
+    }
+    val corpus = all.filter(col("vec_id") % ProbeEvery =!= 0)
+    // one kernel pass: the corpus code table (vec_id, cell, codes)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val coded = assign(corpus, "vec_id", keep = 1)
+      .select(col("vec_id"), col("cent_id"), col("v"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.map { case (id, cell, v) =>
+          val codes = new Array[Int](cs.length)
+          var m = 0
+          while (m < cs.length) { codes(m) = nearestSub(cs(m), v, m * subDim); m += 1 }
+          (id, cell, codes)
+        }
+      }
+      .toDF("vec_id", "cent_id", "codes")
+    // per-probe cell list (small: |probes| × NProbe) + ADC lookup tables
+    val probeCells = assign(
+      all.filter(col("vec_id") % ProbeEvery === 0)
+        .select(col("vec_id").as("probe_id"), col("v"), col("norm")),
+      "probe_id",
+      keep = NProbe)
+      .select(col("probe_id"), col("cent_id"))
+    val luts = all.filter(col("vec_id") % ProbeEvery === 0)
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])]
+      .collect()
+      .map { case (pid, v) =>
+        (pid, Array.tabulate(cents.length) { m =>
+          cents(m).map { cv =>
+            var d = 0.0
+            var i = 0
+            while (i < cv.length) { val t = v(m * subDim + i) - cv(i); d += t * t; i += 1 }
+            d
+          }
+        })
+      }
+      .toMap
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    // candidates = cell-matched pairs only; ADC = M table lookups per pair
+    val adcPairs = coded
+      .join(broadcast(probeCells), Seq("cent_id"))
+      .select(col("probe_id"), col("codes"), col("vec_id"))
+      .as[(Long, Array[Int], Long)]
+      .mapPartitions { it =>
+        val ls = bcLuts.value
+        it.map { case (pid, codes, id) =>
+          val lut = ls(pid)
+          var adc = 0.0
+          var i = 0
+          while (i < codes.length) { adc += lut(i)(codes(i)); i += 1 }
+          (pid, -adc, id)
+        }
+      }
+    val cand = graft.rel.TopK
+      .topKPerGroup(adcPairs, PqRerank)
+      .select(col("group").as("probe_id"), col("id").as("cand_id"))
+    exactL2Rerank(spark, dir, cand)
   }
 
   // ---- embedding-cosine near-dup (all-pairs, LSH-bucketed) --------------

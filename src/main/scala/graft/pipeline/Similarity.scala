@@ -58,12 +58,15 @@ object Similarity {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
 
-  /** Unpersists and forgets the session vector memo — for long-lived
-    * services retiring a dataset directory; the next consumer rebuilds.
+  /** Unpersists and forgets the session memos (vector frame, coarse
+    * centroids, PQ codebooks) — for long-lived services retiring a
+    * dataset directory; the next consumer rebuilds.
     */
   def clearShared(): Unit = {
     vectorCache.forEach((_, df) => df.unpersist())
     vectorCache.clear()
+    centroidCache.clear()
+    pqCache.clear()
   }
 
   private def scored(spark: SparkSession, dir: String): DataFrame = {
@@ -228,34 +231,108 @@ object Similarity {
   val CentroidEvery = 100
   val NProbe = 3
 
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[(Long, Array[Double], Double)]]()
+
+  /** The coarse-quantizer codebook — (cent_id, vector, norm) sorted by
+    * cent_id — collected to the driver and memoized per (session, dir).
+    * This is the k-means shape: an IVF index's cell count C is a fixed
+    * index parameter (thousands), so the codebook is C×dim doubles on the
+    * driver and a few MB broadcast regardless of corpus size — the same
+    * bounded-model discipline as [[kmeans]]/[[pqTrain]], NOT a scan of
+    * the corpus (the `CentroidEvery` sampling here stands in for trained
+    * centers exactly as [[annIvf]]'s Scaladoc describes).
+    */
+  private[pipeline] def coarseCentroids(
+      spark: SparkSession, dir: String): Array[(Long, Array[Double], Double)] =
+    centroidCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        import s.implicits._
+        vectors(s, d)
+          .filter(col("vec_id") % CentroidEvery === 1)
+          .select(col("vec_id"), col("v"), col("norm"))
+          .as[(Long, Array[Double], Double)]
+          .collect()
+          .sortBy(_._1)
+      })
+
+  /** Top-`keep` cell ids for one vector — cosine descending, ties to the
+    * lowest cent_id — via a bounded insertion list over the broadcast
+    * centroid array. This is THE cell-assignment kernel: the previous
+    * formulation joined every corpus vector against all C centroids and
+    * ranked the |corpus|×C product with a `row_number` window — a 1000×
+    * row blowup through an Exchange for what is a per-row argmax. Same
+    * JIT'd-loop discipline as [[nearestCentroid]] (which k-means already
+    * used); the per-row state is `keep` (1 or [[NProbe]]) entries.
+    * Iterating centroids in ascending cent_id with strict `>` insertion
+    * reproduces the window's (ccos DESC, cent_id ASC) order exactly.
+    */
+  private[pipeline] def nearestCells(
+      cents: Array[(Long, Array[Double], Double)],
+      v: Array[Double], norm: Double, keep: Int): Array[Long] = {
+    val n = math.min(keep, cents.length)
+    val ids = new Array[Long](n)
+    val scores = new Array[Double](n)
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      val cv = ct._2
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { d += v(i) * cv(i); i += 1 }
+      val cos = d / (norm * ct._3)
+      if (filled < n || cos > scores(n - 1)) {
+        var pos = if (filled < n) filled else n - 1
+        while (pos > 0 && scores(pos - 1) < cos) {
+          scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+        }
+        scores(pos) = cos
+        ids(pos) = ct._1
+        if (filled < n) filled += 1
+      }
+      c += 1
+    }
+    ids
+  }
+
   /** L3 scale path, IVF flavor: assign corpus vectors to their nearest
-    * centroid cell (one broadcast pass), search only the `NProbe` cells
-    * nearest each probe. Search cost drops to ~NProbe/C of brute force;
-    * recall vs [[annTopK]] is asserted in PipelineSuite.
+    * centroid cell, search only the `NProbe` cells nearest each probe.
+    * Search cost drops to ~NProbe/C of brute force; recall vs [[annTopK]]
+    * is asserted in PipelineSuite.
+    *
+    * Cell assignment is the [[nearestCells]] kernel over the broadcast
+    * codebook — one narrow pass, NO Exchange between the vector scan and
+    * the cell-tagged output (PlanSuite pins it): the only shuffles left
+    * in the whole query are the final per-probe top-k window and the
+    * output sort.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val all = vectors(spark, dir)
-    val centroids = broadcast(
-      all.filter(col("vec_id") % CentroidEvery === 1)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm")))
+    val bcCoarse = spark.sparkContext.broadcast(coarseCentroids(spark, dir))
 
-    // nearest cell per corpus vector (rank over the broadcast product)
-    def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cent_id"))
-      df.join(centroids)
-        .withColumn("ccos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
-        .withColumn("crnk", row_number().over(w))
-        .filter(col("crnk") <= keep)
-        .drop("cv", "cnorm", "ccos", "crnk")
-    }
-
-    val cells = assign(all.filter(col("vec_id") % ProbeEvery =!= 0), "vec_id", keep = 1)
-    val probes = assign(
-      all.filter(col("vec_id") % ProbeEvery === 0)
-        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
-        .withColumnRenamed("pv", "v").withColumnRenamed("pnorm", "norm"),
-      "probe_id", keep = NProbe)
-      .select(col("probe_id"), col("v").as("pv"), col("norm").as("pnorm"), col("cent_id"))
+    val cells = all.filter(col("vec_id") % ProbeEvery =!= 0)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val cc = bcCoarse.value
+        it.map { case (id, v, n) => (nearestCells(cc, v, n, 1)(0), id, v, n) }
+      }
+      .toDF("cent_id", "vec_id", "v", "norm")
+    // probe-side top-NProbe cells: the same kernel with a bounded per-row
+    // insertion list instead of a second windowed shuffle
+    val probes = all.filter(col("vec_id") % ProbeEvery === 0)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val cc = bcCoarse.value
+        it.flatMap { case (id, v, n) =>
+          nearestCells(cc, v, n, NProbe).iterator.map(cid => (cid, id, v, n))
+        }
+      }
+      .toDF("cent_id", "probe_id", "pv", "pnorm")
 
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     cells
@@ -498,26 +575,42 @@ object Similarity {
     * candidate set depends on the trained codebook); PipelineSuite
     * gates recall against the exact L2 ranking.
     */
-  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-probe ADC lookup tables — for each probe, an M×K matrix of
+    * squared distances from its subvectors to every sub-centroid.
+    * Driver-side and bounded by construction: |probes| × M × K doubles
+    * (KBs), regardless of corpus size. The shared head of [[pqAnn]] and
+    * [[ivfPqAnn]] (as [[exactL2Rerank]] is their shared tail) — one
+    * definition of the ADC distance, not two drifting copies.
+    */
+  private def buildProbeLuts(
+      spark: SparkSession,
+      dir: String,
+      cents: Array[Array[Array[Double]]]): Array[(Long, Array[Array[Double]])] = {
     import spark.implicits._
-    val cents = pqTrain(spark, dir)
     val subDim = cents(0)(0).length
-    val probes = vectors(spark, dir)
+    vectors(spark, dir)
       .filter(col("vec_id") % ProbeEvery === 0)
       .select(col("vec_id"), col("v"))
       .as[(Long, Array[Double])]
       .collect()
       .sortBy(_._1)
-    val luts = probes.map { case (pid, v) =>
-      (pid, Array.tabulate(cents.length) { m =>
-        cents(m).map { cv =>
-          var d = 0.0
-          var i = 0
-          while (i < cv.length) { val t = v(m * subDim + i) - cv(i); d += t * t; i += 1 }
-          d
-        }
-      })
-    }
+      .map { case (pid, v) =>
+        (pid, Array.tabulate(cents.length) { m =>
+          cents(m).map { cv =>
+            var d = 0.0
+            var i = 0
+            while (i < cv.length) { val t = v(m * subDim + i) - cv(i); d += t * t; i += 1 }
+            d
+          }
+        })
+      }
+  }
+
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = pqTrain(spark, dir)
+    val subDim = cents(0)(0).length
+    val luts = buildProbeLuts(spark, dir, cents)
     val bcCents = spark.sparkContext.broadcast(cents)
     val bcLuts = spark.sparkContext.broadcast(luts)
     val corpus = vectors(spark, dir).filter(col("vec_id") % ProbeEvery =!= 0)
@@ -595,32 +688,30 @@ object Similarity {
     * per pair. Declared rows-only (candidates depend on the trained
     * codebook AND the cell assignment); PipelineSuite gates recall
     * against the exact L2 ranking.
+    *
+    * Cell assignment and code computation are ONE [[nearestCells]] +
+    * [[nearestSub]] kernel pass over the broadcast codebooks — the
+    * index-build scan a deployed IVFADC system runs, with no Exchange
+    * anywhere on the corpus path (PlanSuite pins it; the former
+    * join+window assignment shuffled |corpus|×C rows).
     */
   def ivfPqAnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cents = pqTrain(spark, dir)
     val subDim = cents(0)(0).length
     val all = vectors(spark, dir)
-    val centroids = broadcast(
-      all.filter(col("vec_id") % CentroidEvery === 1)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm")))
-    def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cent_id"))
-      df.join(centroids)
-        .withColumn("ccos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
-        .withColumn("crnk", row_number().over(w))
-        .filter(col("crnk") <= keep)
-        .drop("cv", "cnorm", "ccos", "crnk")
-    }
-    val corpus = all.filter(col("vec_id") % ProbeEvery =!= 0)
-    // one kernel pass: the corpus code table (vec_id, cell, codes)
+    val bcCoarse = spark.sparkContext.broadcast(coarseCentroids(spark, dir))
     val bcCents = spark.sparkContext.broadcast(cents)
-    val coded = assign(corpus, "vec_id", keep = 1)
-      .select(col("vec_id"), col("cent_id"), col("v"))
-      .as[(Long, Long, Array[Double])]
+    // one kernel pass: the corpus code table (vec_id, cell, codes) — the
+    // cell argmax and the M sub-quantizer argmins share the row visit
+    val coded = all.filter(col("vec_id") % ProbeEvery =!= 0)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .as[(Long, Array[Double], Double)]
       .mapPartitions { it =>
+        val cc = bcCoarse.value
         val cs = bcCents.value
-        it.map { case (id, cell, v) =>
+        it.map { case (id, v, n) =>
+          val cell = nearestCells(cc, v, n, 1)(0)
           val codes = new Array[Int](cs.length)
           var m = 0
           while (m < cs.length) { codes(m) = nearestSub(cs(m), v, m * subDim); m += 1 }
@@ -629,27 +720,17 @@ object Similarity {
       }
       .toDF("vec_id", "cent_id", "codes")
     // per-probe cell list (small: |probes| × NProbe) + ADC lookup tables
-    val probeCells = assign(
-      all.filter(col("vec_id") % ProbeEvery === 0)
-        .select(col("vec_id").as("probe_id"), col("v"), col("norm")),
-      "probe_id",
-      keep = NProbe)
-      .select(col("probe_id"), col("cent_id"))
-    val luts = all.filter(col("vec_id") % ProbeEvery === 0)
-      .select(col("vec_id"), col("v"))
-      .as[(Long, Array[Double])]
-      .collect()
-      .map { case (pid, v) =>
-        (pid, Array.tabulate(cents.length) { m =>
-          cents(m).map { cv =>
-            var d = 0.0
-            var i = 0
-            while (i < cv.length) { val t = v(m * subDim + i) - cv(i); d += t * t; i += 1 }
-            d
-          }
-        })
+    val probeCells = all.filter(col("vec_id") % ProbeEvery === 0)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val cc = bcCoarse.value
+        it.flatMap { case (id, v, n) =>
+          nearestCells(cc, v, n, NProbe).iterator.map(cid => (id, cid))
+        }
       }
-      .toMap
+      .toDF("probe_id", "cent_id")
+    val luts = buildProbeLuts(spark, dir, cents).toMap
     val bcLuts = spark.sparkContext.broadcast(luts)
     // candidates = cell-matched pairs only; ADC = M table lookups per pair
     val adcPairs = coded

@@ -82,6 +82,36 @@ object KernelProperties extends Properties("Kernels") {
         summary.forall { case (t, c) => c <= f(t) && c >= f(t) - err }
     }
 
+  property("nearestCells == sort-by-(cos desc, cent_id asc) prefix") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0L, 20L),
+        Gen.listOfN(4, Gen.choose(-5.0, 5.0)).map(_.toArray))).map(_.toArray),
+      Gen.listOfN(4, Gen.choose(-5.0, 5.0)).map(_.toArray),
+      Gen.choose(1, 5)) { (rawCents, v, keep) =>
+      // distinct, ascending cent_ids with nonzero norms — the shape
+      // coarseCentroids guarantees (sortBy(_._1) over unique vec_ids)
+      def nrm(x: Array[Double]) = math.sqrt(x.map(d => d * d).sum)
+      val cents = rawCents
+        .filter { case (_, cv) => nrm(cv) > 0 }
+        .distinctBy(_._1)
+        .sortBy(_._1)
+        .map { case (id, cv) => (id, cv, nrm(cv)) }
+      val vn = nrm(v)
+      cents.isEmpty || vn == 0 || {
+        val got = Similarity.nearestCells(cents, v, vn, keep).toSeq
+        val model = cents
+          .map { case (id, cv, cn) =>
+            (id, cv.zip(v).map { case (a, b) => a * b }.sum / (vn * cn))
+          }
+          .sortBy { case (id, cos) => (-cos, id) }
+          .map(_._1)
+          .take(keep)
+          .toSeq
+        got == model
+      }
+    }
+
   property("nearestCentroid: returns the argmin index, lowest on ties") =
     forAll(
       Gen.nonEmptyListOf(Gen.listOfN(4, Gen.choose(-5.0, 5.0)).map(_.toArray)).map(_.toArray),

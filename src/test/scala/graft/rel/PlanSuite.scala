@@ -209,6 +209,23 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("q40/q102: IVF cell assignment is a broadcast-codebook kernel, not a corpus×C join") {
+    // no Exchange between the vector scan and the cell-tagged output: the
+    // former assignment ranked a |corpus|×C broadcast product with a
+    // row_number window, shuffling the expanded rows on vec_id. The only
+    // hash exchange left in q40 is the final per-probe top-k window.
+    val ep = execPlan(graft.pipeline.Similarity.annIvf(spark, dir))
+    assert(!ep.contains("hashpartitioning(vec_id"), ep)
+    assert("Exchange hashpartitioning".r.findAllIn(ep).size == 1, ep)
+    assert(ep.contains("MapPartitions"), ep)
+    // q102: assignment + PQ coding fuse into one kernel pass; no window
+    // anywhere (top-k is the bounded aggregator), so no vec_id shuffle
+    val ep2 = execPlan(graft.pipeline.Similarity.ivfPqAnn(spark, dir))
+    assert(!ep2.contains("hashpartitioning(vec_id"), ep2)
+    assert(!ep2.contains("Window"), ep2)
+    assert(ep2.contains("MapPartitions"), ep2)
+  }
+
   test("no declared query plans a cartesian product") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))

@@ -1031,6 +1031,56 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** L2 at scale — [[deltaDedup]] with the [[MaxPostings]] cap composed
+    * in: the actual production daily-ingest path. The standing corpus
+    * index DROPS posting lists larger than the cap before any probe (a
+    * boilerplate shingle in 10^6 corpus docs would otherwise be one
+    * giant `collect_list` row AND fan each probe hit out by its full
+    * posting list), and the delta's own in-bucket expansion is capped
+    * the same way. Capped common counts are a LOWER bound, so pairs
+    * clearing the threshold on them are candidates; survivors are
+    * exact-verified on full shingle sets ([[verifyCandidates]]) so every
+    * emitted score is exact — precisely q66's two-stage trade
+    * ([[ngramJaccardCapped]]) applied to the incremental flow. Result ⊆
+    * [[deltaDedup]]; recall is asserted in PipelineSuite (1.0 on this
+    * corpus — planted dups share plenty of rare shingles).
+    */
+  def deltaDedupCapped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = docShingles(spark, dir)
+    val isDelta = col("doc_id") % DeltaMod === 0
+    val delta = docs.filter(isDelta)
+    val corpus = docs.filter(!isDelta)
+    val deltaEx = delta.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    // capped standing index: hot posting lists never materialize into the
+    // probe path — the per-shingle row is ≤ cap entries by construction
+    val corpusPost = corpus
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      .groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id").as("_1"), col("n_sh").as("_2"))).as("ids"))
+      .filter(size(col("ids")) <= MaxPostings)
+    val crossPairs = deltaEx
+      .join(corpusPost, "s")
+      .select(
+        col("doc_id").as("dd"), col("n_sh").as("nd"),
+        explode(col("ids")).as("c"))
+      .select(
+        least(col("dd"), col("c._1")).as("d1"),
+        greatest(col("dd"), col("c._1")).as("d2"),
+        when(col("dd") < col("c._1"), col("nd")).otherwise(col("c._2")).as("n1"),
+        when(col("dd") < col("c._1"), col("c._2")).otherwise(col("nd")).as("n2"))
+    val deltaPairs = expandCoOccurrences(spark, deltaEx, Some(MaxPostings))
+      .select(col("d1"), col("d2"), col("n1"), col("n2"))
+    val survivors = crossPairs.union(deltaPairs)
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("common"))
+      // capped common ≤ true common → lower-bound jaccard; final for
+      // recall, scores re-derived exactly below
+      .filter(col("common") / (col("n1") + col("n2") - col("common")) >= JaccardThreshold)
+      .select(col("d1"), col("d2"))
+    verifyCandidates(docs, survivors)
+  }
+
   /** L4 — per-document n-gram NOVELTY: the fraction of a doc's distinct
     * shingles that appear in NO other document. The inverse signal of
     * near-duplication — low novelty flags boilerplate/templated text even

@@ -85,7 +85,8 @@ object PipelineQueries {
     "q101_bloom_decontaminate" -> (Dedup.decontaminateBloom _),
     // q102 is rows-only: candidates depend on the trained PQ codebook
     // and the IVF cell assignment, same reason as q97/q40.
-    "q102_ivf_pq_ann" -> (Similarity.ivfPqAnn _)
+    "q102_ivf_pq_ann" -> (Similarity.ivfPqAnn _),
+    "q103_delta_dedup_capped" -> (Dedup.deltaDedupCapped _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -860,6 +861,49 @@ object PipelineQueries {
          |SELECT source, doc_id, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= ${TextAnalysis.TokenBudgetPerSource}
          |ORDER BY source, doc_id""".stripMargin,
+
+    // q103: the capped incremental path is deterministic SQL, the q66
+    // keep-list pattern split per side: the standing-index cap counts
+    // CORPUS postings only (the index never saw the delta), the
+    // delta-internal cap counts DELTA postings only; candidates clearing
+    // the threshold on capped (lower-bound) counts are re-scored EXACTLY
+    // on the full co-occurrence counts — the same two-stage flow as the
+    // Scala side.
+    "q103_delta_dedup_capped" ->
+      s"""$ShingleCte,
+         |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s WHERE len(sh) > 0),
+         |ec AS (SELECT * FROM e WHERE doc_id % ${Dedup.DeltaMod} <> 0),
+         |ed AS (SELECT * FROM e WHERE doc_id % ${Dedup.DeltaMod} = 0),
+         |keepc AS (SELECT s FROM ec GROUP BY s
+         |          HAVING count(*) <= ${Dedup.MaxPostings}),
+         |keepd AS (SELECT s FROM ed GROUP BY s
+         |          HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxPostings}),
+         |cx AS (SELECT least(a.doc_id, b.doc_id) AS d1,
+         |         greatest(a.doc_id, b.doc_id) AS d2,
+         |         CASE WHEN a.doc_id < b.doc_id THEN a.n_sh ELSE b.n_sh END AS n1,
+         |         CASE WHEN a.doc_id < b.doc_id THEN b.n_sh ELSE a.n_sh END AS n2,
+         |         count(*) AS c
+         |       FROM ed a JOIN ec b ON a.s = b.s
+         |       WHERE a.s IN (SELECT s FROM keepc)
+         |       GROUP BY 1, 2, 3, 4),
+         |dd AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |         a.n_sh AS n1, b.n_sh AS n2, count(*) AS c
+         |       FROM ed a JOIN ed b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       WHERE a.s IN (SELECT s FROM keepd)
+         |       GROUP BY 1, 2, 3, 4),
+         |surv AS (SELECT d1, d2 FROM cx
+         |         WHERE 1.0*c/(n1+n2-c) >= ${Dedup.JaccardThreshold}
+         |         UNION
+         |         SELECT d1, d2 FROM dd
+         |         WHERE 1.0*c/(n1+n2-c) >= ${Dedup.JaccardThreshold}),
+         |tot AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |          a.n_sh AS n1, b.n_sh AS n2, count(*) AS c
+         |        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2, 3, 4)
+         |SELECT t.d1, t.d2, round(1.0*t.c/(t.n1+t.n2-t.c), 4) AS jaccard
+         |FROM tot t JOIN surv USING (d1, d2)
+         |WHERE 1.0*t.c/(t.n1+t.n2-t.c) >= ${Dedup.JaccardThreshold}
+         |ORDER BY d1, d2""".stripMargin,
 
     // q101: the bloom prefilter only DISCARDS grams (false positives are
     // re-checked by the exact verify join), so the result is exactly

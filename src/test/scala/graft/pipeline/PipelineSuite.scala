@@ -54,6 +54,20 @@ class PipelineSuite extends AnyFunSuite {
     assert(got.nonEmpty && got.size < exact.length) // a real restriction
   }
 
+  test("L2 capped delta dedup: subset of the exact incremental result, exact scores, recall 1.0 here") {
+    val exact = Dedup.deltaDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.deltaDedupCapped(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // candidates come from capped postings, but survivors are verified on
+    // full shingle sets: every emitted pair carries the EXACT score
+    capped.foreach { case (pair, j) => assert(exact.get(pair).contains(j), pair) }
+    // planted near-dups share plenty of rare shingles -> nothing is lost
+    // to the cap on this corpus (q66's recall result, incremental flow)
+    assert(capped.keySet == exact.keySet,
+      s"recall ${capped.size}/${exact.size}; missing ${exact.keySet.diff(capped.keySet)}")
+  }
+
   test("L4 n-gram novelty matches a driver-side document-frequency model") {
     import spark.implicits._
     val docs = graft.rel.Queries

@@ -676,6 +676,14 @@ object TextAnalysis {
   val TokenBudgetPerSource = 700L
   val TokenBudgetSalt = "tbudget:"
 
+  /** Range count for [[tokenBudgetSample]]'s distributed prefix sum: each
+    * source's hash order splits into this many ranges that cumulate
+    * independently. Sized to the executor parallelism you want per
+    * source (a conf at scale); the per-range-totals side table is
+    * |sources| × ranges rows regardless of corpus size.
+    */
+  val TokenBudgetRanges = 32
+
   /** L4 — BUDGETED corpus assembly: fill each source up to
     * [[TokenBudgetPerSource]] tokens (not documents — "give me N tokens
     * per source", the unit training runs actually budget in), taking
@@ -684,25 +692,58 @@ object TextAnalysis {
     * displaces ones that hash after it. Complements [[quotaSample]]
     * (fixed COUNT per source) and [[sourceMix]] (fixed RATE per source).
     *
-    * Shape at 100 TB: one shuffle on the source key, then a per-source
-    * ORDERED prefix sum — a genuine sort-within-partition, which is the
-    * honest plan for a prefix-dependent gate (the k-bounded aggregator
-    * trick does not apply: membership depends on the running total of
-    * everything hashed earlier, not on a per-row rank being ≤ k). Skewed
-    * source cardinalities sort per source, never globally; emitted rows
-    * carry the running total so the gate is auditable downstream.
+    * Shape at 100 TB — the standard TWO-PASS distributed scan, because a
+    * `Window.partitionBy(source)` prefix sum puts EACH source in ONE
+    * task and a corpus that is 90% one source would serialize its whole
+    * sort: the md5 key's leading byte splits every source into
+    * [[TokenBudgetRanges]] hash ranges (a monotone function of the sort
+    * key, so range r's rows ALL precede range r+1's); pass one
+    * aggregates per-range token totals (a |sources|×ranges side table —
+    * tiny at any scale — whose prefix-offset window is over that side
+    * table, not the corpus); pass two broadcasts the offsets back and
+    * cumulates WITHIN each (source, range), so sort work and state are
+    * 1/ranges of a source per task. The per-range running total + its
+    * range offset reproduces the per-source prefix sum exactly (integer
+    * addition reassociates), so the result is hash-identical to the
+    * one-window formulation and the oracle is unchanged. The prefix gate
+    * itself is honestly order-dependent (no k-bounded aggregator
+    * applies: membership depends on the running total of everything
+    * hashed earlier); emitted rows carry the running total so the gate
+    * is auditable downstream.
     */
   def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(col("h"), col("doc_id"))
-    table(spark, dir, "documents")
+    val base = table(spark, dir, "documents")
       .select(
         col("source"),
         col("doc_id"),
         size(Shingles.tokens(col("text"))).as("n_tokens"),
         md5(concat(lit(TokenBudgetSalt), col("doc_id").cast("string"))).as("h"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // lowercase-hex ordering == numeric ordering, so the leading byte
+      // is monotone in h: a range boundary never splits the sort order
+      .withColumn(
+        "bkt",
+        (conv(substring(col("h"), 1, 2), 16, 10).cast("int")
+          * TokenBudgetRanges / 256).cast("int"))
+    // pass 1: per-(source, range) totals; the offset of a range is the
+    // sum of its predecessors WITHIN the source — a window over the
+    // bounded side table only
+    val offsets = base
+      .groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("bkt_tokens"))
+      .withColumn(
+        "offset",
+        coalesce(
+          sum(col("bkt_tokens")).over(
+            Window.partitionBy(col("source")).orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("source"), col("bkt"), col("offset"))
+    // pass 2: local ordered cumsum per (source, range) + the broadcast
+    // range offset = the exact per-source running total
+    val w = Window.partitionBy(col("source"), col("bkt")).orderBy(col("h"), col("doc_id"))
+    base
+      .join(broadcast(offsets), Seq("source", "bkt"))
+      .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= TokenBudgetPerSource)
       .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("source"), col("doc_id"))

@@ -68,6 +68,45 @@ class PipelineSuite extends AnyFunSuite {
       s"recall ${capped.size}/${exact.size}; missing ${exact.keySet.diff(capped.keySet)}")
   }
 
+  test("L4 token budget: two-pass prefix sum matches a driver model and splits a single source") {
+    import spark.implicits._
+    // ONE source — the shape that serialized the old per-source window —
+    // with enough docs that the budget boundary lands mid-corpus
+    val fixture = (1L to 300L)
+      .map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "), "only_src"))
+      .toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("tbudget").toFile
+    tmp.deleteOnExit()
+    fixture.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val df = TextAnalysis.tokenBudgetSample(spark, tmp.toString)
+    // the corpus-side cumsum window partitions by (source, RANGE), so a
+    // single giant source still fans out across TokenBudgetRanges tasks
+    val ep = df.queryExecution.executedPlan.toString
+    // corpus cumsum window: partition list (source, bkt), THEN the h
+    // order spec — bkt without an ASC marker means it's a partition col
+    assert("""windowspecdefinition\(source#\d+, bkt#\d+, h#""".r.findFirstIn(ep).isDefined, ep)
+    // and no corpus window partitioned by source alone (order by h
+    // directly after the partition list = the old serializing shape)
+    assert("""windowspecdefinition\(source#\d+, h#""".r.findFirstIn(ep).isEmpty, ep)
+    // driver model: the ONE-pass definition (sort whole source by
+    // (md5 h, doc_id), cumsum, gate) the two-pass plan must reproduce
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md.digest(s"${TextAnalysis.TokenBudgetSalt}$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    var cum = 0L
+    val expect = (1L to 300L)
+      .map(i => (i, (i % 7 + 1).toInt, h(i)))
+      .sortBy { case (id, _, hh) => (hh, id) }
+      .flatMap { case (id, n, _) =>
+        cum += n
+        if (cum <= TextAnalysis.TokenBudgetPerSource) Some((id, n, cum)) else None
+      }
+      .sortBy(_._1)
+    val got = df.collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+
   test("L4 n-gram novelty matches a driver-side document-frequency model") {
     import spark.implicits._
     val docs = graft.rel.Queries

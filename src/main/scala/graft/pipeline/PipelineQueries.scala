@@ -86,7 +86,11 @@ object PipelineQueries {
     // q102 is rows-only: candidates depend on the trained PQ codebook
     // and the IVF cell assignment, same reason as q97/q40.
     "q102_ivf_pq_ann" -> (Similarity.ivfPqAnn _),
-    "q103_delta_dedup_capped" -> (Dedup.deltaDedupCapped _)
+    "q103_delta_dedup_capped" -> (Dedup.deltaDedupCapped _),
+    // q104 gates the sharded training-output sink: row identity with the
+    // source table + a per-file cap check computed from the committed
+    // files themselves (see Formats.shardedRoundtrip).
+    "q104_sharded_output" -> (graft.sources.Formats.shardedRoundtrip _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -904,6 +908,14 @@ object PipelineQueries {
          |FROM tot t JOIN surv USING (d1, d2)
          |WHERE 1.0*t.c/(t.n1+t.n2-t.c) >= ${Dedup.JaccardThreshold}
          |ORDER BY d1, d2""".stripMargin,
+
+    // q104: the read-back of the sharded sink must be row-identical to
+    // the source table, and every committed file must respect the cap —
+    // Spark computes shard_capped from the actual files; the oracle says
+    // it must be uniformly true.
+    "q104_sharded_output" ->
+      """SELECT doc_id, md5(text) AS text_hash, true AS shard_capped
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q101: the bloom prefilter only DISCARDS grams (false positives are
     // re-checked by the exact verify join), so the result is exactly

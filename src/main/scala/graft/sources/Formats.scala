@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink surface beyond the engine's newline-text contract: CSV,
@@ -56,6 +57,47 @@ object Formats {
       .mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
+
+  /** Rows-per-shard cap for [[shardedRoundtrip]] — small enough that the
+    * cap provably BITES at the verify/bench scale factors (each writing
+    * task holds more rows than this, so `maxRecordsPerFile` must roll
+    * files for the gate to pass).
+    */
+  val ShardCap = 100L
+
+  /** Declared-query gate for [[writeSharded]] (q104): write the
+    * documents table's (doc_id, md5(text)) through the size-capped
+    * sharded sink, read the committed files back, and emit per row
+    *  - the row identity columns (doc_id, text_hash) — any lost,
+    *    duplicated, or corrupted row breaks the count/hash against the
+    *    source-table oracle; and
+    *  - `shard_capped` = this row's file holds ≤ [[ShardCap]] rows,
+    *    computed from the ACTUAL committed files via the `_metadata`
+    *    file path — a single over-cap shard flips rows to false and
+    *    fails the hash.
+    * The write repartitions to 2 tasks so each task's row count exceeds
+    * the cap at sf ≥ 0.01 and the rolling behavior is genuinely
+    * exercised (a 32-way write of the toy corpus would sit under the cap
+    * per task and gate nothing); the per-file count aggregation is
+    * |files| rows. Output goes to a fresh temp directory per call — the
+    * write is part of what the query measures.
+    */
+  def shardedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-sharded").toString
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+    writeSharded(src.repartition(2), out, ShardCap)
+    val back = spark.read.parquet(out)
+      .withColumn("f", col("_metadata.file_path"))
+    val fileCounts = back.groupBy(col("f")).agg(count(lit(1)).as("n_in_file"))
+    back
+      .join(broadcast(fileCounts), "f")
+      .select(
+        col("doc_id"),
+        col("text_hash"),
+        (col("n_in_file") <= ShardCap).as("shard_capped"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Hive-style partitioned parquet: one directory per distinct value of
     * `partitionCol`. Choose a column with bounded cardinality (a date, a

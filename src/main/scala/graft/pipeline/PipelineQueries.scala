@@ -90,7 +90,11 @@ object PipelineQueries {
     // q104 gates the sharded training-output sink: row identity with the
     // source table + a per-file cap check computed from the committed
     // files themselves (see Formats.shardedRoundtrip).
-    "q104_sharded_output" -> (graft.sources.Formats.shardedRoundtrip _)
+    "q104_sharded_output" -> (graft.sources.Formats.shardedRoundtrip _),
+    // q105 is rows-only: iterative merge learning (like q59/q94); the
+    // merge table is checked against a same-algorithm driver reference
+    // in PipelineSuite.
+    "q105_bpe_merges" -> (TextAnalysis.bpeMerges _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */

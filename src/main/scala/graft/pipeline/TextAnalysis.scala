@@ -253,6 +253,98 @@ object TextAnalysis {
         size(array_distinct(col("toks"))).as("n_unique_bpe"))
       .orderBy(col("doc_id"))
 
+  /** Merge-table size for [[bpeMerges]] — small enough that the round
+    * loop stays cheap at bench scale, large enough that merges chain
+    * (learned symbols re-merge into longer ones) on every SF.
+    */
+  val BpeMergeCount = 20
+
+  /** One BPE merge applied to a symbol sequence: non-overlapping
+    * left-to-right replacement of adjacent (l, r) with the concatenation
+    * — the update rule of Sennrich et al. 2016, shared by the
+    * distributed pass and the PipelineSuite reference model.
+    */
+  private[pipeline] def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r)
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** L4 — genuine BPE merge LEARNING (Sennrich et al. 2016), not just the
+    * pre-tokenizer count [[bpeTokens]] applies: learn
+    * [[BpeMergeCount]] merges by iterated most-frequent-adjacent-pair
+    * selection.
+    *
+    * Shape at 100 TB: BPE trains on the WORD-FREQUENCY DICT, not the raw
+    * corpus — one corpus-scale aggregation builds (word, freq), after
+    * which every round runs over the bounded vocabulary frame (10^5–10^7
+    * rows regardless of corpus size): a pair-count aggregation with
+    * map-side partials, a driver argmax of ONE row (`limit(1)` after the
+    * count sort — the only thing collected per round), and a broadcast
+    * merge rule applied in a kernel map — the k-means round discipline
+    * (bounded driver state, per-round broadcast, partial-sum counts).
+    * Each round's dict persists and the previous unpersists, so lineage
+    * stays one map deep off a cached frame.
+    *
+    * Tie-breaks are total — (count DESC, left ASC, right ASC) — so the
+    * merge sequence is deterministic. Declared rows-only (iterative
+    * refinement, like q59/q94); PipelineSuite checks the full merge
+    * table against a driver-side reference implementation of the same
+    * algorithm.
+    *
+    * Each round's dict is `localCheckpoint`ed (the [[graft.pipeline.Dedup]]
+    * `dedupGroups` discipline): a persist alone keeps the full logical
+    * plan, which grows by one map per round and drags every downstream
+    * analysis/plan-string pass over the whole history — measured as a
+    * CPU-bound stall by round ~15 at sf0.001.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var dict = table(spark, dir, "documents")
+      .select(explode(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString).toArray, f) }
+      .toDF("syms", "freq")
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < BpeMergeCount && !exhausted) {
+      val top = dict.as[(Array[String], Long)]
+        .flatMap { case (syms, f) =>
+          (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), f))
+        }
+        .toDF("l", "r", "f")
+        .groupBy(col("l"), col("r"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = top(0)
+        merges += ((merges.size + 1, l, r, cnt))
+        dict = dict.as[(Array[String], Long)]
+          .map { case (syms, f) => (applyMerge(syms, l, r), f) }
+          .toDF("syms", "freq")
+          .localCheckpoint(true)
+      }
+      round += 1
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count").orderBy(col("rank"))
+  }
+
   /** Scrubbing patterns for the cleaning pass — alternation-only regexes
     * (no backreferences/lookahead) so Java and RE2 agree byte for byte.
     */

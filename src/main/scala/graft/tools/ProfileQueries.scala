@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * (default 32), `SPARK_GRAFT_BENCH_ONLY`-style arg list of query-name
   * prefixes (default q73).
   */
-object ProfileQ73 {
+object ProfileQueries {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt

@@ -554,6 +554,49 @@ class PipelineSuite extends AnyFunSuite {
     assert(lsh.size >= math.ceil(exact.size * 0.8).toInt, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("BPE merge learning == a driver-side reference implementation") {
+    import spark.implicits._
+    val got = TextAnalysis.bpeMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // reference: Sennrich et al.'s algorithm run in plain Scala on the
+    // collected word-frequency dict (tiny at test scale), with the same
+    // (count desc, left asc, right asc) tie-break — ASCII corpus, so
+    // Scala string order == Spark's UTF-8 binary order
+    val wordFreq = graft.rel.Queries.table(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.regexp_extract_all(
+          org.apache.spark.sql.functions.lower($"text"),
+          org.apache.spark.sql.functions.lit(TextAnalysis.BpePattern),
+          org.apache.spark.sql.functions.lit(0))).as("w"))
+      .groupBy($"w").count()
+      .as[(String, Long)].collect()
+    var dict = wordFreq.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < TextAnalysis.BpeMergeCount && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (syms, f) =>
+        (0 until syms.length - 1).foreach { i =>
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        expect += ((expect.size + 1, l, r, cnt))
+        dict = dict.map { case (syms, f) => (TextAnalysis.applyMerge(syms, l, r), f) }
+      }
+      round += 1
+    }
+    assert(got.nonEmpty)
+    assert(got == expect.toSeq)
+    // merges genuinely chain: some learned symbol is longer than 2 chars,
+    // i.e. a later merge consumed an earlier merge's output
+    assert(got.exists { case (_, l, r, _) => (l + r).length > 2 })
+  }
+
   test("BPE-ish tokenizer: counts match a driver-side regex model") {
     import spark.implicits._
     val got = TextAnalysis.bpeTokens(spark, dir).collect()

@@ -94,7 +94,11 @@ object PipelineQueries {
     // q105 is rows-only: iterative merge learning (like q59/q94); the
     // merge table is checked against a same-algorithm driver reference
     // in PipelineSuite.
-    "q105_bpe_merges" -> (TextAnalysis.bpeMerges _)
+    "q105_bpe_merges" -> (TextAnalysis.bpeMerges _),
+    "q106_semantic_dedup" -> (Similarity.semanticDedup _),
+    "q107_hybrid_rrf" -> (Retrieval.hybridRrf _),
+    "q108_dsir_sample" -> (TextAnalysis.dsirSample _),
+    "q109_cluster_sample" -> (Similarity.clusterSample _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -106,6 +110,48 @@ object PipelineQueries {
       |                    i -> array_to_string(w[i:i+2], ' ')))
       |             ELSE [] END AS sh
       |      FROM d)""".stripMargin
+
+  /** DuckDB BM25 rank body shared by q62 and q107's lexical side: `r` is
+    * the per-query (score DESC, doc_id) ranking of non-benchmark docs.
+    */
+  private val Bm25Body =
+    s"""t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, source, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+       |dl AS (SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl FROM documents),
+       |stats AS (SELECT count(*)::DOUBLE AS n,
+       |            avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT DISTINCT doc_id AS q_id, term FROM tf WHERE source = '${Dedup.BenchSource}'),
+       |s AS (SELECT q.q_id, tf.doc_id,
+       |        round(sum(
+       |          ln((stats.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1.0) *
+       |          tf.tf * (1.2 + 1.0) /
+       |          (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+       |        ), 6) AS score
+       |      FROM tf JOIN q USING (term) JOIN dfq USING (term)
+       |      JOIN dl ON dl.doc_id = tf.doc_id
+       |      CROSS JOIN stats
+       |      WHERE tf.source <> '${Dedup.BenchSource}'
+       |      GROUP BY 1, 2),
+       |r AS (SELECT q_id, doc_id, score,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
+       |      FROM s)""".stripMargin
+
+  /** DuckDB coarse-cell assignment shared by q106/q109: `n` is the normed
+    * vector frame, `asn` maps every vec_id to its nearest coarse-centroid
+    * cell (cosine DESC, cent_id tie-break — exactly
+    * [[Similarity.nearestCells]] with keep=1).
+    */
+  private val CellCte =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+       |      WHERE vec_id % ${Similarity.CentroidEvery} = 1),
+       |ar AS (SELECT n.vec_id, c.cent_id,
+       |         row_number() OVER (PARTITION BY n.vec_id
+       |           ORDER BY list_dot_product(n.v, c.cv)/(n.nrm*c.cn) DESC, c.cent_id) AS r
+       |       FROM n CROSS JOIN c),
+       |asn AS (SELECT vec_id, cent_id FROM ar WHERE r = 1)""".stripMargin
 
   private val VectorCte =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -459,29 +505,44 @@ object PipelineQueries {
         |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
 
     "q62_bm25" ->
-      """WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
-        |tf AS (SELECT doc_id, source, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
-        |dl AS (SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl FROM documents),
-        |stats AS (SELECT count(*)::DOUBLE AS n,
-        |            avg(len(string_split(text, ' '))) AS avgdl FROM documents),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |q AS (SELECT DISTINCT doc_id AS q_id, term FROM tf WHERE source = 'src0'),
-        |s AS (SELECT q.q_id, tf.doc_id,
-        |        round(sum(
-        |          ln((stats.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1.0) *
-        |          tf.tf * (1.2 + 1.0) /
-        |          (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
-        |        ), 6) AS score
-        |      FROM tf JOIN q USING (term) JOIN dfq USING (term)
-        |      JOIN dl ON dl.doc_id = tf.doc_id
-        |      CROSS JOIN stats
-        |      WHERE tf.source <> 'src0'
-        |      GROUP BY 1, 2),
-        |r AS (SELECT q_id, doc_id, score,
-        |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
-        |      FROM s)
-        |SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 5
-        |ORDER BY q_id, rnk""".stripMargin,
+      s"""WITH $Bm25Body
+         |SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    // q107: RRF fusion of the q62 lexical ranks (shared CTE body) and an
+    // exact dense cosine ranking over the embedded candidate universe;
+    // rrf terms are exact binary rationals, so the fused scores are
+    // bit-identical across engines.
+    "q107_hybrid_rrf" ->
+      s"""WITH $Bm25Body,
+         |lex AS (SELECT q_id, doc_id, rnk FROM r WHERE rnk <= 5),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT e.vec_id, d.source, v, sqrt(list_dot_product(v, v)) AS nrm
+         |      FROM e JOIN documents d ON d.doc_id = e.vec_id),
+         |sc AS (SELECT p.vec_id AS q_id, c.vec_id AS doc_id,
+         |         list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS cos
+         |       FROM n p JOIN n c
+         |       ON p.source = '${Dedup.BenchSource}' AND c.source <> '${Dedup.BenchSource}'),
+         |dr AS (SELECT q_id, doc_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rnk
+         |       FROM sc),
+         |den AS (SELECT q_id, doc_id, rnk FROM dr WHERE rnk <= 5),
+         |f AS (SELECT coalesce(lex.q_id, den.q_id) AS q_id,
+         |        coalesce(lex.doc_id, den.doc_id) AS doc_id,
+         |        coalesce(lex.rnk, 0) AS lex_rnk, coalesce(den.rnk, 0) AS dense_rnk
+         |      FROM lex FULL OUTER JOIN den
+         |      ON lex.q_id = den.q_id AND lex.doc_id = den.doc_id),
+         |fs AS (SELECT q_id, doc_id, lex_rnk, dense_rnk,
+         |         (CASE WHEN lex_rnk > 0 THEN 1.0::DOUBLE / (60 + lex_rnk) ELSE 0.0 END)
+         |         + (CASE WHEN dense_rnk > 0 THEN 1.0::DOUBLE / (60 + dense_rnk) ELSE 0.0 END)
+         |           AS rrf
+         |       FROM f),
+         |fr AS (SELECT q_id, doc_id, lex_rnk, dense_rnk, rrf,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rnk
+         |       FROM fs)
+         |SELECT q_id, rnk::INT AS rnk, doc_id, round(rrf, 6) AS rrf,
+         |  lex_rnk::INT AS lex_rnk, dense_rnk::INT AS dense_rnk
+         |FROM fr WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
     // The final state of the flatMapGroupsWithState running (count, sum)
     // equals the batch aggregate — a plain GROUP BY oracles the genuinely
@@ -935,6 +996,75 @@ object PipelineQueries {
         |train AS (SELECT doc_id, gram FROM g WHERE source <> 'src0')
         |SELECT train.doc_id, count(*) AS n_hits
         |FROM train JOIN bench USING (gram)
-        |GROUP BY train.doc_id ORDER BY train.doc_id""".stripMargin
+        |GROUP BY train.doc_id ORDER BY train.doc_id""".stripMargin,
+
+    // q106: within-cell keep-first semantic dedup — exact arithmetic once
+    // the cell boundary is fixed, so the whole decision is hash-gated
+    // (the LSH near-dup families are rows-only; this one is not).
+    "q106_semantic_dedup" ->
+      s"""$CellCte,
+         |p AS (SELECT x.vec_id, x.cent_id,
+         |        max(list_dot_product(nx.v, ny.v)/(nx.nrm*ny.nrm)) AS mx
+         |      FROM asn x JOIN asn y ON x.cent_id = y.cent_id AND y.vec_id < x.vec_id
+         |      JOIN n nx ON nx.vec_id = x.vec_id JOIN n ny ON ny.vec_id = y.vec_id
+         |      GROUP BY 1, 2)
+         |SELECT a.vec_id, a.cent_id,
+         |  round(coalesce(p.mx, -1.0), 4) AS max_prior_cos,
+         |  coalesce(p.mx, -1.0) >= ${Similarity.SemDedupCosine}::DOUBLE AS is_dup
+         |FROM asn a LEFT JOIN p ON p.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+
+    // q108: the hashed feature map (2-hex-char salted-md5 buckets), the
+    // smoothed log-ratio table, and the Gumbel key are all deterministic
+    // arithmetic both engines compute identically; ranking is on the
+    // ROUNDED key + doc_id (curatedTopK tie-safety pattern).
+    "q108_dsir_sample" -> {
+      val alpha = TextAnalysis.DsirAlpha
+      val aB = TextAnalysis.DsirAlpha * TextAnalysis.DsirBuckets
+      s"""WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS g
+         |              FROM documents),
+         |big AS (SELECT doc_id, source, w[i] || ' ' || w[i+1] AS g FROM (
+         |         SELECT doc_id, source, w, unnest(range(1, greatest(len(w), 1))) AS i
+         |         FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents))),
+         |grams AS (SELECT doc_id, source,
+         |            substr(md5('${TextAnalysis.DsirSalt}' || g), 1, 2) AS bkt
+         |          FROM (SELECT * FROM toks UNION ALL SELECT * FROM big)),
+         |counts AS (SELECT bkt,
+         |             sum(CASE WHEN source = '${Dedup.BenchSource}' THEN 1 ELSE 0 END) AS tgt_c,
+         |             sum(CASE WHEN source <> '${Dedup.BenchSource}' THEN 1 ELSE 0 END) AS raw_c
+         |           FROM grams GROUP BY 1),
+         |tot AS (SELECT sum(tgt_c)::DOUBLE AS tgt_n, sum(raw_c)::DOUBLE AS raw_n FROM counts),
+         |lam AS (SELECT bkt,
+         |          ln((tgt_c + $alpha)/(tgt_n + $aB)) - ln((raw_c + $alpha)/(raw_n + $aB))
+         |            AS lam
+         |        FROM counts CROSS JOIN tot),
+         |lw AS (SELECT g.doc_id, count(*) AS n_feat, sum(l.lam) AS logw
+         |       FROM grams g JOIN lam l USING (bkt)
+         |       WHERE g.source <> '${Dedup.BenchSource}' GROUP BY 1),
+         |k AS (SELECT doc_id, n_feat, logw,
+         |        round(logw - ln(-ln(
+         |          (('0x' || substr(md5('${TextAnalysis.DsirGumbelSalt}' || doc_id), 1, 12))::BIGINT)
+         |            / 281474976710656.0)), 4) AS gkey
+         |      FROM lw),
+         |r AS (SELECT doc_id, n_feat, logw, gkey,
+         |        row_number() OVER (ORDER BY gkey DESC, doc_id) AS rnk FROM k)
+         |SELECT rnk::INT AS rnk, doc_id, gkey AS gumbel_key,
+         |  round(logw, 4) AS dsir_logw, n_feat
+         |FROM r WHERE rnk <= ${TextAnalysis.DsirKeep} ORDER BY rnk""".stripMargin
+    },
+
+    // q109: per-cell hash-quota sampling — same deterministic salted-md5
+    // draw as q76, keyed by the coarse cell instead of the source.
+    "q109_cluster_sample" ->
+      s"""$CellCte,
+         |k AS (SELECT cent_id, vec_id,
+         |        substr(md5('${Similarity.ClusterSampleSalt}' || vec_id), 1, 12) AS sample_key
+         |      FROM asn),
+         |r AS (SELECT cent_id, vec_id, sample_key,
+         |        row_number() OVER (PARTITION BY cent_id
+         |                           ORDER BY sample_key, vec_id) AS rnk
+         |      FROM k)
+         |SELECT cent_id, rnk::INT AS rnk, vec_id, sample_key
+         |FROM r WHERE rnk <= ${Similarity.ClusterQuota} ORDER BY cent_id, rnk""".stripMargin
   )
 }

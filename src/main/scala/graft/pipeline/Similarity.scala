@@ -46,7 +46,7 @@ object Similarity {
     * similarity queries in a session share one cached copy instead of
     * re-scanning + re-norming `embeddings` per reference.
     */
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private[pipeline] def vectors(spark: SparkSession, dir: String): DataFrame =
     vectorCache.computeIfAbsent(
       (spark, dir),
       { case (s, d) =>
@@ -845,6 +845,108 @@ object Similarity {
       .filter(col("cos") >= NearDupCosine)
       .select(col("v1"), col("v2"), round(col("cos"), 4).as("cos"))
       .orderBy(col("v1"), col("v2"))
+  }
+
+  // ---- semantic dedup + cluster-balanced sampling -----------------------
+
+  /** Keep-first cosine threshold for [[semanticDedup]] — aligned with
+    * [[NearDupCosine]] so the semantic and LSH near-dup families are
+    * directly comparable on the same corpus.
+    */
+  val SemDedupCosine = 0.4
+
+  /** Every vector tagged with its nearest coarse-centroid cell — the
+    * shared front half of [[semanticDedup]] and [[clusterSample]]. One
+    * narrow [[nearestCells]] kernel pass over the broadcast codebook: no
+    * Exchange between the vector scan and the cell-tagged output (the
+    * k-means assignment pattern; same shape PlanSuite pins for annIvf).
+    */
+  private def cellTagged(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bcCoarse = spark.sparkContext.broadcast(coarseCentroids(spark, dir))
+    vectors(spark, dir)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val cc = bcCoarse.value
+        it.map { case (id, v, n) => (nearestCells(cc, v, n, 1)(0), id, v, n) }
+      }
+      .toDF("cent_id", "vec_id", "v", "norm")
+  }
+
+  /** L2/L3 — SEMANTIC dedup, the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding corpus, then mark a vector
+    * a duplicate when some earlier cell-mate (lower vec_id — the
+    * deterministic keep-first policy) has cosine ≥ [[SemDedupCosine]].
+    * Emits every vector with its cell, its max cosine to any earlier
+    * cell-mate (−1 when it is the first in its cell), and the dup flag.
+    *
+    * Scale shape: candidate pairs exist only WITHIN a cell, so the
+    * quadratic term is |cell|², never |corpus|² — at 100 TB the centroid
+    * count C grows with the corpus (C ≈ N / target cell size, trained
+    * like [[kmeans]]; the deterministic [[CentroidEvery]] sample stands
+    * in here exactly as it does for [[annIvf]]) and per-cell work stays
+    * bounded. Assignment is the kernel pass of [[cellTagged]] — the
+    * corpus shuffles ONCE, on cent_id, for the cell self-join. The cell
+    * boundary trades recall vs the all-pairs [[embeddingNearDup]] (the
+    * published SemDeDup trade), but within a cell the decision is exact
+    * arithmetic — so unlike the LSH families this query is fully
+    * hash-gated against a DuckDB oracle.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = cellTagged(spark, dir)
+    val prior = cells.select(
+      col("cent_id"), col("vec_id").as("p_id"), col("v").as("pv"), col("norm").as("pn"))
+    val best = cells.join(prior, Seq("cent_id"))
+      .filter(col("p_id") < col("vec_id"))
+      .groupBy(col("cent_id"), col("vec_id"))
+      .agg(max(dot(col("pv"), col("v")) / (col("pn") * col("norm"))).as("mx"))
+    cells.select(col("cent_id"), col("vec_id"))
+      .join(best, Seq("cent_id", "vec_id"), "left")
+      .withColumn("mx", coalesce(col("mx"), lit(-1.0)))
+      .select(
+        col("vec_id"),
+        col("cent_id"),
+        round(col("mx"), 4).as("max_prior_cos"),
+        (col("mx") >= SemDedupCosine).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Per-cell quota and hash salt for [[clusterSample]]. */
+  val ClusterQuota = 20
+  val ClusterSampleSalt = "csample:"
+
+  /** L3/L4 — cluster-BALANCED diversity sampling: each coarse cell keeps
+    * its [[ClusterQuota]] members with the lexicographically smallest
+    * salted-md5 keys — the "semantic diversity" draw a curation pipeline
+    * runs after clustering so one dense topic cannot crowd out the tail
+    * (the per-topic twin of [[graft.pipeline.TextAnalysis.quotaSample]]'s
+    * per-source quota). Hash-ordered selection is stable under re-runs
+    * and corpus growth. Cells can be huge (the worst case for a per-cell
+    * window), so selection runs on the k-bounded
+    * [[graft.rel.TopK.topKPerGroup]] aggregator: ≤ k rows per
+    * (partition, cell) shuffle, never a whole cell sorted in one task.
+    * The 48-bit hash prefix is exact in a Double, so aggregator order ==
+    * hex order == the oracle's.
+    */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spk = (id: Column) =>
+      substring(md5(concat(lit(ClusterSampleSalt), id.cast("string"))), 1, 12)
+    val scores = cellTagged(spark, dir)
+      .select(
+        col("cent_id"),
+        // negated: TopKAgg keeps the LARGEST scores, we want smallest keys
+        negate(conv(spk(col("vec_id")), 16, 10).cast("long").cast("double")).as("score"),
+        col("vec_id"))
+      .as[(Long, Double, Long)]
+    graft.rel.TopK.topKPerGroup(scores, ClusterQuota)
+      .select(
+        col("group").as("cent_id"),
+        col("rnk"),
+        col("id").as("vec_id"),
+        spk(col("id")).as("sample_key"))
+      .orderBy(col("cent_id"), col("rnk"))
   }
 
   /** L3 at scale — ANN top-k via LSH bucket collisions: candidates are

@@ -841,6 +841,91 @@ object TextAnalysis {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  // ---- DSIR importance resampling ---------------------------------------
+
+  /** Hashed-feature geometry for [[dsirSample]]: bucket count B for the
+    * hashed unigram+bigram features, Laplace smoothing α, hash salts,
+    * and the kept-sample size.
+    */
+  val DsirBuckets = 256
+  val DsirAlpha = 0.5
+  val DsirSalt = "dsir:"
+  val DsirGumbelSalt = "dsirg:"
+  val DsirKeep = 50
+
+  /** L4 — importance RESAMPLING toward a target domain, the DSIR shape
+    * (Xie et al. 2023, arXiv:2302.03169): featurize every document into
+    * hashed n-gram buckets (unigram + bigram occurrences → [[DsirBuckets]]
+    * buckets keyed by a 2-hex-char salted-md5 prefix, so the oracle
+    * computes the IDENTICAL feature map), fit Laplace-smoothed bucket
+    * distributions on the TARGET sample ([[Dedup.BenchSource]] documents
+    * stand in for the high-quality domain) and on the RAW rest, score
+    * each raw document with the bag-of-features log-likelihood ratio
+    * Σ_grams (ln p̂_tgt(bkt) − ln p̂_raw(bkt)), and draw [[DsirKeep]]
+    * documents WITHOUT replacement with probability ∝ exp(score) via the
+    * Gumbel-top-k trick — the Gumbel noise −ln(−ln u) uses a salted-md5
+    * 48-bit uniform, so the draw is deterministic, reproducible across
+    * runs and engines, and still a faithful softmax sample.
+    *
+    * Scale shape: the log-ratio table is ≤ [[DsirBuckets]] rows no matter
+    * the corpus size — broadcast; per-doc scoring is one hashed-feature
+    * pass + one map-side-combined aggregation; the global top-k draw runs
+    * on the k-bounded [[graft.rel.TopK.topKPerGroup]] aggregator (≤ k
+    * rows per partition shuffled — never a global sort). Ranking uses the
+    * ROUNDED Gumbel key + doc_id (the [[curatedTopK]] tie-safety
+    * pattern), absorbing cross-engine FP sum-order jitter.
+    */
+  def dsirSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val uni = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(Shingles.tokens(col("text"))).as("g"))
+    val bi = docBigrams(spark, dir)
+      .select(col("doc_id"), concat(col("w1"), lit(" "), col("w2")).as("g"))
+    val grams = uni.unionByName(bi)
+      .join(docs, "doc_id")
+      .select(
+        col("doc_id"),
+        col("source"),
+        substring(md5(concat(lit(DsirSalt), col("g"))), 1, 2).as("bkt"))
+
+    val isTgt = col("source") === Dedup.BenchSource
+    // one pass over the gram frame builds BOTH sides' bucket counts
+    val counts = grams
+      .groupBy(col("bkt"))
+      .agg(
+        sum(when(isTgt, 1L).otherwise(0L)).as("tgt_c"),
+        sum(when(isTgt, 0L).otherwise(1L)).as("raw_c"))
+    val aB = DsirAlpha * DsirBuckets
+    val tot = counts.agg(sum("tgt_c").as("tgt_n"), sum("raw_c").as("raw_n"))
+    val lambda = counts.crossJoin(broadcast(tot)) // 1-row totals side
+      .select(
+        col("bkt"),
+        (log((col("tgt_c") + lit(DsirAlpha)) / (col("tgt_n") + lit(aB)))
+          - log((col("raw_c") + lit(DsirAlpha)) / (col("raw_n") + lit(aB)))).as("lam"))
+
+    val logw = grams.filter(!isTgt)
+      .join(broadcast(lambda), "bkt")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("lam")).as("logw"))
+    // Gumbel(0,1) noise from a salted 48-bit md5 uniform in (0,1); the
+    // 48-bit prefix is exact in a Double (the quotaSample argument)
+    val u = conv(
+      substring(md5(concat(lit(DsirGumbelSalt), col("doc_id").cast("string"))), 1, 12),
+      16, 10).cast("long").cast("double") / lit(math.pow(2.0, 48))
+    val keyed = logw.withColumn("gkey", round(col("logw") - log(-log(u)), 4))
+
+    val picked = graft.rel.TopK.topKPerGroup(
+      keyed.select(lit(0).as("grp"), col("gkey"), col("doc_id")).as[(Int, Double, Long)],
+      DsirKeep)
+      .select(col("rnk"), col("id").as("doc_id"), col("score").as("gumbel_key"))
+    picked.join(keyed, "doc_id") // k rows joining back for the audit columns
+      .select(
+        col("rnk"), col("doc_id"), col("gumbel_key"),
+        round(col("logw"), 4).as("dsir_logw"), col("n_feat"))
+      .orderBy(col("rnk"))
+  }
+
   /** BM25 parameters (the standard Robertson defaults) and results kept
     * per query.
     */

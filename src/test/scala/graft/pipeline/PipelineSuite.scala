@@ -984,4 +984,112 @@ class PipelineSuite extends AnyFunSuite {
       assert(mw == gw && math.abs(ms - gs) < 1e-5)
     }
   }
+
+  /** Collected (vec_id, v, norm) plus the coarse-centroid subset — the
+    * driver-side model shared by the semantic-dedup and cluster-sample
+    * tests (500 vectors at sf0.001: model scale only).
+    */
+  private def vectorModel(): (Array[(Long, Array[Double], Double)], Array[(Long, Array[Double], Double)]) = {
+    import spark.implicits._
+    val all = graft.rel.Queries.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) => (id, v, math.sqrt(v.map(x => x * x).sum)) }
+      .sortBy(_._1)
+    (all, all.filter(_._1 % Similarity.CentroidEvery == 1))
+  }
+
+  private def cosine(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double =
+    a._2.zip(b._2).map { case (x, y) => x * y }.sum / (a._3 * b._3)
+
+  test("semantic dedup matches a driver-side keep-first model; dups exist") {
+    val (all, cents) = vectorModel()
+    val assign = all.map { t =>
+      // argmax cosine, ties to the lowest cent_id — nearestCells keep=1
+      val best = cents.map(c => (cosine(t, c), c._1)).maxBy { case (c, id) => (c, -id) }
+      t._1 -> best._2
+    }.toMap
+    val byId = all.map(t => t._1 -> t).toMap
+    val expected = all.map { t =>
+      val mates = all.filter(o => o._1 < t._1 && assign(o._1) == assign(t._1))
+      val mx = if (mates.isEmpty) -1.0 else mates.map(o => cosine(byId(t._1), o)).max
+      (t._1, assign(t._1), round4(mx), mx >= Similarity.SemDedupCosine)
+    }.toSet
+    val got = Similarity.semanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(got == expected)
+    assert(got.exists(_._4)) // the corpus has semantic dups at this threshold
+    assert(got.exists(!_._4))
+  }
+
+  test("cluster sample: per-cell quota respected, selection is the smallest salted keys") {
+    val (all, cents) = vectorModel()
+    val assign = all.map { t =>
+      val best = cents.map(c => (cosine(t, c), c._1)).maxBy { case (c, id) => (c, -id) }
+      t._1 -> best._2
+    }.toMap
+    def key(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((Similarity.ClusterSampleSalt + id).getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.take(12)
+    }
+    val expected = all.groupBy(t => assign(t._1)).flatMap { case (cell, ts) =>
+      ts.toSeq.map(t => (t._1, key(t._1))).sortBy { case (id, k) => (k, id) }
+        .take(Similarity.ClusterQuota)
+        .zipWithIndex
+        .map { case ((id, k), i) => (cell, i + 1, id, k) }
+    }.toSet
+    val got = Similarity.clusterSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == expected)
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.size <= Similarity.ClusterQuota)
+      assert(rs.map(_._2).toSeq.sorted == (1 to rs.size))
+    }
+  }
+
+  test("hybrid RRF: scores recompute from the rank columns, both retrievers contribute") {
+    val lex = TextAnalysis.bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val rows = Retrieval.hybridRrf(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+      assert(rs.length <= Retrieval.FusedTopK)
+      val sorted = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+    rows.foreach { r =>
+      val (q, doc, lexR, denR) = (r.getLong(0), r.getLong(2), r.getInt(4), r.getInt(5))
+      def term(rk: Int) = if (rk > 0) 1.0 / (Retrieval.RrfK + rk) else 0.0
+      val expected = BigDecimal(term(lexR) + term(denR))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expected) < 1e-12)
+      // a claimed lexical rank must be exactly bm25's rank for that pair
+      if (lexR > 0) assert(lex((q, doc)) == lexR)
+      assert(lexR > 0 || denR > 0)
+    }
+    // fusion is genuinely hybrid here: some fused hits are dense-only and
+    // some lexical-only, so neither retriever alone reproduces the result
+    assert(rows.exists(r => r.getInt(4) == 0 && r.getInt(5) > 0))
+    assert(rows.exists(r => r.getInt(4) > 0 && r.getInt(5) == 0))
+  }
+
+  test("DSIR sample: deterministic softmax draw, keys non-increasing, no target docs") {
+    val rows = TextAnalysis.dsirSample(spark, dir).collect()
+    assert(rows.length == TextAnalysis.DsirKeep)
+    assert(rows.map(_.getInt(0)).sorted.sameElements(1 to rows.length))
+    val keys = rows.sortBy(_.getInt(0)).map(_.getDouble(2))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    import spark.implicits._
+    val tgt = graft.rel.Queries.table(spark, dir, "documents")
+      .filter(col("source") === Dedup.BenchSource)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rows.forall(r => !tgt.contains(r.getLong(1))))
+    assert(rows.forall(_.getLong(4) > 0)) // every doc carries features
+    // deterministic: a second run (fresh plan) reproduces the draw exactly
+    val again = TextAnalysis.dsirSample(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again == rows.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
 }

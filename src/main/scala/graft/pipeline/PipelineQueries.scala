@@ -98,7 +98,12 @@ object PipelineQueries {
     "q106_semantic_dedup" -> (Similarity.semanticDedup _),
     "q107_hybrid_rrf" -> (Retrieval.hybridRrf _),
     "q108_dsir_sample" -> (TextAnalysis.dsirSample _),
-    "q109_cluster_sample" -> (Similarity.clusterSample _)
+    "q109_cluster_sample" -> (Similarity.clusterSample _),
+    "q110_cov_matrix" -> (Similarity.covMatrix _),
+    // q111 is rows-only: the eigensolver is iterative (like q59/q94/q105);
+    // variance == eigenvalue and cross-orthogonality are asserted in
+    // PipelineSuite.
+    "q111_pca_project" -> (Similarity.pcaProject _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1065,6 +1070,20 @@ object PipelineQueries {
          |                           ORDER BY sample_key, vec_id) AS rnk
          |      FROM k)
          |SELECT cent_id, rnk::INT AS rnk, vec_id, sample_key
-         |FROM r WHERE rnk <= ${Similarity.ClusterQuota} ORDER BY cent_id, rnk""".stripMargin
+         |FROM r WHERE rnk <= ${Similarity.ClusterQuota} ORDER BY cent_id, rnk""".stripMargin,
+
+    // q110: population covariance of the embedding corpus, upper
+    // triangle. covar_pop's summation order differs from the distributed
+    // moment kernel at the ~1e-13 level; round(…,4) absorbs it (the
+    // q62 precedent). `+ 0.0` canonicalizes DuckDB's round(-ε, 4) = -0.0
+    // to +0.0 (Spark's BigDecimal round never emits a negative zero, and
+    // the driver's value compare distinguishes the two).
+    "q110_cov_matrix" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |x AS (SELECT vec_id, unnest(range(0, ${Similarity.EmbDim})) AS i, unnest(v) AS x
+         |      FROM e)
+         |SELECT a.i::INT AS i, b.i::INT AS j, round(covar_pop(a.x, b.x), 4) + 0.0 AS cov
+         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

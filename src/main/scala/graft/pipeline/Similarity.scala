@@ -973,4 +973,185 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("probe_id"), col("rnk"))
   }
+
+  // ---- embedding moments, covariance, PCA -------------------------------
+
+  /** Embedding dimensionality (the generator's fixed 64) and the number
+    * of principal components [[pcaProject]] keeps.
+    */
+  val EmbDim = 64
+  val PcaK = 8
+
+  /** One distributed pass accumulating the corpus moment statistics:
+    * count, per-dim sums, and upper-triangle cross-product sums. Per-task
+    * state is dim + dim²/2 doubles (~16 KB at dim 64) REGARDLESS of
+    * corpus size; one partial row per partition is combined on the driver
+    * (bounded by partitions × dim² — the k-means partial-sums
+    * discipline). Returns (n, mean, population covariance matrix).
+    */
+  private[pipeline] def momentStats(
+      spark: SparkSession, dir: String): (Long, Array[Double], Array[Array[Double]]) = {
+    import spark.implicits._
+    val d = EmbDim
+    val partials = vectors(spark, dir)
+      .select(col("v"))
+      .as[Array[Double]]
+      .mapPartitions { it =>
+        var n = 0L
+        val s = new Array[Double](d)
+        val ss = new Array[Double](d * d)
+        it.foreach { v =>
+          n += 1
+          var i = 0
+          while (i < d) {
+            s(i) += v(i)
+            var j = i
+            while (j < d) { ss(i * d + j) += v(i) * v(j); j += 1 }
+            i += 1
+          }
+        }
+        if (n == 0L) Iterator.empty else Iterator.single((n, s, ss))
+      }
+      .collect() // ≤ 1 row per partition — bounded
+    var n = 0L
+    val s = new Array[Double](d)
+    val ss = new Array[Double](d * d)
+    partials.foreach { case (pn, psArr, pssArr) =>
+      n += pn
+      var i = 0
+      while (i < d) { s(i) += psArr(i); i += 1 }
+      i = 0
+      while (i < d * d) { ss(i) += pssArr(i); i += 1 }
+    }
+    val mean = s.map(_ / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val (lo, hi) = if (i <= j) (i, j) else (j, i)
+      ss(lo * d + hi) / n - mean(i) * mean(j)
+    }
+    (n, mean, cov)
+  }
+
+  /** L3/L5 — the embedding corpus's population COVARIANCE matrix (upper
+    * triangle, dim×(dim+1)/2 rows) — the statistics pass that feeds PCA
+    * whitening, drift monitoring, and feature diagnostics. The corpus is
+    * read exactly once by the [[momentStats]] kernel; the emitted frame
+    * is dim²-bounded model output, not corpus data. Hash-gated against
+    * DuckDB's `covar_pop` (numerically a different summation order —
+    * round(…,4) absorbs the ~1e-13 jitter, the BM25 precedent).
+    */
+  def covMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, _, cov) = momentStats(spark, dir)
+    val rows = for { i <- 0 until EmbDim; j <- i until EmbDim } yield (i, j, cov(i)(j))
+    rows.toDF("i", "j", "cov_raw")
+      .select(col("i"), col("j"), round(col("cov_raw"), 4).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * deterministic (fixed sweep order, fixed convergence threshold, no
+    * RNG). Returns eigenvalues desc with their eigenvectors (rows),
+    * sign-fixed so each vector's largest-|component| is positive.
+    * Driver-side: the input is the dim×dim covariance — model-sized, the
+    * same boundedness as the k-means/PQ codebooks.
+    */
+  private[pipeline] def jacobiEigen(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-18) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val eigvals = order.map(i => a(i)(i)).toArray
+    val eigvecs = order.map { i =>
+      val col = Array.tabulate(d)(k => v(k)(i))
+      var bi = 0
+      var bAbs = 0.0
+      var k = 0
+      while (k < d) { val ab = math.abs(col(k)); if (ab > bAbs) { bAbs = ab; bi = k }; k += 1 }
+      if (col(bi) < 0) col.map(x => -x) else col
+    }.toArray
+    (eigvals, eigvecs)
+  }
+
+  /** L3 — PCA projection of the embedding corpus onto its top [[PcaK]]
+    * principal components — the dimensionality-reduction / whitening pass
+    * the Jégou-line ANN indexes run before product quantization, and the
+    * first step of embedding drift analysis. Covariance comes from the
+    * one-pass [[momentStats]] kernel; the eigendecomposition runs on the
+    * driver over the dim×dim model ([[jacobiEigen]] — deterministic, no
+    * RNG); the PcaK×dim projection matrix broadcasts; projection is one
+    * narrow kernel pass (no Exchange between the vector scan and the
+    * projected output). Declared rows-only — an iterative eigensolver is
+    * not plain SQL — with variance/orthogonality property tests in
+    * PipelineSuite.
+    */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, mean, cov) = momentStats(spark, dir)
+    val (_, eigvecs) = jacobiEigen(cov)
+    val w = eigvecs.take(PcaK)
+    val bc = spark.sparkContext.broadcast((mean, w))
+    vectors(spark, dir)
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (m, proj) = bc.value
+        it.flatMap { case (id, vArr) =>
+          val centered = Array.tabulate(vArr.length)(i => vArr(i) - m(i))
+          proj.iterator.zipWithIndex.map { case (row, k) =>
+            var dotv = 0.0
+            var i = 0
+            while (i < row.length) { dotv += row(i) * centered(i); i += 1 }
+            (id, k, dotv)
+          }
+        }
+      }
+      .toDF("vec_id", "pc", "proj_raw")
+      .select(col("vec_id"), col("pc"), round(col("proj_raw"), 4).as("proj"))
+      .orderBy(col("vec_id"), col("pc"))
+  }
 }

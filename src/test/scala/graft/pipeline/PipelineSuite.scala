@@ -1092,4 +1092,52 @@ class PipelineSuite extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
     assert(again == rows.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet)
   }
+
+  test("covariance matrix matches a two-pass driver model; triangle complete") {
+    val (all, _) = vectorModel()
+    val d = Similarity.EmbDim
+    val n = all.length.toDouble
+    val mean = Array.tabulate(d)(i => all.map(_._2(i)).sum / n)
+    def cov(i: Int, j: Int): Double =
+      all.map(t => (t._2(i) - mean(i)) * (t._2(j) - mean(j))).sum / n
+    val got = Similarity.covMatrix(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == d * (d + 1) / 2)
+    for (i <- 0 until d) assert(got((i, i)) > 0.0) // variances positive
+    // two-pass centered model vs the one-pass distributed moments: equal
+    // to well inside the emitted rounding grid
+    for (i <- 0 until d; j <- i until d)
+      assert(math.abs(got((i, j)) - cov(i, j)) < 5e-5, s"cov($i,$j)")
+  }
+
+  test("PCA projection: per-component variance == eigenvalue, components uncorrelated") {
+    val rows = Similarity.pcaProject(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val (all, _) = vectorModel()
+    assert(rows.length == all.length * Similarity.PcaK)
+    val byPc = rows.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    // driver-side eigenvalues from the same covariance (model scale)
+    val d = Similarity.EmbDim
+    val n = all.length.toDouble
+    val mean = Array.tabulate(d)(i => all.map(_._2(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      all.map(t => (t._2(i) - mean(i)) * (t._2(j) - mean(j))).sum / n)
+    val (eigvals, _) = Similarity.jacobiEigen(cov)
+    assert(eigvals.zip(eigvals.tail).forall { case (a, b) => a >= b - 1e-9 })
+    for (k <- 0 until Similarity.PcaK) {
+      val xs = byPc(k)
+      val m = xs.sum / xs.length
+      val varK = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      // projections are rounded to 4 decimals — tolerate grid noise
+      assert(math.abs(varK - eigvals(k)) < 1e-2, s"var(pc$k)=$varK vs ${eigvals(k)}")
+    }
+    // distinct components are uncorrelated (covariance ~ 0)
+    val byVec = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    for (a <- 0 until Similarity.PcaK; b <- a + 1 until Similarity.PcaK) {
+      val xs = byVec.values.map(v => (v(a), v(b))).toSeq
+      val (ma, mb) = (xs.map(_._1).sum / xs.size, xs.map(_._2).sum / xs.size)
+      val c = xs.map { case (x, y) => (x - ma) * (y - mb) }.sum / xs.size
+      assert(math.abs(c) < 1e-2, s"cov(pc$a,pc$b)=$c")
+    }
+  }
 }

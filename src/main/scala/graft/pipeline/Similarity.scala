@@ -67,6 +67,8 @@ object Similarity {
     vectorCache.clear()
     centroidCache.clear()
     pqCache.clear()
+    cellCache.forEach((_, df) => df.unpersist())
+    cellCache.clear()
   }
 
   private def scored(spark: SparkSession, dir: String): DataFrame = {
@@ -855,24 +857,35 @@ object Similarity {
     */
   val SemDedupCosine = 0.4
 
+  private val cellCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Every vector tagged with its nearest coarse-centroid cell — the
     * shared front half of [[semanticDedup]] and [[clusterSample]]. One
     * narrow [[nearestCells]] kernel pass over the broadcast codebook: no
     * Exchange between the vector scan and the cell-tagged output (the
     * k-means assignment pattern; same shape PlanSuite pins for annIvf).
+    * Persisted and memoized per (session, dir): semanticDedup alone
+    * references it three times (both self-join sides + the no-prior
+    * join-back), and at 100 TB the cell-tag table is a materialized
+    * index asset built once per corpus, not per query.
     */
-  private def cellTagged(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val bcCoarse = spark.sparkContext.broadcast(coarseCentroids(spark, dir))
-    vectors(spark, dir)
-      .select(col("vec_id"), col("v"), col("norm"))
-      .as[(Long, Array[Double], Double)]
-      .mapPartitions { it =>
-        val cc = bcCoarse.value
-        it.map { case (id, v, n) => (nearestCells(cc, v, n, 1)(0), id, v, n) }
-      }
-      .toDF("cent_id", "vec_id", "v", "norm")
-  }
+  private def cellTagged(spark: SparkSession, dir: String): DataFrame =
+    cellCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        import s.implicits._
+        val bcCoarse = s.sparkContext.broadcast(coarseCentroids(s, d))
+        vectors(s, d)
+          .select(col("vec_id"), col("v"), col("norm"))
+          .as[(Long, Array[Double], Double)]
+          .mapPartitions { it =>
+            val cc = bcCoarse.value
+            it.map { case (id, v, n) => (nearestCells(cc, v, n, 1)(0), id, v, n) }
+          }
+          .toDF("cent_id", "vec_id", "v", "norm")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
 
   /** L2/L3 — SEMANTIC dedup, the SemDeDup shape (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding corpus, then mark a vector

@@ -226,6 +226,50 @@ class PlanSuite extends AnyFunSuite {
     assert(ep2.contains("MapPartitions"), ep2)
   }
 
+  test("q106/q109: cell assignment is the broadcast-codebook kernel; no corpus window") {
+    // semantic dedup: the corpus reaches its cell tag through MapPartitions
+    // (no Exchange before it — the q40/q102 shape); the only shuffles are
+    // the cent_id self-join and the (cent_id, vec_id) max-agg, and nothing
+    // windows or sorts whole cells
+    // (the cell-tag table is session-memoized, so a warm cache shows the
+    // kernel through InMemoryTableScan instead of a fresh MapPartitions)
+    val ep = execPlan(graft.pipeline.Similarity.semanticDedup(spark, dir))
+    assert(ep.contains("MapPartitions") || ep.contains("InMemoryTableScan"), ep)
+    assert(!ep.contains("hashpartitioning(vec_id"), ep)
+    assert(!ep.contains("Window"), ep)
+    // cluster sample: selection is the k-bounded aggregator, never a
+    // per-cell window sort
+    val ep2 = execPlan(graft.pipeline.Similarity.clusterSample(spark, dir))
+    assert(ep2.contains("MapPartitions") || ep2.contains("InMemoryTableScan"), ep2)
+    assert(!ep2.contains("Window"), ep2)
+  }
+
+  test("q107: dense side is a broadcast nested loop over bounded queries; fusion windows rank lists only") {
+    val ep = execPlan(graft.pipeline.Retrieval.hybridRrf(spark, dir))
+    // the corpus embedding side is scored via broadcast nested loop (the
+    // probe pattern) — it never shuffles for the scoring itself
+    assert(ep.contains("BroadcastNestedLoopJoin"), ep)
+    // exactly one Window node, and it runs over the fused k-bounded rank
+    // lists (|queries| × ≤2k rows), not corpus data ("Window [" excludes
+    // the same window's WindowGroupLimit pre-pass entries)
+    assert("Window \\[".r.findAllIn(ep).size == 1, ep)
+  }
+
+  test("q108: ratio table broadcasts; scoring aggregates with partials; draw is the bounded aggregator") {
+    val ep = execPlan(graft.pipeline.TextAnalysis.dsirSample(spark, dir))
+    assert(ep.contains("BroadcastExchange"), ep) // λ table + totals
+    assert(ep.contains("partial_sum"), ep) // map-side combine on the doc scores
+    assert(!ep.contains("Window"), ep) // top-k draw is the aggregator, not a global sort window
+  }
+
+  test("q111: PCA projection is one narrow kernel pass — no hash shuffle at all") {
+    val ep = execPlan(graft.pipeline.Similarity.pcaProject(spark, dir))
+    assert(ep.contains("MapPartitions"), ep)
+    // covariance + eigenvectors are driver-side model state; the corpus
+    // path is scan → kernel → output sort (a range exchange only)
+    assert(!ep.contains("Exchange hashpartitioning"), ep)
+  }
+
   test("no declared query plans a cartesian product") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))

@@ -103,7 +103,9 @@ object PipelineQueries {
     // q111 is rows-only: the eigensolver is iterative (like q59/q94/q105);
     // variance == eigenvalue and cross-orthogonality are asserted in
     // PipelineSuite.
-    "q111_pca_project" -> (Similarity.pcaProject _)
+    "q111_pca_project" -> (Similarity.pcaProject _),
+    "q112_hard_negatives" -> (Similarity.hardNegatives _),
+    "q113_cell_purity" -> (Similarity.cellPurity _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1084,6 +1086,40 @@ object PipelineQueries {
          |      FROM e)
          |SELECT a.i::INT AS i, b.i::INT AS j, round(covar_pop(a.x, b.x), 4) + 0.0 AS cov
          |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q112: exact brute-force scoring with the label-mismatch predicate —
+    // the same determinism argument as q20, plus a label join.
+    "q112_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |sc AS (SELECT p.vec_id AS anchor_id, c.vec_id AS vec_id, c.label AS cand_label,
+         |         list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS cos
+         |       FROM n p JOIN n c
+         |       ON p.vec_id % ${Similarity.ProbeEvery} = 0
+         |        AND c.vec_id % ${Similarity.ProbeEvery} <> 0
+         |        AND c.label <> p.label),
+         |r AS (SELECT anchor_id, vec_id, cand_label, cos,
+         |        row_number() OVER (PARTITION BY anchor_id
+         |                           ORDER BY cos DESC, vec_id) AS rnk
+         |      FROM sc)
+         |SELECT anchor_id, rnk::INT AS rnk, vec_id, cand_label, round(cos, 4) AS cos
+         |FROM r WHERE rnk <= ${Similarity.HardNegK} ORDER BY anchor_id, rnk""".stripMargin,
+
+    // q113: per-cell label histogram + majority share over the same cell
+    // assignment CTE as q106/q109.
+    "q113_cell_purity" ->
+      s"""$CellCte,
+         |lbl AS (SELECT a.vec_id, a.cent_id, e2.label
+         |        FROM asn a JOIN embeddings e2 USING (vec_id)),
+         |cnt AS (SELECT cent_id, label, count(*) AS c FROM lbl GROUP BY 1, 2),
+         |tot AS (SELECT cent_id, sum(c) AS n FROM cnt GROUP BY 1),
+         |mj AS (SELECT cent_id, label, c,
+         |         row_number() OVER (PARTITION BY cent_id ORDER BY c DESC, label) AS r
+         |       FROM cnt)
+         |SELECT t.cent_id, t.n, m.label AS majority_label, m.c AS majority_cnt,
+         |  round(1.0*m.c/t.n, 4) AS purity
+         |FROM tot t JOIN mj m ON m.cent_id = t.cent_id AND m.r = 1
+         |ORDER BY t.cent_id""".stripMargin
   )
 }

@@ -987,6 +987,77 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  // ---- label-aware mining + diagnostics ---------------------------------
+
+  /** Negatives kept per anchor by [[hardNegatives]]. */
+  val HardNegK = 5
+
+  /** L3/L4 — HARD-NEGATIVE mining for contrastive training: for each
+    * anchor (the bounded probe set), the [[HardNegK]] most-similar
+    * vectors carrying a DIFFERENT label — the "hardest negatives" a
+    * triplet/InfoNCE data-prep pass exports. Same scale shape as the
+    * exact ANN baseline: anchors broadcast (bounded), each corpus vector
+    * is scored once per anchor in a broadcast nested loop with the
+    * label-mismatch predicate applied in the join itself (mismatches
+    * never materialize), and per-anchor selection runs on the k-bounded
+    * [[graft.rel.TopK.topKPerGroup]] aggregator. Exact arithmetic
+    * throughout — hash-gated.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = table(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    val all = vectors(spark, dir).join(labels, "vec_id")
+    val anchors = broadcast(
+      all.filter(col("vec_id") % ProbeEvery === 0)
+        .select(
+          col("vec_id").as("anchor_id"), col("v").as("pv"),
+          col("norm").as("pn"), col("label").as("alabel")))
+    val scored = all.filter(col("vec_id") % ProbeEvery =!= 0)
+      .join(anchors, col("label") =!= col("alabel"))
+      .select(
+        col("anchor_id"),
+        (dot(col("pv"), col("v")) / (col("pn") * col("norm"))).as("cos"),
+        col("vec_id"))
+      .as[(Long, Double, Long)]
+    graft.rel.TopK.topKPerGroup(scored, HardNegK)
+      .select(col("group").as("anchor_id"), col("rnk"), col("id").as("vec_id"),
+        col("score").as("cos"))
+      .join(labels, "vec_id") // k-bounded left side; AQE broadcasts it
+      .select(
+        col("anchor_id"), col("rnk"), col("vec_id"),
+        col("label").as("cand_label"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("anchor_id"), col("rnk"))
+  }
+
+  /** L3/L5 — per-cell LABEL PURITY: member count, majority label, and
+    * its share for every coarse cell — the homogeneity diagnostic a
+    * curation pipeline reads before trusting cluster-level decisions
+    * (cell-balanced sampling, semantic dedup). Reads the memoized
+    * [[cellTagged]] index; two bounded aggregations; the majority pick
+    * is the k-bounded aggregator with k=1 ((count DESC, label ASC) total
+    * order), so no cell's label histogram ever sorts in one task.
+    * Exact — hash-gated.
+    */
+  def cellPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = table(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    val lbl = cellTagged(spark, dir).select(col("cent_id"), col("vec_id")).join(labels, "vec_id")
+    val cnt = lbl.groupBy(col("cent_id"), col("label")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("cent_id")).agg(sum(col("c")).as("n"))
+    val mj = graft.rel.TopK.topKPerGroup(
+      cnt.select(col("cent_id"), col("c").cast("double").as("score"), col("label"))
+        .as[(Long, Double, Int)], 1)
+      .select(
+        col("group").as("cent_id"),
+        col("id").as("majority_label"),
+        col("score").cast("long").as("majority_cnt"))
+    tot.join(mj, "cent_id")
+      .select(
+        col("cent_id"), col("n"), col("majority_label"), col("majority_cnt"),
+        round(lit(1.0) * col("majority_cnt") / col("n"), 4).as("purity"))
+      .orderBy(col("cent_id"))
+  }
+
   // ---- embedding moments, covariance, PCA -------------------------------
 
   /** Embedding dimensionality (the generator's fixed 64) and the number

@@ -1093,6 +1093,51 @@ class PipelineSuite extends AnyFunSuite {
     assert(again == rows.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet)
   }
 
+  private def labelModel(): Map[Long, Int] = {
+    import spark.implicits._
+    graft.rel.Queries.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+  }
+
+  test("hard negatives: top-k by cosine among different-label vectors, exact vs driver model") {
+    val (all, _) = vectorModel()
+    val labels = labelModel()
+    val anchors = all.filter(_._1 % Similarity.ProbeEvery == 0)
+    val cands = all.filter(_._1 % Similarity.ProbeEvery != 0)
+    val expected = anchors.flatMap { a =>
+      cands.filter(c => labels(c._1) != labels(a._1))
+        .map(c => (c._1, cosine(a, c)))
+        .sortBy { case (id, cs) => (-cs, id) }
+        .take(Similarity.HardNegK)
+        .zipWithIndex
+        .map { case ((id, cs), i) => (a._1, i + 1, id, labels(id), round4(cs)) }
+    }.toSet
+    val got = Similarity.hardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4))).toSet
+    assert(got == expected)
+    // every mined negative genuinely crosses the anchor's label
+    got.foreach { case (a, _, _, cl, _) => assert(cl != labels(a)) }
+  }
+
+  test("cell purity: majority share per cell matches the driver model, members partition the corpus") {
+    val (all, cents) = vectorModel()
+    val labels = labelModel()
+    val assign = all.map { t =>
+      val best = cents.map(c => (cosine(t, c), c._1)).maxBy { case (c, id) => (c, -id) }
+      t._1 -> best._2
+    }.toMap
+    val expected = all.groupBy(t => assign(t._1)).map { case (cell, ts) =>
+      val hist = ts.groupBy(t => labels(t._1)).map { case (l, xs) => (l, xs.length.toLong) }
+      val (ml, mc) = hist.toSeq.minBy { case (l, c) => (-c, l) }
+      (cell, ts.length.toLong, ml, mc, round4(mc.toDouble / ts.length))
+    }.toSet
+    val got = Similarity.cellPurity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got == expected)
+    assert(got.toSeq.map(_._2).sum == all.length) // cells partition the corpus
+    got.foreach { case (_, n, _, mc, p) => assert(mc >= 1 && mc <= n && p > 0.0 && p <= 1.0) }
+  }
+
   test("covariance matrix matches a two-pass driver model; triangle complete") {
     val (all, _) = vectorModel()
     val d = Similarity.EmbDim

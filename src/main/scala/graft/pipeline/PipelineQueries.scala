@@ -105,7 +105,11 @@ object PipelineQueries {
     // PipelineSuite.
     "q111_pca_project" -> (Similarity.pcaProject _),
     "q112_hard_negatives" -> (Similarity.hardNegatives _),
-    "q113_cell_purity" -> (Similarity.cellPurity _)
+    "q113_cell_purity" -> (Similarity.cellPurity _),
+    // q114 is rows-only: candidates come from the PCA eigenbasis (itself
+    // iteratively computed, like q111); recall vs exact is gated in
+    // PipelineSuite.
+    "q114_pca_ann" -> (Similarity.pcaAnn _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */

@@ -1201,6 +1201,84 @@ object Similarity {
     (eigvals, eigvecs)
   }
 
+  /** Candidate-list size for [[pcaAnn]]'s exact rerank — the same ~10×k
+    * budget as [[PqRerank]].
+    */
+  val PcaRerank = 50
+
+  /** L3 — PCA-reduced ANN: score probes against the corpus in the
+    * [[PcaK]]-dim projected space (8 of 64 dims → an 8× cheaper scan, the
+    * classic dimensionality-reduced candidate generation), keep the top
+    * [[PcaRerank]] candidates per probe, then exact-rerank them with the
+    * full 64-dim cosine. Projection is the [[pcaProject]] kernel inline
+    * (broadcast PcaK×dim matrix, no Exchange); candidate selection and
+    * the final top-k both run on the k-bounded aggregator. Declared
+    * rows-only (the eigenbasis is iteratively computed, like q111); the
+    * top-1 recall floor vs the exact [[annTopK]] is asserted in
+    * PipelineSuite. Distance in the projected space is the L2 distance
+    * of CENTERED projections — for cosine-normalized rerank the
+    * projected dot product alone would discard the mean shift, so the
+    * candidate metric is squared L2 in PCA space (the standard choice:
+    * PCA preserves L2 distances best in expectation).
+    */
+  def pcaAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, mean, cov) = momentStats(spark, dir)
+    val (_, eigvecs) = jacobiEigen(cov)
+    val w = eigvecs.take(PcaK)
+    val bc = spark.sparkContext.broadcast((mean, w))
+    val projected = vectors(spark, dir)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val (m, proj) = bc.value
+        it.map { case (id, vArr, nrm) =>
+          val y = proj.map { row =>
+            var d = 0.0
+            var i = 0
+            while (i < row.length) { d += row(i) * (vArr(i) - m(i)); i += 1 }
+            d
+          }
+          (id, y, vArr, nrm)
+        }
+      }
+      .toDF("vec_id", "y", "v", "norm")
+    // candidate metric: negated squared L2 in PCA space via the algebraic
+    // identity −|y−p|² = 2·dot(y,p) − |y|² − |p|², so the reduced-space
+    // scan stays entirely on the codegen'd dotF64 expression — no UDF,
+    // and the FULL-dim vectors never enter the scan
+    val withYy = projected.withColumn("yy", dot(col("y"), col("y")))
+    val probes = broadcast(
+      withYy.filter(col("vec_id") % ProbeEvery === 0)
+        .select(col("vec_id").as("probe_id"), col("y").as("py"), col("yy").as("pyy")))
+    val cands = withYy.filter(col("vec_id") % ProbeEvery =!= 0)
+      .join(probes) // broadcast nested loop in the REDUCED space only
+      .select(
+        col("probe_id"),
+        (lit(2.0) * dot(col("py"), col("y")) - col("yy") - col("pyy")).as("negd"),
+        col("vec_id"))
+      .as[(Long, Double, Long)]
+    val shortlist = graft.rel.TopK.topKPerGroup(cands, PcaRerank)
+      .select(col("group").as("probe_id"), col("id").as("vec_id"))
+    // exact rerank: full-dim cosine for the |probes|×PcaRerank shortlist
+    // rows ONLY
+    val pvecs = broadcast(
+      projected.filter(col("vec_id") % ProbeEvery === 0)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm")))
+    val reranked = shortlist
+      .join(projected.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .join(pvecs, "probe_id")
+      .select(
+        col("probe_id"),
+        (dot(col("pv"), col("v")) / (col("pnorm") * col("norm"))).as("cos"),
+        col("vec_id"))
+      .as[(Long, Double, Long)]
+    graft.rel.TopK.topKPerGroup(reranked, TopK)
+      .select(col("group").as("probe_id"), col("rnk"), col("id").as("vec_id"),
+        round(col("score"), 4).as("cos"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** L3 — PCA projection of the embedding corpus onto its top [[PcaK]]
     * principal components — the dimensionality-reduction / whitening pass
     * the Jégou-line ANN indexes run before product quantization, and the

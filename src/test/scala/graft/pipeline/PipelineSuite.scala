@@ -1138,6 +1138,29 @@ class PipelineSuite extends AnyFunSuite {
     got.foreach { case (_, n, _, mc, p) => assert(mc >= 1 && mc <= n && p > 0.0 && p <= 1.0) }
   }
 
+  test("PCA-ANN: exact-reranked scores, results complete, top-1 recall >= 0.6") {
+    val rows = Similarity.pcaAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val (all, _) = vectorModel()
+    val byId = all.map(t => t._1 -> t).toMap
+    // every emitted cosine is the true full-dim cosine (exact rerank)
+    rows.foreach { case (p, _, v, cs) =>
+      assert(math.abs(cs - round4(cosine(byId(p), byId(v)))) < 1e-9)
+    }
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1 to rs.length))
+      val sorted = rs.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+    // top-1 recall vs the exact brute force
+    val exactTop1 = Similarity.annTopK(spark, dir).collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val gotTop1 = rows.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    val hit = exactTop1.count { case (p, v) => gotTop1.get(p).contains(v) }
+    assert(hit.toDouble / exactTop1.size >= 0.6, s"top-1 recall $hit/${exactTop1.size}")
+  }
+
   test("covariance matrix matches a two-pass driver model; triangle complete") {
     val (all, _) = vectorModel()
     val d = Similarity.EmbDim

@@ -69,6 +69,7 @@ object Similarity {
     pqCache.clear()
     cellCache.forEach((_, df) => df.unpersist())
     cellCache.clear()
+    momentCache.clear()
   }
 
   private def scored(spark: SparkSession, dir: String): DataFrame = {
@@ -1066,14 +1067,24 @@ object Similarity {
   val EmbDim = 64
   val PcaK = 8
 
+  private val momentCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Long, Array[Double], Array[Array[Double]])]()
+
   /** One distributed pass accumulating the corpus moment statistics:
     * count, per-dim sums, and upper-triangle cross-product sums. Per-task
     * state is dim + dim²/2 doubles (~16 KB at dim 64) REGARDLESS of
     * corpus size; one partial row per partition is combined on the driver
     * (bounded by partitions × dim² — the k-means partial-sums
     * discipline). Returns (n, mean, population covariance matrix).
+    * Memoized per (session, dir) — three consumers (covariance, PCA
+    * projection, PCA-ANN) share one pass, the same discipline as the
+    * centroid/PQ codebook caches.
     */
   private[pipeline] def momentStats(
+      spark: SparkSession, dir: String): (Long, Array[Double], Array[Array[Double]]) =
+    momentCache.computeIfAbsent((spark, dir), { case (s, d2) => computeMomentStats(s, d2) })
+
+  private def computeMomentStats(
       spark: SparkSession, dir: String): (Long, Array[Double], Array[Array[Double]]) = {
     import spark.implicits._
     val d = EmbDim
@@ -1228,21 +1239,21 @@ object Similarity {
     val w = eigvecs.take(PcaK)
     val bc = spark.sparkContext.broadcast((mean, w))
     val projected = vectors(spark, dir)
-      .select(col("vec_id"), col("v"), col("norm"))
-      .as[(Long, Array[Double], Double)]
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val (m, proj) = bc.value
-        it.map { case (id, vArr, nrm) =>
+        it.map { case (id, vArr) =>
           val y = proj.map { row =>
             var d = 0.0
             var i = 0
             while (i < row.length) { d += row(i) * (vArr(i) - m(i)); i += 1 }
             d
           }
-          (id, y, vArr, nrm)
+          (id, y)
         }
       }
-      .toDF("vec_id", "y", "v", "norm")
+      .toDF("vec_id", "y")
     // candidate metric: negated squared L2 in PCA space via the algebraic
     // identity −|y−p|² = 2·dot(y,p) − |y|² − |p|², so the reduced-space
     // scan stays entirely on the codegen'd dotF64 expression — no UDF,
@@ -1261,12 +1272,14 @@ object Similarity {
     val shortlist = graft.rel.TopK.topKPerGroup(cands, PcaRerank)
       .select(col("group").as("probe_id"), col("id").as("vec_id"))
     // exact rerank: full-dim cosine for the |probes|×PcaRerank shortlist
-    // rows ONLY
+    // rows ONLY — read from the cached vector frame directly, so the
+    // projection kernel doesn't re-run just to carry v/norm through
+    val full = vectors(spark, dir)
     val pvecs = broadcast(
-      projected.filter(col("vec_id") % ProbeEvery === 0)
+      full.filter(col("vec_id") % ProbeEvery === 0)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm")))
     val reranked = shortlist
-      .join(projected.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .join(full.select(col("vec_id"), col("v"), col("norm")), "vec_id")
       .join(pvecs, "probe_id")
       .select(
         col("probe_id"),

@@ -109,7 +109,11 @@ object PipelineQueries {
     // q114 is rows-only: candidates come from the PCA eigenbasis (itself
     // iteratively computed, like q111); recall vs exact is gated in
     // PipelineSuite.
-    "q114_pca_ann" -> (Similarity.pcaAnn _)
+    "q114_pca_ann" -> (Similarity.pcaAnn _),
+    // q115 is rows-only: iterative optimization (like q59/q105); the
+    // trained weights are checked against a driver-side same-algorithm
+    // reference in PipelineSuite.
+    "q115_quality_classifier" -> (TextAnalysis.qualityClassifier _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */

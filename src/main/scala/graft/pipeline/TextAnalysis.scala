@@ -88,6 +88,8 @@ object TextAnalysis {
     bigramCache.clear()
     dsirCache.forEach((_, df) => df.unpersist())
     dsirCache.clear()
+    qcCache.forEach((_, df) => df.unpersist())
+    qcCache.clear()
   }
 
   private val dsirCache =
@@ -956,6 +958,121 @@ object TextAnalysis {
         col("rnk"), col("doc_id"), col("gumbel_key"),
         round(col("logw"), 4).as("dsir_logw"), col("n_feat"))
       .orderBy(col("rnk"))
+  }
+
+  // ---- learned quality classifier ---------------------------------------
+
+  /** Training geometry for [[qualityClassifier]]: feature dimension
+    * (bias + 4 quality signals), full-batch iterations, learning rate.
+    */
+  val QcDim = 5
+  val QcIters = 50
+  val QcLr = 0.5
+
+  private val qcCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** (doc_id, y, x) — weak label (1.0 for [[Dedup.BenchSource]] docs) and
+    * the feature vector [1, ln(1+tokens), stopword ratio, punct ratio,
+    * type-token ratio]. Persisted + memoized: the training loop reads it
+    * [[QcIters]] times and scoring once more; 5 doubles per doc.
+    */
+  private def qcFeatures(spark: SparkSession, dir: String): DataFrame =
+    qcCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        val w = Shingles.tokens(col("text"))
+        val nTok = size(w)
+        val stopRatio =
+          size(filter(w, x => x.isin(Stopwords: _*))).cast("double") / nTok
+        val punctRatio = length(regexp_replace(col("text"), "[a-z ]", ""))
+          .cast("double") / greatest(length(col("text")), lit(1))
+        val ttr = size(array_distinct(w)).cast("double") / nTok
+        graft.rel.Queries
+          .spread(table(s, d, "documents"))
+          .select(
+            col("doc_id"),
+            (col("source") === Dedup.BenchSource).cast("double").as("y"),
+            array(lit(1.0), log(lit(1) + nTok), stopRatio, punctRatio, ttr).as("x"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
+  /** L4 — WEAK-SUPERVISION quality classifier, the CCNet/GPT-3 data-filter
+    * pattern: positives = a trusted corpus (the [[Dedup.BenchSource]]
+    * documents stand in), negatives = everything else; train logistic
+    * regression on the quality signals, score every document with
+    * p(target), keep p ≥ 0.5. Trained by full-batch gradient descent:
+    * each of the [[QcIters]] rounds broadcasts the [[QcDim]]-double
+    * weight vector and reduces the gradient with per-partition partial
+    * sums (the k-means round shape — driver state is dim doubles
+    * REGARDLESS of corpus size, and no document ever leaves its
+    * partition). Deterministic: zero init, fixed lr/iters, no RNG.
+    * Declared rows-only (iterative optimization, like q59/q105);
+    * PipelineSuite checks the trained weights against a driver-side
+    * same-algorithm reference and that training reduced the loss.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = qcFeatures(spark, dir)
+    val data = feats.select(col("y"), col("x")).as[(Double, Array[Double])]
+    val wv = trainLogReg(data.rdd.map { case (y, x) => (y, x) }, spark)
+    val bw = spark.sparkContext.broadcast(wv)
+    feats
+      .select(col("doc_id"), col("y"), col("x"))
+      .as[(Long, Double, Array[Double])]
+      .mapPartitions { it =>
+        val w = bw.value
+        it.map { case (id, _, x) =>
+          var z = 0.0
+          var i = 0
+          while (i < w.length) { z += w(i) * x(i); i += 1 }
+          (id, 1.0 / (1.0 + math.exp(-z)))
+        }
+      }
+      .toDF("doc_id", "p_raw")
+      .select(
+        col("doc_id"),
+        round(col("p_raw"), 4).as("p_target"),
+        (col("p_raw") >= 0.5).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The shared full-batch GD loop — also the PipelineSuite reference
+    * implementation's driver-side twin (same update, same order).
+    */
+  private[pipeline] def trainLogReg(
+      data: org.apache.spark.rdd.RDD[(Double, Array[Double])],
+      spark: SparkSession): Array[Double] = {
+    var wv = new Array[Double](QcDim)
+    var iter = 0
+    while (iter < QcIters) {
+      val bw = spark.sparkContext.broadcast(wv)
+      val (gsum, n) = data
+        .mapPartitions { it =>
+          val g = new Array[Double](QcDim)
+          var cnt = 0L
+          it.foreach { case (y, x) =>
+            var z = 0.0
+            var i = 0
+            while (i < QcDim) { z += bw.value(i) * x(i); i += 1 }
+            val err = 1.0 / (1.0 + math.exp(-z)) - y
+            i = 0
+            while (i < QcDim) { g(i) += err * x(i); i += 1 }
+            cnt += 1
+          }
+          if (cnt == 0L) Iterator.empty else Iterator.single((g, cnt))
+        }
+        .reduce { case ((g1, n1), (g2, n2)) =>
+          val g = new Array[Double](QcDim)
+          var i = 0
+          while (i < QcDim) { g(i) = g1(i) + g2(i); i += 1 }
+          (g, n1 + n2)
+        }
+      bw.unpersist(blocking = false)
+      wv = Array.tabulate(QcDim)(i => wv(i) - QcLr * gsum(i) / n)
+      iter += 1
+    }
+    wv
   }
 
   /** BM25 parameters (the standard Robertson defaults) and results kept

@@ -1138,6 +1138,61 @@ class PipelineSuite extends AnyFunSuite {
     got.foreach { case (_, n, _, mc, p) => assert(mc >= 1 && mc <= n && p > 0.0 && p <= 1.0) }
   }
 
+  test("quality classifier: scores match a driver-side GD reference; training reduces loss") {
+    import spark.implicits._
+    // driver reference over the SAME features the operator derives
+    val w = org.apache.spark.sql.functions.split(col("text"), " ")
+    val nTok = org.apache.spark.sql.functions.size(w)
+    val stopRatio = org.apache.spark.sql.functions
+      .size(org.apache.spark.sql.functions.filter(w, x => x.isin(TextAnalysis.Stopwords: _*)))
+      .cast("double") / nTok
+    val punctRatio = org.apache.spark.sql.functions
+      .length(org.apache.spark.sql.functions.regexp_replace(col("text"), "[a-z ]", ""))
+      .cast("double") / org.apache.spark.sql.functions
+      .greatest(org.apache.spark.sql.functions.length(col("text")),
+        org.apache.spark.sql.functions.lit(1))
+    val ttr = org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.array_distinct(w)).cast("double") / nTok
+    val feats = graft.rel.Queries.table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        (col("source") === Dedup.BenchSource).cast("double").as("y"),
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(1.0),
+          org.apache.spark.sql.functions.log(org.apache.spark.sql.functions.lit(1) + nTok),
+          stopRatio, punctRatio, ttr).as("x"))
+      .as[(Long, Double, Seq[Double])].collect()
+    def sigmoid(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    var wv = new Array[Double](TextAnalysis.QcDim)
+    def loss(wArr: Array[Double]): Double = feats.map { case (_, y, x) =>
+      val p = sigmoid(x.zip(wArr).map { case (a, b) => a * b }.sum)
+      -(y * math.log(p) + (1 - y) * math.log(1 - p))
+    }.sum / feats.length
+    val l0 = loss(wv)
+    for (_ <- 0 until TextAnalysis.QcIters) {
+      val g = new Array[Double](TextAnalysis.QcDim)
+      feats.foreach { case (_, y, x) =>
+        val err = sigmoid(x.zip(wv).map { case (a, b) => a * b }.sum) - y
+        for (i <- 0 until TextAnalysis.QcDim) g(i) += err * x(i)
+      }
+      wv = Array.tabulate(TextAnalysis.QcDim)(i => wv(i) - TextAnalysis.QcLr * g(i) / feats.length)
+    }
+    assert(loss(wv) < l0) // training genuinely descended
+    val expected = feats.map { case (id, _, x) =>
+      val p = sigmoid(x.zip(wv).map { case (a, b) => a * b }.sum)
+      id -> p
+    }.toMap
+    val got = TextAnalysis.qualityClassifier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(got.length == feats.length)
+    got.foreach { case (id, p, keep) =>
+      // emitted p is rounded to 4 decimals; partition-order FP drift
+      // through 50 iterations stays far inside the extra 1e-6 slack
+      assert(math.abs(p - expected(id)) < 1.1e-4, s"doc $id: $p vs ${expected(id)}")
+      assert(keep == (expected(id) >= 0.5) || math.abs(expected(id) - 0.5) < 1e-6)
+    }
+  }
+
   test("PCA-ANN: exact-reranked scores, results complete, top-1 recall >= 0.6") {
     val rows = Similarity.pcaAnn(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))

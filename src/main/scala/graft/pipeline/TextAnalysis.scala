@@ -71,6 +71,11 @@ object TextAnalysis {
   def warmShared(spark: SparkSession, dir: String): Unit = {
     docLengths(spark, dir) // forces termFreq materialization + the scalars
     docBigrams(spark, dir).count()
+    // the DSIR hashed-feature index and the classifier feature frame are
+    // standing assets of the same kind (built once per corpus, consumed
+    // by every scoring run)
+    dsirFeatures(spark, dir).count()
+    qcFeatures(spark, dir).count()
   }
 
   /** Unpersists and forgets every session memo held by this object — the

@@ -113,7 +113,12 @@ object PipelineQueries {
     // q115 is rows-only: iterative optimization (like q59/q105); the
     // trained weights are checked against a driver-side same-algorithm
     // reference in PipelineSuite.
-    "q115_quality_classifier" -> (TextAnalysis.qualityClassifier _)
+    "q115_quality_classifier" -> (TextAnalysis.qualityClassifier _),
+    // q116 is rows-only: an iterative fixpoint with FP-order-dependent
+    // per-node inflow sums; PipelineSuite checks a driver reference and
+    // rank conservation.
+    "q116_similarity_pagerank" -> (Dedup.similarityPageRank _),
+    "q117_cell_split" -> (Similarity.cellSplit _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1128,6 +1133,16 @@ object PipelineQueries {
          |SELECT t.cent_id, t.n, m.label AS majority_label, m.c AS majority_cnt,
          |  round(1.0*m.c/t.n, 4) AS purity
          |FROM tot t JOIN mj m ON m.cent_id = t.cent_id AND m.r = 1
-         |ORDER BY t.cent_id""".stripMargin
+         |ORDER BY t.cent_id""".stripMargin,
+
+    // q117: the cell CTE composed with q60's md5 range gate — every cell
+    // member inherits the cell's deal.
+    "q117_cell_split" ->
+      s"""$CellCte
+         |SELECT vec_id, cent_id,
+         |  CASE WHEN md5('${Similarity.CellSplitSalt}' || cent_id) < '${TextAnalysis.TrainUpper}' THEN 'train'
+         |       WHEN md5('${Similarity.CellSplitSalt}' || cent_id) < '${TextAnalysis.ValUpper}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM asn ORDER BY vec_id""".stripMargin
   )
 }

@@ -988,6 +988,34 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Salt for [[cellSplit]]'s cell hash — independent of the q60/q96
+    * salts so the three deals are uncorrelated draws.
+    */
+  val CellSplitSalt = "cellsplit:"
+
+  /** L4 — SEMANTIC leakage-safe split: every member of a coarse cell
+    * inherits the same train/val/test assignment, dealt by a salted hash
+    * of the CELL id with q60's md5-prefix range gates. Complements
+    * [[graft.pipeline.Dedup.leakageSafeSplit]] (which splits by
+    * exact/near-dup GROUP): the cell boundary also separates looser
+    * semantic neighbors — the SemDeDup radius — so a paraphrase of a
+    * training document cannot land in the eval split. One narrow hash
+    * over the memoized cell-tag index; nothing shuffles. Hash-gated (the
+    * cell CTE composed with the q60 gate expression).
+    */
+  def cellSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit(CellSplitSalt), col("cent_id").cast("string")))
+    cellTagged(spark, dir)
+      .select(
+        col("vec_id"),
+        col("cent_id"),
+        when(h < TextAnalysis.TrainUpper, "train")
+          .when(h < TextAnalysis.ValUpper, "val")
+          .otherwise("test")
+          .as("split"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- label-aware mining + diagnostics ---------------------------------
 
   /** Negatives kept per anchor by [[hardNegatives]]. */

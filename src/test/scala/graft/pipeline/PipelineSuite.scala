@@ -1138,6 +1138,61 @@ class PipelineSuite extends AnyFunSuite {
     got.foreach { case (_, n, _, mc, p) => assert(mc >= 1 && mc <= n && p > 0.0 && p <= 1.0) }
   }
 
+  test("similarity PageRank matches a driver-side power iteration; rank is conserved") {
+    val pairs = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    import spark.implicits._
+    val ids = graft.rel.Queries.table(spark, dir, "documents")
+      .select("doc_id").as[Long].collect().sorted
+    val n = ids.length.toDouble
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (s, es) => (s, es.length.toDouble) }
+    var rank = ids.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until Dedup.PrIters) {
+      val inflow = edges
+        .groupBy(_._2)
+        .map { case (dst, es) => dst -> es.map { case (s, _) => rank(s) / deg(s) }.sum }
+      val dangling = ids.filter(!deg.contains(_)).map(rank).sum
+      rank = ids.map { id =>
+        id -> ((1.0 - Dedup.PrAlpha) / n
+          + Dedup.PrAlpha * (inflow.getOrElse(id, 0.0) + dangling / n))
+      }.toMap
+    }
+    val got = Dedup.similarityPageRank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.size == ids.length)
+    // mean-normalized: total rank n×1.0 (docs with near-dups sit above 1)
+    assert(math.abs(got.values.sum - n) < 1e-3)
+    ids.foreach { id =>
+      assert(math.abs(got(id) - rank(id) * n) < 1e-5, s"doc $id")
+    }
+    // connected documents concentrate rank above the isolated baseline
+    val connected = edges.map(_._1).toSet
+    val isolatedRank = ids.filter(!connected.contains(_)).map(got).toSet
+    assert(isolatedRank.size == 1) // all isolated docs share the baseline
+    assert(connected.exists(id => got(id) > isolatedRank.head))
+  }
+
+  test("cell split: members of one cell share a split; deal matches the salted gate") {
+    val rows = Similarity.cellSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val (all, cents) = vectorModel()
+    assert(rows.length == all.length)
+    val byCell = rows.groupBy(_._2)
+    byCell.foreach { case (cell, rs) =>
+      assert(rs.map(_._3).toSet.size == 1, s"cell $cell mixes splits")
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest((Similarity.CellSplitSalt + cell).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expected =
+        if (h < TextAnalysis.TrainUpper) "train"
+        else if (h < TextAnalysis.ValUpper) "val"
+        else "test"
+      assert(rs.head._3 == expected)
+    }
+    assert(byCell.keySet == cents.map(_._1).toSet)
+  }
+
   test("quality classifier: scores match a driver-side GD reference; training reduces loss") {
     import spark.implicits._
     // driver reference over the SAME features the operator derives

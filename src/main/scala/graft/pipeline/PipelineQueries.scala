@@ -118,7 +118,8 @@ object PipelineQueries {
     // per-node inflow sums; PipelineSuite checks a driver reference and
     // rank conservation.
     "q116_similarity_pagerank" -> (Dedup.similarityPageRank _),
-    "q117_cell_split" -> (Similarity.cellSplit _)
+    "q117_cell_split" -> (Similarity.cellSplit _),
+    "q118_doc_logprob_kn" -> (TextAnalysis.docLogProbKn _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1143,6 +1144,26 @@ object PipelineQueries {
          |  CASE WHEN md5('${Similarity.CellSplitSalt}' || cent_id) < '${TextAnalysis.TrainUpper}' THEN 'train'
          |       WHEN md5('${Similarity.CellSplitSalt}' || cent_id) < '${TextAnalysis.ValUpper}' THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM asn ORDER BY vec_id""".stripMargin
+         |FROM asn ORDER BY vec_id""".stripMargin,
+
+    // q118: interpolated Kneser–Ney bigram scoring — q57's CTE skeleton
+    // with the KN discount, follower counts, and continuation
+    // probability; every scored bigram is corpus-seen so c−D > 0.
+    "q118_doc_logprob_kn" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |b AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM (
+         |       SELECT doc_id, w, unnest(range(1, greatest(len(w), 1))) AS i FROM t)),
+         |c AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |cw1 AS (SELECT w1, sum(cnt)::DOUBLE AS tot, count(*) AS n1plus FROM c GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS nc FROM c GROUP BY 1),
+         |tots AS (SELECT count(*)::DOUBLE AS ntypes FROM c),
+         |lm AS (SELECT c.w1, c.w2,
+         |         ((c.cnt::DOUBLE - ${TextAnalysis.KnDiscount}) / cw1.tot)
+         |         + (${TextAnalysis.KnDiscount} * cw1.n1plus / cw1.tot)
+         |           * (cont.nc / tots.ntypes) AS p
+         |       FROM c JOIN cw1 USING (w1) JOIN cont USING (w2) CROSS JOIN tots)
+         |SELECT doc_id, count(*) AS n_bigrams, round(avg(ln(p)), 4) AS avg_logprob_kn
+         |FROM b JOIN lm USING (w1, w2)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

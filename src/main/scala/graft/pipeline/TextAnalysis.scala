@@ -95,6 +95,8 @@ object TextAnalysis {
     dsirCache.clear()
     qcCache.forEach((_, df) => df.unpersist())
     qcCache.clear()
+    bigramCountCache.forEach((_, v) => v._1.unpersist())
+    bigramCountCache.clear()
   }
 
   private val dsirCache =
@@ -707,6 +709,67 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(log(col("p"))), 4).as("avg_logprob"))
       .orderBy(col("doc_id"))
   }
+
+  /** Absolute-discount constant for [[docLogProbKn]] — the standard
+    * Kneser–Ney D.
+    */
+  val KnDiscount = 0.75
+
+  /** L4 — per-document log-probability under an INTERPOLATED KNESER–NEY
+    * bigram LM (Kneser & Ney 1995; the smoothing production LMs actually
+    * use, where [[docLogProb]] is the raw-MLE baseline):
+    * P(w2|w1) = (c(w1,w2) − D)/c(w1) + (D·N₁₊(w1·)/c(w1)) · P_cont(w2),
+    * with the continuation probability P_cont(w2) = N₁₊(·w2)/|bigram
+    * types| — "how many contexts does w2 complete", the KN insight that
+    * distinguishes frequent-but-bound words from genuinely productive
+    * ones. Since every scored bigram is corpus-seen, c−D > 0 and the
+    * formula needs no max(). Plan shape: three hash aggregations over
+    * the shared bigram frame build the LM (per-bigram counts, per-w1
+    * totals + follower counts, per-w2 continuation counts — all
+    * map-side-combined), the bigram-type total is ONE driver scalar
+    * (table stats at scale), and scoring is the same LM-join + per-doc
+    * aggregation as q57. Fully hash-gated: the arithmetic is
+    * deterministic per bigram and the per-doc ln-sum rounds at 4 (the
+    * q57/q62 precedent).
+    */
+  def docLogProbKn(spark: SparkSession, dir: String): DataFrame = {
+    val bg = docBigrams(spark, dir)
+    val (c, nTypes) = bigramCounts(spark, dir)
+    val cw1 = c.groupBy(col("w1"))
+      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n1plus"))
+    val cont = c.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val d = KnDiscount
+    val lm = c.join(cw1, "w1").join(cont, "w2")
+      .select(
+        col("w1"), col("w2"),
+        (((col("cnt").cast("double") - lit(d)) / col("tot"))
+          + (lit(d) * col("n1plus") / col("tot")) * (col("nc") / lit(nTypes))).as("p"))
+    bg.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("p"))), 4).as("avg_logprob_kn"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bigramCountCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Double)]()
+
+  /** Per-bigram corpus counts + the bigram-type total — the KN LM's
+    * sufficient statistic. Persisted + memoized: [[docLogProbKn]] reads
+    * it three times (per-w1 totals, continuation counts, the LM join),
+    * and at scale the counted bigram table is the standing LM asset.
+    */
+  private def bigramCounts(spark: SparkSession, dir: String): (DataFrame, Double) =
+    bigramCountCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        val c = docBigrams(s, d)
+          .groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (c, c.count().toDouble)
+      })
 
   /** Train/val/test fractions, encoded as md5-prefix range gates:
     * lowercase-hex md5 is uniform, so `md5 < "e6"` selects 230/256 ≈ 90%

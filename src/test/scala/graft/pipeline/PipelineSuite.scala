@@ -1138,6 +1138,38 @@ class PipelineSuite extends AnyFunSuite {
     got.foreach { case (_, n, _, mc, p) => assert(mc >= 1 && mc <= n && p > 0.0 && p <= 1.0) }
   }
 
+  test("KN-smoothed doc log-prob matches a driver-side Kneser-Ney model") {
+    import spark.implicits._
+    val docs = graft.rel.Queries.table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val bigrams = docs.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      (0 until w.length - 1).map(i => (id, (w(i), w(i + 1))))
+    }
+    val cnt = bigrams.groupBy(_._2).map { case (bg, xs) => (bg, xs.length.toLong) }
+    val tot = cnt.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum.toDouble }
+    val n1plus = cnt.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size }
+    val contCnt = cnt.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size }
+    val nTypes = cnt.size.toDouble
+    val d = TextAnalysis.KnDiscount
+    def p(bg: (String, String)): Double =
+      (cnt(bg) - d) / tot(bg._1) +
+        (d * n1plus(bg._1) / tot(bg._1)) * (contCnt(bg._2) / nTypes)
+    val expected = bigrams.groupBy(_._1).map { case (id, bgs) =>
+      id -> (bgs.length.toLong, round4(bgs.map(b => math.log(p(b._2))).sum / bgs.length))
+    }
+    val got = TextAnalysis.docLogProbKn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (nb, lp)) =>
+      assert(got(id)._1 == nb, s"doc $id n_bigrams")
+      assert(math.abs(got(id)._2 - lp) < 1.1e-4, s"doc $id: ${got(id)._2} vs $lp")
+      assert(got(id)._2 < 0.0) // probabilities < 1 ⇒ negative mean log
+    }
+    // every bigram probability is a genuine probability
+    cnt.keys.foreach { bg => assert(p(bg) > 0.0 && p(bg) < 1.0) }
+  }
+
   test("similarity PageRank matches a driver-side power iteration; rank is conserved") {
     val pairs = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

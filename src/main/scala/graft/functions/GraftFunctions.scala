@@ -23,12 +23,21 @@ object GraftFunctions {
     DotF64(args.head, args(1))
   }
 
-  def registerAll(ext: SparkSessionExtensions): Unit =
+  def registerAll(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("dot_f64"), dotInfo, dotBuilder _))
+    ext.injectOptimizerRule(_ => FuseSelfDot)
+  }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("dot_f64"), dotInfo, dotBuilder _)
+    // imperative twin of injectOptimizerRule — idempotent, like the
+    // function registration above
+    if (!spark.experimental.extraOptimizations.contains(FuseSelfDot)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseSelfDot
+    }
+  }
 
   /** Column-API face of `dot_f64` (requires [[register]] on the session).
     * `call_function` passes the Column objects straight through the

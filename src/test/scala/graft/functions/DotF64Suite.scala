@@ -45,4 +45,29 @@ class DotF64Suite extends AnyFunSuite {
     assert(plan.contains("*(1) Project [dot_f64"), plan)
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(8.0, 11.0))
   }
+
+  test("FuseSelfDot rewrites dot_f64(a, a) to norm_sq_f64 — and ONLY self-dots") {
+    GraftFunctions.register(spark)
+    val df = spark.range(3)
+      .selectExpr("array(cast(id as double), 2.0d) as a", "array(3.0d, 4.0d) as b")
+      .selectExpr("dot_f64(a, a) as selfdot", "dot_f64(a, b) as cross")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("norm_sq_f64"), opt)
+    // the distinct-argument dot is untouched
+    assert(opt.contains("dot_f64"), opt)
+    // values are exactly the naive self-dot (same fold order)
+    val rows = df.collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(0) == i.toDouble * i + 4.0)
+      assert(r.getDouble(1) == i.toDouble * 3 + 8.0)
+    }
+    // the fused expression stays inside whole-stage codegen
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("*(1) Project"), ep)
+    // a non-deterministic child must NOT fuse (two draws != one draw squared)
+    val nd = spark.range(1)
+      .selectExpr("dot_f64(array(rand()), array(rand())) as r")
+      .queryExecution.optimizedPlan.toString
+    assert(!nd.contains("norm_sq_f64"), nd)
+  }
 }

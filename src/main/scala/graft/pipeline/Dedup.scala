@@ -1212,4 +1212,81 @@ object Dedup {
         round(col("novel") / col("n_sh"), 4).as("novel_frac"))
       .orderBy(col("doc_id"))
   }
+
+  /** Words per "paragraph" block for [[paragraphDedup]]. The corpus is
+    * single-line (no newlines or sentence punctuation — TESTDATA.md), so
+    * the paragraph unit is a fixed non-overlapping word window; a real
+    * corpus would split on newlines/sentence spans instead, with the
+    * identical downstream flow.
+    */
+  val ParaWords = 10
+
+  /** L2 — WITHIN-CORPUS paragraph-level exact dedup, the C4 ("we
+    * deduplicate three-sentence spans") / Gopher-MassiveText ("remove
+    * exact duplicate paragraphs") sub-document pass: the whole-document
+    * dedups (q15) miss documents that share boilerplate paragraphs
+    * embedded in otherwise-distinct text, and the pairwise passes
+    * (q16/q66/q73) REPORT them without producing a cleaned corpus. This
+    * one rewrites the corpus: each document is split into
+    * [[ParaWords]]-word blocks, every block keeps only its FIRST global
+    * occurrence (ordered by (doc_id, block index) — deterministic and
+    * engine-independent), and surviving blocks reassemble in document
+    * order into `clean_text`.
+    *
+    * Shape at 100 TB: explode is token-scale (the same volume every
+    * shingle pass already moves); first-occurrence is ONE hash
+    * aggregation keyed on md5(block) carrying a `min(struct(doc_id,
+    * idx))` — map-side combined, no window over the corpus, no postings
+    * arrays (contrast [[withGlobalFreq]]: a boilerplate block shared by
+    * 10^6 docs still aggregates to one 16-byte min, never a collected
+    * list); reassembly is a per-doc aggregation whose group size is
+    * bounded by document length. Both shuffles are key-partitioned with
+    * no skew beyond block popularity, which the min-agg absorbs.
+    */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.rel.Queries.spread(
+      table(spark, dir, "documents").select(col("doc_id"), col("text")))
+    val w = Shingles.tokens(col("text"))
+    // ⌈n/ParaWords⌉ via ((n-1) div ParaWords)+1 — int arithmetic (Spark's
+    // `/` is double division; the cast truncates the positive quotient)
+    val nb = ((size(w) - 1) / lit(ParaWords)).cast("int") + 1
+    val blocks = docs
+      .select(
+        col("doc_id"),
+        nb.as("n_blocks"),
+        posexplode(
+          transform(
+            sequence(lit(0), nb - 1),
+            i => array_join(slice(w, i * ParaWords + 1, lit(ParaWords)), " "))))
+      .select(
+        col("doc_id"), col("n_blocks"), col("pos"), col("col").as("btxt"),
+        md5(col("col")).as("bh"))
+    val firsts = blocks
+      .groupBy(col("bh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val kept = blocks
+      .join(firsts, "bh")
+      .filter(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
+    val reassembled = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("btxt")))),
+            x => x.getField("btxt")),
+          " ").as("clean_text"))
+    // LEFT join from the full doc list: a document whose every block
+    // appeared earlier (an exact dup of earlier material) keeps ZERO
+    // blocks and must still emit a row — that's the dedup working.
+    docs
+      .select(col("doc_id"), nb.as("n_blocks"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -119,7 +119,8 @@ object PipelineQueries {
     // rank conservation.
     "q116_similarity_pagerank" -> (Dedup.similarityPageRank _),
     "q117_cell_split" -> (Similarity.cellSplit _),
-    "q118_doc_logprob_kn" -> (TextAnalysis.docLogProbKn _)
+    "q118_doc_logprob_kn" -> (TextAnalysis.docLogProbKn _),
+    "q119_paragraph_dedup" -> (Dedup.paragraphDedup _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1164,6 +1165,27 @@ object PipelineQueries {
          |       FROM c JOIN cw1 USING (w1) JOIN cont USING (w2) CROSS JOIN tots)
          |SELECT doc_id, count(*) AS n_bigrams, round(avg(ln(p)), 4) AS avg_logprob_kn
          |FROM b JOIN lm USING (w1, w2)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q119: paragraph (fixed word-block) dedup — first occurrence by
+    // (doc_id, pos) via a window; the Spark side's min(struct) over the
+    // md5 key is the same selection. string_agg ORDER BY pos rebuilds
+    // the cleaned text identically to array_sort + array_join.
+    "q119_paragraph_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |n AS (SELECT doc_id, w, (((len(w)-1)//${Dedup.ParaWords})+1)::INT AS n_blocks FROM d),
+         |b AS (SELECT doc_id, i AS pos,
+         |        array_to_string(w[i*${Dedup.ParaWords}+1:i*${Dedup.ParaWords}+${Dedup.ParaWords}], ' ') AS btxt
+         |      FROM (SELECT doc_id, w, unnest(range(0, n_blocks)) AS i FROM n)),
+         |r AS (SELECT doc_id, pos, btxt,
+         |        row_number() OVER (PARTITION BY btxt ORDER BY doc_id, pos) AS rn
+         |      FROM b),
+         |k AS (SELECT doc_id, pos, btxt FROM r WHERE rn = 1),
+         |a AS (SELECT doc_id, count(*) AS n_kept,
+         |        string_agg(btxt, ' ' ORDER BY pos) AS clean_text
+         |      FROM k GROUP BY doc_id)
+         |SELECT n.doc_id, n.n_blocks, coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM n LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

@@ -1350,4 +1350,27 @@ class PipelineSuite extends AnyFunSuite {
       assert(math.abs(c) < 1e-2, s"cov(pc$a,pc$b)=$c")
     }
   }
+
+  test("L2 paragraph dedup matches a driver-side first-occurrence model") {
+    import spark.implicits._
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    // greedy global first-occurrence over (doc_id, block index) order
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.map { case (id, t) =>
+      val blocks = t.split(" ").grouped(Dedup.ParaWords).map(_.mkString(" ")).toArray
+      val kept = blocks.filter(b => seen.add(b))
+      (id, blocks.length, kept.length.toLong, kept.mkString(" "))
+    }.toSeq
+    val got = Dedup.paragraphDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expected)
+    // the corpus has planted exact dups → at least one doc loses a block
+    assert(got.exists(r => r._3 < r._2))
+    // every distinct block across the corpus survives exactly once
+    val keptBlocks = got.flatMap(_._4.split(" ").grouped(Dedup.ParaWords).map(_.mkString(" ")))
+      .filter(_.nonEmpty)
+    assert(keptBlocks.distinct.length == keptBlocks.length)
+  }
 }

@@ -120,7 +120,8 @@ object PipelineQueries {
     "q116_similarity_pagerank" -> (Dedup.similarityPageRank _),
     "q117_cell_split" -> (Similarity.cellSplit _),
     "q118_doc_logprob_kn" -> (TextAnalysis.docLogProbKn _),
-    "q119_paragraph_dedup" -> (Dedup.paragraphDedup _)
+    "q119_paragraph_dedup" -> (Dedup.paragraphDedup _),
+    "q120_temperature_mix" -> (TextAnalysis.temperatureSample _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1186,6 +1187,25 @@ object PipelineQueries {
          |      FROM k GROUP BY doc_id)
          |SELECT n.doc_id, n.n_blocks, coalesce(a.n_kept, 0) AS n_kept,
          |  coalesce(a.clean_text, '') AS clean_text
-         |FROM n LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM n LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q120: α=1/2 temperature quotas in exactly-specified arithmetic
+    // (sqrt is IEEE correctly rounded; everything else is integer or one
+    // double division + floor), so the per-language k is bit-identical
+    // to the Spark side; selection ranks the same 12-hex-char salted md5
+    // (lexical ASC == numeric ASC on fixed-width hex).
+    "q120_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |w AS (SELECT lang, n, floor(sqrt(n) * 1000)::BIGINT AS w FROM c),
+         |t AS (SELECT sum(w)::BIGINT AS tw, (sum(n)::BIGINT // 2) AS target FROM w),
+         |q AS (SELECT lang, floor((w * t.target)::DOUBLE / t.tw)::BIGINT AS quota
+         |      FROM w CROSS JOIN t),
+         |r AS (SELECT lang, doc_id,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY substr(md5('${TextAnalysis.TempSalt}' || doc_id), 1, 12)) AS rnk
+         |      FROM documents)
+         |SELECT r.lang, q.quota, r.rnk::INT AS rnk, r.doc_id
+         |FROM r JOIN q USING (lang) WHERE r.rnk <= q.quota
+         |ORDER BY lang, rnk""".stripMargin
   )
 }

@@ -1540,4 +1540,70 @@ object TextAnalysis {
       .join(canonical, Seq("doc_id"), "left_semi")
       .orderBy(col("doc_id"))
   }
+
+  /** Salt for [[temperatureSample]]'s per-language hash order. */
+  val TempSalt = "temp:"
+
+  /** L4 — TEMPERATURE-resampled language mix, the mC4/XLM-R α-sampling
+    * (Conneau et al. 2020 §3.1; Xue et al. 2021 §3.2): sampling languages
+    * proportionally to raw counts drowns low-resource languages, while
+    * uniform sampling over-repeats them — multilingual corpora sample
+    * language l with probability ∝ n_l^α, α < 1, flattening the
+    * distribution part-way. Here α = 1/2 with the total budget
+    * ⌊N/2⌋ documents, allocated k_l = ⌊target · w_l / Σw⌋ with
+    * w_l = ⌊√n_l · 1000⌋; each language then keeps its k_l
+    * smallest-salted-md5 documents, so the draw is deterministic and
+    * stable under repartitioning/re-runs (the q47/q60/q76 discipline).
+    *
+    * α = 1/2 is not arbitrary: besides being in the productive 0.2–0.7
+    * band, `sqrt` (unlike `pow`/`ln`) is IEEE-754 CORRECTLY ROUNDED, and
+    * every other op in the allocation (integer products, one double
+    * division, `floor`) is exactly specified — so the quotas are
+    * BIT-IDENTICAL on any engine and the whole draw hash-gates, where a
+    * pow(n, 0.3) allocation could flip a ⌊·⌋ boundary between libm
+    * implementations.
+    *
+    * Shape at 100 TB: per-language counts are table statistics (one
+    * tiny aggregate here); the |langs|-row allocation is driver-side by
+    * construction (the probe-LUT precedent); selection is the k-bounded
+    * [[graft.rel.TopK.topKPerGroup]] aggregator — languages are FEW and
+    * HUGE, the worst case for a per-lang window sort. For budgets where
+    * k no longer bounds a buffer (millions per language), the production
+    * variant replaces top-k with the q100 two-pass range-partitioned
+    * prefix (hash-range counts, then local rank) — same deterministic
+    * order, same result.
+    */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val weights = docs
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n")) * 1000).cast("long"))
+    // |langs| rows — bounded by construction; at scale these come from
+    // table statistics, not a per-query job
+    val rows = weights.select(col("lang"), col("n"), col("w")).collect()
+    val totalW = rows.map(_.getLong(2)).sum
+    val target = rows.map(_.getLong(1)).sum / 2
+    val quotas = rows.map { r =>
+      val k = math.floor((r.getLong(2) * target).toDouble / totalW).toLong
+      (r.getString(0), k)
+    }
+    val maxK = quotas.map(_._2).max.toInt
+    val quotaDf = broadcast(quotas.toSeq.toDF("lang", "quota"))
+    val hk = substring(
+      md5(concat(lit(TempSalt), col("doc_id").cast("string"))), 1, 12)
+    val scores = docs
+      .select(
+        col("lang"),
+        // negated: TopKAgg keeps the LARGEST scores, we want smallest keys
+        negate(conv(hk, 16, 10).cast("long").cast("double")).as("score"),
+        col("doc_id"))
+      .as[(String, Double, Long)]
+    graft.rel.TopK.topKPerGroup(scores, maxK)
+      .join(quotaDf, col("group") === quotaDf("lang"))
+      .filter(col("rnk") <= col("quota"))
+      .select(col("lang"), col("quota"), col("rnk"), col("id").as("doc_id"))
+      .orderBy(col("lang"), col("rnk"))
+  }
 }

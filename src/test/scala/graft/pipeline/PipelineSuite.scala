@@ -1351,6 +1351,41 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("L4 temperature mix: quotas flatten the lang distribution, draw matches the hash model") {
+    import spark.implicits._
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val w = counts.view.mapValues(n => math.floor(math.sqrt(n.toDouble) * 1000).toLong).toMap
+    val totalW = w.values.sum
+    val target = counts.values.sum / 2
+    val quota = w.view.mapValues(x => math.floor((x * target).toDouble / totalW).toLong).toMap
+    val got = TextAnalysis.temperatureSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // per-lang selection == the quota smallest salted-md5 doc_ids
+    def hk(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"${TextAnalysis.TempSalt}$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    }
+    val byLang = got.groupBy(_._1)
+    for ((lang, n) <- counts) {
+      val expect = docs.filter(_._2 == lang).map(_._1).sortBy(hk).take(quota(lang).toInt)
+      val sel = byLang.getOrElse(lang, Array.empty).sortBy(_._3)
+      assert(sel.map(_._2).forall(_ == quota(lang)))
+      assert(sel.map(_._4).sameElements(expect), s"selection for $lang")
+      // α=1/2 flattening: every language keeps at most its full size,
+      // and smaller languages keep a LARGER fraction than bigger ones
+      assert(quota(lang) <= n)
+    }
+    val fracs = counts.toSeq.sortBy(_._2).map { case (l, n) => quota(l).toDouble / n }
+    assert(fracs.zip(fracs.tail).forall { case (small, big) => small >= big - 1e-12 })
+    // the budget is honored to within one doc per language (floor loss)
+    val totalKept = got.length.toLong
+    assert(totalKept <= target && totalKept > target - counts.size)
+  }
+
   test("L2 paragraph dedup matches a driver-side first-occurrence model") {
     import spark.implicits._
     val docs = graft.rel.Queries

@@ -121,7 +121,8 @@ object PipelineQueries {
     "q117_cell_split" -> (Similarity.cellSplit _),
     "q118_doc_logprob_kn" -> (TextAnalysis.docLogProbKn _),
     "q119_paragraph_dedup" -> (Dedup.paragraphDedup _),
-    "q120_temperature_mix" -> (TextAnalysis.temperatureSample _)
+    "q120_temperature_mix" -> (TextAnalysis.temperatureSample _),
+    "q121_ppl_buckets" -> (TextAnalysis.perplexityBuckets _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -175,6 +176,28 @@ object PipelineQueries {
        |           ORDER BY list_dot_product(n.v, c.cv)/(n.nrm*c.cn) DESC, c.cent_id) AS r
        |       FROM n CROSS JOIN c),
        |asn AS (SELECT vec_id, cent_id FROM ar WHERE r = 1)""".stripMargin
+
+  /** DuckDB Kneser–Ney scoring body shared by q118 and q121's buckets:
+    * `kn` is the per-doc (doc_id, n_bigrams, avg_logprob_kn) frame —
+    * q57's CTE skeleton with the KN discount, follower counts, and
+    * continuation probability; every scored bigram is corpus-seen so
+    * c−D > 0.
+    */
+  private val KnBody =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |b AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM (
+       |       SELECT doc_id, w, unnest(range(1, greatest(len(w), 1))) AS i FROM t)),
+       |c AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2),
+       |cw1 AS (SELECT w1, sum(cnt)::DOUBLE AS tot, count(*) AS n1plus FROM c GROUP BY 1),
+       |cont AS (SELECT w2, count(*) AS nc FROM c GROUP BY 1),
+       |tots AS (SELECT count(*)::DOUBLE AS ntypes FROM c),
+       |lm AS (SELECT c.w1, c.w2,
+       |         ((c.cnt::DOUBLE - ${TextAnalysis.KnDiscount}) / cw1.tot)
+       |         + (${TextAnalysis.KnDiscount} * cw1.n1plus / cw1.tot)
+       |           * (cont.nc / tots.ntypes) AS p
+       |       FROM c JOIN cw1 USING (w1) JOIN cont USING (w2) CROSS JOIN tots),
+       |kn AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(ln(p)), 4) AS avg_logprob_kn
+       |       FROM b JOIN lm USING (w1, w2) GROUP BY doc_id)""".stripMargin
 
   private val VectorCte =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1152,21 +1175,9 @@ object PipelineQueries {
     // with the KN discount, follower counts, and continuation
     // probability; every scored bigram is corpus-seen so c−D > 0.
     "q118_doc_logprob_kn" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |b AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM (
-         |       SELECT doc_id, w, unnest(range(1, greatest(len(w), 1))) AS i FROM t)),
-         |c AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2),
-         |cw1 AS (SELECT w1, sum(cnt)::DOUBLE AS tot, count(*) AS n1plus FROM c GROUP BY 1),
-         |cont AS (SELECT w2, count(*) AS nc FROM c GROUP BY 1),
-         |tots AS (SELECT count(*)::DOUBLE AS ntypes FROM c),
-         |lm AS (SELECT c.w1, c.w2,
-         |         ((c.cnt::DOUBLE - ${TextAnalysis.KnDiscount}) / cw1.tot)
-         |         + (${TextAnalysis.KnDiscount} * cw1.n1plus / cw1.tot)
-         |           * (cont.nc / tots.ntypes) AS p
-         |       FROM c JOIN cw1 USING (w1) JOIN cont USING (w2) CROSS JOIN tots)
-         |SELECT doc_id, count(*) AS n_bigrams, round(avg(ln(p)), 4) AS avg_logprob_kn
-         |FROM b JOIN lm USING (w1, w2)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $KnBody
+         |SELECT doc_id, n_bigrams, avg_logprob_kn
+         |FROM kn ORDER BY doc_id""".stripMargin,
 
     // q119: paragraph (fixed word-block) dedup — first occurrence by
     // (doc_id, pos) via a window; the Spark side's min(struct) over the
@@ -1206,6 +1217,20 @@ object PipelineQueries {
          |      FROM documents)
          |SELECT r.lang, q.quota, r.rnk::INT AS rnk, r.doc_id
          |FROM r JOIN q USING (lang) WHERE r.rnk <= q.quota
-         |ORDER BY lang, rnk""".stripMargin
+         |ORDER BY lang, rnk""".stripMargin,
+
+    // q121: head/middle/tail terciles of the KN score. quantile_cont and
+    // Spark's percentile may differ in last-ulp interpolation, but both
+    // thresholds land strictly between the same adjacent 1e-4-grid score
+    // values, so the bucket comparisons agree (see perplexityBuckets).
+    "q121_ppl_buckets" ->
+      s"""WITH $KnBody,
+         |th AS (SELECT quantile_cont(avg_logprob_kn, 1.0/3.0) AS t33,
+         |              quantile_cont(avg_logprob_kn, 2.0/3.0) AS t67 FROM kn)
+         |SELECT doc_id, avg_logprob_kn,
+         |  CASE WHEN avg_logprob_kn < th.t33 THEN 'tail'
+         |       WHEN avg_logprob_kn < th.t67 THEN 'middle'
+         |       ELSE 'head' END AS ppl_bucket
+         |FROM kn CROSS JOIN th ORDER BY doc_id""".stripMargin
   )
 }

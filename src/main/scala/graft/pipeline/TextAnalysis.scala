@@ -1606,4 +1606,49 @@ object TextAnalysis {
       .select(col("lang"), col("quota"), col("rnk"), col("id").as("doc_id"))
       .orderBy(col("lang"), col("rnk"))
   }
+
+  /** L4 — CCNet-style perplexity buckets (Wenzek et al. 2020 §4.3):
+    * CCNet ranks documents by language-model perplexity and splits the
+    * corpus into head/middle/tail TERCILES — the head feeds training
+    * directly, the tail is dropped or down-weighted. Here the LM score
+    * is [[docLogProbKn]]'s per-doc average KN log-probability (higher =
+    * more natural under the corpus LM = lower perplexity), and the
+    * tercile thresholds are the EXACT 1/3 and 2/3 quantiles of that
+    * score.
+    *
+    * Cross-engine determinism: the bucket gate compares each (already
+    * 4-rounded) score against an interpolated quantile. The two engines'
+    * interpolation formulas may differ in final-ulp arrangement, but
+    * both thresholds are convex combinations strictly inside the SAME
+    * pair of adjacent sorted score values (score gaps are ≥ 1e-4 by the
+    * rounding grid — vastly above ulp scale), so every score<threshold
+    * comparison resolves identically on both engines; when the quantile
+    * position is integral both engines return the data value itself.
+    * That makes the buckets hash-gateable even though "exact quantile"
+    * is an FP computation.
+    *
+    * Shape at 100 TB: scoring is q118's plan; the quantile runs over the
+    * |docs|-row score frame (not the corpus) with a distinct-value-
+    * bounded state (scores live on the 1e-4 grid). At larger score
+    * cardinalities the production swap is `approx_percentile` with the
+    * bucket boundaries re-verified on a sample, or a two-pass exact
+    * count-below-threshold refinement.
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docLogProbKn(spark, dir)
+      .select(col("doc_id"), col("avg_logprob_kn"))
+    val row = scored
+      .agg(expr("percentile(avg_logprob_kn, array(1.0d/3.0d, 2.0d/3.0d))"))
+      .collect()(0)
+    val ts = row.getSeq[Double](0)
+    val (t33, t67) = (ts(0), ts(1))
+    scored
+      .select(
+        col("doc_id"),
+        col("avg_logprob_kn"),
+        when(col("avg_logprob_kn") < t33, "tail")
+          .when(col("avg_logprob_kn") < t67, "middle")
+          .otherwise("head").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
 }

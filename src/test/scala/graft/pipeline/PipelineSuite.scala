@@ -1386,6 +1386,24 @@ class PipelineSuite extends AnyFunSuite {
     assert(totalKept <= target && totalKept > target - counts.size)
   }
 
+  test("L4 perplexity buckets: ordered partition of the KN-scored docs into terciles") {
+    val scored = TextAnalysis.docLogProbKn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val got = TextAnalysis.perplexityBuckets(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.length == scored.size) // same doc universe as q118
+    assert(got.forall { case (id, s, _) => scored(id) == s })
+    val byB = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(Set("head", "middle", "tail").subsetOf(byB.keySet))
+    // buckets are score-ordered: tail < middle < head pointwise
+    assert(byB("tail").max < byB("middle").min)
+    assert(byB("middle").max < byB("head").min)
+    // tercile balance (ties on the 1e-4 grid can shift a few docs)
+    val n = got.length
+    for (b <- Seq("head", "middle", "tail"))
+      assert(byB(b).length > n / 6 && byB(b).length < n / 2, s"$b=${byB(b).length}")
+  }
+
   test("L2 paragraph dedup matches a driver-side first-occurrence model") {
     import spark.implicits._
     val docs = graft.rel.Queries

@@ -1213,6 +1213,66 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-level similarity gate for [[editDistanceDup]] and the
+    * minimum capped-shingle co-occurrence that makes a pair an edit
+    * candidate at all.
+    */
+  val EditSimThreshold = 0.8
+  val EditCandMinCommon = 3
+
+  /** L2 — EDIT-DISTANCE near-dup: the character-level complement of the
+    * set-based jaccard family. Shingle jaccard is blind to ORDER (a
+    * scrambled doc keeps its shingle profile at the margins) and
+    * over-penalizes short in-place edits that break every overlapping
+    * shingle; Levenshtein distance measures the literal rewrite cost.
+    * Production near-dup stacks (e.g. code-dedup pipelines) run exactly
+    * this two-stage shape: cheap set-similarity candidates, expensive
+    * sequence-level verification on the survivors.
+    *
+    * Stages: (1) candidates = pairs sharing ≥ [[EditCandMinCommon]]
+    * sub-cap shingles from the same capped inverted index as q66 —
+    * per-shingle fan-out bounded by [[MaxPostings]]²/2 at any corpus
+    * size; (2) a length prefilter (edit_sim ≥ t forces
+    * min(len) ≥ t·max(len)) drops mismatched pairs before any text is
+    * shuffled; (3) survivors join the text (the ONLY stage that moves
+    * full documents, sized by the candidate count, not the corpus) and
+    * verify `levenshtein ≤ (1−t)·max(len)`. t = 4/5 keeps BOTH gates in
+    * integer cross-multiplication and the distance is an integer, so
+    * the query hash-gates with zero FP in any comparison. At 100 TB the
+    * verify stage bounds per-pair cost with
+    * the banded O(L·k) threshold variant (`levenshtein(x, y, k)`) — at
+    * this scale the plain DP benches faster than the band's setup.
+    * Result ⊆ true edit-near-dups with the same hot-shingle recall
+    * caveat as q66 (PipelineSuite: recall 1.0 vs a brute-force model
+    * here).
+    */
+  def editDistanceDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docShingles(spark, dir)
+    val cands = pairCommonCounts(spark, docs, Some(MaxPostings))
+      .filter(col("common") >= EditCandMinCommon)
+      .select(col("d1"), col("d2"))
+    val tx = graft.rel.Queries.spread(
+      table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), length(col("text")).as("ln")))
+    val t1 = tx.select(col("doc_id").as("d1"), col("text").as("x"), col("ln").as("l1"))
+    val t2 = tx.select(col("doc_id").as("d2"), col("text").as("y"), col("ln").as("l2"))
+    cands
+      .join(t1, "d1")
+      .join(t2, "d2")
+      .withColumn("g", greatest(col("l1"), col("l2")))
+      // t = 4/5, so both gates are INTEGER cross-multiplications
+      // (min·5 ≥ max·4; dist·5 ≤ max) — no FP threshold to disagree on
+      // across engines (a 0.8 literal is DOUBLE here but DECIMAL in
+      // DuckDB; 0.2·550 = 110 exactly in decimal but 109.99… in binary)
+      .filter(least(col("l1"), col("l2")) * 5 >= col("g") * 4)
+      .withColumn("dist", levenshtein(col("x"), col("y")))
+      .filter(col("dist") * 5 <= col("g"))
+      .select(
+        col("d1"), col("d2"), col("dist"),
+        round(lit(1.0) - col("dist").cast("double") / col("g"), 4).as("edit_sim"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Words per "paragraph" block for [[paragraphDedup]]. The corpus is
     * single-line (no newlines or sentence punctuation — TESTDATA.md), so
     * the paragraph unit is a fixed non-overlapping word window; a real

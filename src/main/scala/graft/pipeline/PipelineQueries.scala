@@ -122,7 +122,8 @@ object PipelineQueries {
     "q118_doc_logprob_kn" -> (TextAnalysis.docLogProbKn _),
     "q119_paragraph_dedup" -> (Dedup.paragraphDedup _),
     "q120_temperature_mix" -> (TextAnalysis.temperatureSample _),
-    "q121_ppl_buckets" -> (TextAnalysis.perplexityBuckets _)
+    "q121_ppl_buckets" -> (TextAnalysis.perplexityBuckets _),
+    "q122_edit_neardup" -> (Dedup.editDistanceDup _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1231,6 +1232,33 @@ object PipelineQueries {
          |  CASE WHEN avg_logprob_kn < th.t33 THEN 'tail'
          |       WHEN avg_logprob_kn < th.t67 THEN 'middle'
          |       ELSE 'head' END AS ppl_bucket
-         |FROM kn CROSS JOIN th ORDER BY doc_id""".stripMargin
+         |FROM kn CROSS JOIN th ORDER BY doc_id""".stripMargin,
+
+    // q122: the q66 capped-candidate CTE with a >= min-common gate, then
+    // levenshtein verification. t = 4/5, so both gates are integer
+    // cross-multiplications (min*5 >= max*4; dist*5 <= max) — immune to
+    // the decimal-vs-binary 0.8-literal mismatch — and the distance is
+    // an integer, so the whole query hash-gates.
+    "q122_edit_neardup" ->
+      s"""$ShingleCte,
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM s WHERE len(sh) > 0),
+         |keep AS (SELECT s FROM e GROUP BY s
+         |         HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxPostings}),
+         |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+         |         FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |         WHERE a.s IN (SELECT s FROM keep)
+         |         GROUP BY 1, 2),
+         |c3 AS (SELECT d1, d2 FROM cand WHERE c >= ${Dedup.EditCandMinCommon}),
+         |tx AS (SELECT doc_id, text, length(text) AS ln FROM documents),
+         |p AS (SELECT c3.d1, c3.d2, t1.text AS x, t2.text AS y,
+         |        greatest(t1.ln, t2.ln) AS g, least(t1.ln, t2.ln) AS l
+         |      FROM c3 JOIN tx t1 ON t1.doc_id = c3.d1
+         |      JOIN tx t2 ON t2.doc_id = c3.d2),
+         |v AS (SELECT d1, d2, levenshtein(x, y) AS dist, g FROM p
+         |      WHERE l * 5 >= g * 4)
+         |SELECT d1, d2, dist::INT AS dist,
+         |  round(1.0 - dist::DOUBLE / g, 4) AS edit_sim
+         |FROM v WHERE dist * 5 <= g
+         |ORDER BY d1, d2""".stripMargin
   )
 }

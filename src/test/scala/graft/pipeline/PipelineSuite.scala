@@ -1351,6 +1351,40 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("L2 edit-distance near-dup: subset of brute force, exact distances, full recall here") {
+    import spark.implicits._
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(
+            math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val brute = (for {
+      (d1, t1) <- docs; (d2, t2) <- docs if d1 < d2
+      g = math.max(t1.length, t2.length)
+      if math.min(t1.length, t2.length) * 5 >= g * 4
+      d = lev(t1, t2) if d * 5 <= g
+    } yield (d1, d2) -> d).toMap
+    val got = Dedup.editDistanceDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // every emitted pair is a true edit-near-dup with the exact distance
+    assert(got.keySet.subsetOf(brute.keySet))
+    assert(got.forall { case (k, d) => brute(k) == d })
+    // planted dups share plenty of sub-cap shingles → full recall here
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
   test("L4 temperature mix: quotas flatten the lang distribution, draw matches the hash model") {
     import spark.implicits._
     val docs = graft.rel.Queries

@@ -123,7 +123,8 @@ object PipelineQueries {
     "q119_paragraph_dedup" -> (Dedup.paragraphDedup _),
     "q120_temperature_mix" -> (TextAnalysis.temperatureSample _),
     "q121_ppl_buckets" -> (TextAnalysis.perplexityBuckets _),
-    "q122_edit_neardup" -> (Dedup.editDistanceDup _)
+    "q122_edit_neardup" -> (Dedup.editDistanceDup _),
+    "q123_pmi_collocations" -> (TextAnalysis.pmiCollocations _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1259,6 +1260,23 @@ object PipelineQueries {
          |SELECT d1, d2, dist::INT AS dist,
          |  round(1.0 - dist::DOUBLE / g, 4) AS edit_sim
          |FROM v WHERE dist * 5 <= g
-         |ORDER BY d1, d2""".stripMargin
+         |ORDER BY d1, d2""".stripMargin,
+
+    // q123: PMI over the bigram table with the count floor; the ln is
+    // the only transcendental and rounds at 6. Top-k total-orders on
+    // (pmi DESC, w1, w2).
+    "q123_pmi_collocations" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |b AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM (
+         |       SELECT doc_id, w, unnest(range(1, greatest(len(w), 1))) AS i FROM t)),
+         |c AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |tot AS (SELECT sum(cnt)::DOUBLE AS bb FROM c),
+         |u1 AS (SELECT w1, sum(cnt) AS c1 FROM c GROUP BY 1),
+         |u2 AS (SELECT w2, sum(cnt) AS c2 FROM c GROUP BY 1)
+         |SELECT c.w1, c.w2, c.cnt,
+         |  round(ln((c.cnt::DOUBLE * tot.bb) / (u1.c1::DOUBLE * u2.c2)), 6) AS pmi
+         |FROM c JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN tot
+         |WHERE c.cnt >= ${TextAnalysis.PmiMinCount}
+         |ORDER BY pmi DESC, w1, w2 LIMIT ${TextAnalysis.PmiTopK}""".stripMargin
   )
 }

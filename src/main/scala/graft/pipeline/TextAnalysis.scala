@@ -1634,6 +1634,45 @@ object TextAnalysis {
     * bucket boundaries re-verified on a sample, or a two-pass exact
     * count-below-threshold refinement.
     */
+  /** Minimum pair count and result size for [[pmiCollocations]]. */
+  val PmiMinCount = 5
+  val PmiTopK = 50
+
+  /** L4 — top-[[PmiTopK]] COLLOCATIONS by pointwise mutual information
+    * (Church & Hanks 1990), the classic corpus-analysis pass word2vec-era
+    * pipelines run to find multi-word units worth merging into single
+    * vocabulary tokens (Mikolov et al. 2013 §4 learns phrases by exactly
+    * this count-ratio score): PMI(w1,w2) = ln(c(w1,w2)·B / (c(w1·)·
+    * c(·w2))) over the bigram table, gated at [[PmiMinCount]] (raw PMI
+    * is notoriously dominated by hapax pairs; the count floor is the
+    * standard fix).
+    *
+    * Shape: reuses the session's standing bigram-count table (the same
+    * sufficient statistic q46/q57/q118 read); the two context-marginal
+    * aggregations are vocabulary-sized; only count-floored pairs (a tiny
+    * fraction) join the marginals; and the global top-k is
+    * `TakeOrderedAndProject` — per-partition heaps, k rows to the
+    * driver, never a full sort. B is one table-stats scalar. The ln is
+    * the only transcendental and the emitted score rounds at 6 (the
+    * BM25/TF-IDF precedent), so the query hash-gates.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val (c, _) = bigramCounts(spark, dir)
+    val b = c.agg(sum(col("cnt"))).collect()(0).getLong(0).toDouble
+    val u1 = c.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
+    val u2 = c.groupBy(col("w2")).agg(sum(col("cnt")).as("c2"))
+    c.filter(col("cnt") >= PmiMinCount)
+      .join(u1, "w1")
+      .join(u2, "w2")
+      .select(
+        col("w1"), col("w2"), col("cnt"),
+        round(
+          log((col("cnt").cast("double") * b) / (col("c1").cast("double") * col("c2"))),
+          6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
     val scored = docLogProbKn(spark, dir)
       .select(col("doc_id"), col("avg_logprob_kn"))

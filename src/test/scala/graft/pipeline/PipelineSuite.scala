@@ -1351,6 +1351,35 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("L4 PMI collocations match a driver-side count model") {
+    import spark.implicits._
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("text").as[String].collect()
+    val bigrams = docs.flatMap { t =>
+      val w = t.split(" "); w.zip(w.tail)
+    }
+    val cnt = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val b = bigrams.length.toDouble
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val c2 = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = cnt.toSeq
+      .filter(_._2 >= TextAnalysis.PmiMinCount)
+      .map { case ((w1, w2), n) =>
+        val pmi = BigDecimal(math.log((n.toDouble * b) / (c1(w1).toDouble * c2(w2))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (w1, w2, n, pmi)
+      }
+      .sortBy { case (w1, w2, _, pmi) => (-pmi, w1, w2) }
+      .take(TextAnalysis.PmiTopK)
+    val got = TextAnalysis.pmiCollocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the count floor bites: no hapax pair appears
+    assert(got.forall(_._3 >= TextAnalysis.PmiMinCount))
+  }
+
   test("L2 edit-distance near-dup: subset of brute force, exact distances, full recall here") {
     import spark.implicits._
     val docs = graft.rel.Queries

@@ -1273,6 +1273,93 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Content-defined-chunking parameters: rolling window (chars),
+    * polynomial base, modulus, and the boundary divisor (expected chunk
+    * length ≈ [[CdcDivisor]] chars). B and M are coprime-ish small
+    * constants chosen so every intermediate fits comfortably in a long
+    * and the SQL twin can inline the per-offset powers.
+    */
+  val CdcWindow = 16
+  val CdcBase = 257L
+  val CdcMod = 1L << 20
+  val CdcDivisor = 64L
+
+  /** B^k mod M for k = 0..W−1 — inlined into the oracle's explicit
+    * window sum and used by the kernel's rolling update.
+    */
+  private[pipeline] val CdcPow: Array[Long] = {
+    val a = new Array[Long](CdcWindow + 1)
+    a(0) = 1L
+    for (k <- 1 to CdcWindow) a(k) = a(k - 1) * CdcBase % CdcMod
+    a
+  }
+
+  /** Chunk segmentation of one document: every position j (1-based end,
+    * j ≥ W) whose trailing-W-char polynomial hash ≡ 0 mod [[CdcDivisor]]
+    * closes a chunk; the remainder closes the last one. Boundaries
+    * depend ONLY on local window content — the content-defined property
+    * that keeps chunk identity stable under insertions/deletions
+    * elsewhere in the document. Pure integer arithmetic, bit-identical
+    * to the oracle's explicit Σ ascii·B^k mod M sum.
+    */
+  private[pipeline] def cdcKernel(text: String): Iterator[(Int, Int, Int)] = {
+    val L = text.length
+    val ends = scala.collection.mutable.ArrayBuffer[Int]()
+    var h = 0L
+    var j = 0
+    while (j < L) {
+      h = (h * CdcBase + text.charAt(j)) % CdcMod
+      if (j >= CdcWindow)
+        h = ((h - text.charAt(j - CdcWindow) * CdcPow(CdcWindow)) % CdcMod + CdcMod) % CdcMod
+      if (j >= CdcWindow - 1 && h % CdcDivisor == 0L) ends += (j + 1)
+      j += 1
+    }
+    if (ends.isEmpty || ends.last != L) ends += L
+    var prev = 0
+    ends.iterator.zipWithIndex.map { case (e, idx) =>
+      val r = (idx, prev + 1, e - prev)
+      prev = e
+      r
+    }
+  }
+
+  /** L2 — CONTENT-DEFINED CHUNKING (the Rabin/FastCDC family: Muthitacharoen
+    * et al. 2001 LBFS §3.1): split every document at positions where a
+    * rolling hash of the trailing [[CdcWindow]] chars ≡ 0 mod
+    * [[CdcDivisor]], so chunk boundaries are determined by CONTENT, not
+    * offset — an insertion early in a document shifts every fixed-block
+    * boundary after it but leaves all content-defined chunks beyond the
+    * edit's window untouched. That stability is why storage dedup and
+    * incremental-ingest pipelines chunk this way before hashing; the
+    * emitted md5 per chunk is the dedup key (the fixed-block complement
+    * of q45's offset chunking, at sub-document granularity vs q15's
+    * whole-document hash).
+    *
+    * Shape at 100 TB: one narrow kernel pass per document — no shuffle,
+    * no state across documents; the chunk table partitions with its
+    * corpus. Production variants add FastCDC's min/max chunk clamps
+    * (same kernel, two compares); the hash is the oracle-mirrorable
+    * polynomial here, xxhash in a deployment that doesn't need SQL
+    * twins. Positions are chars (== bytes on this ASCII corpus; a
+    * multibyte deployment chunks raw bytes instead).
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.rel.Queries.spread(
+      table(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        cdcKernel(t).map { case (idx, start, len) =>
+          (id, idx, start, len, t.substring(start - 1, start - 1 + len))
+        }
+      })
+      .toDF("doc_id", "chunk_idx", "start", "chunk_len", "chunk")
+      .select(
+        col("doc_id"), col("chunk_idx"), col("start"), col("chunk_len"),
+        md5(col("chunk")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Words per "paragraph" block for [[paragraphDedup]]. The corpus is
     * single-line (no newlines or sentence punctuation — TESTDATA.md), so
     * the paragraph unit is a fixed non-overlapping word window; a real

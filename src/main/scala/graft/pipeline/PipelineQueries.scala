@@ -124,7 +124,8 @@ object PipelineQueries {
     "q120_temperature_mix" -> (TextAnalysis.temperatureSample _),
     "q121_ppl_buckets" -> (TextAnalysis.perplexityBuckets _),
     "q122_edit_neardup" -> (Dedup.editDistanceDup _),
-    "q123_pmi_collocations" -> (TextAnalysis.pmiCollocations _)
+    "q123_pmi_collocations" -> (TextAnalysis.pmiCollocations _),
+    "q124_cdc_chunks" -> (Dedup.cdcChunks _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1277,6 +1278,32 @@ object PipelineQueries {
          |  round(ln((c.cnt::DOUBLE * tot.bb) / (u1.c1::DOUBLE * u2.c2)), 6) AS pmi
          |FROM c JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN tot
          |WHERE c.cnt >= ${TextAnalysis.PmiMinCount}
-         |ORDER BY pmi DESC, w1, w2 LIMIT ${TextAnalysis.PmiTopK}""".stripMargin
+         |ORDER BY pmi DESC, w1, w2 LIMIT ${TextAnalysis.PmiTopK}""".stripMargin,
+
+    // q124: the rolling-hash window sum written out explicitly — char at
+    // position j−k carries the inlined power B^k mod M, so the per-
+    // position hash is bit-identical to the kernel's incremental update
+    // (pure integer arithmetic on both engines).
+    "q124_cdc_chunks" -> {
+      val terms = (0 until Dedup.CdcWindow)
+        .map(k => s"ascii(substr(text, (j-$k)::INT, 1)) * ${Dedup.CdcPow(k)}")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+         |pos AS (SELECT doc_id, text, unnest(range(${Dedup.CdcWindow}, L+1)) AS j FROM d),
+         |hp AS (SELECT doc_id, j, ($terms) % ${Dedup.CdcMod} AS h FROM pos),
+         |bnd AS (SELECT doc_id, j AS e FROM hp WHERE h % ${Dedup.CdcDivisor} = 0),
+         |ends AS (SELECT DISTINCT doc_id, e FROM
+         |          (SELECT doc_id, e FROM bnd
+         |           UNION ALL SELECT doc_id, L AS e FROM d)),
+         |ch AS (SELECT doc_id, e,
+         |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
+         |       FROM ends)
+         |SELECT ch.doc_id,
+         |  (row_number() OVER (PARTITION BY ch.doc_id ORDER BY ch.e) - 1)::INT AS chunk_idx,
+         |  (ch.prev+1)::INT AS start, (ch.e-ch.prev)::INT AS chunk_len,
+         |  md5(substr(d.text, (ch.prev+1)::INT, (ch.e-ch.prev)::INT)) AS chunk_hash
+         |FROM ch JOIN d USING (doc_id)
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    }
   )
 }

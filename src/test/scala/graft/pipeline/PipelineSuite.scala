@@ -1351,6 +1351,39 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("L2 CDC chunks: exact doc partition, and boundaries survive an upstream edit") {
+    import spark.implicits._
+    val rows = Dedup.cdcChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // chunks tile each document exactly: contiguous, full-cover
+    for ((id, ch) <- rows.groupBy(_._1)) {
+      val sorted = ch.sortBy(_._2)
+      assert(sorted.head._3 == 1)
+      assert(sorted.map(_._4).sum == docs(id).length)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4)
+        case _           =>
+      }
+    }
+    // the content-defined property: prepending text shifts offsets but
+    // preserves every chunk hash beyond the edit's window
+    val t = docs.values.maxBy(_.length)
+    def hashes(s: String): Seq[String] =
+      Dedup.cdcKernel(s).map { case (_, st, ln) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.substring(st - 1, st - 1 + ln).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.toSeq
+    val orig = hashes(t)
+    val edited = hashes("inserted preamble " + t)
+    // all but the first couple of original chunks reappear verbatim
+    assert(orig.drop(2).forall(edited.contains), "CDC boundary stability")
+    assert(orig.length >= 3) // the property was actually exercised
+  }
+
   test("L4 PMI collocations match a driver-side count model") {
     import spark.implicits._
     val docs = graft.rel.Queries

@@ -125,7 +125,8 @@ object PipelineQueries {
     "q121_ppl_buckets" -> (TextAnalysis.perplexityBuckets _),
     "q122_edit_neardup" -> (Dedup.editDistanceDup _),
     "q123_pmi_collocations" -> (TextAnalysis.pmiCollocations _),
-    "q124_cdc_chunks" -> (Dedup.cdcChunks _)
+    "q124_cdc_chunks" -> (Dedup.cdcChunks _),
+    "q125_span_masks" -> (TextAnalysis.spanCorruptionMasks _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1304,6 +1305,30 @@ object PipelineQueries {
          |  md5(substr(d.text, (ch.prev+1)::INT, (ch.e-ch.prev)::INT)) AS chunk_hash
          |FROM ch JOIN d USING (doc_id)
          |ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
+    // q125: one hash-drawn span per 20-token block. Hex digits decode
+    // via per-char ascii arithmetic (the same exact-integer expression
+    // the Spark side builds), so lengths and offsets are bit-identical.
+    "q125_span_masks" -> {
+      def digit(p: Int) =
+        s"(ascii(substr(h, $p, 1)) - CASE WHEN ascii(substr(h, $p, 1)) >= 97 THEN 87 ELSE 48 END)"
+      val hx1 = (0 to 3).map(k => s"${digit(1 + k)}*${math.pow(16, 3 - k).toLong}").mkString(" + ")
+      val hx5 = (0 to 3).map(k => s"${digit(5 + k)}*${math.pow(16, 3 - k).toLong}").mkString(" + ")
+      val bt = TextAnalysis.MaskBlockTokens
+      s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+         |nb AS (SELECT doc_id, n, (((n-1)//$bt)+1) AS nb FROM d),
+         |blk AS (SELECT doc_id, n, i AS b FROM
+         |         (SELECT doc_id, n, unnest(range(0, nb)) AS i FROM nb)),
+         |hh AS (SELECT doc_id, b, md5('${TextAnalysis.MaskSalt}' || doc_id || ':' || b) AS h,
+         |         least($bt, n - b*$bt) AS bl FROM blk),
+         |s1 AS (SELECT doc_id, b, bl, h,
+         |         least(($hx1) % ${TextAnalysis.MaskMaxSpan} + 1, bl) AS span_len FROM hh),
+         |s2 AS (SELECT doc_id, b, span_len,
+         |         ($hx5) % (bl - span_len + 1) AS off FROM s1)
+         |SELECT doc_id, b::INT AS block_idx, (b*$bt + off + 1)::INT AS span_start,
+         |  span_len::INT AS span_len
+         |FROM s2 ORDER BY doc_id, block_idx""".stripMargin
     }
   )
 }

@@ -1634,6 +1634,60 @@ object TextAnalysis {
     * bucket boundaries re-verified on a sample, or a two-pass exact
     * count-below-threshold refinement.
     */
+  /** Block size (tokens) for [[spanCorruptionMasks]]; each block hosts
+    * one masked span of hash-uniform length 1..[[MaskMaxSpan]] (mean 3
+    * of 20 = the T5 15% corruption rate).
+    */
+  val MaskBlockTokens = 20
+  val MaskMaxSpan = 5
+  val MaskSalt = "mask:"
+
+  /** L4 — SPAN-CORRUPTION mask generation (Raffel et al. 2020 §3.1.4 /
+    * UL2's denoiser mixtures): a masked-span denoising objective needs,
+    * for every document, a deterministic set of non-overlapping token
+    * spans to replace with sentinels — deterministic so every data-load
+    * epoch and every engine reproduces the same corruption. T5's greedy
+    * sequential draw is inherently serial per document; the BLOCKED
+    * variant here (one hash-drawn span per [[MaskBlockTokens]]-token
+    * block: length = hash mod [[MaskMaxSpan]] + 1, offset hash-uniform
+    * in the remaining room) keeps the corruption rate at the same mean
+    * 15% with spans never overlapping BY CONSTRUCTION, and every block's
+    * draw is independent — embarrassingly parallel, no per-document
+    * fold, no shuffle at all (the q47/q60 salted-hash discipline applied
+    * to mask geometry). All arithmetic is md5 + ascii-decoded hex
+    * digits + integer mod, so the span table hash-gates.
+    */
+  def spanCorruptionMasks(spark: SparkSession, dir: String): DataFrame = {
+    // integer value of 4 hex chars of h at 1-based i: per-digit ascii
+    // decode ('0'..'9' → −48, 'a'..'f' → −87) — the same exact-integer
+    // expression the oracle writes out
+    def hx(h: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+      Seq(0, 1, 2, 3)
+        .map { k =>
+          val a = ascii(substring(h, i + k, 1))
+          (a - when(a >= 97, 87).otherwise(48)) * lit(math.pow(16, 3 - k).toLong)
+        }
+        .reduce(_ + _)
+    val n = size(Shingles.tokens(col("text")))
+    val nb = ((n - 1) / lit(MaskBlockTokens)).cast("int") + 1
+    table(spark, dir, "documents")
+      .select(col("doc_id"), n.as("n"), posexplode(sequence(lit(0), nb - 1)))
+      .select(col("doc_id"), col("n"), col("col").as("b"))
+      .withColumn(
+        "h",
+        md5(concat(
+          lit(MaskSalt), col("doc_id").cast("string"), lit(":"), col("b").cast("string"))))
+      .withColumn("bl", least(lit(MaskBlockTokens), col("n") - col("b") * MaskBlockTokens))
+      .withColumn("span_len", least(hx(col("h"), 1) % MaskMaxSpan + 1, col("bl")))
+      .withColumn("off", hx(col("h"), 5) % (col("bl") - col("span_len") + 1))
+      .select(
+        col("doc_id"),
+        col("b").as("block_idx"),
+        (col("b") * MaskBlockTokens + col("off") + 1).cast("int").as("span_start"),
+        col("span_len").cast("int").as("span_len"))
+      .orderBy(col("doc_id"), col("block_idx"))
+  }
+
   /** Minimum pair count and result size for [[pmiCollocations]]. */
   val PmiMinCount = 5
   val PmiTopK = 50

@@ -1384,6 +1384,42 @@ class PipelineSuite extends AnyFunSuite {
     assert(orig.length >= 3) // the property was actually exercised
   }
 
+  test("L4 span-corruption masks match the hash model: in-bounds, disjoint, ~15% rate") {
+    import spark.implicits._
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = TextAnalysis.spanCorruptionMasks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bt = TextAnalysis.MaskBlockTokens
+    for ((id, t) <- docs) {
+      val n = t.split(" ").length
+      val expect = (0 until (n - 1) / bt + 1).map { b =>
+        val h = md5hex(s"${TextAnalysis.MaskSalt}$id:$b")
+        def hx(i: Int) = (0 to 3).map { k =>
+          val c = h(i - 1 + k)
+          (if (c >= 'a') c - 'a' + 10 else c - '0') * math.pow(16, 3 - k).toInt
+        }.sum
+        val bl = math.min(bt, n - b * bt)
+        val len = math.min(hx(1) % TextAnalysis.MaskMaxSpan + 1, bl)
+        val off = hx(5) % (bl - len + 1)
+        (id, b, b * bt + off + 1, len)
+      }
+      assert(got.filter(_._1 == id).sortBy(_._2).toSeq == expect)
+      // spans live inside their block (hence disjoint across blocks)
+      expect.foreach { case (_, b, st, ln) =>
+        assert(st > b * bt && st + ln - 1 <= math.min(n, (b + 1) * bt))
+      }
+    }
+    // corpus-level corruption rate near the T5 15% target
+    val masked = got.map(_._4.toLong).sum.toDouble
+    val total = docs.values.map(_.split(" ").length.toLong).sum.toDouble
+    assert(masked / total > 0.10 && masked / total < 0.20, s"rate ${masked / total}")
+  }
+
   test("L4 PMI collocations match a driver-side count model") {
     import spark.implicits._
     val docs = graft.rel.Queries

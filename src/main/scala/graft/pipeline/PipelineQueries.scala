@@ -126,7 +126,11 @@ object PipelineQueries {
     "q122_edit_neardup" -> (Dedup.editDistanceDup _),
     "q123_pmi_collocations" -> (TextAnalysis.pmiCollocations _),
     "q124_cdc_chunks" -> (Dedup.cdcChunks _),
-    "q125_span_masks" -> (TextAnalysis.spanCorruptionMasks _)
+    "q125_span_masks" -> (TextAnalysis.spanCorruptionMasks _),
+    // q126 is rows-only: the sketch is approximate by construction (the
+    // q27/q64/q71 family); PipelineSuite asserts the over-count and ε·N
+    // bound guarantees against exact counts.
+    "q126_cms_counts" -> (TextAnalysis.cmsEstimates _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */

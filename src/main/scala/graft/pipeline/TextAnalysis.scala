@@ -1518,6 +1518,74 @@ object TextAnalysis {
     else exactFull
   }
 
+  /** Count-min sketch geometry: depth (independent hash rows) × width
+    * (counters per row). ε = e/width ≈ 0.0027 over-count per query at
+    * failure probability e^−depth ≈ 0.018.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Row-r counter index of `token` — murmur3 with a per-row seed. */
+  private[pipeline] def cmsIndex(token: String, row: Int): Int =
+    java.lang.Math.floorMod(
+      scala.util.hashing.MurmurHash3.stringHash(token, 0x9747b28c + row), CmsWidth)
+
+  /** L5 — COUNT-MIN SKETCH frequency estimates (Cormode & Muthukrishnan
+    * 2005) for the certified heavy-hitter tokens, with the sketch's own
+    * ε·N error bound as a column. The mergeable complement of q83's
+    * Misra–Gries summaries: MG answers "which tokens are frequent" in
+    * cap-bounded space but forgets everything else; CMS answers a point
+    * query for ANY key (over-count only, never under) from a fixed
+    * depth×width counter matrix whose merge is elementwise addition —
+    * the property that lets 1,000 executors sketch independently and a
+    * tree-reduce combine them, and lets yesterday's sketch add to
+    * today's without touching either corpus.
+    *
+    * Shape at 100 TB: one narrow pass builds a 32 KB sketch per
+    * partition; merging is associative addition (driver-side here —
+    * bounded by partition count, the hhPartials precedent — a
+    * `treeReduce` at real fleet sizes). Queries against the merged
+    * sketch are driver arithmetic. Declared rows-only (the sketch is an
+    * approximation by construction); PipelineSuite asserts the
+    * deterministic over-count guarantee est ≥ true and the ε·N bound
+    * est ≤ true + ⌈e/width · N⌉ against exact counts.
+    */
+  def cmsEstimates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = hhTexts(spark, dir)
+      .mapPartitions { it =>
+        val sk = new Array[Long](CmsDepth * CmsWidth)
+        var n = 0L
+        it.foreach { t =>
+          t.split(" ", -1).foreach { tok =>
+            n += 1
+            var r = 0
+            while (r < CmsDepth) {
+              sk(r * CmsWidth + cmsIndex(tok, r)) += 1
+              r += 1
+            }
+          }
+        }
+        Iterator((sk, n))
+      }
+      .collect()
+    val sketch = new Array[Long](CmsDepth * CmsWidth)
+    var n = 0L
+    parts.foreach { case (s, c) =>
+      n += c
+      var i = 0
+      while (i < sketch.length) { sketch(i) += s(i); i += 1 }
+    }
+    def est(tok: String): Long =
+      (0 until CmsDepth).map(r => sketch(r * CmsWidth + cmsIndex(tok, r))).min
+    val cand = heavyHitters(spark, dir).select(col("token")).as[String].collect()
+    val bound = math.ceil(math.E / CmsWidth * n).toLong
+    cand.toSeq
+      .map(t => (t, est(t), bound))
+      .sortBy(r => (-r._2, r._1))
+      .toDF("token", "est", "err_bound")
+  }
+
   /** The composed end-of-pipeline query: the training manifest = documents
     * that (1) are their exact-dedup group's canonical member, (2) land in
     * the deterministic 'train' split, and (3) clear the quality gate —

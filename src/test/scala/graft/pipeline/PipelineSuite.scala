@@ -1420,6 +1420,24 @@ class PipelineSuite extends AnyFunSuite {
     assert(masked / total > 0.10 && masked / total < 0.20, s"rate ${masked / total}")
   }
 
+  test("L5 CMS estimates: over-count only, within the eps*N bound of exact counts") {
+    import spark.implicits._
+    val texts = graft.rel.Queries
+      .table(spark, dir, "documents").select("text").as[String].collect()
+    val exact = texts.flatMap(_.split(" ", -1)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val n = exact.values.sum
+    val got = TextAnalysis.cmsEstimates(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val bound = math.ceil(math.E / TextAnalysis.CmsWidth * n).toLong
+    got.foreach { case (tok, est, b) =>
+      assert(b == bound)
+      assert(est >= exact(tok), s"$tok under-counted") // CMS never under-counts
+      assert(est <= exact(tok) + bound, s"$tok over bound")
+    }
+  }
+
   test("L4 PMI collocations match a driver-side count model") {
     import spark.implicits._
     val docs = graft.rel.Queries

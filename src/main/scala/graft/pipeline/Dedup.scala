@@ -1273,6 +1273,43 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** L2 — CROSS-SOURCE n-gram OVERLAP MATRIX: pairwise Jaccard between
+    * each source's DISTINCT shingle set — the corpus-composition
+    * diagnostic a mixing run consults before setting source weights
+    * (two crawls of the same sites contribute near-identical material;
+    * their weights should not double-count it), and the source-level
+    * rollup of the doc-level contamination the q16 family measures.
+    *
+    * Shape at 100 TB: one distinct-aggregation to (source, shingle) —
+    * token-scale, the same volume every shingle pass moves; per-source
+    * set sizes fall out of a source-keyed count; the pair expansion is
+    * keyed on the shingle with fan-out bounded by |sources|²/2 per
+    * shingle — sources are a bounded DIMENSION (tens to thousands), not
+    * data-scale, so the matrix never explodes the way doc-level pairing
+    * can. Output is the |sources|² upper triangle.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = table(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val srcSh = docShingles(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(src, "doc_id")
+      .select(col("source"), col("g"))
+      .distinct()
+    val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = srcSh.select(col("source").as("s1"), col("g"))
+    val b = srcSh.select(col("source").as("s2"), col("g"))
+    a.join(b, "g")
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("source").as("s1"), col("n").as("n1")), "s1")
+      .join(sizes.select(col("source").as("s2"), col("n").as("n2")), "s2")
+      .select(
+        col("s1"), col("s2"), col("common"),
+        round(col("common") / (col("n1") + col("n2") - col("common")), 4).as("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   /** Content-defined-chunking parameters: rolling window (chars),
     * polynomial base, modulus, and the boundary divisor (expected chunk
     * length ≈ [[CdcDivisor]] chars). B and M are coprime-ish small

@@ -130,7 +130,8 @@ object PipelineQueries {
     // q126 is rows-only: the sketch is approximate by construction (the
     // q27/q64/q71 family); PipelineSuite asserts the over-count and ε·N
     // bound guarantees against exact counts.
-    "q126_cms_counts" -> (TextAnalysis.cmsEstimates _)
+    "q126_cms_counts" -> (TextAnalysis.cmsEstimates _),
+    "q127_source_overlap" -> (Dedup.sourceOverlap _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1333,6 +1334,22 @@ object PipelineQueries {
          |SELECT doc_id, b::INT AS block_idx, (b*$bt + off + 1)::INT AS span_start,
          |  span_len::INT AS span_len
          |FROM s2 ORDER BY doc_id, block_idx""".stripMargin
-    }
+    },
+
+    // q127: source-level jaccard over distinct shingle sets — the q16
+    // shingle CTE lifted to the source dimension.
+    "q127_source_overlap" ->
+      s"""$ShingleCte,
+         |e AS (SELECT DISTINCT doc.source, g
+         |      FROM (SELECT doc_id, unnest(sh) AS g FROM s WHERE len(sh) > 0) x
+         |      JOIN documents doc USING (doc_id)),
+         |n AS (SELECT source, count(*) AS n FROM e GROUP BY 1),
+         |p AS (SELECT a.source AS s1, b.source AS s2, count(*) AS common
+         |      FROM e a JOIN e b ON a.g = b.g AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT p.s1, p.s2, p.common,
+         |  round(1.0*p.common/(n1.n + n2.n - p.common), 4) AS jaccard
+         |FROM p JOIN n n1 ON n1.source = p.s1 JOIN n n2 ON n2.source = p.s2
+         |ORDER BY s1, s2""".stripMargin
   )
 }

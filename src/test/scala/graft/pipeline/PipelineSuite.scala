@@ -1420,6 +1420,29 @@ class PipelineSuite extends AnyFunSuite {
     assert(masked / total > 0.10 && masked / total < 0.20, s"rate ${masked / total}")
   }
 
+  test("L2 source overlap matrix matches a driver-side set model") {
+    import spark.implicits._
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("source", "text").as[(String, String)].collect()
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val bySrc = docs.groupBy(_._1).view
+      .mapValues(_.map(t => sh(t._2)).reduce(_ ++ _)).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+      c = bySrc(a).intersect(bySrc(b)).size if c > 0
+    } yield (a, b, c.toLong)).toSet
+    val got = Dedup.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("L5 CMS estimates: over-count only, within the eps*N bound of exact counts") {
     import spark.implicits._
     val texts = graft.rel.Queries

@@ -1290,16 +1290,26 @@ object Dedup {
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val src = table(spark, dir, "documents").select(col("doc_id"), col("source"))
+    import spark.implicits._
     val srcSh = docShingles(spark, dir)
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .join(src, "doc_id")
       .select(col("source"), col("g"))
       .distinct()
     val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val a = srcSh.select(col("source").as("s1"), col("g"))
-    val b = srcSh.select(col("source").as("s2"), col("g"))
-    a.join(b, "g")
-      .filter(col("s1") < col("s2"))
+    // per-shingle source set (≤ |sources| — a bounded dimension), then
+    // the same sorted pair-expansion kernel the doc-level flows use:
+    // emits only s1 < s2 pairs and partial-aggregates map-side, where a
+    // self-join would shuffle both sides and discard half the output
+    implicit val utf8: Ordering[String] = graft.rel.TopK.Utf8StringOrdering
+    srcSh
+      .groupBy(col("g"))
+      .agg(collect_set(col("source")).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(col("ss"))
+      .as[Array[String]]
+      .flatMap(ss => expandPairs(ss.sorted(utf8)) { case (a, b) => (a, b) })
+      .toDF("s1", "s2")
       .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("common"))
       .join(sizes.select(col("source").as("s1"), col("n").as("n1")), "s1")

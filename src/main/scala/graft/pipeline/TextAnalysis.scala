@@ -97,6 +97,8 @@ object TextAnalysis {
     qcCache.clear()
     bigramCountCache.forEach((_, v) => v._1.unpersist())
     bigramCountCache.clear()
+    knCache.forEach((_, df) => df.unpersist())
+    knCache.clear()
   }
 
   private val dsirCache =
@@ -732,25 +734,40 @@ object TextAnalysis {
     * deterministic per bigram and the per-doc ln-sum rounds at 4 (the
     * q57/q62 precedent).
     */
-  def docLogProbKn(spark: SparkSession, dir: String): DataFrame = {
-    val bg = docBigrams(spark, dir)
-    val (c, nTypes) = bigramCounts(spark, dir)
-    val cw1 = c.groupBy(col("w1"))
-      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n1plus"))
-    val cont = c.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
-    val d = KnDiscount
-    val lm = c.join(cw1, "w1").join(cont, "w2")
-      .select(
-        col("w1"), col("w2"),
-        (((col("cnt").cast("double") - lit(d)) / col("tot"))
-          + (lit(d) * col("n1plus") / col("tot")) * (col("nc") / lit(nTypes))).as("p"))
-    bg.join(lm, Seq("w1", "w2"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        round(avg(log(col("p"))), 4).as("avg_logprob_kn"))
-      .orderBy(col("doc_id"))
-  }
+  def docLogProbKn(spark: SparkSession, dir: String): DataFrame =
+    knScores(spark, dir).orderBy(col("doc_id"))
+
+  private val knCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The per-doc KN score frame (doc_id, n_bigrams, avg_logprob_kn),
+    * persisted + memoized: it is a standing asset of the same kind as
+    * [[bigramCounts]] — q118 emits it and q121's bucket gate reads it
+    * TWICE (threshold aggregation + the bucketed output), which without
+    * the memo would re-run the whole LM join per reference.
+    */
+  private def knScores(spark: SparkSession, dir: String): DataFrame =
+    knCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        val bg = docBigrams(s, d)
+        val (c, nTypes) = bigramCounts(s, d)
+        val cw1 = c.groupBy(col("w1"))
+          .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n1plus"))
+        val cont = c.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+        val disc = KnDiscount
+        val lm = c.join(cw1, "w1").join(cont, "w2")
+          .select(
+            col("w1"), col("w2"),
+            (((col("cnt").cast("double") - lit(disc)) / col("tot"))
+              + (lit(disc) * col("n1plus") / col("tot")) * (col("nc") / lit(nTypes))).as("p"))
+        bg.join(lm, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            round(avg(log(col("p"))), 4).as("avg_logprob_kn"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
 
   private val bigramCountCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, Double)]()
@@ -1796,7 +1813,7 @@ object TextAnalysis {
   }
 
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val scored = docLogProbKn(spark, dir)
+    val scored = knScores(spark, dir)
       .select(col("doc_id"), col("avg_logprob_kn"))
     val row = scored
       .agg(expr("percentile(avg_logprob_kn, array(1.0d/3.0d, 2.0d/3.0d))"))

@@ -1100,7 +1100,7 @@ object TextAnalysis {
     import spark.implicits._
     val feats = qcFeatures(spark, dir)
     val data = feats.select(col("y"), col("x")).as[(Double, Array[Double])]
-    val wv = trainLogReg(data.rdd.map { case (y, x) => (y, x) }, spark)
+    val wv = trainLogReg(data.rdd, spark)
     val bw = spark.sparkContext.broadcast(wv)
     feats
       .select(col("doc_id"), col("y"), col("x"))

@@ -131,7 +131,8 @@ object PipelineQueries {
     // q27/q64/q71 family); PipelineSuite asserts the over-count and ε·N
     // bound guarantees against exact counts.
     "q126_cms_counts" -> (TextAnalysis.cmsEstimates _),
-    "q127_source_overlap" -> (Dedup.sourceOverlap _)
+    "q127_source_overlap" -> (Dedup.sourceOverlap _),
+    "q128_moore_lewis" -> (TextAnalysis.mooreLewisSelect _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1350,6 +1351,34 @@ object PipelineQueries {
          |SELECT p.s1, p.s2, p.common,
          |  round(1.0*p.common/(n1.n + n2.n - p.common), 4) AS jaccard
          |FROM p JOIN n n1 ON n1.source = p.s1 JOIN n n2 ON n2.source = p.s2
-         |ORDER BY s1, s2""".stripMargin
+         |ORDER BY s1, s2""".stripMargin,
+
+    // q128: Laplace-smoothed target/general bigram LMs sharing the
+    // corpus w2 vocabulary; the per-bigram delta mirrors the Spark
+    // expression term for term and rounds at 4 through the doc average.
+    "q128_moore_lewis" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |b AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM (
+         |       SELECT doc_id, w, unnest(range(1, greatest(len(w), 1))) AS i FROM t)),
+         |cg AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |cgw1 AS (SELECT w1, sum(cnt) AS c1g FROM cg GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT w2)::DOUBLE AS v FROM cg),
+         |tb AS (SELECT b.w1, b.w2, count(*) AS ct FROM b
+         |       JOIN documents d USING (doc_id)
+         |       WHERE d.source = '${Dedup.BenchSource}' GROUP BY 1, 2),
+         |tw1 AS (SELECT w1, sum(ct) AS c1t FROM tb GROUP BY 1),
+         |pool AS (SELECT b.doc_id, b.w1, b.w2 FROM b
+         |         JOIN documents d USING (doc_id)
+         |         WHERE d.source <> '${Dedup.BenchSource}'),
+         |sc AS (SELECT p.doc_id,
+         |         ln((coalesce(tb.ct, 0)+1)::DOUBLE / (coalesce(tw1.c1t, 0) + vv.v))
+         |         - ln((cg.cnt+1)::DOUBLE / (cgw1.c1g + vv.v)) AS delta
+         |       FROM pool p JOIN cg USING (w1, w2) JOIN cgw1 USING (w1)
+         |       LEFT JOIN tb ON tb.w1 = p.w1 AND tb.w2 = p.w2
+         |       LEFT JOIN tw1 ON tw1.w1 = p.w1
+         |       CROSS JOIN vv)
+         |SELECT doc_id, count(*) AS n_bigrams, round(avg(delta), 4) AS ml_score,
+         |  round(avg(delta), 4) > 0 AS keep
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

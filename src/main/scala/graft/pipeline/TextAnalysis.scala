@@ -1773,6 +1773,56 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("block_idx"))
   }
 
+  /** L4 — MOORE–LEWIS cross-entropy-difference selection (Moore & Lewis
+    * 2010, the standard domain-data selection method): score every pool
+    * document by avg[ln P_target(bigram) − ln P_general(bigram)] — how
+    * much more probable the doc is under an in-domain LM than under the
+    * general-pool LM — and keep the docs that lean toward the domain.
+    * The in-domain sample is the [[Dedup.BenchSource]] corpus (the same
+    * trusted-set convention q54/q62/q115 use); both LMs are
+    * Laplace-smoothed bigram models sharing the corpus vocabulary, so
+    * unseen-in-target bigrams back off smoothly instead of zeroing.
+    *
+    * Shape at 100 TB: the general LM is the standing [[bigramCounts]]
+    * table; the target LM aggregates only the (small) trusted corpus;
+    * scoring is the same LM-join + per-doc aggregation as q57/q118,
+    * with the two marginal tables joined alongside. The vocabulary size
+    * is one table-stats scalar. Hash-gated: Laplace arithmetic is
+    * exactly mirrored, the ln rounds at 4 through the per-doc average
+    * (the q118 precedent).
+    */
+  def mooreLewisSelect(spark: SparkSession, dir: String): DataFrame = {
+    val src = table(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val bg = docBigrams(spark, dir)
+    val (cg, _) = bigramCounts(spark, dir)
+    val cgw1 = cg.groupBy(col("w1")).agg(sum(col("cnt")).as("c1g"))
+    // corpus w2 vocabulary — one table-stats scalar
+    val v = cg.select(col("w2")).distinct().count().toDouble
+    val targetBg = bg.join(src.filter(col("source") === Dedup.BenchSource), "doc_id")
+    val tb = targetBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("ct"))
+    val tw1 = tb.groupBy(col("w1")).agg(sum(col("ct")).as("c1t"))
+    val pool = bg.join(src.filter(col("source") =!= Dedup.BenchSource), "doc_id")
+      .select(col("doc_id"), col("w1"), col("w2"))
+    pool
+      .join(cg, Seq("w1", "w2"))
+      .join(cgw1, Seq("w1"))
+      .join(tb, Seq("w1", "w2"), "left")
+      .join(tw1, Seq("w1"), "left")
+      .select(
+        col("doc_id"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1t"), lit(0L)) + v))
+          - log((col("cnt") + 1).cast("double") / (col("c1g") + v))).as("delta"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(col("delta")), 4).as("ml_score"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("ml_score"),
+        (col("ml_score") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Minimum pair count and result size for [[pmiCollocations]]. */
   val PmiMinCount = 5
   val PmiTopK = 50

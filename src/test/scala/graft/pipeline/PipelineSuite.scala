@@ -1420,6 +1420,43 @@ class PipelineSuite extends AnyFunSuite {
     assert(masked / total > 0.10 && masked / total < 0.20, s"rate ${masked / total}")
   }
 
+  test("L4 Moore-Lewis selection matches a driver-side two-LM model") {
+    import spark.implicits._
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    def bigrams(t: String): Seq[(String, String)] = {
+      val w = t.split(" "); w.zip(w.tail).toSeq
+    }
+    val all = docs.flatMap(d => bigrams(d._3))
+    val cg = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cgw1 = all.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val v = all.map(_._2).distinct.length.toDouble
+    val tgt = docs.filter(_._2 == Dedup.BenchSource).flatMap(d => bigrams(d._3))
+    val tb = tgt.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tw1 = tgt.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = docs.filter(_._2 != Dedup.BenchSource).map { case (id, _, t) =>
+      val bs = bigrams(t)
+      val deltas = bs.map { bgm =>
+        math.log((tb.getOrElse(bgm, 0L) + 1).toDouble / (tw1.getOrElse(bgm._1, 0L) + v)) -
+          math.log((cg(bgm) + 1).toDouble / (cgw1(bgm._1) + v))
+      }
+      id -> (bs.length.toLong, deltas.sum / deltas.length)
+    }.toMap
+    val got = TextAnalysis.mooreLewisSelect(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.length == expected.size)
+    got.foreach { case (id, (n, score, keep)) =>
+      val (en, escore) = expected(id)
+      assert(n == en)
+      assert(math.abs(score - escore) < 1e-3, s"doc $id: $score vs $escore")
+      assert(keep == score > 0)
+    }
+    // scores genuinely spread (the LM difference is not a constant)
+    val scores = got.map(_._2._2)
+    assert(scores.max - scores.min > 0.01)
+  }
+
   test("L2 source overlap matrix matches a driver-side set model") {
     import spark.implicits._
     val docs = graft.rel.Queries

@@ -132,7 +132,8 @@ object PipelineQueries {
     // bound guarantees against exact counts.
     "q126_cms_counts" -> (TextAnalysis.cmsEstimates _),
     "q127_source_overlap" -> (Dedup.sourceOverlap _),
-    "q128_moore_lewis" -> (TextAnalysis.mooreLewisSelect _)
+    "q128_moore_lewis" -> (TextAnalysis.mooreLewisSelect _),
+    "q129_quality_rules" -> (TextAnalysis.qualityRulesAudit _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1379,6 +1380,36 @@ object PipelineQueries {
          |       CROSS JOIN vv)
          |SELECT doc_id, count(*) AS n_bigrams, round(avg(delta), 4) AS ml_score,
          |  round(avg(delta), 4) > 0 AS keep
-         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q129: every rule is an integer comparison (token chars fall out of
+    // length(text) − (n−1) on the single-spaced corpus; ratios are
+    // cross-multiplications), so the audit carries no FP at all.
+    "q129_quality_rules" -> {
+      val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n,
+         |    length(text) - (len(string_split(text, ' ')) - 1) AS sum_len,
+         |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS stop_hits,
+         |    length(regexp_replace(text, '[a-z ]', '', 'g')) AS punct,
+         |    length(text) AS n_chars
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    n >= ${TextAnalysis.RuleMinTokens} AND n <= ${TextAnalysis.RuleMaxTokens} AS r_len,
+         |    sum_len >= n * 3 AND sum_len <= n * 10 AS r_wordlen,
+         |    stop_hits >= ${TextAnalysis.RuleMinStopHits} AS r_stop,
+         |    n_distinct * 10 >= n * 3 AS r_ttr,
+         |    punct * 10 <= n_chars AS r_punct
+         |  FROM f)
+         |SELECT doc_id, r_len, r_wordlen, r_stop, r_ttr, r_punct,
+         |  ((CASE WHEN r_len THEN 0 ELSE 1 END) + (CASE WHEN r_wordlen THEN 0 ELSE 1 END)
+         |   + (CASE WHEN r_stop THEN 0 ELSE 1 END) + (CASE WHEN r_ttr THEN 0 ELSE 1 END)
+         |   + (CASE WHEN r_punct THEN 0 ELSE 1 END))::INT AS n_failed,
+         |  r_len AND r_wordlen AND r_stop AND r_ttr AND r_punct AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -1773,6 +1773,55 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("block_idx"))
   }
 
+  /** [[qualityRulesAudit]] thresholds — the Gopher §A1.1 rule family
+    * restated for this corpus's scale (its docs run 10–110 tokens where
+    * web pages run 50–100k). All gates are integers or integer
+    * cross-multiplications so the audit is FP-free.
+    */
+  val RuleMinTokens = 15
+  val RuleMaxTokens = 120
+  val RuleMinStopHits = 2
+
+  /** L4 — QUALITY-RULES AUDIT, the Gopher/RefinedWeb rule-filter family
+    * (Rae et al. 2021 §A1.1) emitted as a PER-RULE table rather than a
+    * single keep bit: production pipelines ship exactly this audit shape
+    * because tuning a rule set requires knowing which rule fired, not
+    * just that something did. Rules: token count in
+    * [[[RuleMinTokens]], [[RuleMaxTokens]]]; mean token length in [3,10]
+    * (as Σlen·1 vs 3n/10n cross-multiplication — token chars =
+    * length(text) − (n−1) on this single-spaced corpus, no second
+    * tokenize pass); ≥ [[RuleMinStopHits]] stopword hits (the Gopher
+    * "stop word" check); type-token ratio ≥ 0.3 (10·distinct ≥ 3n); and
+    * non-alpha character ratio ≤ 0.1 (10·punct ≤ chars). Every gate is
+    * an integer comparison, so the audit hash-gates with no FP anywhere.
+    * One narrow scan, no shuffle.
+    */
+  def qualityRulesAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Shingles.tokens(col("text"))
+    val n = size(w)
+    val sumLen = length(col("text")) - (n - 1)
+    val nDistinct = size(array_distinct(w))
+    val stopHits = size(filter(w, x => x.isin(Stopwords: _*)))
+    val punct = length(regexp_replace(col("text"), "[a-z ]", ""))
+    val rLen = n >= RuleMinTokens && n <= RuleMaxTokens
+    val rWordLen = sumLen >= n * 3 && sumLen <= n * 10
+    val rStop = stopHits >= RuleMinStopHits
+    val rTtr = nDistinct * 10 >= n * 3
+    val rPunct = punct * 10 <= length(col("text"))
+    val rules = Seq(rLen, rWordLen, rStop, rTtr, rPunct)
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        rLen.as("r_len"),
+        rWordLen.as("r_wordlen"),
+        rStop.as("r_stop"),
+        rTtr.as("r_ttr"),
+        rPunct.as("r_punct"),
+        rules.map(r => when(r, 0).otherwise(1)).reduce(_ + _).as("n_failed"),
+        rules.reduce(_ && _).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** L4 — MOORE–LEWIS cross-entropy-difference selection (Moore & Lewis
     * 2010, the standard domain-data selection method): score every pool
     * document by avg[ln P_target(bigram) − ln P_general(bigram)] — how

@@ -1420,6 +1420,34 @@ class PipelineSuite extends AnyFunSuite {
     assert(masked / total > 0.10 && masked / total < 0.20, s"rate ${masked / total}")
   }
 
+  test("L4 quality-rules audit matches a driver-side rule model and discriminates") {
+    import spark.implicits._
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, t) =>
+      val w = t.split(" ")
+      val n = w.length
+      val sumLen = t.length - (n - 1)
+      val rLen = n >= TextAnalysis.RuleMinTokens && n <= TextAnalysis.RuleMaxTokens
+      val rWordLen = sumLen >= n * 3 && sumLen <= n * 10
+      val rStop = w.count(TextAnalysis.Stopwords.contains) >= TextAnalysis.RuleMinStopHits
+      val rTtr = w.distinct.length * 10 >= n * 3
+      val rPunct = t.count(c => !(c == ' ' || (c >= 'a' && c <= 'z'))) * 10 <= t.length
+      val all = Seq(rLen, rWordLen, rStop, rTtr, rPunct)
+      (id, rLen, rWordLen, rStop, rTtr, rPunct, all.count(!_), all.forall(identity))
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.qualityRulesAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getInt(6), r.getBoolean(7))).toSeq
+    assert(got == expected)
+    // the audit discriminates: some docs fail, most pass
+    val kept = got.count(_._8)
+    assert(kept > got.size / 2 && kept < got.size)
+    // and the per-rule columns say WHICH rule fired
+    assert(got.exists(r => !r._2) || got.exists(r => !r._4) || got.exists(r => !r._5))
+  }
+
   test("L4 Moore-Lewis selection matches a driver-side two-LM model") {
     import spark.implicits._
     val docs = graft.rel.Queries

@@ -133,7 +133,8 @@ object PipelineQueries {
     "q126_cms_counts" -> (TextAnalysis.cmsEstimates _),
     "q127_source_overlap" -> (Dedup.sourceOverlap _),
     "q128_moore_lewis" -> (TextAnalysis.mooreLewisSelect _),
-    "q129_quality_rules" -> (TextAnalysis.qualityRulesAudit _)
+    "q129_quality_rules" -> (TextAnalysis.qualityRulesAudit _),
+    "q130_oov_audit" -> (TextAnalysis.oovAudit _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1410,6 +1411,17 @@ object PipelineQueries {
          |   + (CASE WHEN r_punct THEN 0 ELSE 1 END))::INT AS n_failed,
          |  r_len AND r_wordlen AND r_stop AND r_ttr AND r_punct AS keep
          |FROM r ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // q130: top-k vocabulary by (freq DESC, word), then per-doc OOV
+    // counts — integers throughout, the rate divides two integers.
+    "q130_oov_audit" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |f AS (SELECT w, count(*) AS freq FROM tok GROUP BY 1),
+         |v AS (SELECT w FROM f ORDER BY freq DESC, w LIMIT ${TextAnalysis.OovVocabK})
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  sum(CASE WHEN w IN (SELECT w FROM v) THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+         |  round(1.0*sum(CASE WHEN w IN (SELECT w FROM v) THEN 0 ELSE 1 END)/count(*), 4) AS oov_rate
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

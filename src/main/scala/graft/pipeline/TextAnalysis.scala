@@ -1334,6 +1334,46 @@ object TextAnalysis {
       .toDF("token_id", "word", "freq")
       .orderBy(col("token_id"))
   }
+  /** Vocabulary budget for [[oovAudit]] — small enough that the tail of
+    * this corpus's 31-word vocabulary genuinely falls outside it.
+    */
+  val OovVocabK = 25
+
+  /** L4 — VOCABULARY-COVERAGE / OOV AUDIT: per-document out-of-vocabulary
+    * token counts against the top-[[OovVocabK]] frequency vocabulary
+    * (q48's ordering). Tokenizer and vocab sizing decisions run exactly
+    * this audit — the OOV rate is the fraction of the corpus a
+    * fixed-budget vocabulary fails to cover, per doc so high-OOV
+    * documents (code, other languages, noise) are attributable rather
+    * than averaged away.
+    *
+    * Shape at 100 TB: the vocabulary is a k-bounded TakeOrdered (top-k
+    * by frequency, never a full sort) that BROADCASTS — the corpus-side
+    * pass is a narrow map + per-doc aggregation with no shuffle beyond
+    * the doc key. Hash-gated: counts are integers, the rate divides two
+    * integers and rounds at 4.
+    */
+  def oovAudit(spark: SparkSession, dir: String): DataFrame = {
+    val tok = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(Shingles.tokens(col("text"))).as("w"))
+    val vocab = tok
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(OovVocabK)
+      .select(col("w"), lit(1).as("in_vocab"))
+    tok
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 4).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact per-source vocabulary cardinality + token totals (the oracle-
     * checkable twin of [[cardinalityApprox]]).
     */

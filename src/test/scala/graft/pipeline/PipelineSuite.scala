@@ -1420,6 +1420,27 @@ class PipelineSuite extends AnyFunSuite {
     assert(masked / total > 0.10 && masked / total < 0.20, s"rate ${masked / total}")
   }
 
+  test("L4 OOV audit matches a driver-side top-k vocab model") {
+    import spark.implicits._
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val freq = docs.flatMap(_._2.split(" ")).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val vocab = freq.toSeq.sortBy { case (w, f) => (-f, w) }
+      .take(TextAnalysis.OovVocabK).map(_._1).toSet
+    val expected = docs.map { case (id, t) =>
+      val w = t.split(" ")
+      (id, w.length.toLong, w.count(x => !vocab(x)).toLong)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.oovAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the budgeted vocab leaves a real OOV tail on this corpus
+    assert(got.map(_._3).sum > 0)
+    assert(got.exists(_._3 == 0) || got.forall(_._3 > 0))
+  }
+
   test("L4 quality-rules audit matches a driver-side rule model and discriminates") {
     import spark.implicits._
     val docs = graft.rel.Queries

@@ -134,7 +134,11 @@ object PipelineQueries {
     "q127_source_overlap" -> (Dedup.sourceOverlap _),
     "q128_moore_lewis" -> (TextAnalysis.mooreLewisSelect _),
     "q129_quality_rules" -> (TextAnalysis.qualityRulesAudit _),
-    "q130_oov_audit" -> (TextAnalysis.oovAudit _)
+    "q130_oov_audit" -> (TextAnalysis.oovAudit _),
+    // q131 is rows-only: iterative EM (the q59/q105/q115 family); the
+    // learned piece table is checked against an independent driver-side
+    // EM plus coverage/normalization invariants in PipelineSuite.
+    "q131_unigram_vocab" -> (TextAnalysis.unigramLmVocab _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */

@@ -390,6 +390,140 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left", "right", "pair_count").orderBy(col("rank"))
   }
 
+  /** Unigram-LM tokenizer parameters: max piece length, seed vocabulary
+    * budget, EM iterations before/after the prune, and the pruned
+    * multi-char vocabulary size.
+    */
+  val UniMaxPieceLen = 6
+  val UniSeedK = 120
+  val UniEmIters = 4
+  val UniPostPruneIters = 2
+  val UniVocabTarget = 60
+
+  /** Forward–backward expected piece counts + log-likelihood of ONE word
+    * under the current unigram piece model — the E-step kernel, shared
+    * verbatim with nothing (the PipelineSuite reference reimplements it
+    * independently). α(i) = Σ α(i−l)·p(w[i−l..i]); E[s@(i,l)] =
+    * α(i)·p·β(i+l)/α(n).
+    */
+  private[pipeline] def latticeExpectedCounts(
+      w: String,
+      probs: scala.collection.Map[String, Double],
+      maxLen: Int): (scala.collection.mutable.HashMap[String, Double], Double) = {
+    val n = w.length
+    val alpha = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    for (i <- 1 to n; l <- 1 to math.min(maxLen, i)) {
+      val s = w.substring(i - l, i)
+      probs.get(s).foreach(p => alpha(i) += alpha(i - l) * p)
+    }
+    val beta = new Array[Double](n + 1)
+    beta(n) = 1.0
+    for (i <- n - 1 to 0 by -1; l <- 1 to math.min(maxLen, n - i)) {
+      val s = w.substring(i, i + l)
+      probs.get(s).foreach(p => beta(i) += p * beta(i + l))
+    }
+    val z = alpha(n)
+    val cnt = scala.collection.mutable.HashMap.empty[String, Double]
+    if (z > 0)
+      for (i <- 0 until n; l <- 1 to math.min(maxLen, n - i)) {
+        val s = w.substring(i, i + l)
+        probs.get(s).foreach { p =>
+          val e = alpha(i) * p * beta(i + l) / z
+          if (e > 0) cnt.update(s, cnt.getOrElse(s, 0.0) + e)
+        }
+      }
+    (cnt, if (z > 0) math.log(z) else 0.0)
+  }
+
+  /** L4 — UNIGRAM-LM tokenizer learning (Kudo 2018, the SentencePiece
+    * algorithm most deployed LLM tokenizers train with, where q105's BPE
+    * is the greedy-merge alternative): seed a substring vocabulary,
+    * EM-estimate piece probabilities over every word's full segmentation
+    * lattice (forward–backward, not just the Viterbi path), prune the
+    * low-expectation tail, and EM again. Single characters are never
+    * pruned, so every word stays segmentable (the coverage invariant
+    * SentencePiece enforces the same way).
+    *
+    * Shape at 100 TB: exactly the q105/q59 round discipline — the model
+    * trains on the WORD-FREQUENCY DICT (one corpus-scale aggregation,
+    * then bounded-size rounds), each E-step maps the dict with the
+    * ~vocab-sized probability table BROADCAST and reduces expected
+    * counts by piece with map-side partials; the M-step normalization
+    * and the prune are driver arithmetic on the vocab-sized count table.
+    * No round touches the corpus. Declared rows-only (iterative EM, the
+    * q59/q105/q115 family); PipelineSuite checks the learned table
+    * against an independent driver-side EM and the coverage/normalization
+    * invariants.
+    */
+  def unigramLmVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dict = table(spark, dir, "documents")
+      .select(explode(Shingles.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seed: all substrings ≤ maxLen scored by freq-weighted occurrence,
+      // top-k by (count DESC, piece ASC), plus every single char
+      val subCounts = dict
+        .flatMap { case (w, f) =>
+          for {
+            i <- 0 until w.length
+            l <- 1 to math.min(UniMaxPieceLen, w.length - i)
+          } yield (w.substring(i, i + l), f)
+        }
+        .toDF("s", "f")
+        .groupBy(col("s")).agg(sum(col("f")).as("cnt"))
+      val seedMulti = subCounts
+        .filter(length(col("s")) > 1)
+        .orderBy(col("cnt").desc, col("s"))
+        .limit(UniSeedK)
+        .as[(String, Long)].collect()
+      val chars = subCounts
+        .filter(length(col("s")) === 1)
+        .as[(String, Long)].collect()
+      var probs: Map[String, Double] = {
+        val all = (seedMulti ++ chars).toMap
+        val tot = all.values.map(_.toDouble).sum
+        all.map { case (s, c) => s -> c.toDouble / tot }
+      }
+      def emRound(p: Map[String, Double]): Map[String, Double] = {
+        val bc = spark.sparkContext.broadcast(p)
+        val counts = dict
+          .flatMap { case (w, f) =>
+            val (cnt, _) = latticeExpectedCounts(w, bc.value, UniMaxPieceLen)
+            cnt.iterator.map { case (s, e) => (s, e * f) }
+          }
+          .toDF("s", "e")
+          .groupBy(col("s")).agg(sum(col("e")).as("e"))
+          .as[(String, Double)].collect()
+        bc.unpersist(blocking = false)
+        val tot = counts.map(_._2).sum
+        counts.map { case (s, e) => s -> e / tot }.toMap
+      }
+      for (_ <- 0 until UniEmIters) probs = emRound(probs)
+      // prune: keep every single char + the top multi-char pieces by
+      // expected share — (prob DESC, piece ASC) is a total order
+      val kept = probs.filter(_._1.length == 1) ++
+        probs.filter(_._1.length > 1).toSeq
+          .sortBy { case (s, p) => (-p, s) }
+          .take(UniVocabTarget)
+      probs = {
+        val tot = kept.values.sum
+        kept.map { case (s, p) => s -> p / tot }.toMap
+      }
+      for (_ <- 0 until UniPostPruneIters) probs = emRound(probs)
+      probs.toSeq
+        .sortBy { case (s, p) => (-p, s) }
+        .map { case (s, p) =>
+          (s, BigDecimal(math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            s.length)
+        }
+        .toDF("piece", "logprob", "piece_len")
+    } finally dict.unpersist()
+  }
+
   /** Scrubbing patterns for the cleaning pass — alternation-only regexes
     * (no backreferences/lookahead) so Java and RE2 agree byte for byte.
     */

@@ -1420,6 +1420,71 @@ class PipelineSuite extends AnyFunSuite {
     assert(masked / total > 0.10 && masked / total < 0.20, s"rate ${masked / total}")
   }
 
+  test("L4 unigram-LM vocab matches an independent driver EM; coverage + normalization hold") {
+    import spark.implicits._
+    val words = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect()
+    val maxLen = TextAnalysis.UniMaxPieceLen
+    // independent reference: same algorithm, fresh implementation
+    def eCounts(w: String, p: Map[String, Double]): Map[String, Double] = {
+      val n = w.length
+      val a = Array.fill(n + 1)(0.0); a(0) = 1.0
+      for (i <- 1 to n; l <- 1 to math.min(maxLen, i))
+        p.get(w.substring(i - l, i)).foreach(pp => a(i) += a(i - l) * pp)
+      val b = Array.fill(n + 1)(0.0); b(n) = 1.0
+      for (i <- n - 1 to 0 by -1; l <- 1 to math.min(maxLen, n - i))
+        p.get(w.substring(i, i + l)).foreach(pp => b(i) += pp * b(i + l))
+      if (a(n) == 0) Map.empty
+      else (for {
+        i <- 0 until n; l <- 1 to math.min(maxLen, n - i)
+        s = w.substring(i, i + l); pp <- p.get(s)
+      } yield s -> a(i) * pp * b(i + l) / a(n))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    val subs = words.flatMap { case (w, f) =>
+      for {
+        i <- 0 until w.length; l <- 1 to math.min(maxLen, w.length - i)
+      } yield (w.substring(i, i + l), f)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val seed = subs.filter(_._1.length == 1) ++
+      subs.filter(_._1.length > 1).toSeq.sortBy { case (s, c) => (-c, s) }
+        .take(TextAnalysis.UniSeedK)
+    var probs = { val t = seed.values.map(_.toDouble).sum; seed.map { case (s, c) => s -> c / t } }
+    def em(p: Map[String, Double]): Map[String, Double] = {
+      val agg = scala.collection.mutable.HashMap.empty[String, Double]
+      words.foreach { case (w, f) =>
+        eCounts(w, p).foreach { case (s, e) => agg.update(s, agg.getOrElse(s, 0.0) + e * f) }
+      }
+      val t = agg.values.sum
+      agg.map { case (s, e) => s -> e / t }.toMap
+    }
+    for (_ <- 0 until TextAnalysis.UniEmIters) probs = em(probs)
+    val kept = probs.filter(_._1.length == 1) ++
+      probs.filter(_._1.length > 1).toSeq.sortBy { case (s, p) => (-p, s) }
+        .take(TextAnalysis.UniVocabTarget)
+    probs = { val t = kept.values.sum; kept.map { case (s, p) => s -> p / t } }
+    for (_ <- 0 until TextAnalysis.UniPostPruneIters) probs = em(probs)
+    val got = TextAnalysis.unigramLmVocab(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    // identical vocabulary, matching probabilities (FP sum order differs)
+    assert(got.map(_._1).toSet == probs.keySet)
+    got.foreach { case (s, lp, len) =>
+      assert(len == s.length && len <= maxLen)
+      assert(math.abs(lp - math.log(probs(s))) < 1e-4, s"piece '$s'")
+    }
+    // coverage: every corpus character survives as a single-char piece
+    val charsInCorpus = words.flatMap(_._1.toSeq).map(_.toString).toSet
+    assert(charsInCorpus.subsetOf(got.map(_._1).toSet))
+    // normalization: probabilities sum to 1
+    assert(math.abs(got.map(r => math.exp(r._2)).sum - 1.0) < 1e-3)
+    // the prune actually bounded the multi-char vocabulary
+    assert(got.count(_._3 > 1) <= TextAnalysis.UniVocabTarget)
+    assert(got.count(_._3 > 1) > 0)
+  }
+
   test("L4 OOV audit matches a driver-side top-k vocab model") {
     import spark.implicits._
     val docs = graft.rel.Queries

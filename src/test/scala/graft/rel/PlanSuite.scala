@@ -270,6 +270,39 @@ class PlanSuite extends AnyFunSuite {
     assert(!ep.contains("Exchange hashpartitioning"), ep)
   }
 
+  test("q119/q120/q127: round-11 dedup/mix additions plan no corpus window") {
+    // q119 first-occurrence is a min(struct) hash agg; q120 ranks via the
+    // k-bounded aggregator; q127 pair-expands via the sorted kernel — a
+    // Window in any of them means a corpus-wide sort crept back
+    for (df <- Seq(
+        graft.pipeline.Dedup.paragraphDedup(spark, dir),
+        graft.pipeline.TextAnalysis.temperatureSample(spark, dir),
+        graft.pipeline.Dedup.sourceOverlap(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("Window"), p)
+    }
+  }
+
+  test("q123/q124/q125/q130: narrow-pass additions keep their shuffle shape") {
+    // q123's global top-k must be the per-partition-heap operator, never
+    // a full sort
+    val p123 = execPlan(graft.pipeline.TextAnalysis.pmiCollocations(spark, dir))
+    assert(p123.contains("TakeOrderedAndProject"), p123)
+    // q124/q125 are single narrow passes: the ONLY exchange is the final
+    // presentation sort's range partitioning
+    for (df <- Seq(
+        graft.pipeline.Dedup.cdcChunks(spark, dir),
+        graft.pipeline.TextAnalysis.spanCorruptionMasks(spark, dir))) {
+      val ep = execPlan(df)
+      assert(!ep.contains("Exchange hashpartitioning"), ep)
+    }
+    // q130's vocabulary joins broadcast — the corpus side never shuffles
+    // on the token key
+    val p130 = execPlan(graft.pipeline.TextAnalysis.oovAudit(spark, dir))
+    assert(p130.contains("BroadcastHashJoin"), p130)
+    assert(!p130.contains("Window"), p130)
+  }
+
   test("no declared query plans a cartesian product") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))

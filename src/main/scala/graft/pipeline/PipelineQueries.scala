@@ -138,7 +138,8 @@ object PipelineQueries {
     // q131 is rows-only: iterative EM (the q59/q105/q115 family); the
     // learned piece table is checked against an independent driver-side
     // EM plus coverage/normalization invariants in PipelineSuite.
-    "q131_unigram_vocab" -> (TextAnalysis.unigramLmVocab _)
+    "q131_unigram_vocab" -> (TextAnalysis.unigramLmVocab _),
+    "q132_stream_delta_dedup" -> (Events.streamDeltaDedupFinal _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1426,6 +1427,19 @@ object PipelineQueries {
          |SELECT doc_id, count(*) AS n_tokens,
          |  sum(CASE WHEN w IN (SELECT w FROM v) THEN 0 ELSE 1 END)::BIGINT AS n_oov,
          |  round(1.0*sum(CASE WHEN w IN (SELECT w FROM v) THEN 0 ELSE 1 END)/count(*), 4) AS oov_rate
-         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q132: the q16 CTE restricted to pairs with EXACTLY ONE side in the
+    // q98 delta — what the stream-static join can see (delta×delta pairs
+    // belong to the batch fold-in pass).
+    "q132_stream_delta_dedup" ->
+      s"""$ShingleCte,
+         |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s WHERE len(sh) > 0),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2, count(*) AS c
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |      WHERE (a.doc_id % ${Dedup.DeltaMod} = 0) <> (b.doc_id % ${Dedup.DeltaMod} = 0)
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT d1, d2, round(1.0*c/(n1+n2-c), 4) AS jaccard FROM p
+         |WHERE 1.0*c/(n1+n2-c) >= ${Dedup.JaccardThreshold} ORDER BY d1, d2""".stripMargin
   )
 }

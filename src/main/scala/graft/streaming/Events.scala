@@ -995,6 +995,102 @@ object Events {
     * production `readStream` shape (one file = one micro-batch at test
     * scale; schema comes from the batch table).
     */
+  /** Document file-stream source — [[readEventStream]]'s shape for the
+    * `documents` table (no timestamp normalization needed: the schema is
+    * all longs and strings).
+    */
+  def readDocStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/documents.parquet") // schema probe only
+    spark.readStream
+      .schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** S2×L2 — DEDUP-ON-INGEST: the q98 incremental-dedup flow run as a
+    * REAL STREAMING execution. The arriving document batch (the q98
+    * delta: doc_id ≡ 0 mod [[graft.pipeline.Dedup.DeltaMod]]) streams in
+    * through a file source, is shingled ON THE STREAM by the same JIT
+    * kernel the batch path uses (a stateless typed map — no state
+    * store), stream-static equi-joins the STANDING corpus posting index
+    * (the static side a production deployment keeps materialized), and
+    * accumulates per-pair common counts in a streaming aggregation whose
+    * final state equals the batch answer — so the streamed result
+    * hash-gates against the same DuckDB oracle family as q16/q98,
+    * restricted to delta×corpus pairs (delta×delta pairs would need a
+    * stream-self-join; they belong to the batch pass that runs when the
+    * delta is folded in). This is the shape that turns daily-ingest
+    * dedup from a scheduled batch into a continuous gate: per-batch work
+    * is |arriving docs| × postings-hit, state is the pair-count table,
+    * and the corpus is never re-paired.
+    */
+  private val corpusPostingsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Materialized standing corpus posting index for [[streamDeltaDedupFinal]]
+    * — (c_id, n2, s) parquet staged once per dataset directory. A
+    * production dedup-on-ingest deployment keeps exactly this table on
+    * disk between batches; materializing (rather than recomputing on the
+    * drain's child session, which cannot see the parent's shingle memo)
+    * is both the honest shape and what keeps the per-drain cost at
+    * |delta| work.
+    */
+  private def corpusPostingsPath(spark: SparkSession, dir: String): String =
+    corpusPostingsCache.computeIfAbsent(
+      dir,
+      { d =>
+        import spark.implicits._
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-corpus-postings").toString
+        graft.rel.Queries
+          .table(spark, d, "documents")
+          .filter(col("doc_id") % graft.pipeline.Dedup.DeltaMod =!= 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            (id, graft.pipeline.Dedup.shingleKernel(t))
+          })
+          .toDF("c_id", "sh")
+          .select(col("c_id"), size(col("sh")).as("n2"), explode(col("sh")).as("s"))
+          .write.mode("overwrite").parquet(path)
+        path
+      })
+
+  def streamDeltaDedupFinal(spark: SparkSession, dir: String): DataFrame = {
+    val postings = corpusPostingsPath(spark, dir)
+    drainToLocal(
+      spark,
+      "stream_delta_dedup",
+      { ss =>
+        import ss.implicits._
+        val corpus = ss.read.parquet(postings)
+        val delta = readDocStream(ss, dir)
+          .filter(col("doc_id") % graft.pipeline.Dedup.DeltaMod === 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            (id, graft.pipeline.Dedup.shingleKernel(t))
+          })
+          .toDF("d_id", "sh")
+          .select(col("d_id"), size(col("sh")).as("n1"), explode(col("sh")).as("s"))
+        delta
+          .join(corpus, "s") // stream-static equi-join, stateless
+          .groupBy(col("d_id"), col("c_id"), col("n1"), col("n2"))
+          .agg(count(lit(1)).as("common"))
+      },
+      "update") { t =>
+      // final accumulated count per pair = max over its update rows (the
+      // typeCountsFinal pattern: streaming agg state is monotone)
+      t.groupBy(col("d_id"), col("c_id"), col("n1"), col("n2"))
+        .agg(max(col("common")).as("common"))
+        .withColumn("jaccard", col("common") / (col("n1") + col("n2") - col("common")))
+        .filter(col("jaccard") >= graft.pipeline.Dedup.JaccardThreshold)
+        .select(
+          least(col("d_id"), col("c_id")).as("d1"),
+          greatest(col("d_id"), col("c_id")).as("d2"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    }
+  }
+
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -54,6 +54,24 @@ class PipelineSuite extends AnyFunSuite {
     assert(got.nonEmpty && got.size < exact.length) // a real restriction
   }
 
+  test("S2xL2 stream delta dedup == exact jaccard restricted to delta-corpus pairs") {
+    val exact = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = exact.filter { case (d1, d2, _) =>
+      (d1 % Dedup.DeltaMod == 0) != (d2 % Dedup.DeltaMod == 0)
+    }.toSet
+    val got = graft.streaming.Events.streamDeltaDedupFinal(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected) // the streamed final state IS the batch answer
+    assert(got.nonEmpty)
+    // and it is a strict restriction of the full incremental result when
+    // the delta also pairs within itself
+    val withinDelta = exact.count { case (d1, d2, _) =>
+      d1 % Dedup.DeltaMod == 0 && d2 % Dedup.DeltaMod == 0
+    }
+    assert(got.size + withinDelta <= exact.length)
+  }
+
   test("L2 capped delta dedup: subset of the exact incremental result, exact scores, recall 1.0 here") {
     val exact = Dedup.deltaDedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -1407,6 +1407,42 @@ object Dedup {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** L2/L5 — CDC DEDUP-SAVINGS ACCOUNTING, the reason [[cdcChunks]]
+    * exists: group the chunk table by content hash, let the globally
+    * FIRST occurrence (min (doc_id, chunk_idx) — deterministic) own each
+    * chunk, and charge every later occurrence as saved bytes to the
+    * source that holds the copy — the per-source storage-dedup report a
+    * CDC deployment produces (how much of each feed is literal re-upload
+    * of bytes already ingested).
+    *
+    * Shape: the chunk table is one kernel pass ([[cdcChunks]]); first-
+    * occurrence is ONE md5-keyed min(struct) aggregation (the q119
+    * shape — a chunk shared by 10^6 docs is still one 16-byte min, never
+    * a postings array); attribution joins `documents` only for the
+    * source tag; the report is |sources| rows.
+    */
+  def cdcDedupStats(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunks(spark, dir)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_len"), col("chunk_hash"))
+    val firsts = chunks
+      .groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+    val src = table(spark, dir, "documents").select(col("doc_id"), col("source"))
+    chunks
+      .join(firsts, "chunk_hash")
+      .withColumn(
+        "is_dup",
+        !(col("doc_id") === col("f.doc_id") && col("chunk_idx") === col("f.chunk_idx")))
+      .join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len").cast("long")).as("n_bytes"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("is_dup"), col("chunk_len").cast("long")).otherwise(0L)).as("saved_bytes"))
+      .orderBy(col("source"))
+  }
+
   /** Words per "paragraph" block for [[paragraphDedup]]. The corpus is
     * single-line (no newlines or sentence punctuation — TESTDATA.md), so
     * the paragraph unit is a fixed non-overlapping word window; a real

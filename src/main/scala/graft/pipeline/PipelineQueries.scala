@@ -139,7 +139,8 @@ object PipelineQueries {
     // learned piece table is checked against an independent driver-side
     // EM plus coverage/normalization invariants in PipelineSuite.
     "q131_unigram_vocab" -> (TextAnalysis.unigramLmVocab _),
-    "q132_stream_delta_dedup" -> (Events.streamDeltaDedupFinal _)
+    "q132_stream_delta_dedup" -> (Events.streamDeltaDedupFinal _),
+    "q133_cdc_dedup_stats" -> (Dedup.cdcDedupStats _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -215,6 +216,32 @@ object PipelineQueries {
        |       FROM c JOIN cw1 USING (w1) JOIN cont USING (w2) CROSS JOIN tots),
        |kn AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(ln(p)), 4) AS avg_logprob_kn
        |       FROM b JOIN lm USING (w1, w2) GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB content-defined-chunking body shared by q124/q133: `chunks`
+    * is (doc_id, chunk_idx, start, chunk_len, chunk_hash) — the
+    * rolling-hash window sum written out explicitly with inlined
+    * B^k mod M powers (see q124's comment).
+    */
+  private val CdcBody: String = {
+    val terms = (0 until Dedup.CdcWindow)
+      .map(k => s"ascii(substr(text, (j-$k)::INT, 1)) * ${Dedup.CdcPow(k)}")
+      .mkString(" + ")
+    s"""d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+       |pos AS (SELECT doc_id, text, unnest(range(${Dedup.CdcWindow}, L+1)) AS j FROM d),
+       |hp AS (SELECT doc_id, j, ($terms) % ${Dedup.CdcMod} AS h FROM pos),
+       |bnd AS (SELECT doc_id, j AS e FROM hp WHERE h % ${Dedup.CdcDivisor} = 0),
+       |ends AS (SELECT DISTINCT doc_id, e FROM
+       |          (SELECT doc_id, e FROM bnd
+       |           UNION ALL SELECT doc_id, L AS e FROM d)),
+       |ch AS (SELECT doc_id, e,
+       |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
+       |       FROM ends),
+       |chunks AS (SELECT ch.doc_id,
+       |    (row_number() OVER (PARTITION BY ch.doc_id ORDER BY ch.e) - 1)::INT AS chunk_idx,
+       |    (ch.prev+1)::INT AS start, (ch.e-ch.prev)::INT AS chunk_len,
+       |    md5(substr(d.text, (ch.prev+1)::INT, (ch.e-ch.prev)::INT)) AS chunk_hash
+       |  FROM ch JOIN d USING (doc_id))""".stripMargin
+  }
 
   private val VectorCte =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1298,27 +1325,10 @@ object PipelineQueries {
     // position j−k carries the inlined power B^k mod M, so the per-
     // position hash is bit-identical to the kernel's incremental update
     // (pure integer arithmetic on both engines).
-    "q124_cdc_chunks" -> {
-      val terms = (0 until Dedup.CdcWindow)
-        .map(k => s"ascii(substr(text, (j-$k)::INT, 1)) * ${Dedup.CdcPow(k)}")
-        .mkString(" + ")
-      s"""WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
-         |pos AS (SELECT doc_id, text, unnest(range(${Dedup.CdcWindow}, L+1)) AS j FROM d),
-         |hp AS (SELECT doc_id, j, ($terms) % ${Dedup.CdcMod} AS h FROM pos),
-         |bnd AS (SELECT doc_id, j AS e FROM hp WHERE h % ${Dedup.CdcDivisor} = 0),
-         |ends AS (SELECT DISTINCT doc_id, e FROM
-         |          (SELECT doc_id, e FROM bnd
-         |           UNION ALL SELECT doc_id, L AS e FROM d)),
-         |ch AS (SELECT doc_id, e,
-         |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
-         |       FROM ends)
-         |SELECT ch.doc_id,
-         |  (row_number() OVER (PARTITION BY ch.doc_id ORDER BY ch.e) - 1)::INT AS chunk_idx,
-         |  (ch.prev+1)::INT AS start, (ch.e-ch.prev)::INT AS chunk_len,
-         |  md5(substr(d.text, (ch.prev+1)::INT, (ch.e-ch.prev)::INT)) AS chunk_hash
-         |FROM ch JOIN d USING (doc_id)
-         |ORDER BY doc_id, chunk_idx""".stripMargin
-    },
+    "q124_cdc_chunks" ->
+      s"""WITH $CdcBody
+         |SELECT doc_id, chunk_idx, start, chunk_len, chunk_hash
+         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // q125: one hash-drawn span per 20-token block. Hex digits decode
     // via per-char ascii arithmetic (the same exact-integer expression
@@ -1440,6 +1450,21 @@ object PipelineQueries {
          |      WHERE (a.doc_id % ${Dedup.DeltaMod} = 0) <> (b.doc_id % ${Dedup.DeltaMod} = 0)
          |      GROUP BY 1, 2, 3, 4)
          |SELECT d1, d2, round(1.0*c/(n1+n2-c), 4) AS jaccard FROM p
-         |WHERE 1.0*c/(n1+n2-c) >= ${Dedup.JaccardThreshold} ORDER BY d1, d2""".stripMargin
+         |WHERE 1.0*c/(n1+n2-c) >= ${Dedup.JaccardThreshold} ORDER BY d1, d2""".stripMargin,
+
+    // q133: the shared CDC chunk CTE + first-occurrence window + the
+    // per-source savings rollup.
+    "q133_cdc_dedup_stats" ->
+      s"""WITH $CdcBody,
+         |r AS (SELECT doc_id, chunk_idx, chunk_len, chunk_hash,
+         |        row_number() OVER (PARTITION BY chunk_hash
+         |          ORDER BY doc_id, chunk_idx) AS rn
+         |      FROM chunks)
+         |SELECT s.source, count(*) AS n_chunks,
+         |  sum(r.chunk_len)::BIGINT AS n_bytes,
+         |  sum(CASE WHEN r.rn > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+         |  sum(CASE WHEN r.rn > 1 THEN r.chunk_len ELSE 0 END)::BIGINT AS saved_bytes
+         |FROM r JOIN documents s USING (doc_id)
+         |GROUP BY s.source ORDER BY s.source""".stripMargin
   )
 }

@@ -1630,6 +1630,23 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("L2/L5 CDC dedup stats: totals reconcile with the chunk table") {
+    import spark.implicits._
+    val chunks = Dedup.cdcChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(3), r.getString(4)))
+    val stats = Dedup.cdcDedupStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // chunk totals and byte totals reconcile exactly
+    assert(stats.map(_._2).sum == chunks.length.toLong)
+    assert(stats.map(_._3).sum == chunks.map(_._3.toLong).sum)
+    // global dup accounting: every occurrence beyond a hash's first is a dup
+    val expectDups = chunks.length - chunks.map(_._4).distinct.length
+    assert(stats.map(_._4).sum == expectDups.toLong)
+    // the corpus's planted duplicate docs make real savings exist
+    assert(stats.map(_._5).sum > 0)
+    assert(stats.forall(s => s._4 <= s._2 && s._5 <= s._3))
+  }
+
   test("L4 PMI collocations match a driver-side count model") {
     import spark.implicits._
     val docs = graft.rel.Queries

@@ -1407,6 +1407,54 @@ object Dedup {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** L2/L4 — TRAIN→TEST SPLIT-LEAKAGE AUDIT: the q54 decontamination
+    * machinery turned inward — instead of checking the corpus against an
+    * external benchmark, check the held-out TEST split against the TRAIN
+    * split of the SAME corpus under q60's deterministic deal. This is
+    * the audit every training run should ship with its eval numbers: a
+    * test document whose [[DecontGramSize]]-grams appear in training
+    * data measures memorization, not generalization. (q96/q117 PREVENT
+    * this leakage for near-dup/semantic neighborhoods; this query
+    * MEASURES what the plain doc-level split leaves in.)
+    *
+    * Shape at 100 TB: the train gram set is one distinct aggregation
+    * (the standing asset; its bloom twin is q101's prefilter), the test
+    * side joins it on the gram key with a LEFT SEMI — only matching
+    * gram rows survive the join, and per-doc rollups are
+    * document-bounded. Hash-gated: counts are integers, the fraction
+    * divides two integers.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.rel.Queries.spread(
+      table(spark, dir, "documents").select(col("doc_id"), col("text")))
+    val grams = docs
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        ngramKernel(t, DecontGramSize).iterator.map(g => (id, g))
+      })
+      .toDF("doc_id", "g")
+    val splits = graft.pipeline.TextAnalysis.splitAssign(spark, dir)
+      .select(col("doc_id"), col("split"))
+    val withSplit = grams.join(splits, "doc_id")
+    val trainGrams = withSplit
+      .filter(col("split") === "train").select(col("g")).distinct()
+    val test = withSplit.filter(col("split") === "test")
+    val totals = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val leaked = test
+      .join(trainGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("leaked_grams"))
+    totals
+      .join(leaked, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("leaked_grams"), lit(0L)).as("leaked_grams"),
+        round(coalesce(col("leaked_grams"), lit(0L)) / col("n_grams"), 4).as("leak_frac"),
+        (coalesce(col("leaked_grams"), lit(0L)) > 0).as("leaked"))
+      .orderBy(col("doc_id"))
+  }
+
   /** L2/L5 — CDC DEDUP-SAVINGS ACCOUNTING, the reason [[cdcChunks]]
     * exists: group the chunk table by content hash, let the globally
     * FIRST occurrence (min (doc_id, chunk_idx) — deterministic) own each

@@ -140,7 +140,8 @@ object PipelineQueries {
     // EM plus coverage/normalization invariants in PipelineSuite.
     "q131_unigram_vocab" -> (TextAnalysis.unigramLmVocab _),
     "q132_stream_delta_dedup" -> (Events.streamDeltaDedupFinal _),
-    "q133_cdc_dedup_stats" -> (Dedup.cdcDedupStats _)
+    "q133_cdc_dedup_stats" -> (Dedup.cdcDedupStats _),
+    "q134_split_leakage" -> (Dedup.splitLeakage _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1465,6 +1466,32 @@ object PipelineQueries {
          |  sum(CASE WHEN r.rn > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
          |  sum(CASE WHEN r.rn > 1 THEN r.chunk_len ELSE 0 END)::BIGINT AS saved_bytes
          |FROM r JOIN documents s USING (doc_id)
-         |GROUP BY s.source ORDER BY s.source""".stripMargin
+         |GROUP BY s.source ORDER BY s.source""".stripMargin,
+
+    // q134: q54's 5-gram CTE + q60's md5 split gate, turned inward —
+    // test grams that appear in any train doc.
+    "q134_split_leakage" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest(CASE WHEN len(w) >= ${Dedup.DecontGramSize}
+         |          THEN list_distinct(list_transform(
+         |                 range(1, len(w)-${Dedup.DecontGramSize - 2}),
+         |                 i -> array_to_string(w[i:i+${Dedup.DecontGramSize - 1}], ' ')))
+         |          ELSE [] END) AS g
+         |      FROM d),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN md5('${TextAnalysis.SplitSalt}' || text) < '${TextAnalysis.TrainUpper}' THEN 'train'
+         |              WHEN md5('${TextAnalysis.SplitSalt}' || text) < '${TextAnalysis.ValUpper}' THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM documents),
+         |tg AS (SELECT DISTINCT g.g FROM g JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+         |te AS (SELECT g.doc_id, g.g FROM g JOIN sp USING (doc_id) WHERE sp.split = 'test'),
+         |n AS (SELECT doc_id, count(*) AS n_grams FROM te GROUP BY 1),
+         |l AS (SELECT doc_id, count(*) AS leaked FROM te
+         |      WHERE g IN (SELECT g FROM tg) GROUP BY 1)
+         |SELECT n.doc_id, n.n_grams, coalesce(l.leaked, 0)::BIGINT AS leaked_grams,
+         |  round(1.0*coalesce(l.leaked, 0)/n.n_grams, 4) AS leak_frac,
+         |  coalesce(l.leaked, 0) > 0 AS leaked
+         |FROM n LEFT JOIN l USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

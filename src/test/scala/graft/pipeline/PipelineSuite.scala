@@ -1630,6 +1630,36 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("L2/L4 split-leakage audit matches a driver-side gram-set model") {
+    import spark.implicits._
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(t: String): String = {
+      val h = md5hex(TextAnalysis.SplitSalt + t)
+      if (h < TextAnalysis.TrainUpper) "train"
+      else if (h < TextAnalysis.ValUpper) "val" else "test"
+    }
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < Dedup.DecontGramSize) Set.empty
+      else (0 to w.length - Dedup.DecontGramSize)
+        .map(i => w.slice(i, i + Dedup.DecontGramSize).mkString(" ")).toSet
+    }
+    val trainSet = docs.filter(d => split(d._2) == "train").flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(d => split(d._2) == "test").map { case (id, t) =>
+      val g = grams(t)
+      (id, g.size.toLong, g.count(trainSet).toLong)
+    }.sortBy(_._1).toSeq
+    val got = Dedup.splitLeakage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("L2/L5 CDC dedup stats: totals reconcile with the chunk table") {
     import spark.implicits._
     val chunks = Dedup.cdcChunks(spark, dir).collect()

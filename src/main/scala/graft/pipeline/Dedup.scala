@@ -1524,9 +1524,25 @@ object Dedup {
   def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.rel.Queries.spread(
       table(spark, dir, "documents").select(col("doc_id"), col("text")))
+    val (blocks, base) = tileBlocks(docs)
+    val firsts = blocks
+      .groupBy(col("bh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val kept = blocks
+      .join(firsts, "bh")
+      .filter(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
+    reassembleKept(base, kept)
+  }
+
+  /** Fixed-word-block tiling shared by [[paragraphDedup]] and
+    * [[boilerplatePurge]]: one row per [[ParaWords]]-word block keyed by
+    * its md5, plus the one-row-per-doc base frame carrying the block
+    * count. ⌈n/ParaWords⌉ is ((n-1) div ParaWords)+1 in int arithmetic
+    * (Spark's `/` is double division; the cast truncates the positive
+    * quotient).
+    */
+  private def tileBlocks(docs: DataFrame): (DataFrame, DataFrame) = {
     val w = Shingles.tokens(col("text"))
-    // ⌈n/ParaWords⌉ via ((n-1) div ParaWords)+1 — int arithmetic (Spark's
-    // `/` is double division; the cast truncates the positive quotient)
     val nb = ((size(w) - 1) / lit(ParaWords)).cast("int") + 1
     val blocks = docs
       .select(
@@ -1539,12 +1555,16 @@ object Dedup {
       .select(
         col("doc_id"), col("n_blocks"), col("pos"), col("col").as("btxt"),
         md5(col("col")).as("bh"))
-    val firsts = blocks
-      .groupBy(col("bh"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-    val kept = blocks
-      .join(firsts, "bh")
-      .filter(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
+    (blocks, docs.select(col("doc_id"), nb.as("n_blocks")))
+  }
+
+  /** Per-doc reassembly of surviving blocks, shared by the q119/q135
+    * cleaned-corpus passes. LEFT join from the full doc list: a document
+    * whose every block was removed (an exact dup of earlier material, or
+    * pure boilerplate) keeps ZERO blocks and must still emit a row —
+    * that's the pass working. Group size is bounded by document length.
+    */
+  private def reassembleKept(base: DataFrame, kept: DataFrame): DataFrame = {
     val reassembled = kept
       .groupBy(col("doc_id"))
       .agg(
@@ -1554,11 +1574,7 @@ object Dedup {
             array_sort(collect_list(struct(col("pos"), col("btxt")))),
             x => x.getField("btxt")),
           " ").as("clean_text"))
-    // LEFT join from the full doc list: a document whose every block
-    // appeared earlier (an exact dup of earlier material) keeps ZERO
-    // blocks and must still emit a row — that's the dedup working.
-    docs
-      .select(col("doc_id"), nb.as("n_blocks"))
+    base
       .join(reassembled, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -1566,5 +1582,49 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Distinct-document frequency at or above which a block counts as
+    * boilerplate for [[boilerplatePurge]]. C4 removed any three-sentence
+    * span "occurring more than once"; the distinct-DOC gate here is the
+    * RefinedWeb/MassiveText reading — a block repeated inside ONE long
+    * document is repetition (q56's business), a block shared across ≥ 3
+    * documents is template text (navigation, footers, license headers).
+    */
+  val BoilerDf = 3
+
+  /** L2/L4 — corpus-wide BOILERPLATE PURGE, the complement of q119:
+    * paragraph dedup keeps a shared block's first occurrence; template
+    * text (cookie banners, nav bars, license headers) shouldn't survive
+    * even once per duplicate family — every block present in ≥
+    * [[BoilerDf]] distinct documents is deleted EVERYWHERE, and the
+    * cleaned corpus reassembles from what's left. Output schema matches
+    * q119 so the two passes compose/compare directly.
+    *
+    * Shape at 100 TB: tiling is token-scale (the volume every shingle
+    * pass already moves). The document-frequency table is ONE two-phase
+    * aggregation keyed on md5(block) — Spark plans the distinct-doc
+    * count as (bh, doc_id) partial dedup then count, both map-side
+    * combined; a boilerplate block in 10^6 docs aggregates to a single
+    * long, never a postings array (contrast [[withGlobalFreq]]). The
+    * keep-filter is an equi-join on bh (AQE broadcasts it when the
+    * df-table is small); reassembly group size is document-bounded. No
+    * windows, no driver state.
+    */
+  def boilerplatePurge(spark: SparkSession, dir: String): DataFrame =
+    boilerplatePurgeDocs(graft.rel.Queries.spread(
+      table(spark, dir, "documents").select(col("doc_id"), col("text"))))
+
+  /** [[boilerplatePurge]] over an explicit (doc_id, text) frame — the
+    * fixture-testable core. */
+  def boilerplatePurgeDocs(docs: DataFrame): DataFrame = {
+    val (blocks, base) = tileBlocks(docs)
+    val dfc = blocks
+      .groupBy(col("bh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val kept = blocks
+      .join(dfc, "bh")
+      .filter(col("df") < lit(BoilerDf))
+    reassembleKept(base, kept)
   }
 }

@@ -141,7 +141,8 @@ object PipelineQueries {
     "q131_unigram_vocab" -> (TextAnalysis.unigramLmVocab _),
     "q132_stream_delta_dedup" -> (Events.streamDeltaDedupFinal _),
     "q133_cdc_dedup_stats" -> (Dedup.cdcDedupStats _),
-    "q134_split_leakage" -> (Dedup.splitLeakage _)
+    "q134_split_leakage" -> (Dedup.splitLeakage _),
+    "q135_boilerplate_purge" -> (Dedup.boilerplatePurge _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1492,6 +1493,26 @@ object PipelineQueries {
          |SELECT n.doc_id, n.n_grams, coalesce(l.leaked, 0)::BIGINT AS leaked_grams,
          |  round(1.0*coalesce(l.leaked, 0)/n.n_grams, 4) AS leak_frac,
          |  coalesce(l.leaked, 0) > 0 AS leaked
-         |FROM n LEFT JOIN l USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM n LEFT JOIN l USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q135: q119's tiling CTE with a distinct-doc-frequency gate instead
+    // of first-occurrence — blocks in >= BoilerDf docs are deleted
+    // everywhere. Block equality via btxt here == via md5(btxt) on the
+    // Spark side.
+    "q135_boilerplate_purge" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |n AS (SELECT doc_id, w, (((len(w)-1)//${Dedup.ParaWords})+1)::INT AS n_blocks FROM d),
+         |b AS (SELECT doc_id, i AS pos,
+         |        array_to_string(w[i*${Dedup.ParaWords}+1:i*${Dedup.ParaWords}+${Dedup.ParaWords}], ' ') AS btxt
+         |      FROM (SELECT doc_id, w, unnest(range(0, n_blocks)) AS i FROM n)),
+         |f AS (SELECT btxt, count(DISTINCT doc_id) AS df FROM b GROUP BY 1),
+         |k AS (SELECT doc_id, pos, b.btxt FROM b JOIN f USING (btxt)
+         |      WHERE df < ${Dedup.BoilerDf}),
+         |a AS (SELECT doc_id, count(*) AS n_kept,
+         |        string_agg(btxt, ' ' ORDER BY pos) AS clean_text
+         |      FROM k GROUP BY doc_id)
+         |SELECT n.doc_id, n.n_blocks, coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM n LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

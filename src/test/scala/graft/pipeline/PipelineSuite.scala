@@ -1815,4 +1815,38 @@ class PipelineSuite extends AnyFunSuite {
       .filter(_.nonEmpty)
     assert(keptBlocks.distinct.length == keptBlocks.length)
   }
+
+  test("L2/L4 boilerplate purge matches a driver-side df model; template blocks die everywhere") {
+    import spark.implicits._
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    def tile(t: String): Array[String] =
+      t.split(" ").grouped(Dedup.ParaWords).map(_.mkString(" ")).toArray
+    // distinct-document frequency per block text
+    val dfc = docs.flatMap { case (id, t) => tile(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).distinct.size }
+    val expected = docs.map { case (id, t) =>
+      val blocks = tile(t)
+      val kept = blocks.filter(b => dfc(b) < Dedup.BoilerDf)
+      (id, blocks.length, kept.length.toLong, kept.mkString(" "))
+    }.toSeq
+    val got = Dedup.boilerplatePurge(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expected)
+
+    // fixture: a block shared by BoilerDf docs is removed from ALL of
+    // them (q119 would have kept the first); unique text is untouched
+    val boiler = (1 to Dedup.ParaWords).map(i => s"tpl$i").mkString(" ")
+    val fix = Seq(
+      (1L, s"$boiler alpha beta"),
+      (2L, s"$boiler gamma delta"),
+      (3L, s"$boiler epsilon zeta"),
+      (4L, "completely unrelated text here")).toDF("doc_id", "text")
+    val purged = Dedup.boilerplatePurgeDocs(fix).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(Seq(1L, 2L, 3L).forall(id => !purged(id).contains("tpl1")))
+    assert(purged(1L).contains("alpha") && purged(3L).contains("zeta"))
+    assert(purged(4L) == "completely unrelated text here")
+  }
 }

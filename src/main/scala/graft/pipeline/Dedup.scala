@@ -179,6 +179,20 @@ object Dedup {
     * [[minhashLsh]] and [[ngramJaccardCapped]], whose emitted scores are
     * therefore exact even though their candidate generation is pruned.
     */
+  /** Exact re-verification of (d1, d2) candidate pairs against the full
+    * shingle sets — the second stage every capped/bucketed candidate
+    * generator composes with ([[ngramJaccardCapped]], [[deltaDedupCapped]],
+    * and the STREAMING delta-dedup finalizer in
+    * [[graft.streaming.Events.streamDeltaDedupFinal]], whose capped
+    * stream-static index produces lower-bound scores that must not be
+    * emitted raw). Exposed to the streaming package for exactly that
+    * finalizer; candidate frames are tiny (threshold survivors), so the
+    * two shingle joins touch only a handful of rows.
+    */
+  private[graft] def verifyPairsExact(
+      spark: SparkSession, dir: String, candidates: DataFrame): DataFrame =
+    verifyCandidates(docShingles(spark, dir), candidates)
+
   private def verifyCandidates(
       docs: DataFrame,
       candidates: DataFrame,

@@ -186,16 +186,56 @@ object PipelineQueries {
     * cell (cosine DESC, cent_id tie-break — exactly
     * [[Similarity.nearestCells]] with keep=1).
     */
-  private val CellCte =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** DuckDB mirror of [[Similarity.coarseCentroids]] + keep=1 assignment:
+    * hash-sampled bounded training slice (`tr`), hash-ordered fixed-K
+    * seeds (`c0`), `CoarseRounds` UNROLLED Lloyd rounds (assign by cosine
+    * with ties to the lowest cent_id — exactly the `nearestCells` order —
+    * then per-dimension member mean rounded to 9 decimals, empty cells
+    * carrying the previous centroid), and a final full-corpus assignment
+    * (`asn`). Every arithmetic step matches the driver trainer
+    * bit-for-bit modulo sub-1e-15 summation-order noise, which the
+    * round(…,9) on centroid coordinates absorbs (q110's round precedent).
+    */
+  private val CellCte: String = {
+    val k = Similarity.CoarseK
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-       |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
-       |      WHERE vec_id % ${Similarity.CentroidEvery} = 1),
-       |ar AS (SELECT n.vec_id, c.cent_id,
+       |tr AS (SELECT vec_id, v, nrm FROM n
+       |       ORDER BY substr(md5('${Similarity.CoarseTrainSalt}' || vec_id), 1, 12), vec_id
+       |       LIMIT ${Similarity.CoarseTrainCap}),
+       |tru AS (SELECT vec_id, unnest(range(0, ${Similarity.EmbDim})) AS i, unnest(v) AS x
+       |        FROM tr),
+       |c0 AS (SELECT (rn - 1)::BIGINT AS cent_id, cv,
+       |         sqrt(list_dot_product(cv, cv)) AS cn
+       |       FROM (SELECT row_number() OVER (
+       |               ORDER BY substr(md5('${Similarity.CoarseSeedSalt}' || vec_id), 1, 12),
+       |                 vec_id) AS rn,
+       |               v AS cv
+       |             FROM tr) WHERE rn <= $k),
+       |""".stripMargin
+    for (r <- 1 to Similarity.CoarseRounds) {
+      sb ++= s"""a$r AS (SELECT t.vec_id, c.cent_id,
+       |         row_number() OVER (PARTITION BY t.vec_id
+       |           ORDER BY list_dot_product(t.v, c.cv)/(t.nrm*c.cn) DESC, c.cent_id) AS rr
+       |       FROM tr t CROSS JOIN c${r - 1} c),
+       |m$r AS (SELECT a.cent_id, u.i, round(sum(u.x)/count(*), 9) AS x
+       |       FROM (SELECT vec_id, cent_id FROM a$r WHERE rr = 1) a
+       |       JOIN tru u USING (vec_id)
+       |       GROUP BY 1, 2),
+       |l$r AS (SELECT cent_id, list(x ORDER BY i) AS cv FROM m$r GROUP BY 1),
+       |c$r AS (SELECT s.cent_id, coalesce(l.cv, s.cv) AS cv,
+       |         sqrt(list_dot_product(coalesce(l.cv, s.cv), coalesce(l.cv, s.cv))) AS cn
+       |       FROM c${r - 1} s LEFT JOIN l$r l USING (cent_id)),
+       |""".stripMargin
+    }
+    sb ++= s"""ar AS (SELECT n.vec_id, c.cent_id,
        |         row_number() OVER (PARTITION BY n.vec_id
        |           ORDER BY list_dot_product(n.v, c.cv)/(n.nrm*c.cn) DESC, c.cent_id) AS r
-       |       FROM n CROSS JOIN c),
+       |       FROM n CROSS JOIN c${Similarity.CoarseRounds} c),
        |asn AS (SELECT vec_id, cent_id FROM ar WHERE r = 1)""".stripMargin
+    sb.toString
+  }
 
   /** DuckDB Kneser–Ney scoring body shared by q118 and q121's buckets:
     * `kn` is the per-doc (doc_id, n_bigrams, avg_logprob_kn) frame —
@@ -1198,7 +1238,7 @@ object PipelineQueries {
          |lbl AS (SELECT a.vec_id, a.cent_id, e2.label
          |        FROM asn a JOIN embeddings e2 USING (vec_id)),
          |cnt AS (SELECT cent_id, label, count(*) AS c FROM lbl GROUP BY 1, 2),
-         |tot AS (SELECT cent_id, sum(c) AS n FROM cnt GROUP BY 1),
+         |tot AS (SELECT cent_id, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
          |mj AS (SELECT cent_id, label, c,
          |         row_number() OVER (PARTITION BY cent_id ORDER BY c DESC, label) AS r
          |       FROM cnt)
@@ -1443,16 +1483,38 @@ object PipelineQueries {
 
     // q132: the q16 CTE restricted to pairs with EXACTLY ONE side in the
     // q98 delta — what the stream-static join can see (delta×delta pairs
-    // belong to the batch fold-in pass).
+    // belong to the batch fold-in pass) — through the q103 cap mirror:
+    // candidate counts over sub-cap corpus shingles only (the capped
+    // standing index the stream joins), survivors re-scored exactly (the
+    // finalizer's verifyPairsExact).
     "q132_stream_delta_dedup" ->
       s"""$ShingleCte,
          |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s WHERE len(sh) > 0),
-         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2, count(*) AS c
-         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-         |      WHERE (a.doc_id % ${Dedup.DeltaMod} = 0) <> (b.doc_id % ${Dedup.DeltaMod} = 0)
-         |      GROUP BY 1, 2, 3, 4)
-         |SELECT d1, d2, round(1.0*c/(n1+n2-c), 4) AS jaccard FROM p
-         |WHERE 1.0*c/(n1+n2-c) >= ${Dedup.JaccardThreshold} ORDER BY d1, d2""".stripMargin,
+         |ec AS (SELECT * FROM e WHERE doc_id % ${Dedup.DeltaMod} <> 0),
+         |ed AS (SELECT * FROM e WHERE doc_id % ${Dedup.DeltaMod} = 0),
+         |keep AS (SELECT s FROM ec GROUP BY s
+         |         HAVING count(*) <= ${Dedup.MaxPostings}),
+         |p AS (SELECT least(a.doc_id, b.doc_id) AS d1,
+         |        greatest(a.doc_id, b.doc_id) AS d2,
+         |        CASE WHEN a.doc_id < b.doc_id THEN a.n_sh ELSE b.n_sh END AS n1,
+         |        CASE WHEN a.doc_id < b.doc_id THEN b.n_sh ELSE a.n_sh END AS n2,
+         |        count(*) AS c
+         |      FROM ed a JOIN ec b ON a.s = b.s
+         |      WHERE a.s IN (SELECT s FROM keep)
+         |      GROUP BY 1, 2, 3, 4),
+         |surv AS (SELECT d1, d2 FROM p
+         |         WHERE 1.0*c/(n1+n2-c) >= ${Dedup.JaccardThreshold}),
+         |tot AS (SELECT least(a.doc_id, b.doc_id) AS d1,
+         |          greatest(a.doc_id, b.doc_id) AS d2,
+         |          CASE WHEN a.doc_id < b.doc_id THEN a.n_sh ELSE b.n_sh END AS n1,
+         |          CASE WHEN a.doc_id < b.doc_id THEN b.n_sh ELSE a.n_sh END AS n2,
+         |          count(*) AS c
+         |        FROM ed a JOIN ec b ON a.s = b.s
+         |        GROUP BY 1, 2, 3, 4)
+         |SELECT t.d1, t.d2, round(1.0*t.c/(t.n1+t.n2-t.c), 4) AS jaccard
+         |FROM tot t JOIN surv USING (d1, d2)
+         |WHERE 1.0*t.c/(t.n1+t.n2-t.c) >= ${Dedup.JaccardThreshold}
+         |ORDER BY d1, d2""".stripMargin,
 
     // q133: the shared CDC chunk CTE + first-occurrence window + the
     // per-source savings rollup.

@@ -226,25 +226,58 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN ------------------------------------------
 
-  /** Every `CentroidEvery`-th vector doubles as a coarse centroid (a
-    * deterministic stand-in for trained k-means centers — no model state,
-    * same partition/probe mechanics). Probes fan out to `NProbe` nearest
-    * cells; corpus vectors live in exactly one cell.
+  /** Coarse-quantizer geometry: a FIXED cell count `CoarseK` (an index
+    * parameter, like FAISS's nlist — NOT a corpus fraction), trained by
+    * `CoarseRounds` Lloyd iterations of spherical k-means over a
+    * hash-sampled training slice of at most `CoarseTrainCap` vectors.
+    * Probes fan out to `NProbe` nearest cells; corpus vectors live in
+    * exactly one cell.
     */
-  val CentroidEvery = 100
+  val CoarseK = 32
   val NProbe = 3
+  val CoarseRounds = 2
+  val CoarseTrainCap = 2048
+  val CoarseTrainSalt = "coarse-train:"
+  val CoarseSeedSalt = "coarse-seed:"
 
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[(Long, Array[Double], Double)]]()
 
-  /** The coarse-quantizer codebook — (cent_id, vector, norm) sorted by
-    * cent_id — collected to the driver and memoized per (session, dir).
-    * This is the k-means shape: an IVF index's cell count C is a fixed
-    * index parameter (thousands), so the codebook is C×dim doubles on the
-    * driver and a few MB broadcast regardless of corpus size — the same
-    * bounded-model discipline as [[kmeans]]/[[pqTrain]], NOT a scan of
-    * the corpus (the `CentroidEvery` sampling here stands in for trained
-    * centers exactly as [[annIvf]]'s Scaladoc describes).
+  /** Spark `round(_, 9)` / DuckDB `round(_, 9)` on the driver (BigDecimal
+    * HALF_UP — the q110 precedent established the two agree), applied to
+    * trained centroid coordinates so both engines see bit-identical
+    * codebooks despite their different floating-point summation orders
+    * (the pre-round means differ at ~1e-18, nine decimals is 10⁹× that
+    * margin).
+    */
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The coarse-quantizer codebook — (cent_id 0..K-1, centroid, norm) —
+    * trained on the driver and memoized per (session, dir).
+    *
+    * Training is the standard IVF recipe (Jégou et al. 2011 §V.A: coarse
+    * quantizers are k-means fit on a bounded SAMPLE, never the corpus):
+    *  1. sample: the `CoarseTrainCap` vectors with the smallest salted
+    *     md5 keys — ONE distributed TakeOrdered pass, so the driver holds
+    *     cap×dim doubles (~1 MB) regardless of corpus size;
+    *  2. seeds: the `CoarseK` smallest by an independent salt;
+    *  3. `CoarseRounds` Lloyd rounds of spherical k-means (assign by
+    *     cosine, ties to the lowest cent_id — the [[nearestCells]]
+    *     contract), centroid = member mean rounded to 9 decimals
+    *     ([[round9]]), empty cells carry their previous centroid.
+    *
+    * Every step is deterministic and mirrored verbatim by the DuckDB
+    * cell CTE (PipelineQueries.cellCte), which is why the whole cell
+    * family (semanticDedup / clusterSample / cellPurity / cellSplit)
+    * stays fully hash-gated despite a TRAINED codebook. Unlike the
+    * previous every-100th-vector sampling, |codebook| = CoarseK is
+    * independent of corpus size: at 10⁹ vectors the broadcast is still
+    * K×dim doubles and cell assignment is O(|corpus|·K), not
+    * O(|corpus|²/100). Corpus-SCALE clustering (where K itself must grow)
+    * is [[kmeans]]'s distributed job; the quantizer deliberately is not
+    * that — its training state must stay a driver-bounded model like
+    * [[pqTrain]]'s.
     */
   private[pipeline] def coarseCentroids(
       spark: SparkSession, dir: String): Array[(Long, Array[Double], Double)] =
@@ -252,13 +285,50 @@ object Similarity {
       (spark, dir),
       { case (s, d) =>
         import s.implicits._
-        vectors(s, d)
-          .filter(col("vec_id") % CentroidEvery === 1)
-          .select(col("vec_id"), col("v"), col("norm"))
-          .as[(Long, Array[Double], Double)]
+        val key = (salt: String) =>
+          substring(md5(concat(lit(salt), col("vec_id").cast("string"))), 1, 12)
+        val train = vectors(s, d)
+          .select(col("vec_id"), col("v"), col("norm"),
+            key(CoarseTrainSalt).as("tk"), key(CoarseSeedSalt).as("sk"))
+          .orderBy(col("tk"), col("vec_id"))
+          .limit(CoarseTrainCap)
+          .as[(Long, Array[Double], Double, String, String)]
           .collect()
-          .sortBy(_._1)
+        val dim = train.head._2.length
+        var cents: Array[Array[Double]] =
+          train.sortBy(t => (t._5, t._1)).take(CoarseK).map(_._2.clone())
+        val members = train.sortBy(_._1) // fixed accumulation order
+        var round = 0
+        while (round < CoarseRounds) {
+          val asCells = cents.zipWithIndex.map { case (c, i) =>
+            (i.toLong, c, math.sqrt(selfDot(c)))
+          }
+          val sums = Array.fill(cents.length)(new Array[Double](dim))
+          val counts = new Array[Long](cents.length)
+          members.foreach { case (_, v, nrm, _, _) =>
+            val c = nearestCells(asCells, v, nrm, 1)(0).toInt
+            val sm = sums(c)
+            var i = 0
+            while (i < dim) { sm(i) += v(i); i += 1 }
+            counts(c) += 1
+          }
+          cents = cents.zipWithIndex.map { case (prev, c) =>
+            if (counts(c) == 0L) prev
+            else sums(c).map(x => round9(x / counts(c)))
+          }
+          round += 1
+        }
+        cents.zipWithIndex.map { case (c, i) =>
+          (i.toLong, c, math.sqrt(selfDot(c)))
+        }
       })
+
+  private def selfDot(v: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < v.length) { d += v(i) * v(i); i += 1 }
+    d
+  }
 
   /** Top-`keep` cell ids for one vector — cosine descending, ties to the
     * lowest cent_id — via a bounded insertion list over the broadcast
@@ -896,11 +966,10 @@ object Similarity {
     * cell-mate (−1 when it is the first in its cell), and the dup flag.
     *
     * Scale shape: candidate pairs exist only WITHIN a cell, so the
-    * quadratic term is |cell|², never |corpus|² — at 100 TB the centroid
-    * count C grows with the corpus (C ≈ N / target cell size, trained
-    * like [[kmeans]]; the deterministic [[CentroidEvery]] sample stands
-    * in here exactly as it does for [[annIvf]]) and per-cell work stays
-    * bounded. Assignment is the kernel pass of [[cellTagged]] — the
+    * quadratic term is |cell|², never |corpus|² — at 100 TB the index
+    * parameter [[CoarseK]] is raised (C ≈ N / target cell size; training
+    * stays a bounded-sample [[coarseCentroids]] fit either way) and
+    * per-cell work stays bounded. Assignment is the kernel pass of [[cellTagged]] — the
     * corpus shuffles ONCE, on cent_id, for the cell self-join. The cell
     * boundary trades recall vs the all-pairs [[embeddingNearDup]] (the
     * published SemDeDup trade), but within a cell the decision is exact

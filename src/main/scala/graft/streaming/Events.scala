@@ -1034,6 +1034,16 @@ object Events {
     * drain's child session, which cannot see the parent's shingle memo)
     * is both the honest shape and what keeps the per-drain cost at
     * |delta| work.
+    *
+    * The index is HOT-SHINGLE CAPPED exactly like its batch twin's
+    * ([[graft.pipeline.Dedup.deltaDedupCapped]]): a shingle held by more
+    * than `MaxPostings` corpus documents is dropped before the index is
+    * written, so the stream-static join's fan-out per arriving shingle
+    * is ≤ `MaxPostings` BY CONSTRUCTION — without the cap one
+    * boilerplate 3-gram shared by 10⁶ corpus docs would multiply every
+    * micro-batch by 10⁶. The streamed common-counts become lower bounds,
+    * which is why the finalizer exact-verifies survivors
+    * ([[graft.pipeline.Dedup.verifyPairsExact]]).
     */
   private def corpusPostingsPath(spark: SparkSession, dir: String): String =
     corpusPostingsCache.computeIfAbsent(
@@ -1051,6 +1061,11 @@ object Events {
           })
           .toDF("c_id", "sh")
           .select(col("c_id"), size(col("sh")).as("n2"), explode(col("sh")).as("s"))
+          .groupBy(col("s"))
+          .agg(collect_list(struct(col("c_id"), col("n2"))).as("ids"))
+          .filter(size(col("ids")) <= graft.pipeline.Dedup.MaxPostings)
+          .select(col("s"), explode(col("ids")).as("e"))
+          .select(col("e.c_id").as("c_id"), col("e.n2").as("n2"), col("s"))
           .write.mode("overwrite").parquet(path)
         path
       })
@@ -1078,16 +1093,19 @@ object Events {
       },
       "update") { t =>
       // final accumulated count per pair = max over its update rows (the
-      // typeCountsFinal pattern: streaming agg state is monotone)
-      t.groupBy(col("d_id"), col("c_id"), col("n1"), col("n2"))
+      // typeCountsFinal pattern: streaming agg state is monotone). The
+      // capped index makes the streamed `common` a LOWER bound (jaccard
+      // is monotone in it), so the threshold pass yields candidate pairs
+      // that are exact-verified on full shingle sets before anything is
+      // emitted — the deltaDedupCapped two-stage contract, streamed.
+      val cand = t.groupBy(col("d_id"), col("c_id"), col("n1"), col("n2"))
         .agg(max(col("common")).as("common"))
         .withColumn("jaccard", col("common") / (col("n1") + col("n2") - col("common")))
         .filter(col("jaccard") >= graft.pipeline.Dedup.JaccardThreshold)
         .select(
           least(col("d_id"), col("c_id")).as("d1"),
-          greatest(col("d_id"), col("c_id")).as("d2"),
-          round(col("jaccard"), 4).as("jaccard"))
-        .orderBy(col("d1"), col("d2"))
+          greatest(col("d_id"), col("c_id")).as("d2"))
+      graft.pipeline.Dedup.verifyPairsExact(spark, dir, cand)
     }
   }
 

@@ -72,6 +72,42 @@ class PipelineSuite extends AnyFunSuite {
     assert(got.size + withinDelta <= exact.length)
   }
 
+  test("S2xL2 stream delta dedup: hot shingles are capped out of the standing index") {
+    import spark.implicits._
+    // synthetic corpus: one 3-gram ("hot shared trigram") held by MORE
+    // corpus docs than MaxPostings, so the capped standing index must
+    // drop its posting list entirely
+    val nHot = Dedup.MaxPostings + 6
+    val corpusIds = Iterator.from(1).filter(_ % Dedup.DeltaMod != 0).take(nHot).toSeq
+    val hotDocs = corpusIds.map(i => (i.toLong, s"hot shared trigram u$i v$i w$i"))
+    val rareCorpus = (101L, "alpha beta gamma delta epsilon zeta")
+    val hotOnlyCorpus = (102L, "hot shared trigram")
+    // delta doc 1000: near-dup of 101 via RARE shingles (jaccard 3/5 = 0.6)
+    val rareDelta = (1000L, "alpha beta gamma delta epsilon eta")
+    // delta doc 1005: overlaps 102 ONLY through the hot shingle — exact
+    // jaccard 1.0, but every shared shingle is capped out
+    val hotDelta = (1005L, "hot shared trigram")
+    val docs = (hotDocs :+ rareCorpus :+ hotOnlyCorpus :+ rareDelta :+ hotDelta)
+      .toDF("doc_id", "text")
+    // the file-stream source globs a FILE literally named documents.parquet
+    val stage = java.nio.file.Files.createTempDirectory("hotdocs-stage").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val tmp = java.nio.file.Files.createTempDirectory("hotdocs").toString
+    java.nio.file.Files.move(
+      part.toPath, java.nio.file.Paths.get(s"$tmp/documents.parquet"))
+
+    val got = graft.streaming.Events.streamDeltaDedupFinal(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the rare-shingle near-dup survives, with the EXACT score
+    assert(got == Set((101L, 1000L, 0.6)))
+    // …while the hot-only pair (exact jaccard 1.0, above threshold) was
+    // dropped by the cap — proof the capped index actually engaged; an
+    // uncapped index would have emitted it
+    assert(!got.exists { case (d1, d2, _) => d1 == 102L && d2 == 1005L })
+  }
+
   test("L2 capped delta dedup: subset of the exact incremental result, exact scores, recall 1.0 here") {
     val exact = Dedup.deltaDedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
@@ -1014,7 +1050,49 @@ class PipelineSuite extends AnyFunSuite {
       .as[(Long, Array[Double])].collect()
       .map { case (id, v) => (id, v, math.sqrt(v.map(x => x * x).sum)) }
       .sortBy(_._1)
-    (all, all.filter(_._1 % Similarity.CentroidEvery == 1))
+    (all, Similarity.coarseCentroids(spark, dir))
+  }
+
+  test("coarse codebook: fixed-K spherical k-means matches an independent driver model") {
+    val (all, got) = vectorModel()
+    def key(salt: String, id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + id).getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.take(12)
+    }
+    // independent re-derivation: sample by train-salt hash order, seed by
+    // seed-salt hash order, CoarseRounds of assign-by-cosine + rounded mean
+    val train = all
+      .sortBy(t => (key(Similarity.CoarseTrainSalt, t._1), t._1))
+      .take(Similarity.CoarseTrainCap)
+    var cents: Array[Array[Double]] = train
+      .sortBy(t => (key(Similarity.CoarseSeedSalt, t._1), t._1))
+      .take(Similarity.CoarseK)
+      .map(_._2.clone())
+    val dim = all.head._2.length
+    for (_ <- 1 to Similarity.CoarseRounds) {
+      val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      train.sortBy(_._1).foreach { case (_, v, nrm) =>
+        val best = cents.indices.maxBy { c =>
+          (v.zip(cents(c)).map { case (x, y) => x * y }.sum / (nrm * norms(c)), -c)
+        }
+        v.indices.foreach(i => sums(best)(i) += v(i))
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (prev, c) =>
+        if (counts(c) == 0L) prev
+        else sums(c).map(x =>
+          BigDecimal(x / counts(c)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    assert(got.length == Similarity.CoarseK)
+    assert(got.map(_._1).toSeq == (0 until Similarity.CoarseK).map(_.toLong))
+    got.zip(cents).foreach { case ((_, gv, gn), ev) =>
+      assert(gv.toSeq == ev.toSeq)
+      assert(gn == math.sqrt(ev.map(x => x * x).sum))
+    }
   }
 
   private def cosine(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double =
@@ -1801,7 +1879,9 @@ class PipelineSuite extends AnyFunSuite {
     // greedy global first-occurrence over (doc_id, block index) order
     val seen = scala.collection.mutable.Set[String]()
     val expected = docs.map { case (id, t) =>
-      val blocks = t.split(" ").grouped(Dedup.ParaWords).map(_.mkString(" ")).toArray
+      // split(" ", -1): keep trailing empty tokens — Spark's split(text, " ")
+      // and DuckDB's string_split both keep them, Scala's 1-arg split drops them
+      val blocks = t.split(" ", -1).grouped(Dedup.ParaWords).map(_.mkString(" ")).toArray
       val kept = blocks.filter(b => seen.add(b))
       (id, blocks.length, kept.length.toLong, kept.mkString(" "))
     }.toSeq
@@ -1822,7 +1902,7 @@ class PipelineSuite extends AnyFunSuite {
       .table(spark, dir, "documents")
       .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
     def tile(t: String): Array[String] =
-      t.split(" ").grouped(Dedup.ParaWords).map(_.mkString(" ")).toArray
+      t.split(" ", -1).grouped(Dedup.ParaWords).map(_.mkString(" ")).toArray
     // distinct-document frequency per block text
     val dfc = docs.flatMap { case (id, t) => tile(t).distinct.map(_ -> id) }
       .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).distinct.size }

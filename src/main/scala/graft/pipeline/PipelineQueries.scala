@@ -165,7 +165,12 @@ object PipelineQueries {
        |stats AS (SELECT count(*)::DOUBLE AS n,
        |            avg(len(string_split(text, ' '))) AS avgdl FROM documents),
        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-       |q AS (SELECT DISTINCT doc_id AS q_id, term FROM tf WHERE source = '${Dedup.BenchSource}'),
+       |qcap AS (SELECT doc_id FROM documents WHERE source = '${Dedup.BenchSource}'
+       |         ORDER BY substr(md5('${TextAnalysis.QueryCapSalt}' || doc_id), 1, 12), doc_id
+       |         LIMIT ${TextAnalysis.MaxQueries}),
+       |q AS (SELECT DISTINCT doc_id AS q_id, term FROM tf
+       |      WHERE source = '${Dedup.BenchSource}'
+       |        AND doc_id IN (SELECT doc_id FROM qcap)),
        |s AS (SELECT q.q_id, tf.doc_id,
        |        round(sum(
        |          ln((stats.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1.0) *
@@ -181,11 +186,6 @@ object PipelineQueries {
        |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
        |      FROM s)""".stripMargin
 
-  /** DuckDB coarse-cell assignment shared by q106/q109: `n` is the normed
-    * vector frame, `asn` maps every vec_id to its nearest coarse-centroid
-    * cell (cosine DESC, cent_id tie-break — exactly
-    * [[Similarity.nearestCells]] with keep=1).
-    */
   /** DuckDB mirror of [[Similarity.coarseCentroids]] + keep=1 assignment:
     * hash-sampled bounded training slice (`tr`), hash-ordered fixed-K
     * seeds (`c0`), `CoarseRounds` UNROLLED Lloyd rounds (assign by cosine
@@ -285,13 +285,26 @@ object PipelineQueries {
        |  FROM ch JOIN d USING (doc_id))""".stripMargin
   }
 
+  /** `pcap` is the probe-cap mirror of [[Similarity.probeIds]]: of the
+    * `vec_id % ProbeEvery = 0` candidates, the MaxProbes smallest by
+    * salted md5 (identity below the cap — every gate sf — but the mirror
+    * keeps the oracle correct at ANY scale).
+    */
+  private val ProbeCapCte =
+    s"""pcap AS (SELECT vec_id FROM embeddings
+       |         WHERE vec_id % ${Similarity.ProbeEvery} = 0
+       |         ORDER BY substr(md5('${Similarity.ProbeCapSalt}' || vec_id), 1, 12), vec_id
+       |         LIMIT ${Similarity.MaxProbes})""".stripMargin
+
   private val VectorCte =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |$ProbeCapCte,
       |scored AS (
       |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
       |         list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS raw_cos
-      |  FROM n p JOIN n c ON p.vec_id % 50 = 0 AND c.vec_id % 50 <> 0)""".stripMargin
+      |  FROM n p JOIN n c ON p.vec_id IN (SELECT vec_id FROM pcap)
+      |    AND c.vec_id % ${Similarity.ProbeEvery} <> 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q15_exact_dedup" ->
@@ -654,7 +667,9 @@ object PipelineQueries {
          |sc AS (SELECT p.vec_id AS q_id, c.vec_id AS doc_id,
          |         list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS cos
          |       FROM n p JOIN n c
-         |       ON p.source = '${Dedup.BenchSource}' AND c.source <> '${Dedup.BenchSource}'),
+         |       ON p.source = '${Dedup.BenchSource}'
+         |        AND p.vec_id IN (SELECT doc_id FROM qcap)
+         |        AND c.source <> '${Dedup.BenchSource}'),
          |dr AS (SELECT q_id, doc_id,
          |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rnk
          |       FROM sc),
@@ -1218,10 +1233,11 @@ object PipelineQueries {
     "q112_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |$ProbeCapCte,
          |sc AS (SELECT p.vec_id AS anchor_id, c.vec_id AS vec_id, c.label AS cand_label,
          |         list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS cos
          |       FROM n p JOIN n c
-         |       ON p.vec_id % ${Similarity.ProbeEvery} = 0
+         |       ON p.vec_id IN (SELECT vec_id FROM pcap)
          |        AND c.vec_id % ${Similarity.ProbeEvery} <> 0
          |        AND c.label <> p.label),
          |r AS (SELECT anchor_id, vec_id, cand_label, cos,

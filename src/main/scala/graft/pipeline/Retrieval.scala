@@ -56,7 +56,8 @@ object Retrieval {
     val emb = Similarity.vectors(spark, dir)
       .join(docs, col("vec_id") === col("doc_id"))
     val qs = broadcast(
-      emb.filter(col("source") === Dedup.BenchSource)
+      emb.filter(col("source") === Dedup.BenchSource
+          && TextAnalysis.isBenchQuery(spark, dir, col("vec_id")))
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn")))
     val scored = emb.filter(col("source") =!= Dedup.BenchSource)
       .select(col("vec_id"), col("v"), col("norm"))

@@ -8,7 +8,9 @@ import graft.rel.Queries.table
 
 /** Similarity search over the `embeddings` table (`embedding:
   * array<float>`, 64-dim). Probe set = every 50th vector (`vec_id % 50 = 0`)
-  * so the probe side is bounded and broadcastable at any corpus scale.
+  * capped at the [[Similarity.MaxProbes]] smallest salted-hash keys, so
+  * the probe side is a FIXED-size workload, broadcastable at any corpus
+  * scale.
   *
   * Three tiers:
   *  - threshold join + brute-force top-k: the exact baselines. The probe
@@ -27,6 +29,51 @@ object Similarity {
   val ProbeEvery = 50
   val CosineThreshold = 0.25
   val TopK = 5
+
+  /** Hard ceiling on the probe-set SIZE: of the `vec_id ≡ 0 (mod
+    * ProbeEvery)` candidates, only the [[MaxProbes]] with the smallest
+    * salted-md5 keys are probes. Without the cap the probe side is a
+    * corpus FRACTION — |corpus|/50 rows broadcast to every executor,
+    * a guaranteed broadcast OOM at 100× scale; with it the broadcast is
+    * ≤ MaxProbes×dim doubles at ANY corpus size (a fixed query workload,
+    * the shape a production ANN benchmark has). Below the cap
+    * (sf ≤ 0.01: ≤ 10 candidates) the filter is the identity, so the
+    * oracle gates are unaffected; the DuckDB CTEs mirror the cap anyway
+    * ([[graft.pipeline.PipelineQueries]] `pcap`).
+    */
+  val MaxProbes = 64
+  val ProbeCapSalt = "probe-cap:"
+
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Long]]()
+
+  /** The capped probe-id set — one distributed TakeOrdered over the
+    * ProbeEvery multiples, memoized per (session, dir); MaxProbes longs
+    * on the driver regardless of corpus size.
+    */
+  private[pipeline] def probeIds(spark: SparkSession, dir: String): Array[Long] =
+    probeCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        import s.implicits._
+        vectors(s, d)
+          .filter(col("vec_id") % ProbeEvery === 0)
+          .select(col("vec_id"),
+            substring(md5(concat(lit(ProbeCapSalt), col("vec_id").cast("string"))), 1, 12)
+              .as("pk"))
+          .orderBy(col("pk"), col("vec_id"))
+          .limit(MaxProbes)
+          .as[(Long, String)]
+          .collect()
+          .map(_._1)
+          .sorted
+      })
+
+  /** Probe-side membership filter — an `IN` over the bounded
+    * [[probeIds]] set (≤ MaxProbes literals, pushable to the scan).
+    */
+  private def isProbe(spark: SparkSession, dir: String): Column =
+    col("vec_id").isin(probeIds(spark, dir).map(_.asInstanceOf[Any]): _*)
 
   /** Codegen'd native dot product ([[graft.functions.DotF64]]) — ≈3× over
     * the interpreted `aggregate(zip_with(...))` higher-order-function
@@ -66,6 +113,7 @@ object Similarity {
     vectorCache.forEach((_, df) => df.unpersist())
     vectorCache.clear()
     centroidCache.clear()
+    probeCache.clear()
     pqCache.clear()
     cellCache.forEach((_, df) => df.unpersist())
     cellCache.clear()
@@ -75,7 +123,7 @@ object Similarity {
   private def scored(spark: SparkSession, dir: String): DataFrame = {
     val all = vectors(spark, dir)
     val probes = broadcast(
-      all.filter(col("vec_id") % ProbeEvery === 0)
+      all.filter(isProbe(spark, dir))
         .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm")))
     all
       .filter(col("vec_id") % ProbeEvery =!= 0)
@@ -396,7 +444,7 @@ object Similarity {
       .toDF("cent_id", "vec_id", "v", "norm")
     // probe-side top-NProbe cells: the same kernel with a bounded per-row
     // insertion list instead of a second windowed shuffle
-    val probes = all.filter(col("vec_id") % ProbeEvery === 0)
+    val probes = all.filter(isProbe(spark, dir))
       .select(col("vec_id"), col("v"), col("norm"))
       .as[(Long, Array[Double], Double)]
       .mapPartitions { it =>
@@ -662,7 +710,7 @@ object Similarity {
     import spark.implicits._
     val subDim = cents(0)(0).length
     vectors(spark, dir)
-      .filter(col("vec_id") % ProbeEvery === 0)
+      .filter(isProbe(spark, dir))
       .select(col("vec_id"), col("v"))
       .as[(Long, Array[Double])]
       .collect()
@@ -723,7 +771,7 @@ object Similarity {
     import spark.implicits._
     val corpus = vectors(spark, dir).filter(col("vec_id") % ProbeEvery =!= 0)
     val probeSide = vectors(spark, dir)
-      .filter(col("vec_id") % ProbeEvery === 0)
+      .filter(isProbe(spark, dir))
       .select(col("vec_id").as("pid"), col("v").as("pv"), col("norm").as("pnorm"))
     val exact = corpus
       .join(broadcast(cand), col("vec_id") === col("cand_id"))
@@ -793,7 +841,7 @@ object Similarity {
       }
       .toDF("vec_id", "cent_id", "codes")
     // per-probe cell list (small: |probes| × NProbe) + ADC lookup tables
-    val probeCells = all.filter(col("vec_id") % ProbeEvery === 0)
+    val probeCells = all.filter(isProbe(spark, dir))
       .select(col("vec_id"), col("v"), col("norm"))
       .as[(Long, Array[Double], Double)]
       .mapPartitions { it =>
@@ -1041,7 +1089,7 @@ object Similarity {
     val all = vectors(spark, dir)
     val buckets = lshBuckets(spark, all)
     val probes = broadcast(
-      buckets.filter(col("vec_id") % ProbeEvery === 0)
+      buckets.filter(isProbe(spark, dir))
         .select(col("tbl"), col("bucket"),
           col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm")))
     val cands = buckets
@@ -1106,7 +1154,7 @@ object Similarity {
     val labels = table(spark, dir, "embeddings").select(col("vec_id"), col("label"))
     val all = vectors(spark, dir).join(labels, "vec_id")
     val anchors = broadcast(
-      all.filter(col("vec_id") % ProbeEvery === 0)
+      all.filter(isProbe(spark, dir))
         .select(
           col("vec_id").as("anchor_id"), col("v").as("pv"),
           col("norm").as("pn"), col("label").as("alabel")))
@@ -1357,7 +1405,7 @@ object Similarity {
     // and the FULL-dim vectors never enter the scan
     val withYy = projected.withColumn("yy", dot(col("y"), col("y")))
     val probes = broadcast(
-      withYy.filter(col("vec_id") % ProbeEvery === 0)
+      withYy.filter(isProbe(spark, dir))
         .select(col("vec_id").as("probe_id"), col("y").as("py"), col("yy").as("pyy")))
     val cands = withYy.filter(col("vec_id") % ProbeEvery =!= 0)
       .join(probes) // broadcast nested loop in the REDUCED space only
@@ -1373,7 +1421,7 @@ object Similarity {
     // projection kernel doesn't re-run just to carry v/norm through
     val full = vectors(spark, dir)
     val pvecs = broadcast(
-      full.filter(col("vec_id") % ProbeEvery === 0)
+      full.filter(isProbe(spark, dir))
         .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm")))
     val reranked = shortlist
       .join(full.select(col("vec_id"), col("v"), col("norm")), "vec_id")

@@ -95,6 +95,7 @@ object TextAnalysis {
     dsirCache.clear()
     qcCache.forEach((_, df) => df.unpersist())
     qcCache.clear()
+    queryIdCache.clear()
     bigramCountCache.forEach((_, v) => v._1.unpersist())
     bigramCountCache.clear()
     knCache.forEach((_, df) => df.unpersist())
@@ -1301,6 +1302,51 @@ object TextAnalysis {
   val Bm25B = 0.75
   val Bm25TopK = 5
 
+  /** Hard ceiling on the retrieval QUERY-set size: of the
+    * [[graft.pipeline.Dedup.BenchSource]] documents, only the
+    * [[MaxQueries]] with the smallest salted-md5 keys act as queries
+    * (for [[bm25]] and [[graft.pipeline.Retrieval.hybridRrf]]'s dense
+    * side). The benchmark source is a CORPUS FRACTION in this generator,
+    * so without the cap the broadcast query map grows linearly with the
+    * corpus; with it the query workload is fixed-size at any scale —
+    * the real shape of an eval suite. Below the cap (gate sfs: 25
+    * bench docs) the filter is the identity; the DuckDB oracles mirror
+    * it anyway (`qcap`).
+    */
+  val MaxQueries = 64
+  val QueryCapSalt = "query-cap:"
+
+  private val queryIdCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Long]]()
+
+  /** The capped benchmark-query doc_id set — one TakeOrdered over the
+    * bench source, memoized; MaxQueries longs on the driver regardless
+    * of corpus size (the [[graft.pipeline.Similarity.probeIds]] twin for
+    * the lexical/dense retrieval family).
+    */
+  private[pipeline] def benchQueryIds(spark: SparkSession, dir: String): Array[Long] =
+    queryIdCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        import s.implicits._
+        table(s, d, "documents")
+          .filter(col("source") === Dedup.BenchSource)
+          .select(col("doc_id"),
+            substring(md5(concat(lit(QueryCapSalt), col("doc_id").cast("string"))), 1, 12)
+              .as("qk"))
+          .orderBy(col("qk"), col("doc_id"))
+          .limit(MaxQueries)
+          .as[(Long, String)]
+          .collect()
+          .map(_._1)
+          .sorted
+      })
+
+  /** Query-side membership filter over the bounded [[benchQueryIds]]. */
+  private[pipeline] def isBenchQuery(
+      spark: SparkSession, dir: String, id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    id.isin(benchQueryIds(spark, dir).map(_.asInstanceOf[Any]): _*)
+
   /** L4 — BM25 retrieval: each benchmark-source document is a query (its
     * DISTINCT terms) scored against every other document, top-[[Bm25TopK]]
     * hits per query. The lexical-retrieval twin of the embedding ANN
@@ -1346,7 +1392,8 @@ object TextAnalysis {
     // |query vocabulary| rows — bounded by the benchmark suite, the same
     // boundedness that justified broadcasting it as a join side before
     val qmap: Map[String, (Double, Array[Long])] =
-      tf.filter(col("source") === Dedup.BenchSource)
+      tf.filter(col("source") === Dedup.BenchSource
+          && isBenchQuery(spark, dir, col("doc_id")))
         .select(col("doc_id").as("q_id"), col("term"))
         .distinct()
         .join(dfreq, "term")

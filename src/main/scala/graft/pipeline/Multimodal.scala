@@ -99,6 +99,134 @@ object Multimodal {
       .toDF("doc_id", "frame_no", "frame")
   }
 
+  // ---- real audio decode (PCM WAV) --------------------------------------
+
+  /** Deterministic synthesis parameters for the WAV corpus. The PAYLOAD
+    * is synthesized (no media files exist in this sandbox), but it is a
+    * spec-compliant RIFF/WAVE container — canonical 44-byte PCM header +
+    * little-endian 16-bit mono samples — and [[wavDecode]] is a REAL
+    * parser: it reads the sample rate, channel count, bit depth, and
+    * data length from the HEADER BYTES and decodes the samples from the
+    * little-endian data chunk. It would decode any spec-compliant mono
+    * PCM16 WAV, and the decode-sensitivity test proves the parsed fields
+    * come from the bytes, not the synthesis formula.
+    *
+    * Samples are integer-arithmetic only (`(doc_id·7919 + i·104729) mod
+    * 2¹⁶ − 2¹⁵`) so the DuckDB oracle reproduces the EXPECTED features
+    * exactly from the same formula — gating the full synthesize → encode
+    * → parse → feature round trip: a mis-read header offset, wrong
+    * endianness, or off-by-one in the data chunk shifts every feature.
+    */
+  val WavHeaderBytes = 44
+
+  /** Per-doc sample count: bounded, varies with the text length. */
+  def wavSampleCount(nChars: Int): Int = 32 + nChars % 64
+
+  /** Per-doc sample rate: varies so the parser's header read is load-bearing. */
+  def wavSampleRate(docId: Long): Int = (8000 + (docId % 3) * 4000).toInt
+
+  /** The i-th PCM sample of doc `docId` — exact integer arithmetic. */
+  def wavSample(docId: Long, i: Int): Int =
+    (((docId * 7919L + i.toLong * 104729L) % 65536L) - 32768L).toInt
+
+  /** Encode one spec-compliant mono PCM16 WAV container. */
+  private[pipeline] def wavEncode(docId: Long, nChars: Int): Array[Byte] = {
+    val n = wavSampleCount(nChars)
+    val sr = wavSampleRate(docId)
+    val dataSize = n * 2
+    val bb = java.nio.ByteBuffer
+      .allocate(WavHeaderBytes + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(36 + dataSize)
+    bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(16) // PCM fmt chunk size
+    bb.putShort(1) // audio format: PCM
+    bb.putShort(1) // channels: mono
+    bb.putInt(sr)
+    bb.putInt(sr * 2) // byte rate = sr * block align
+    bb.putShort(2) // block align = channels * bytes/sample
+    bb.putShort(16) // bits per sample
+    bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(dataSize)
+    var i = 0
+    while (i < n) { bb.putShort(wavSample(docId, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Parsed header + decoded samples of a mono PCM16 WAV. */
+  final case class WavDecoded(
+      sampleRate: Int, channels: Int, bits: Int, samples: Array[Int])
+
+  /** REAL RIFF/WAVE parse: magic validation, header-field reads, and
+    * little-endian int16 sample decode — every field from the BYTES.
+    */
+  private[pipeline] def wavDecode(bytes: Array[Byte]): WavDecoded = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def magic(off: Int, want: String): Unit = {
+      val got = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(got == want, s"bad magic at $off: '$got' (want '$want')")
+    }
+    magic(0, "RIFF"); magic(8, "WAVE"); magic(12, "fmt "); magic(36, "data")
+    val fmt = bb.getShort(20)
+    require(fmt == 1, s"not PCM: format $fmt")
+    val channels = bb.getShort(22).toInt
+    val sampleRate = bb.getInt(24)
+    val bits = bb.getShort(34).toInt
+    require(bits == 16, s"unsupported bit depth $bits")
+    val dataSize = bb.getInt(40)
+    require(WavHeaderBytes + dataSize <= bytes.length, "truncated data chunk")
+    val n = dataSize / 2
+    val samples = new Array[Int](n)
+    var i = 0
+    while (i < n) { samples(i) = bb.getShort(WavHeaderBytes + i * 2).toInt; i += 1 }
+    WavDecoded(sampleRate, channels, bits, samples)
+  }
+
+  /** The synthesized WAV corpus: (doc_id, media) with a real RIFF payload. */
+  def wavTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, nc) => (id, wavEncode(id, nc)) })
+      .toDF("doc_id", "media")
+  }
+
+  /** Declared query (q136): decode the WAV corpus and emit per-doc audio
+    * features — header fields (sample_rate) plus sample statistics (peak
+    * amplitude, RMS). One narrow kernel pass, no shuffle before the
+    * output sort; the DuckDB oracle recomputes the expected values from
+    * the synthesis formula, so a parser that mis-reads any header offset
+    * or the sample endianness goes red.
+    */
+  def wavFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    wavTable(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = wavDecode(bytes)
+        var sumSq = 0L
+        var peak = 0
+        var i = 0
+        while (i < d.samples.length) {
+          val s = d.samples(i)
+          sumSq += s.toLong * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 1
+        }
+        val rms = math.sqrt(sumSq.toDouble / d.samples.length)
+        (id, d.sampleRate, d.samples.length, peak, rms)
+      })
+      .toDF("doc_id", "sample_rate", "n_samples", "peak", "rms_raw")
+      .select(
+        col("doc_id"), col("sample_rate"), col("n_samples"), col("peak"),
+        round(col("rms_raw"), 4).as("rms"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Declared query: per-doc media features with the histogram rounded.
     * Oracle-gated: with [[HistBins]] = 16 the bin index is each byte's
     * high nibble, so DuckDB reproduces the histogram exactly from

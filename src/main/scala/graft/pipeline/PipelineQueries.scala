@@ -142,7 +142,8 @@ object PipelineQueries {
     "q132_stream_delta_dedup" -> (Events.streamDeltaDedupFinal _),
     "q133_cdc_dedup_stats" -> (Dedup.cdcDedupStats _),
     "q134_split_leakage" -> (Dedup.splitLeakage _),
-    "q135_boilerplate_purge" -> (Dedup.boilerplatePurge _)
+    "q135_boilerplate_purge" -> (Dedup.boilerplatePurge _),
+    "q136_wav_decode" -> (Multimodal.wavFeatures _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1591,6 +1592,25 @@ object PipelineQueries {
          |      FROM k GROUP BY doc_id)
          |SELECT n.doc_id, n.n_blocks, coalesce(a.n_kept, 0) AS n_kept,
          |  coalesce(a.clean_text, '') AS clean_text
-         |FROM n LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM n LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q136: WAV decode — the oracle recomputes the expected features
+    // from the integer synthesis formula (sample = (doc_id·7919 +
+    // i·104729) mod 2^16 − 2^15), so the Spark side's header parse +
+    // little-endian sample decode must round-trip the encoder exactly.
+    // sum(x·x) ≤ 96·2^30 is exact in a DOUBLE, /n and sqrt are
+    // correctly-rounded single operations, round(…,4) the precedent.
+    "q136_wav_decode" ->
+      """WITH d AS (SELECT doc_id, 32 + (length(text) % 64) AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |v AS (SELECT doc_id, n,
+        |        ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS x
+        |      FROM s)
+        |SELECT doc_id,
+        |  (8000 + (doc_id % 3) * 4000)::INT AS sample_rate,
+        |  n::INT AS n_samples,
+        |  max(abs(x))::INT AS peak,
+        |  round(sqrt(sum(x*x)::DOUBLE / n), 4) AS rms
+        |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
   )
 }

@@ -1095,6 +1095,42 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("WAV codec: encode/decode round-trips header fields and every sample") {
+    for (docId <- Seq(0L, 1L, 7L, 123L); nChars <- Seq(0, 5, 63, 64, 200)) {
+      val bytes = Multimodal.wavEncode(docId, nChars)
+      val d = Multimodal.wavDecode(bytes)
+      assert(d.sampleRate == Multimodal.wavSampleRate(docId))
+      assert(d.channels == 1 && d.bits == 16)
+      val n = Multimodal.wavSampleCount(nChars)
+      assert(d.samples.length == n)
+      assert(d.samples.toSeq == (0 until n).map(Multimodal.wavSample(docId, _)))
+      // container size bookkeeping: RIFF size field + 8 == file length
+      val riffSize = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(4)
+      assert(riffSize + 8 == bytes.length)
+    }
+  }
+
+  test("WAV decode reads the BYTES, not the synthesis formula") {
+    val bytes = Multimodal.wavEncode(42L, 100)
+    // patch the sample-rate field (offset 24, little-endian int32) to a
+    // value the formula never produces — the parser must report it
+    val patched = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(patched).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(24, 44100)
+    assert(Multimodal.wavDecode(patched).sampleRate == 44100)
+    // patch one sample's low byte — exactly that sample must change
+    val orig = Multimodal.wavDecode(bytes).samples
+    val patched2 = bytes.clone()
+    patched2(Multimodal.WavHeaderBytes + 6) = (patched2(Multimodal.WavHeaderBytes + 6) ^ 0x01).toByte
+    val got = Multimodal.wavDecode(patched2).samples
+    assert(got.zip(orig).zipWithIndex.count { case ((a, b), _) => a != b } == 1)
+    assert(got(3) != orig(3) && got.patch(3, Nil, 1).toSeq == orig.patch(3, Nil, 1).toSeq)
+    // a corrupted magic must be rejected, not silently mis-decoded
+    val bad = bytes.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.wavDecode(bad))
+  }
+
   private def cosine(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double =
     a._2.zip(b._2).map { case (x, y) => x * y }.sum / (a._3 * b._3)
 

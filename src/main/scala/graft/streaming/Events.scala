@@ -856,7 +856,8 @@ object Events {
   /** File stream over a [[stageWithFlush]] directory: one file per
     * micro-batch, real events first, sentinel last.
     */
-  private def readStagedEventStream(ss: SparkSession, dir: String, stagedDir: String): DataFrame = {
+  private[streaming] def readStagedEventStream(
+      ss: SparkSession, dir: String, stagedDir: String): DataFrame = {
     // staged files are written by [[stageWithFlush]]/[[stageTimeSplitWithFlush]]
     // with ts ALREADY normalized to long nanos, whatever the source table's
     // physical type — so probe the STAGED schema, not the source's

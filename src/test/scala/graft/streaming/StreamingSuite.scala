@@ -162,6 +162,38 @@ class StreamingSuite extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("watermark eviction provably shrinks streaming state across micro-batches") {
+    val dir = "/root/testdata/sf0.001"
+    // the staged multi-file source: one time-ordered slice per micro-batch,
+    // flush sentinel last — the watermark advances at every batch boundary
+    val (stage, _, _) = Events.stageTimeSplitWithFlush(spark, dir)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = Events.tumblingStream(Events.readStagedEventStream(ss, dir, stage))
+      .writeStream.format("memory").queryName("evict_gate")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progs = q.recentProgress
+    assert(progs.count(_.numInputRows > 0) >= 3, "drain was not multi-batch")
+    // THE gate: watermark eviction must actually remove state rows during
+    // the run — the one streaming behavior no result-equality check can
+    // observe (a store that never evicts produces identical output and
+    // grows without bound)
+    val stateOps = progs.flatMap(_.stateOperators)
+    val removed = stateOps.map(_.numRowsRemoved).sum
+    assert(removed > 0,
+      s"watermark advanced across ${progs.length} batches but no state rows were evicted")
+    // and by the closing batch the store has SHRUNK from its peak: the
+    // sentinel (a day past max event time) pushes the watermark past every
+    // real window, so only the sentinel's own window may remain open
+    val totals = progs.filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal)
+    assert(totals.nonEmpty && totals.last < totals.max,
+      s"state size never shrank: $totals")
+  }
+
   test("q87: multi-batch streamed interval join equals the batch twin, with cross-batch pairs") {
     val dir = "/root/testdata/sf0.001"
     // the staged split must have bisected at least one matched pair — a

@@ -579,6 +579,31 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** L2 at scale — the 100 TB dedup-pipeline COMPOSITION: connected
+    * components ([[propagateLabels]], the q58 pointer-jumping machinery)
+    * over the [[minhashLsh]] candidate pairs instead of the exact
+    * all-pairs jaccard graph. This is the pipeline a production corpus
+    * actually runs — LSH banding bounds candidate generation, exact
+    * verification keeps every surviving edge true, and CC + canonical
+    * selection run on the verified edge set — so the composition itself
+    * needs a gate, not just its two stages. LSH pairs ⊆ exact pairs
+    * (every candidate is exact-verified), hence every LSH component is a
+    * SUBSET of an exact component: groups can only split where banding
+    * missed an edge, never merge across exact-group boundaries.
+    * Declared rows-only (banding is probabilistic by design);
+    * PipelineSuite asserts the containment invariant and ≥0.9 recall of
+    * grouped docs vs [[dedupGroups]].
+    */
+  def dedupGroupsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = minhashLsh(spark, dir).select(col("d1"), col("d2")).persist(lvl)
+    val (labels, _) = propagateLabels(pairs)
+    pairs.unpersist()
+    labels
+      .select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PageRank damping and iteration count for [[similarityPageRank]]. */
   val PrAlpha = 0.85
   val PrIters = 10

@@ -143,7 +143,11 @@ object PipelineQueries {
     "q133_cdc_dedup_stats" -> (Dedup.cdcDedupStats _),
     "q134_split_leakage" -> (Dedup.splitLeakage _),
     "q135_boilerplate_purge" -> (Dedup.boilerplatePurge _),
-    "q136_wav_decode" -> (Multimodal.wavFeatures _)
+    "q136_wav_decode" -> (Multimodal.wavFeatures _),
+    // q137 is rows-only: the LSH candidate stage is probabilistic (like
+    // q17); the containment-in-exact-groups invariant and a recall gate
+    // vs q58 are asserted in PipelineSuite.
+    "q137_dedup_groups_lsh" -> (Dedup.dedupGroupsLsh _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */

@@ -243,6 +243,25 @@ class PipelineSuite extends AnyFunSuite {
     assert(lsh.size >= math.ceil(exact.size * 0.9).toInt, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("L2 LSH->CC composition: groups nest inside exact groups, recall >= 0.9") {
+    val exact = Dedup.dedupGroups(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Dedup.dedupGroupsLsh(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every LSH-grouped doc is exact-grouped (edges are exact-verified)
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    // containment: docs sharing an LSH canonical share the exact canonical
+    // (LSH components can only SPLIT exact components, never bridge them)
+    lsh.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(exact).toSet.size == 1,
+        s"LSH group ${members.keys.toSeq.sorted} spans exact groups")
+    }
+    // recall: banding recovers >= 0.9 of the exactly-grouped docs
+    assert(lsh.size >= math.ceil(exact.size * 0.9).toInt,
+      s"grouped-doc recall ${lsh.size}/${exact.size}")
+    assert(lsh.nonEmpty)
+  }
+
   test("L2 capped-postings jaccard: subset of exact, identical scores, recall 1.0 here") {
     val exact = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -227,6 +227,200 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ---- real image decode (24-bit BMP) ------------------------------------
+
+  /** The image twin of the WAV codec: the payload is a spec-compliant
+    * uncompressed 24-bit Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER
+    * + bottom-up BGR rows padded to 4-byte stride) synthesized from
+    * integer formulas, and [[bmpDecode]] is a REAL parser — magic check,
+    * header-field reads, stride arithmetic, and the bottom-up row order
+    * every BMP reader must honor. The declared features make BOTH
+    * gotchas load-bearing: `top_row_lum` depends on the first IMAGE row
+    * being the LAST stored row, and any stride mistake shifts every
+    * pixel of every non-multiple-of-4 width.
+    */
+  val BmpHeaderBytes = 54
+
+  def bmpWidth(docId: Long): Int = (8 + docId % 5).toInt
+  def bmpHeight(docId: Long): Int = (6 + docId % 4).toInt
+
+  /** BGR channel values of pixel (x, y) in IMAGE coordinates (y = 0 is
+    * the top row) — exact integer arithmetic, mirrored by the oracle.
+    */
+  def bmpB(docId: Long, x: Int, y: Int): Int = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+  def bmpG(docId: Long, x: Int, y: Int): Int = ((docId * 17 + x * 11 + y * 3) % 256).toInt
+  def bmpR(docId: Long, x: Int, y: Int): Int = ((docId * 23 + x * 5 + y * 19) % 256).toInt
+
+  private def bmpStride(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+  /** Encode one spec-compliant 24-bit uncompressed BMP. */
+  private[pipeline] def bmpEncode(docId: Long): Array[Byte] = {
+    val w = bmpWidth(docId)
+    val h = bmpHeight(docId)
+    val stride = bmpStride(w)
+    val imgSize = stride * h
+    val bb = java.nio.ByteBuffer
+      .allocate(BmpHeaderBytes + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(BmpHeaderBytes + imgSize) // file size
+    bb.putInt(0) // reserved
+    bb.putInt(BmpHeaderBytes) // pixel-data offset
+    bb.putInt(40) // BITMAPINFOHEADER size
+    bb.putInt(w)
+    bb.putInt(h) // positive height = bottom-up row order
+    bb.putShort(1) // planes
+    bb.putShort(24) // bits per pixel
+    bb.putInt(0) // BI_RGB, uncompressed
+    bb.putInt(imgSize)
+    bb.putInt(2835).putInt(2835) // 72 DPI in pixels/metre
+    bb.putInt(0).putInt(0) // palette fields
+    // rows stored bottom-up: stored row 0 is image row h-1
+    var sy = 0
+    while (sy < h) {
+      val y = h - 1 - sy
+      var x = 0
+      while (x < w) {
+        bb.put(bmpB(docId, x, y).toByte)
+        bb.put(bmpG(docId, x, y).toByte)
+        bb.put(bmpR(docId, x, y).toByte)
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < stride) { bb.put(0.toByte); pad += 1 }
+      sy += 1
+    }
+    bb.array()
+  }
+
+  /** Decoded BMP: header fields + pixels in IMAGE row order (top first),
+    * each pixel as packed (r, g, b).
+    */
+  final case class BmpDecoded(width: Int, height: Int, bpp: Int, rgb: Array[Array[Int]])
+
+  /** REAL BMP parse: magic + header reads, stride skip, bottom-up
+    * unflip — `rgb(y)(x*3 + c)` is channel c (r,g,b) of image pixel
+    * (x, y) with y = 0 the TOP row.
+    */
+  private[pipeline] def bmpDecode(bytes: Array[Byte]): BmpDecoded = {
+    require(bytes.length >= BmpHeaderBytes && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP: bad magic")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val offset = bb.getInt(10)
+    val w = bb.getInt(18)
+    val h = bb.getInt(22)
+    val bpp = bb.getShort(28).toInt
+    val compression = bb.getInt(30)
+    require(bpp == 24 && compression == 0, s"unsupported BMP: bpp=$bpp compression=$compression")
+    require(h > 0, "top-down BMPs not supported")
+    val stride = bmpStride(w)
+    require(offset + stride.toLong * h <= bytes.length, "truncated pixel data")
+    val rgb = Array.ofDim[Int](h, w * 3)
+    var sy = 0
+    while (sy < h) {
+      val y = h - 1 - sy // bottom-up storage
+      val rowOff = offset + sy * stride
+      var x = 0
+      while (x < w) {
+        rgb(y)(x * 3) = bytes(rowOff + x * 3 + 2) & 0xFF // R
+        rgb(y)(x * 3 + 1) = bytes(rowOff + x * 3 + 1) & 0xFF // G
+        rgb(y)(x * 3 + 2) = bytes(rowOff + x * 3) & 0xFF // B
+        x += 1
+      }
+      sy += 1
+    }
+    BmpDecoded(w, h, bpp, rgb)
+  }
+
+  /** The synthesized BMP corpus: (doc_id, media) with a real BMP payload. */
+  def bmpTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, bmpEncode(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** Declared query (q138): decode the BMP corpus and emit per-doc image
+    * features — header dimensions, mean luminance over all pixels, and
+    * the TOP-row luminance sum (load-bearing for the bottom-up row
+    * order: a parser that forgets the unflip reports the bottom row
+    * here and goes red against the oracle).
+    */
+  def bmpFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bmpTable(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = bmpDecode(bytes)
+        var sum = 0L
+        var topSum = 0L
+        var y = 0
+        while (y < d.height) {
+          val row = d.rgb(y)
+          var i = 0
+          while (i < row.length) {
+            sum += row(i)
+            if (y == 0) topSum += row(i)
+            i += 1
+          }
+          y += 1
+        }
+        val meanLum = sum.toDouble / (3L * d.width * d.height)
+        (id, d.width, d.height, meanLum, topSum)
+      })
+      .toDF("doc_id", "width", "height", "mean_lum_raw", "top_row_lum")
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        round(col("mean_lum_raw"), 4).as("mean_lum"), col("top_row_lum"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- audio frame features (windowed, over the decoded WAV) -------------
+
+  /** Samples per analysis frame for [[wavFrameFeatures]]. */
+  val AudioFrameSamples = 16
+
+  /** Declared query (q139): windowed per-frame audio features over the
+    * DECODED WAV samples — non-overlapping [[AudioFrameSamples]]-sample
+    * frames, each emitting its RMS and zero-crossing count (adjacent
+    * same-frame sample pairs with a strict sign change). The
+    * decode-then-window composition a feature-extraction pipeline runs
+    * before any learned audio model; trailing partial frames are
+    * dropped (defined behavior, mirrored by the oracle). One kernel
+    * pass, rows fan out |samples|/frame per doc — no shuffle before the
+    * output sort.
+    */
+  def wavFrameFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fl = AudioFrameSamples
+    wavTable(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val s = wavDecode(bytes).samples
+        val nFrames = s.length / fl
+        (0 until nFrames).iterator.map { f =>
+          var sumSq = 0L
+          var zc = 0
+          var i = f * fl
+          val end = i + fl
+          while (i < end) {
+            sumSq += s(i).toLong * s(i)
+            if (i > f * fl && (s(i - 1) < 0) != (s(i) < 0) && s(i - 1) != 0 && s(i) != 0)
+              zc += 1
+            i += 1
+          }
+          (id, f, math.sqrt(sumSq.toDouble / fl), zc)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "rms_raw", "zcr")
+      .select(
+        col("doc_id"), col("frame_idx"),
+        round(col("rms_raw"), 4).as("f_rms"), col("zcr"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Declared query: per-doc media features with the histogram rounded.
     * Oracle-gated: with [[HistBins]] = 16 the bin index is each byte's
     * high nibble, so DuckDB reproduces the histogram exactly from

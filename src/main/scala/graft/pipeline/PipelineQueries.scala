@@ -147,7 +147,9 @@ object PipelineQueries {
     // q137 is rows-only: the LSH candidate stage is probabilistic (like
     // q17); the containment-in-exact-groups invariant and a recall gate
     // vs q58 are asserted in PipelineSuite.
-    "q137_dedup_groups_lsh" -> (Dedup.dedupGroupsLsh _)
+    "q137_dedup_groups_lsh" -> (Dedup.dedupGroupsLsh _),
+    "q138_bmp_decode" -> (Multimodal.bmpFeatures _),
+    "q139_audio_frames" -> (Multimodal.wavFrameFeatures _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1615,6 +1617,43 @@ object PipelineQueries {
         |  n::INT AS n_samples,
         |  max(abs(x))::INT AS peak,
         |  round(sqrt(sum(x*x)::DOUBLE / n), 4) AS rms
-        |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+        |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
+    // q138: BMP decode — expected features regenerated from the pixel
+    // formulas in IMAGE coordinates; the Spark side must parse the
+    // header, honor the 4-byte row stride, AND unflip the bottom-up row
+    // order (top_row_lum is y=0 in image space = the LAST stored row —
+    // a parser that skips the unflip reports the wrong row and goes red).
+    "q138_bmp_decode" ->
+      """WITH d AS (SELECT doc_id, (8 + doc_id % 5) AS w, (6 + doc_id % 4) AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |ys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |ch AS (SELECT doc_id, w, h, x, y,
+        |        (doc_id * 23 + x * 5 + y * 19) % 256 AS r,
+        |        (doc_id * 17 + x * 11 + y * 3) % 256 AS g,
+        |        (doc_id * 31 + x * 7 + y * 13) % 256 AS b
+        |       FROM ys)
+        |SELECT doc_id, w::INT AS width, h::INT AS height,
+        |  round(sum(r+g+b)::DOUBLE / (3*w*h), 4) AS mean_lum,
+        |  sum(CASE WHEN y = 0 THEN r+g+b ELSE 0 END)::BIGINT AS top_row_lum
+        |FROM ch GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // q139: windowed audio features over the q136 sample stream — full
+    // 16-sample frames only, RMS + strict-sign-change count per frame
+    // (xp·x < 0 ⟺ opposite strict signs, zeros never count — exactly
+    // the kernel's predicate).
+    "q139_audio_frames" ->
+      """WITH d AS (SELECT doc_id, 32 + (length(text) % 64) AS n FROM documents),
+        |s AS (SELECT doc_id, unnest(range(0, (n // 16) * 16)) AS i FROM d),
+        |v AS (SELECT doc_id, (i // 16)::INT AS frame_idx, i % 16 AS j,
+        |        ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS x
+        |      FROM s),
+        |p AS (SELECT doc_id, frame_idx, x,
+        |        lag(x) OVER (PARTITION BY doc_id, frame_idx ORDER BY j) AS xp
+        |      FROM v)
+        |SELECT doc_id, frame_idx,
+        |  round(sqrt(sum(x*x)::DOUBLE / 16), 4) AS f_rms,
+        |  sum(CASE WHEN xp IS NOT NULL AND xp * x < 0 THEN 1 ELSE 0 END)::INT AS zcr
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

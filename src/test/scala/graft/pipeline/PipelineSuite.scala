@@ -1150,6 +1150,41 @@ class PipelineSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.wavDecode(bad))
   }
 
+  test("BMP codec: decode round-trips every pixel across padded and unpadded strides") {
+    // doc_ids spanning every width 8..12 — strides 24/28/32/36/24, so both
+    // the padded and unpadded row-stride paths are exercised
+    for (docId <- 0L to 9L) {
+      val d = Multimodal.bmpDecode(Multimodal.bmpEncode(docId))
+      assert(d.width == Multimodal.bmpWidth(docId) && d.height == Multimodal.bmpHeight(docId))
+      assert(d.bpp == 24)
+      for (y <- 0 until d.height; x <- 0 until d.width) {
+        assert(d.rgb(y)(x * 3) == Multimodal.bmpR(docId, x, y), s"R($x,$y) doc $docId")
+        assert(d.rgb(y)(x * 3 + 1) == Multimodal.bmpG(docId, x, y))
+        assert(d.rgb(y)(x * 3 + 2) == Multimodal.bmpB(docId, x, y))
+      }
+    }
+  }
+
+  test("BMP decode honors the bottom-up row order and reads the BYTES") {
+    val docId = 3L
+    val bytes = Multimodal.bmpEncode(docId)
+    val w = Multimodal.bmpWidth(docId)
+    val h = Multimodal.bmpHeight(docId)
+    val stride = ((w * 3 + 3) / 4) * 4
+    // patch a byte in the LAST STORED row — bottom-up means that is image
+    // row y = 0, so the TOP image row must change
+    val patched = bytes.clone()
+    val lastStoredRow = Multimodal.BmpHeaderBytes + (h - 1) * stride
+    patched(lastStoredRow) = (patched(lastStoredRow) ^ 0x7F).toByte
+    val orig = Multimodal.bmpDecode(bytes)
+    val got = Multimodal.bmpDecode(patched)
+    assert(got.rgb(0).toSeq != orig.rgb(0).toSeq, "top image row did not change")
+    assert((1 until h).forall(y => got.rgb(y).toSeq == orig.rgb(y).toSeq))
+    // corrupted magic rejected
+    val bad = bytes.clone(); bad(0) = 'Z'.toByte
+    intercept[IllegalArgumentException](Multimodal.bmpDecode(bad))
+  }
+
   private def cosine(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double =
     a._2.zip(b._2).map { case (x, y) => x * y }.sum / (a._3 * b._3)
 

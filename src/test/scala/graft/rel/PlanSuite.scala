@@ -303,6 +303,19 @@ class PlanSuite extends AnyFunSuite {
     assert(!p130.contains("Window"), p130)
   }
 
+  test("q136/q138/q139: media decode queries are single narrow kernel passes") {
+    // synthesize → decode → feature-extract never shuffles: the only
+    // exchange in any of the three is the output sort's range partitioning
+    for (df <- Seq(
+        graft.pipeline.Multimodal.wavFeatures(spark, dir),
+        graft.pipeline.Multimodal.bmpFeatures(spark, dir),
+        graft.pipeline.Multimodal.wavFrameFeatures(spark, dir))) {
+      val ep = execPlan(df)
+      assert(!ep.contains("Exchange hashpartitioning"), ep)
+      assert(!ep.contains("Window"), ep)
+    }
+  }
+
   test("no declared query plans a cartesian product") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))

@@ -194,6 +194,42 @@ class StreamingSuite extends AnyFunSuite {
       s"state size never shrank: $totals")
   }
 
+  test("unbounded rate source: continuous ingest finalizes windows and evicts state") {
+    // the one execution mode no file-source drain exercises: a genuinely
+    // UNBOUNDED source (Spark's rate source) under a processing-time
+    // trigger — windows must finalize and state must evict WHILE the
+    // query keeps running, not at an AvailableNow drain boundary
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val src = ss.readStream.format("rate").option("rowsPerSecond", "200").load()
+    val agg = src
+      .withWatermark("timestamp", "1 second")
+      .groupBy(window(col("timestamp"), "1 second"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+    val q = agg.writeStream.format("memory").queryName("rate_gate")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def evicted: Long =
+        q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      while (System.currentTimeMillis() < deadline
+          && (evicted == 0 || ss.table("rate_gate").isEmpty)) {
+        Thread.sleep(300)
+      }
+      assert(evicted > 0, "no state eviction under continuous ingest")
+      val out = ss.table("rate_gate").collect()
+      assert(out.nonEmpty, "no window finalized while the query was still running")
+      // interior finalized 1s windows are complete (the source ticks at
+      // exactly 5 ms spacing → 200/window); only the stream's first,
+      // boundary-straddling window may be partial
+      val counts = out.map(_.getLong(1)).toSeq
+      assert(counts.forall(_ <= 200L), s"overfull window: $counts")
+      assert(counts.count(_ < 200L) <= 1, s"multiple partial windows: $counts")
+    } finally q.stop()
+  }
+
   test("q87: multi-batch streamed interval join equals the batch twin, with cross-batch pairs") {
     val dir = "/root/testdata/sf0.001"
     // the staged split must have bisected at least one matched pair — a

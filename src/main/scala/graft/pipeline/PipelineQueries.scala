@@ -149,7 +149,9 @@ object PipelineQueries {
     // vs q58 are asserted in PipelineSuite.
     "q137_dedup_groups_lsh" -> (Dedup.dedupGroupsLsh _),
     "q138_bmp_decode" -> (Multimodal.bmpFeatures _),
-    "q139_audio_frames" -> (Multimodal.wavFrameFeatures _)
+    "q139_audio_frames" -> (Multimodal.wavFrameFeatures _),
+    "q140_ann_delta_assign" -> (Similarity.annDeltaAssign _),
+    "q141_cell_drift" -> (Similarity.cellDrift _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -203,12 +205,12 @@ object PipelineQueries {
     * bit-for-bit modulo sub-1e-15 summation-order noise, which the
     * round(…,9) on centroid coordinates absorbs (q110's round precedent).
     */
-  private val CellCte: String = {
+  private def cellCteFor(trainWhere: String, assignWhere: String): String = {
     val k = Similarity.CoarseK
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-       |tr AS (SELECT vec_id, v, nrm FROM n
+       |tr AS (SELECT vec_id, v, nrm FROM n $trainWhere
        |       ORDER BY substr(md5('${Similarity.CoarseTrainSalt}' || vec_id), 1, 12), vec_id
        |       LIMIT ${Similarity.CoarseTrainCap}),
        |tru AS (SELECT vec_id, unnest(range(0, ${Similarity.EmbDim})) AS i, unnest(v) AS x
@@ -236,13 +238,24 @@ object PipelineQueries {
        |       FROM c${r - 1} s LEFT JOIN l$r l USING (cent_id)),
        |""".stripMargin
     }
-    sb ++= s"""ar AS (SELECT n.vec_id, c.cent_id,
-       |         row_number() OVER (PARTITION BY n.vec_id
-       |           ORDER BY list_dot_product(n.v, c.cv)/(n.nrm*c.cn) DESC, c.cent_id) AS r
-       |       FROM n CROSS JOIN c${Similarity.CoarseRounds} c),
-       |asn AS (SELECT vec_id, cent_id FROM ar WHERE r = 1)""".stripMargin
+    sb ++= s"""na AS (SELECT * FROM n $assignWhere),
+       |ar AS (SELECT na.vec_id, c.cent_id,
+       |         list_dot_product(na.v, c.cv)/(na.nrm*c.cn) AS ccos,
+       |         row_number() OVER (PARTITION BY na.vec_id
+       |           ORDER BY list_dot_product(na.v, c.cv)/(na.nrm*c.cn) DESC, c.cent_id) AS r
+       |       FROM na CROSS JOIN c${Similarity.CoarseRounds} c),
+       |asn AS (SELECT vec_id, cent_id, ccos FROM ar WHERE r = 1)""".stripMargin
     sb.toString
   }
+
+  private val CellCte: String = cellCteFor("", "")
+
+  /** The index-maintenance mirror: codebook trained on the CORPUS ONLY
+    * (delta excluded), assignment over the DELTA only.
+    */
+  private val DeltaCellCte: String = cellCteFor(
+    s"WHERE vec_id % ${Similarity.VecDeltaMod} <> 0",
+    s"WHERE vec_id % ${Similarity.VecDeltaMod} = 0")
 
   /** DuckDB Kneser–Ney scoring body shared by q118 and q121's buckets:
     * `kn` is the per-doc (doc_id, n_bigrams, avg_logprob_kn) frame —
@@ -1654,6 +1667,21 @@ object PipelineQueries {
         |SELECT doc_id, frame_idx,
         |  round(sqrt(sum(x*x)::DOUBLE / 16), 4) AS f_rms,
         |  sum(CASE WHEN xp IS NOT NULL AND xp * x < 0 THEN 1 ELSE 0 END)::INT AS zcr
-        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q140: the delta-assignment mirror — the SAME unrolled-Lloyd cell
+    // CTE, trained on the corpus only and assigned over the delta only.
+    "q140_ann_delta_assign" ->
+      s"""$DeltaCellCte
+         |SELECT vec_id, cent_id FROM asn ORDER BY vec_id""".stripMargin,
+
+    // q141: per-cell absorption + mean fit of the arriving delta. avg's
+    // summation-order noise is ~1e-16 against a 1e-4 rounding grid (the
+    // q110 precedent).
+    "q141_cell_drift" ->
+      s"""$DeltaCellCte
+         |SELECT cent_id, count(*)::BIGINT AS n_new,
+         |  round(avg(ccos), 4) AS mean_fit
+         |FROM asn GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

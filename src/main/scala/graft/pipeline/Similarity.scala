@@ -113,6 +113,7 @@ object Similarity {
     vectorCache.forEach((_, df) => df.unpersist())
     vectorCache.clear()
     centroidCache.clear()
+    corpusCentroidCache.clear()
     probeCache.clear()
     pqCache.clear()
     cellCache.forEach((_, df) => df.unpersist())
@@ -288,6 +289,12 @@ object Similarity {
   val CoarseTrainSalt = "coarse-train:"
   val CoarseSeedSalt = "coarse-seed:"
 
+  /** Every `VecDeltaMod`-th vec_id plays the NEWLY-ARRIVING batch in the
+    * index-maintenance family (the embedding twin of
+    * [[graft.pipeline.Dedup.DeltaMod]]'s document delta).
+    */
+  val VecDeltaMod = 10
+
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[(Long, Array[Double], Double)]]()
 
@@ -331,11 +338,30 @@ object Similarity {
       spark: SparkSession, dir: String): Array[(Long, Array[Double], Double)] =
     centroidCache.computeIfAbsent(
       (spark, dir),
-      { case (s, d) =>
+      { case (s, d) => trainCoarse(s, d, lit(true)) })
+
+  /** The SAME trainer over a filtered training population — used by the
+    * index-maintenance family ([[annDeltaAssign]]/[[cellDrift]]), whose
+    * standing codebook must be trained on the CORPUS ONLY (the delta
+    * arrived after the index was built).
+    */
+  private val corpusCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[(Long, Array[Double], Double)]]()
+
+  private[pipeline] def corpusOnlyCentroids(
+      spark: SparkSession, dir: String): Array[(Long, Array[Double], Double)] =
+    corpusCentroidCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) => trainCoarse(s, d, col("vec_id") % VecDeltaMod =!= 0) })
+
+  private def trainCoarse(
+      s: SparkSession, d: String,
+      trainFilter: Column): Array[(Long, Array[Double], Double)] = {
         import s.implicits._
         val key = (salt: String) =>
           substring(md5(concat(lit(salt), col("vec_id").cast("string"))), 1, 12)
         val train = vectors(s, d)
+          .filter(trainFilter)
           .select(col("vec_id"), col("v"), col("norm"),
             key(CoarseTrainSalt).as("tk"), key(CoarseSeedSalt).as("sk"))
           .orderBy(col("tk"), col("vec_id"))
@@ -369,7 +395,7 @@ object Similarity {
         cents.zipWithIndex.map { case (c, i) =>
           (i.toLong, c, math.sqrt(selfDot(c)))
         }
-      })
+  }
 
   private def selfDot(v: Array[Double]): Double = {
     var d = 0.0
@@ -1131,6 +1157,67 @@ object Similarity {
           .otherwise("test")
           .as("split"))
       .orderBy(col("vec_id"))
+  }
+
+  // ---- IVF index maintenance (delta assignment + drift) ------------------
+
+  /** L3 at scale — INCREMENTAL index maintenance, the ANN twin of
+    * [[graft.pipeline.Dedup.deltaDedup]]: newly-arriving vectors
+    * (vec_id ≡ 0 mod [[VecDeltaMod]]) are assigned to cells of the
+    * STANDING codebook — trained on the corpus only, BEFORE the delta
+    * existed — without retraining. This is how a production IVF index
+    * absorbs a daily embedding batch: assignment is one
+    * [[nearestCells]] kernel pass over the broadcast codebook
+    * (O(|delta|·K), no retrain, no corpus touch); retraining is a
+    * scheduled decision [[cellDrift]] informs. Hash-gated: the
+    * corpus-only training mirrors in the oracle's filtered cell CTE.
+    */
+  def annDeltaAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(corpusOnlyCentroids(spark, dir))
+    vectors(spark, dir)
+      .filter(col("vec_id") % VecDeltaMod === 0)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val cc = bc.value
+        it.map { case (id, v, n) => (id, nearestCells(cc, v, n, 1)(0)) }
+      }
+      .toDF("vec_id", "cent_id")
+      .orderBy(col("vec_id"))
+  }
+
+  /** L3/L5 — per-cell DRIFT MONITOR over the arriving delta: for each
+    * standing cell, how many new vectors it absorbs and how well they
+    * fit (mean cosine to the centroid). Falling fit or a lopsided
+    * absorption histogram is THE retrain trigger for an IVF deployment
+    * (the index-quality twin of a data-drift monitor). One kernel pass
+    * + one K-bounded aggregation — nothing corpus-scale shuffles.
+    */
+  def cellDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(corpusOnlyCentroids(spark, dir))
+    vectors(spark, dir)
+      .filter(col("vec_id") % VecDeltaMod === 0)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val cc = bc.value
+        it.map { case (_, v, n) =>
+          val cid = nearestCells(cc, v, n, 1)(0)
+          val ct = cc(cid.toInt)
+          var d = 0.0
+          var i = 0
+          while (i < v.length) { d += v(i) * ct._2(i); i += 1 }
+          (cid, d / (n * ct._3))
+        }
+      }
+      .toDF("cent_id", "cos")
+      .groupBy(col("cent_id"))
+      .agg(
+        count(lit(1)).as("n_new"),
+        round(avg(col("cos")), 4).as("mean_fit"))
+      .orderBy(col("cent_id"))
   }
 
   // ---- label-aware mining + diagnostics ---------------------------------

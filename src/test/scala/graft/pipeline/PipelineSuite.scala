@@ -1072,23 +1072,25 @@ class PipelineSuite extends AnyFunSuite {
     (all, Similarity.coarseCentroids(spark, dir))
   }
 
-  test("coarse codebook: fixed-K spherical k-means matches an independent driver model") {
-    val (all, got) = vectorModel()
+  /** Independent driver re-derivation of the coarse trainer over an
+    * arbitrary training population — shared by the full-codebook and
+    * corpus-only-codebook tests.
+    */
+  private def modelCodebook(
+      pop: Array[(Long, Array[Double], Double)]): Array[Array[Double]] = {
     def key(salt: String, id: Long): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest((salt + id).getBytes("UTF-8"))
       d.map("%02x".format(_)).mkString.take(12)
     }
-    // independent re-derivation: sample by train-salt hash order, seed by
-    // seed-salt hash order, CoarseRounds of assign-by-cosine + rounded mean
-    val train = all
+    val train = pop
       .sortBy(t => (key(Similarity.CoarseTrainSalt, t._1), t._1))
       .take(Similarity.CoarseTrainCap)
     var cents: Array[Array[Double]] = train
       .sortBy(t => (key(Similarity.CoarseSeedSalt, t._1), t._1))
       .take(Similarity.CoarseK)
       .map(_._2.clone())
-    val dim = all.head._2.length
+    val dim = pop.head._2.length
     for (_ <- 1 to Similarity.CoarseRounds) {
       val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
       val sums = Array.fill(cents.length)(new Array[Double](dim))
@@ -1106,12 +1108,47 @@ class PipelineSuite extends AnyFunSuite {
           BigDecimal(x / counts(c)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
     }
+    cents
+  }
+
+  test("coarse codebook: fixed-K spherical k-means matches an independent driver model") {
+    val (all, got) = vectorModel()
+    val cents = modelCodebook(all)
     assert(got.length == Similarity.CoarseK)
     assert(got.map(_._1).toSeq == (0 until Similarity.CoarseK).map(_.toLong))
     got.zip(cents).foreach { case ((_, gv, gn), ev) =>
       assert(gv.toSeq == ev.toSeq)
       assert(gn == math.sqrt(ev.map(x => x * x).sum))
     }
+  }
+
+  test("IVF delta maintenance: corpus-only codebook, stable assignment, drift rollup") {
+    val (all, _) = vectorModel()
+    // the standing codebook trains WITHOUT the delta — independent model
+    val corpusPop = all.filter(_._1 % Similarity.VecDeltaMod != 0)
+    val expectedCents = modelCodebook(corpusPop)
+    val gotCents = Similarity.corpusOnlyCentroids(spark, dir)
+    gotCents.zip(expectedCents).foreach { case ((_, gv, _), ev) =>
+      assert(gv.toSeq == ev.toSeq)
+    }
+    // delta assignment: exactly the delta ids, argmax-cosine cells
+    val asn = Similarity.annDeltaAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val delta = all.filter(_._1 % Similarity.VecDeltaMod == 0)
+    assert(asn.keySet == delta.map(_._1).toSet && asn.nonEmpty)
+    val norms = expectedCents.map(c => math.sqrt(c.map(x => x * x).sum))
+    delta.foreach { case (id, v, nrm) =>
+      val best = expectedCents.indices.maxBy { c =>
+        (v.zip(expectedCents(c)).map { case (x, y) => x * y }.sum / (nrm * norms(c)), -c)
+      }
+      assert(asn(id) == best.toLong, s"vec $id")
+    }
+    // drift rollup: absorption counts partition the delta; fit is a cosine
+    val drift = Similarity.cellDrift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(drift.map(_._2).sum == delta.length)
+    assert(drift.forall(d => d._3 >= -1.0001 && d._3 <= 1.0001))
+    assert(drift.map(_._1).toSet == asn.values.toSet)
   }
 
   test("WAV codec: encode/decode round-trips header fields and every sample") {

@@ -604,6 +604,21 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** L2/L5 — dedup-group SIZE HISTOGRAM: how many clusters of each size
+    * the near-dup graph contains — the dedup REPORT a curation run reads
+    * before deciding thresholds (a fat tail of huge clusters means
+    * boilerplate; all-pairs means the threshold is too loose). Two
+    * K-bounded aggregations over the memoized q58 groups — the sizes
+    * frame is |clusters| rows, the histogram |distinct sizes|.
+    */
+  def dedupGroupSizes(spark: SparkSession, dir: String): DataFrame =
+    dedupGroups(spark, dir)
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("group_size"))
+
   /** PageRank damping and iteration count for [[similarityPageRank]]. */
   val PrAlpha = 0.85
   val PrIters = 10

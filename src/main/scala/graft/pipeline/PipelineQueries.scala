@@ -151,7 +151,12 @@ object PipelineQueries {
     "q138_bmp_decode" -> (Multimodal.bmpFeatures _),
     "q139_audio_frames" -> (Multimodal.wavFrameFeatures _),
     "q140_ann_delta_assign" -> (Similarity.annDeltaAssign _),
-    "q141_cell_drift" -> (Similarity.cellDrift _)
+    "q141_cell_drift" -> (Similarity.cellDrift _),
+    // q142 is rows-only: no SQL engine exposes deflate — gated by a
+    // same-kernel driver-equality test + synthetic discrimination bounds
+    // in PipelineSuite.
+    "q142_compression_ratio" -> (TextAnalysis.compressionRatio _),
+    "q143_dedup_group_sizes" -> (Dedup.dedupGroupSizes _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -247,6 +252,30 @@ object PipelineQueries {
        |asn AS (SELECT vec_id, cent_id, ccos FROM ar WHERE r = 1)""".stripMargin
     sb.toString
   }
+
+  /** The q58 connected-components CTE chain (recursive reachability over
+    * the exact near-dup pair graph), ending in `asng(doc_id,
+    * canonical_id)` — shared by q58 and q143's histogram rollup.
+    */
+  private val DedupGroupsBody =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id,
+      |        CASE WHEN len(w) >= 3
+      |             THEN list_distinct(list_transform(range(1, len(w)-1),
+      |                    i -> array_to_string(w[i:i+2], ' ')))
+      |             ELSE [] END AS sh
+      |      FROM d),
+      |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s WHERE len(sh) > 0),
+      |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2, count(*) AS c
+      |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, 3, 4),
+      |pr AS (SELECT d1, d2 FROM p WHERE 1.0*c/(n1+n2-c) >= 0.5),
+      |ed AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+      |r(a, b) AS (SELECT a, b FROM ed
+      |            UNION
+      |            SELECT r.a, ed.b FROM r JOIN ed ON r.b = ed.a),
+      |asng AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+      |         FROM r GROUP BY a)""".stripMargin
 
   private val CellCte: String = cellCteFor("", "")
 
@@ -625,25 +654,9 @@ object PipelineQueries {
     // Connected components of the q16 near-dup pair graph via a recursive
     // reachability CTE: component label = min doc_id reachable.
     "q58_dedup_groups" ->
-      """WITH RECURSIVE
-        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |s AS (SELECT doc_id,
-        |        CASE WHEN len(w) >= 3
-        |             THEN list_distinct(list_transform(range(1, len(w)-1),
-        |                    i -> array_to_string(w[i:i+2], ' ')))
-        |             ELSE [] END AS sh
-        |      FROM d),
-        |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s WHERE len(sh) > 0),
-        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2, count(*) AS c
-        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2, 3, 4),
-        |pr AS (SELECT d1, d2 FROM p WHERE 1.0*c/(n1+n2-c) >= 0.5),
-        |ed AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
-        |r(a, b) AS (SELECT a, b FROM ed
-        |            UNION
-        |            SELECT r.a, ed.b FROM r JOIN ed ON r.b = ed.a)
-        |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
-        |FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE
+        |$DedupGroupsBody
+        |SELECT doc_id, canonical_id FROM asng ORDER BY doc_id""".stripMargin,
 
     "q60_split" ->
       """SELECT doc_id,
@@ -1682,6 +1695,15 @@ object PipelineQueries {
       s"""$DeltaCellCte
          |SELECT cent_id, count(*)::BIGINT AS n_new,
          |  round(avg(ccos), 4) AS mean_fit
-         |FROM asn GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM asn GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q143: the dedup report — cluster-size histogram over the q58
+    // components (shared CTE chain).
+    "q143_dedup_group_sizes" ->
+      s"""WITH RECURSIVE
+         |$DedupGroupsBody,
+         |g AS (SELECT canonical_id, count(*) AS cnt FROM asng GROUP BY 1)
+         |SELECT cnt AS group_size, count(*)::BIGINT AS n_groups
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

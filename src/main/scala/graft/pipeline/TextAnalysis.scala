@@ -1824,6 +1824,55 @@ object TextAnalysis {
       .toDF("token", "est", "err_bound")
   }
 
+  // ---- compression-ratio quality signal ----------------------------------
+
+  /** Deflate level for [[compressionRatio]] — zlib's default. */
+  val DeflateLevel = 6
+
+  /** Compressed byte length of one payload under zlib deflate — the
+    * whole kernel is length-only (the compressed bytes never
+    * materialize beyond a scratch buffer).
+    */
+  private[pipeline] def deflateLen(bytes: Array[Byte]): Int = {
+    val d = new java.util.zip.Deflater(DeflateLevel, false)
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var n = 0
+    while (!d.finished()) n += d.deflate(buf, 0, buf.length)
+    d.end()
+    n
+  }
+
+  /** L4 — COMPRESSION-RATIO quality signal (the RefinedWeb/Dolma filter
+    * family): deflate ratio of the UTF-8 text. Highly repetitive or
+    * templated text compresses far below typical prose, and near-random
+    * noise compresses above it — a cheap, language-agnostic quality gate
+    * run before any learned filter. One narrow kernel pass (one Deflater
+    * per record, scratch buffer reused per call, length-only — the
+    * compressed stream is never kept); nothing shuffles before the
+    * output sort. Declared rows-only: no SQL engine exposes deflate, so
+    * the gate is a same-kernel driver-equality test plus synthetic
+    * discrimination bounds in PipelineSuite.
+    */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val c = deflateLen(b)
+        (id, b.length, c)
+      })
+      .toDF("doc_id", "n_bytes", "n_deflate")
+      .select(
+        col("doc_id"), col("n_bytes"), col("n_deflate"),
+        round(col("n_deflate").cast("double") / greatest(col("n_bytes"), lit(1)), 4)
+          .as("ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The composed end-of-pipeline query: the training manifest = documents
     * that (1) are their exact-dedup group's canonical member, (2) land in
     * the deterministic 'train' split, and (3) clear the quality gate —

@@ -243,6 +243,45 @@ class PipelineSuite extends AnyFunSuite {
     assert(lsh.size >= math.ceil(exact.size * 0.9).toInt, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("L4 compression ratio: kernel equality, repetition compresses below noise") {
+    import spark.implicits._
+    val docs = graft.rel.Queries.table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val expected = docs.map { case (id, t) =>
+      val b = t.getBytes("UTF-8")
+      val c = TextAnalysis.deflateLen(b)
+      (id, b.length, c, round4(c.toDouble / math.max(b.length, 1)))
+    }.toSeq
+    val got = TextAnalysis.compressionRatio(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // discrimination: pathological repetition compresses far below a
+    // high-entropy string of the same length
+    val rep = "spam ham " * 200
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(rep.length)((33 + rnd.nextInt(94)).toChar).mkString
+    val rRep = TextAnalysis.deflateLen(rep.getBytes("UTF-8")).toDouble / rep.length
+    val rNoise = TextAnalysis.deflateLen(noise.getBytes("UTF-8")).toDouble / noise.length
+    assert(rRep < 0.1 && rNoise > 0.5, s"rep $rRep noise $rNoise")
+    // real prose sits between the two pathologies
+    assert(got.forall(r => r._4 > rRep && r._4 < 1.5))
+  }
+
+  test("L2/L5 dedup-group sizes: histogram matches the group table, mass conserved") {
+    val groups = Dedup.dedupGroups(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expected = groups.groupBy(_._2).values.map(_.length)
+      .groupBy(identity).map { case (s, xs) => (s.toLong, xs.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = Dedup.dedupGroupSizes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // every clustered doc is accounted for exactly once
+    assert(got.map { case (s, n) => s * n }.sum == groups.length)
+    // components have >= 2 members by construction (pair graph)
+    assert(got.forall(_._1 >= 2))
+  }
+
   test("L2 LSH->CC composition: groups nest inside exact groups, recall >= 0.9") {
     val exact = Dedup.dedupGroups(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1485,7 +1485,8 @@ object PipelineQueries {
          |       LEFT JOIN tb ON tb.w1 = p.w1 AND tb.w2 = p.w2
          |       LEFT JOIN tw1 ON tw1.w1 = p.w1
          |       CROSS JOIN vv)
-         |SELECT doc_id, count(*) AS n_bigrams, round(avg(delta), 4) AS ml_score,
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(delta), 4) + 0.0 AS ml_score,
          |  round(avg(delta), 4) > 0 AS keep
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

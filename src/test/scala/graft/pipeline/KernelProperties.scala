@@ -33,6 +33,38 @@ object KernelProperties extends Properties("Kernels") {
     Dedup.shingleKernel(t).toSeq == Dedup.ngramKernel(t, 3).toSeq
   }
 
+  property("WAV codec round-trips header + samples for any (doc_id, n_chars)") =
+    forAll(Gen.choose(0L, 1000000L), Gen.choose(0, 5000)) { (docId, nChars) =>
+      val d = Multimodal.wavDecode(Multimodal.wavEncode(docId, nChars))
+      val n = Multimodal.wavSampleCount(nChars)
+      d.sampleRate == Multimodal.wavSampleRate(docId) &&
+      d.channels == 1 && d.bits == 16 &&
+      d.samples.length == n &&
+      (0 until n).forall(i => d.samples(i) == Multimodal.wavSample(docId, i))
+    }
+
+  property("BMP codec round-trips every pixel for any doc_id") =
+    forAll(Gen.choose(0L, 1000000L)) { docId =>
+      val d = Multimodal.bmpDecode(Multimodal.bmpEncode(docId))
+      d.width == Multimodal.bmpWidth(docId) &&
+      d.height == Multimodal.bmpHeight(docId) &&
+      (0 until d.height).forall(y => (0 until d.width).forall { x =>
+        d.rgb(y)(x * 3) == Multimodal.bmpR(docId, x, y) &&
+        d.rgb(y)(x * 3 + 1) == Multimodal.bmpG(docId, x, y) &&
+        d.rgb(y)(x * 3 + 2) == Multimodal.bmpB(docId, x, y)
+      })
+    }
+
+  property("deflateLen: deterministic, positive, and repetition-sensitive") =
+    forAll(text) { t =>
+      val b = (t + " tail").getBytes("UTF-8")
+      val once = TextAnalysis.deflateLen(b)
+      val rep = TextAnalysis.deflateLen(Array.fill(8)(b).flatten)
+      once == TextAnalysis.deflateLen(b) && once > 0 &&
+      // 8x self-repetition must compress to well under 8x the single copy
+      rep < 8 * once
+    }
+
   property("simhashKernel: deterministic; equal texts collide exactly") =
     forAll(text, text) { (a, b) =>
       (Dedup.simhashKernel(a) == Dedup.simhashKernel(a)) &&

@@ -55,6 +55,28 @@ object KernelProperties extends Properties("Kernels") {
       })
     }
 
+  property("boundedLevenshtein == full DP below cutoff, > cutoff above it") =
+    forAll(text, text, Gen.choose(0, 30)) { (a, b, k) =>
+      def full(x: String, y: String): Int = {
+        val dp = Array.tabulate(y.length + 1)(identity)
+        for (i <- 1 to x.length) {
+          var diag = dp(0)
+          dp(0) = i
+          for (j <- 1 to y.length) {
+            val t = dp(j)
+            dp(j) = math.min(
+              math.min(dp(j) + 1, dp(j - 1) + 1),
+              diag + (if (x.charAt(i - 1) == y.charAt(j - 1)) 0 else 1))
+            diag = t
+          }
+        }
+        dp(y.length)
+      }
+      val exact = full(a, b)
+      val got = Dedup.boundedLevenshtein(a, b, k)
+      if (exact <= k) got == exact else got > k
+    }
+
   property("deflateLen: deterministic, positive, and repetition-sensitive") =
     forAll(text) { t =>
       val b = (t + " tail").getBytes("UTF-8")

@@ -316,6 +316,23 @@ class PlanSuite extends AnyFunSuite {
     }
   }
 
+  test("q140/q141/q142: maintenance + quality additions keep their narrow shapes") {
+    // delta assignment and compression ratio are pure kernel passes — no
+    // hash exchange anywhere (only the presentation sort's range exchange)
+    for (df <- Seq(
+        graft.pipeline.Similarity.annDeltaAssign(spark, dir),
+        graft.pipeline.TextAnalysis.compressionRatio(spark, dir))) {
+      val ep = execPlan(df)
+      assert(!ep.contains("Exchange hashpartitioning"), ep)
+      assert(!ep.contains("Window"), ep)
+    }
+    // the drift rollup's ONLY hash exchange is the K-bounded cent_id
+    // aggregation (map-side partials first)
+    val ep = execPlan(graft.pipeline.Similarity.cellDrift(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(ep).size == 1, ep)
+    assert(ep.contains("partial_count") || ep.contains("partial"), ep)
+  }
+
   test("no declared query plans a cartesian product") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))

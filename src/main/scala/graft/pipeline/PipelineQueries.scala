@@ -156,7 +156,8 @@ object PipelineQueries {
     // same-kernel driver-equality test + synthetic discrimination bounds
     // in PipelineSuite.
     "q142_compression_ratio" -> (TextAnalysis.compressionRatio _),
-    "q143_dedup_group_sizes" -> (Dedup.dedupGroupSizes _)
+    "q143_dedup_group_sizes" -> (Dedup.dedupGroupSizes _),
+    "q144_vocab_growth" -> (TextAnalysis.vocabGrowth _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1705,6 +1706,29 @@ object PipelineQueries {
          |$DedupGroupsBody,
          |g AS (SELECT canonical_id, count(*) AS cnt FROM asng GROUP BY 1)
          |SELECT cnt AS group_size, count(*)::BIGINT AS n_groups
-         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q144: "distinct within prefix p" == "first occurrence <= p" — the
+    // rewrite that makes the Heaps curve one min-agg + ten threshold
+    // counts instead of ten distinct-scans. All integer arithmetic;
+    // global positions from the doc_id-ordered running token offset.
+    "q144_vocab_growth" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |n AS (SELECT doc_id, len(w)::BIGINT AS nt FROM d),
+         |o AS (SELECT doc_id,
+         |        coalesce(sum(nt) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doff
+         |      FROM n),
+         |tok AS (SELECT doc_id, w[i] AS t, i FROM
+         |        (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i FROM d)),
+         |g AS (SELECT tok.t, min(o.doff + tok.i) AS fp
+         |      FROM tok JOIN o USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT sum(nt)::BIGINT AS n FROM n),
+         |dec AS (SELECT r.i::INT AS decile,
+         |          ((tot.n * r.i) // ${TextAnalysis.VocabGrowthDeciles})::BIGINT AS prefix_tokens
+         |        FROM range(1, ${TextAnalysis.VocabGrowthDeciles} + 1) r(i) CROSS JOIN tot)
+         |SELECT dec.decile, dec.prefix_tokens, count(g.t)::BIGINT AS vocab
+         |FROM dec LEFT JOIN g ON g.fp <= dec.prefix_tokens
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin
   )
 }

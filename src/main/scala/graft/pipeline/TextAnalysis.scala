@@ -1824,6 +1824,77 @@ object TextAnalysis {
       .toDF("token", "est", "err_bound")
   }
 
+  // ---- vocabulary-growth (Heaps-law) curve -------------------------------
+
+  /** Ordered buckets for [[vocabGrowth]]'s distributed prefix sum. */
+  val VocabGrowthBuckets = 256
+  val VocabGrowthDeciles = 10
+
+  /** L4/L5 — VOCABULARY-GROWTH curve (the Heaps-law audit): distinct
+    * tokens seen after each decile of the doc_id-ordered token stream.
+    * The corpus diagnostic behind "is more data still adding vocabulary"
+    * — a flattening curve means new documents rehash the same tokens
+    * (crawl saturation); a straight line on log-log is healthy Heaps
+    * growth. The tokenizer-vocab and OOV audits (q48/q130) read the END
+    * of this curve; the curve itself shows WHERE growth stopped.
+    *
+    * Exactly computable at scale because "distinct within prefix p"
+    * rewrites as "first occurrence ≤ p": global token positions come
+    * from the q100 two-pass bucketed prefix sum (per-bucket totals +
+    * window over the BOUNDED bucket table, never a corpus-wide window),
+    * first occurrences are one min-aggregation, and the ten decile
+    * counts join the |vocabulary|-sized first-occurrence table against
+    * a broadcast 10-row threshold frame. All integer arithmetic.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val base = docs
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("nt"))
+      .withColumn(
+        "bkt", (col("doc_id") * VocabGrowthBuckets / (maxId + 1)).cast("int"))
+    // pass 1: per-bucket token totals; bucket offsets via a window over
+    // the ≤ VocabGrowthBuckets-row side table
+    val offsets = base
+      .groupBy(col("bkt"))
+      .agg(sum(col("nt")).as("bkt_tokens"))
+      .withColumn(
+        "boff",
+        coalesce(
+          sum(col("bkt_tokens")).over(
+            Window.orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bkt"), col("boff"))
+    // pass 2: within-bucket running offset per doc, then global first
+    // occurrence per token
+    val wDoc = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+    val withOff = base
+      .join(broadcast(offsets), "bkt")
+      .withColumn(
+        "doff",
+        col("boff") + coalesce(
+          sum(col("nt")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    val firstPos = withOff
+      .select(col("doff"), posexplode(col("w")).as(Seq("i", "tok")))
+      .select(col("tok"), (col("doff") + col("i") + 1).as("gpos"))
+      .groupBy(col("tok"))
+      .agg(min(col("gpos")).as("fp"))
+    val total = base.agg(sum(col("nt"))).collect()(0).getLong(0)
+    val deciles = (1 to VocabGrowthDeciles)
+      .map(i => (i, total * i / VocabGrowthDeciles))
+    import spark.implicits._
+    firstPos
+      .join(
+        broadcast(deciles.toDF("decile", "prefix_tokens")),
+        col("fp") <= col("prefix_tokens"))
+      .groupBy(col("decile"), col("prefix_tokens"))
+      .agg(count(lit(1)).as("vocab"))
+      .orderBy(col("decile"))
+  }
+
   // ---- compression-ratio quality signal ----------------------------------
 
   /** Deflate level for [[compressionRatio]] — zlib's default. */

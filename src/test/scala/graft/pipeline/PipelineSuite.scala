@@ -243,6 +243,23 @@ class PipelineSuite extends AnyFunSuite {
     assert(lsh.size >= math.ceil(exact.size * 0.9).toInt, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("L4/L5 vocab growth: deciles match the driver first-occurrence model") {
+    import spark.implicits._
+    val docs = graft.rel.Queries.table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val stream = docs.flatMap { case (_, t) => t.split(" ", -1) }
+    val expected = (1 to TextAnalysis.VocabGrowthDeciles).map { i =>
+      val p = (stream.length.toLong * i) / TextAnalysis.VocabGrowthDeciles
+      (i, p, stream.take(p.toInt).distinct.length.toLong)
+    }
+    val got = TextAnalysis.vocabGrowth(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the curve is monotone and ends at the full corpus vocabulary
+    assert(got.map(_._3) == got.map(_._3).sorted)
+    assert(got.last._3 == stream.distinct.length.toLong)
+  }
+
   test("L4 compression ratio: kernel equality, repetition compresses below noise") {
     import spark.implicits._
     val docs = graft.rel.Queries.table(spark, dir, "documents")

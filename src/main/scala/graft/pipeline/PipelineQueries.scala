@@ -157,7 +157,8 @@ object PipelineQueries {
     // in PipelineSuite.
     "q142_compression_ratio" -> (TextAnalysis.compressionRatio _),
     "q143_dedup_group_sizes" -> (Dedup.dedupGroupSizes _),
-    "q144_vocab_growth" -> (TextAnalysis.vocabGrowth _)
+    "q144_vocab_growth" -> (TextAnalysis.vocabGrowth _),
+    "q145_semantic_decontam" -> (Similarity.semanticDecontam _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1729,6 +1730,30 @@ object PipelineQueries {
          |        FROM range(1, ${TextAnalysis.VocabGrowthDeciles} + 1) r(i) CROSS JOIN tot)
          |SELECT dec.decile, dec.prefix_tokens, count(g.t)::BIGINT AS vocab
          |FROM dec LEFT JOIN g ON g.fp <= dec.prefix_tokens
-         |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // q145: semantic decontamination — nearest bench embedding per
+    // training doc (argmax cosine, ties to the lowest bench id) + the
+    // threshold flag. Same determinism argument as q19/q112; the bench
+    // side carries the qcap query-set cap.
+    "q145_semantic_decontam" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ds AS (SELECT doc_id, source FROM documents),
+         |n AS (SELECT e.vec_id, ds.source, v, sqrt(list_dot_product(v, v)) AS nrm
+         |      FROM e JOIN ds ON ds.doc_id = e.vec_id),
+         |qcap AS (SELECT doc_id FROM documents WHERE source = '${Dedup.BenchSource}'
+         |         ORDER BY substr(md5('${TextAnalysis.QueryCapSalt}' || doc_id), 1, 12), doc_id
+         |         LIMIT ${TextAnalysis.MaxQueries}),
+         |sc AS (SELECT c.vec_id, b.vec_id AS bench_id,
+         |         list_dot_product(b.v, c.v) / (b.nrm * c.nrm) AS cos,
+         |         row_number() OVER (PARTITION BY c.vec_id
+         |           ORDER BY list_dot_product(b.v, c.v) / (b.nrm * c.nrm) DESC, b.vec_id) AS r
+         |       FROM n c JOIN n b
+         |       ON b.source = '${Dedup.BenchSource}'
+         |        AND b.vec_id IN (SELECT doc_id FROM qcap)
+         |        AND c.source <> '${Dedup.BenchSource}')
+         |SELECT vec_id, bench_id, round(cos, 4) AS max_bench_cos,
+         |  cos >= ${Similarity.SemDecontCosine} AS is_contaminated
+         |FROM sc WHERE r = 1 ORDER BY vec_id""".stripMargin
   )
 }

@@ -1220,6 +1220,69 @@ object Similarity {
       .orderBy(col("cent_id"))
   }
 
+  /** Cosine threshold above which a training document counts as a
+    * semantic duplicate of a benchmark item ([[semanticDecontam]]).
+    */
+  val SemDecontCosine = 0.35
+
+  /** L2/L3 — SEMANTIC benchmark decontamination: the embedding-level
+    * twin of the lexical n-gram pass (q54). Lexical overlap misses
+    * paraphrased eval items — the leak modern pipelines actually worry
+    * about — so each training document is scored against the bench
+    * suite's EMBEDDINGS and flagged when its nearest bench item clears
+    * [[SemDecontCosine]]. Every corpus doc emits its nearest bench item
+    * and the cosine, so the output doubles as the leakage-audit report.
+    *
+    * Scale shape: the bench side is the [[graft.pipeline.TextAnalysis
+    * .benchQueryIds]]-capped query set — a FIXED-size broadcast — and
+    * the corpus is scored in one broadcast nested loop with a per-row
+    * running argmax (no |corpus|×|bench| rows ever materialize, no
+    * shuffle before the output sort). Exact arithmetic end to end, so
+    * unlike the LSH families this gate is fully hash-checked.
+    */
+  def semanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val emb = vectors(spark, dir).join(docs, col("vec_id") === col("doc_id"))
+    val bench = emb
+      .filter(col("source") === graft.pipeline.Dedup.BenchSource
+        && TextAnalysis.isBenchQuery(spark, dir, col("vec_id")))
+      .select(col("vec_id"), col("v"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .collect()
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(bench)
+    emb.filter(col("source") =!= graft.pipeline.Dedup.BenchSource)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val bs = bc.value
+        it.map { case (id, v, nrm) =>
+          // running argmax, ties to the lowest bench id (ascending scan
+          // with strict > — the nearestCells order contract)
+          var bestId = -1L
+          var bestCos = Double.NegativeInfinity
+          var i = 0
+          while (i < bs.length) {
+            val b = bs(i)
+            var d = 0.0
+            var j = 0
+            while (j < v.length) { d += v(j) * b._2(j); j += 1 }
+            val cos = d / (nrm * b._3)
+            if (cos > bestCos) { bestCos = cos; bestId = b._1 }
+            i += 1
+          }
+          (id, bestId, bestCos)
+        }
+      }
+      .toDF("vec_id", "bench_id", "cos_raw")
+      .select(
+        col("vec_id"), col("bench_id"),
+        round(col("cos_raw"), 4).as("max_bench_cos"),
+        (col("cos_raw") >= SemDecontCosine).as("is_contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- label-aware mining + diagnostics ---------------------------------
 
   /** Negatives kept per anchor by [[hardNegatives]]. */

@@ -243,6 +243,33 @@ class PipelineSuite extends AnyFunSuite {
     assert(lsh.size >= math.ceil(exact.size * 0.9).toInt, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("L2/L3 semantic decontam: nearest bench item matches brute force, both flags occur") {
+    import spark.implicits._
+    val src = graft.rel.Queries.table(spark, dir, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val all = graft.rel.Queries.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) => (id, v, math.sqrt(v.map(x => x * x).sum)) }
+    def benchKey(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((TextAnalysis.QueryCapSalt + id).getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.take(12)
+    }
+    val bench = all.filter(t => src(t._1) == Dedup.BenchSource)
+      .sortBy(t => (benchKey(t._1), t._1)).take(TextAnalysis.MaxQueries)
+    val expected = all.filter(t => src(t._1) != Dedup.BenchSource).map { c =>
+      val (bid, cos) = bench.map { b =>
+        (b._1, b._2.zip(c._2).map { case (x, y) => x * y }.sum / (b._3 * c._3))
+      }.maxBy { case (id, cs) => (cs, -id) }
+      (c._1, bid, round4(cos), cos >= Similarity.SemDecontCosine)
+    }.sortBy(_._1).toSeq
+    val got = Similarity.semanticDecontam(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._4) && got.exists(!_._4)) // the threshold discriminates
+  }
+
   test("L4/L5 vocab growth: deciles match the driver first-occurrence model") {
     import spark.implicits._
     val docs = graft.rel.Queries.table(spark, dir, "documents")

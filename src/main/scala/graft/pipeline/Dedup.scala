@@ -137,15 +137,36 @@ object Dedup {
       rows: DataFrame,
       cap: Option[Int]): DataFrame = {
     import spark.implicits._
-    val postings = rows
-      .groupBy(col("s"))
-      .agg(collect_list(struct(col("doc_id").as("_1"), col("n_sh").as("_2"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    cap.fold(postings)(c => postings.filter(size(col("ids")) <= c))
-      .select(col("ids"))
-      .as[Array[(Long, Int)]]
-      .flatMap(ids => expandPairs(ids.sortBy(_._1)) { case ((d1, n1), (d2, n2)) => (d1, d2, n1, n2) })
-      .toDF("d1", "d2", "n1", "n2")
+    cap match {
+      case None =>
+        rows
+          .groupBy(col("s"))
+          .agg(collect_list(struct(col("doc_id").as("_1"), col("n_sh").as("_2"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(col("ids"))
+          .as[Array[(Long, Int)]]
+          .flatMap(ids =>
+            expandPairs(ids.sortBy(_._1)) { case ((d1, n1), (d2, n2)) => (d1, d2, n1, n2) })
+          .toDF("d1", "d2", "n1", "n2")
+      case Some(c) =>
+        // bounded-buffer collect: a hot shingle's aggregation state is
+        // O(cap), not O(postings) — identical output (kept lists fit
+        // entirely; cap+1-length groups are exactly the size-filter drops)
+        rows
+          .select(col("s"), col("doc_id"), col("n_sh"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(new graft.rel.TopK.BoundedCollectAgg[(Long, Int)](c).toColumn.name("ids"))
+          .flatMap { case (_, ids) =>
+            if (ids.lengthCompare(1) > 0 && ids.lengthCompare(c) <= 0)
+              expandPairs(ids.sortBy(_._1).toArray) {
+                case ((d1, n1), (d2, n2)) => (d1, d2, n1, n2)
+              }
+            else Seq.empty
+          }
+          .toDF("d1", "d2", "n1", "n2")
+    }
   }
 
   private def pairCommonCounts(spark: SparkSession, docs: DataFrame, cap: Option[Int]): DataFrame =
@@ -393,14 +414,31 @@ object Dedup {
       cap: Option[Int],
       outCol: String): DataFrame = {
     import spark.implicits._
-    val grouped = wins
-      .groupBy(col("h1"), col("h2"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-    cap.fold(grouped)(c => grouped.filter(size(col("ids")) <= c))
-      .select(col("ids"))
-      .as[Array[Long]]
-      .flatMap(ids => expandPairs(ids.sorted)((a, b) => (a, b)))
+    val pairs = cap match {
+      case None =>
+        wins
+          .groupBy(col("h1"), col("h2"))
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(col("ids"))
+          .as[Array[Long]]
+          .flatMap(ids => expandPairs(ids.sorted)((a, b) => (a, b)))
+      case Some(c) =>
+        // bounded-buffer collect (see expandCoOccurrences): hot
+        // fingerprints never materialize their full posting list
+        wins
+          .select(col("h1"), col("h2"), col("doc_id"))
+          .as[(Long, Long, Long)]
+          .groupByKey(t => (t._1, t._2))
+          .mapValues(_._3)
+          .agg(new graft.rel.TopK.BoundedCollectAgg[Long](c).toColumn.name("ids"))
+          .flatMap { case (_, ids) =>
+            if (ids.lengthCompare(1) > 0 && ids.lengthCompare(c) <= 0)
+              expandPairs(ids.sorted.toArray)((a, b) => (a, b))
+            else Seq.empty
+          }
+    }
+    pairs
       .toDF("d1", "d2")
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as(outCol))
@@ -1214,11 +1252,16 @@ object Dedup {
     val corpus = docs.filter(!isDelta)
     val deltaEx = delta.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
     // capped standing index: hot posting lists never materialize into the
-    // probe path — the per-shingle row is ≤ cap entries by construction
+    // probe path — the per-shingle row is ≤ cap entries by construction,
+    // and (r12) the aggregation BUFFER is too (BoundedCollectAgg)
     val corpusPost = corpus
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-      .groupBy(col("s"))
-      .agg(collect_list(struct(col("doc_id").as("_1"), col("n_sh").as("_2"))).as("ids"))
+      .select(col("s"), col("doc_id"), col("n_sh"))
+      .as[(String, Long, Int)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.rel.TopK.BoundedCollectAgg[(Long, Int)](MaxPostings).toColumn.name("ids"))
+      .toDF("s", "ids")
       .filter(size(col("ids")) <= MaxPostings)
     val crossPairs = deltaEx
       .join(corpusPost, "s")

@@ -70,6 +70,29 @@ object TopK {
       ExpressionEncoder[Seq[(Double, I)]]()
   }
 
+  /** Size-bounded collect_list: the buffer never holds more than
+    * `cap + 1` elements — one element past the cap already proves the
+    * group will be dropped by its ≤-cap consumer, so accumulation stops
+    * there. For every KEPT group the output is exactly collect_list's
+    * (all elements fit under the cap); for a hot group the aggregation
+    * state is O(cap) instead of O(group size) — the difference between a
+    * 65-entry buffer and a 10⁷-struct buffer for one boilerplate shingle
+    * at 100 TB. Callers must still filter `length <= cap` on the output
+    * (the cap+1-length marker IS the over-cap signal).
+    */
+  class BoundedCollectAgg[V](cap: Int)(implicit tt: TypeTag[V])
+      extends Aggregator[V, Seq[V], Seq[V]] {
+    override def zero: Seq[V] = Nil
+    override def reduce(buf: Seq[V], v: V): Seq[V] =
+      if (buf.lengthCompare(cap + 1) >= 0) buf else buf :+ v
+    override def merge(a: Seq[V], b: Seq[V]): Seq[V] =
+      if (a.lengthCompare(cap + 1) >= 0) a
+      else (a ++ b).take(cap + 1)
+    override def finish(buf: Seq[V]): Seq[V] = buf
+    override def bufferEncoder: Encoder[Seq[V]] = ExpressionEncoder[Seq[V]]()
+    override def outputEncoder: Encoder[Seq[V]] = ExpressionEncoder[Seq[V]]()
+  }
+
   /** (group, score, id) → (group, rnk ∈ 1..k, id, score), ranked by
     * (score desc, id asc) within each group.
     */

@@ -1062,11 +1062,16 @@ object Events {
           })
           .toDF("c_id", "sh")
           .select(col("c_id"), size(col("sh")).as("n2"), explode(col("sh")).as("s"))
-          .groupBy(col("s"))
-          .agg(collect_list(struct(col("c_id"), col("n2"))).as("ids"))
+          .select(col("s"), col("c_id"), col("n2"))
+          .as[(String, Long, Int)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(new graft.rel.TopK.BoundedCollectAgg[(Long, Int)](
+            graft.pipeline.Dedup.MaxPostings).toColumn.name("ids"))
+          .toDF("s", "ids")
           .filter(size(col("ids")) <= graft.pipeline.Dedup.MaxPostings)
           .select(col("s"), explode(col("ids")).as("e"))
-          .select(col("e.c_id").as("c_id"), col("e.n2").as("n2"), col("s"))
+          .select(col("e._1").as("c_id"), col("e._2").as("n2"), col("s"))
           .write.mode("overwrite").parquet(path)
         path
       })

@@ -1850,13 +1850,15 @@ object TextAnalysis {
     val docs = table(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
-    val base = docs
-      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("nt"))
+    // the prefix-sum side works on a SLIM (doc_id, nt) frame — no token
+    // arrays ever enter a window or a sort
+    val slim = docs
+      .select(col("doc_id"), size(col("w")).cast("long").as("nt"))
       .withColumn(
         "bkt", (col("doc_id") * VocabGrowthBuckets / (maxId + 1)).cast("int"))
     // pass 1: per-bucket token totals; bucket offsets via a window over
     // the ≤ VocabGrowthBuckets-row side table
-    val offsets = base
+    val offsets = slim
       .groupBy(col("bkt"))
       .agg(sum(col("nt")).as("bkt_tokens"))
       .withColumn(
@@ -1867,22 +1869,27 @@ object TextAnalysis {
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("bkt"), col("boff"))
-    // pass 2: within-bucket running offset per doc, then global first
-    // occurrence per token
+    // pass 2: within-bucket running offset per doc over the slim frame
     val wDoc = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
-    val withOff = base
+    val doff = slim
       .join(broadcast(offsets), "bkt")
       .withColumn(
         "doff",
         col("boff") + coalesce(
           sum(col("nt")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-    val firstPos = withOff
-      .select(col("doff"), posexplode(col("w")).as(Seq("i", "tok")))
-      .select(col("tok"), (col("doff") + col("i") + 1).as("gpos"))
+      .select(col("doc_id"), col("doff"))
+    // first occurrence per token = min (doc_id, pos) — a map-side-partial
+    // min over the exploded corpus, NO window; the |vocabulary|-sized
+    // result then joins the per-doc offsets to become a global position
+    val firstPos = docs
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "tok")))
       .groupBy(col("tok"))
-      .agg(min(col("gpos")).as("fp"))
-    val total = base.agg(sum(col("nt"))).collect()(0).getLong(0)
+      .agg(min(struct(col("doc_id"), col("i"))).as("m"))
+      .select(col("tok"), col("m.doc_id").as("doc_id"), col("m.i").as("i"))
+      .join(doff, "doc_id")
+      .select(col("tok"), (col("doff") + col("i") + 1).as("fp"))
+    val total = slim.agg(sum(col("nt"))).collect()(0).getLong(0)
     val deciles = (1 to VocabGrowthDeciles)
       .map(i => (i, total * i / VocabGrowthDeciles))
     import spark.implicits._

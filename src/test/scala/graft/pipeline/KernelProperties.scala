@@ -55,6 +55,25 @@ object KernelProperties extends Properties("Kernels") {
       })
     }
 
+  property("BoundedCollectAgg: kept groups == unbounded collect; hot groups stop at cap+1") =
+    forAll(Gen.listOf(Gen.choose(0L, 50L)), Gen.choose(0, 10), Gen.choose(1, 5)) {
+      (xs, cap, nChunks) =>
+        val agg = new graft.rel.TopK.BoundedCollectAgg[Long](cap)
+        // simulate the distributed shape: partial reduce per chunk, then merge
+        val chunks = if (xs.isEmpty) Seq(Seq.empty[Long])
+          else xs.grouped(math.max(1, xs.length / nChunks)).toSeq
+        val merged = chunks
+          .map(_.foldLeft(agg.zero)(agg.reduce))
+          .reduce(agg.merge)
+        val out = agg.finish(merged)
+        if (xs.lengthCompare(cap) <= 0)
+          // kept group: exactly the unbounded collect's multiset
+          out.sorted == xs.sorted
+        else
+          // hot group: the buffer stopped at cap+1 — the drop marker
+          out.lengthCompare(cap + 1) == 0 && out.forall(xs.contains)
+    }
+
   property("boundedLevenshtein == full DP below cutoff, > cutoff above it") =
     forAll(text, text, Gen.choose(0, 30)) { (a, b, k) =>
       def full(x: String, y: String): Int = {

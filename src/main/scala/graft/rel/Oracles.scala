@@ -306,6 +306,69 @@ object Oracles {
         |       coalesce(changes.new_price, base.o_totalprice) AS o_totalprice
         |FROM base FULL OUTER JOIN changes ON base.o_orderkey = changes.k
         |WHERE changes.op IS NULL OR changes.op <> 'D'
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // q146: the textbook correlated-min form — equality against the
+    // part's own min compares the SAME double on both engines.
+    "q146_cheapest_supplier" ->
+      """SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+        | round(l.l_extendedprice, 2) AS best_price
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |WHERE l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                           FROM lineitem l2
+        |                           WHERE l2.l_partkey = l.l_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+
+    // q147: IN (GROUP BY ... HAVING) — quantities are integer-valued, so
+    // the sums and the 180 threshold are exact.
+    "q147_large_orders" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        | round(o.o_totalprice, 2) AS o_totalprice, q.total_qty
+        |FROM orders o
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180) q
+        |ON q.l_orderkey = o.o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+
+    // q148: scalar-avg subquery + NOT EXISTS. The avg threshold sits in
+    // the gaps between 2-decimal balances, so cross-engine
+    // accumulation-order noise (~1e-12) cannot flip a row.
+    "q148_rich_inactive" ->
+      """SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS c_acctbal
+        |FROM customer c
+        |WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |AND NOT EXISTS (SELECT 1 FROM orders o
+        |                WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // q149: the double-correlated EXISTS / NOT EXISTS form of the
+    // Spark side's set algebra.
+    "q149_lone_late_supplier" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+        |FROM late lt JOIN supplier s ON s.s_suppkey = lt.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = lt.l_orderkey
+        |              AND l2.l_suppkey <> lt.l_suppkey)
+        |AND NOT EXISTS (SELECT 1 FROM late l3
+        |                WHERE l3.l_orderkey = lt.l_orderkey
+        |                AND l3.l_suppkey <> lt.l_suppkey)
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey""".stripMargin,
+
+    // q150: NOT IN + count-distinct; the below-average exclusion reuses
+    // the q148 gap argument.
+    "q150_supplier_diversity" ->
+      """SELECT p.p_brand, p.p_type, count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                          WHERE s_acctbal < (SELECT avg(s_acctbal) FROM supplier))
+        |GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin
   )
 }

@@ -623,6 +623,151 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  // ---- decision-support subquery shapes (the TPC-H Q2/Q18/Q22/Q21/Q16
+  // families adapted to this schema) -------------------------------------
+
+  /** R3/R4 — CHEAPEST SUPPLIER PER PART (the TPC-H Q2 correlated-min
+    * shape): for every part sold, the supplier(s) whose line price is
+    * the part's minimum. Catalyst decorrelates the textbook correlated
+    * scalar subquery into exactly this aggregate + equi-join, so the
+    * plan is written directly: one map-side-partial min per part, joined
+    * back on (part, price) equality — exact because each side compares
+    * the SAME double. Dim joins (part, supplier) broadcast.
+    */
+  def q146CheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val minPrice = li.groupBy(col("l_partkey")).agg(min(col("l_extendedprice")).as("mn"))
+    li.join(minPrice, "l_partkey")
+      .filter(col("l_extendedprice") === col("mn"))
+      .select(col("l_partkey"), col("l_suppkey"), col("mn"))
+      .distinct()
+      .join(broadcast(table(spark, dir, "part").select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(table(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(
+        col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        round(col("mn"), 2).as("best_price"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
+  /** Minimum order quantity for [[q147LargeOrders]] — the p90 of this
+    * generator's per-order quantity totals.
+    */
+  val LargeOrderQty = 180
+
+  /** R4 — LARGE-VOLUME ORDERS (the TPC-H Q18 IN-subquery + HAVING
+    * shape): orders whose total line quantity clears [[LargeOrderQty]],
+    * with their customer. The IN (GROUP BY … HAVING) subquery becomes a
+    * pre-aggregated semi-side joined on the order key; quantities are
+    * integer-valued doubles, so the sums and the threshold are exact.
+    */
+  def q147LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qty = table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > LargeOrderQty)
+    table(spark, dir, "orders")
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(table(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  /** Order-value threshold for [[q148RichInactive]]'s NOT EXISTS side. */
+  val BigOrderPrice = 300000.0
+
+  /** R4/R7 — RICH-BUT-INACTIVE CUSTOMERS (the TPC-H Q22 scalar-subquery
+    * + anti-join shape): customers above the average positive account
+    * balance who never placed an order above [[BigOrderPrice]]. The
+    * scalar subquery stays IN-PLAN as a broadcast 1-row cross join (no
+    * driver collect), the NOT EXISTS is a left-anti join against the
+    * filtered orders.
+    */
+  def q148RichInactive(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val bigOrders = table(spark, dir, "orders")
+      .filter(col("o_totalprice") > BigOrderPrice)
+      .select(col("o_custkey"))
+    cust
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Ship-delay horizon for [[q149LoneLateSupplier]]. */
+  val LateDays = 60
+
+  /** R3/R4 — LONE LATE SUPPLIER (the TPC-H Q21 double-correlated
+    * EXISTS / NOT EXISTS shape): per supplier, the number of multi-
+    * supplier orders on which they shipped > [[LateDays]] past the
+    * order date while EVERY other supplier on the order shipped on
+    * time. The two correlated subqueries become set algebra — "exists
+    * another supplier" = per-order distinct-supplier count ≥ 2,
+    * "no other late supplier" = per-order late-supplier count == 1 —
+    * all map-side-partial aggregations and semi-joins; timestamps
+    * compare exactly on both engines.
+    */
+  def q149LoneLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = li
+      .join(
+        table(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .distinct()
+    val multiSupp = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= 2)
+      .select(col("l_orderkey"))
+    val lateCnt = late
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("nl"))
+      .filter(col("nl") === 1)
+      .select(col("l_orderkey"))
+    late
+      .join(multiSupp, "l_orderkey", "left_semi")
+      .join(lateCnt, "l_orderkey", "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(table(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
+
+  /** R4 — SUPPLIER DIVERSITY PER PART LINE (the TPC-H Q16 NOT IN +
+    * count-distinct shape): distinct suppliers per (brand, type),
+    * excluding suppliers below the average supplier balance. The NOT IN
+    * subquery is a broadcast left-anti join; the distinct count keeps
+    * its partial phase.
+    */
+  def q150SupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val sup = table(spark, dir, "supplier")
+    val avgBal = sup.agg(avg(col("s_acctbal")).as("avg_bal"))
+    val excluded = sup.crossJoin(broadcast(avgBal))
+      .filter(col("s_acctbal") < col("avg_bal"))
+      .select(col("s_suppkey"))
+    table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(table(spark, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -656,6 +801,11 @@ object Queries {
     "q65_mr_wordcount_algebraic" -> (q65MrWordCountAlgebraic _),
     "q72_daily_stats" -> (q72DailyStats _),
     "q92_full_outer_join" -> (q92FullOuterJoin _),
-    "q93_merge_upsert" -> (q93MergeUpsert _)
+    "q93_merge_upsert" -> (q93MergeUpsert _),
+    "q146_cheapest_supplier" -> (q146CheapestSupplier _),
+    "q147_large_orders" -> (q147LargeOrders _),
+    "q148_rich_inactive" -> (q148RichInactive _),
+    "q149_lone_late_supplier" -> (q149LoneLateSupplier _),
+    "q150_supplier_diversity" -> (q150SupplierDiversity _)
   )
 }

@@ -316,6 +316,25 @@ class PlanSuite extends AnyFunSuite {
     }
   }
 
+  test("q146-q150: decision-support subquery shapes run as the intended joins") {
+    // correlated min decorrelates to a partial-agg + equi-join, dims broadcast
+    val p146 = plan(Queries.q146CheapestSupplier(spark, dir))
+    assert(p146.contains("partial_min"), p146)
+    assert(p146.contains("BroadcastHashJoin"), p146)
+    // NOT EXISTS runs as a left-anti join, the scalar avg stays in-plan
+    val p148 = plan(Queries.q148RichInactive(spark, dir))
+    assert(p148.contains("LeftAnti"), p148)
+    assert(p148.contains("BroadcastNestedLoopJoin") || p148.contains("BroadcastHashJoin"), p148)
+    // the EXISTS / NOT EXISTS pair becomes two semi-joins over
+    // pre-aggregated order sets
+    val p149 = plan(Queries.q149LoneLateSupplier(spark, dir))
+    assert("LeftSemi".r.findAllIn(p149).size >= 2, p149)
+    // NOT IN = anti join; the distinct count keeps a partial phase
+    val p150 = plan(Queries.q150SupplierDiversity(spark, dir))
+    assert(p150.contains("LeftAnti"), p150)
+    assert(p150.contains("partial_count(distinct") || p150.contains("count(distinct"), p150)
+  }
+
   test("q140/q141/q142: maintenance + quality additions keep their narrow shapes") {
     // delta assignment and compression ratio are pure kernel passes — no
     // hash exchange anywhere (only the presentation sort's range exchange)

@@ -369,6 +369,47 @@ object Oracles {
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
         |                          WHERE s_acctbal < (SELECT avg(s_acctbal) FROM supplier))
-        |GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
+
+    // q151: one row per FK edge — counts are exact integers.
+    "q151_fk_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'orders.o_custkey->customer' AS fk_edge,
+        |    (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+        |    (SELECT count(*) FROM orders o WHERE o.o_custkey NOT IN
+        |      (SELECT c_custkey FROM customer))::BIGINT AS n_orphans
+        |  UNION ALL SELECT 'lineitem.l_orderkey->orders',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_orderkey NOT IN
+        |      (SELECT o_orderkey FROM orders))
+        |  UNION ALL SELECT 'lineitem.l_partkey->part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_partkey NOT IN
+        |      (SELECT p_partkey FROM part))
+        |  UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier))
+        |  UNION ALL SELECT 'customer.c_nationkey->nation',
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer c WHERE c.c_nationkey NOT IN
+        |      (SELECT n_nationkey FROM nation))
+        |  UNION ALL SELECT 'supplier.s_nationkey->nation',
+        |    (SELECT count(*) FROM supplier),
+        |    (SELECT count(*) FROM supplier s WHERE s.s_nationkey NOT IN
+        |      (SELECT n_nationkey FROM nation))
+        |  UNION ALL SELECT 'nation.n_regionkey->region',
+        |    (SELECT count(*) FROM nation),
+        |    (SELECT count(*) FROM nation n WHERE n.n_regionkey NOT IN
+        |      (SELECT r_regionkey FROM region)))
+        |ORDER BY fk_edge""".stripMargin,
+
+    // q152: the oracle is the FULL recompute — a green gate proves the
+    // Spark side's base+delta partial merge equivalent to it, which is
+    // the materialized-view-maintenance contract.
+    "q152_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_spend
+        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin
   )
 }

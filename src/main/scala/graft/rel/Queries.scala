@@ -768,6 +768,78 @@ object Queries {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
   }
 
+  /** R4/R7 — REFERENTIAL-INTEGRITY AUDIT: every foreign-key edge of the
+    * schema, with its row count and orphan count (rows whose key misses
+    * the referenced table — a left-anti join per edge). The dbt-style
+    * data test a warehouse runs after every load; on this generator all
+    * edges audit clean, and the suite proves the detector by corrupting
+    * a copy. Each edge is one broadcast-able anti-join + two counts —
+    * per-edge cost is a scan, never a shuffle of the referenced side.
+    */
+  def q151FkAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def edge(
+        name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): (String, Long, Long) = {
+      val total = child.count()
+      val orphans = child
+        .join(broadcast(parent.select(col(pkey))), col(key) === col(pkey), "left_anti")
+        .count()
+      (name, total, orphans)
+    }
+    val li = table(spark, dir, "lineitem")
+    val od = table(spark, dir, "orders")
+    val rows = Seq(
+      edge("orders.o_custkey->customer", od, "o_custkey",
+        table(spark, dir, "customer"), "c_custkey"),
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey", od, "o_orderkey"),
+      edge("lineitem.l_partkey->part", li, "l_partkey",
+        table(spark, dir, "part"), "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        table(spark, dir, "supplier"), "s_suppkey"),
+      edge("customer.c_nationkey->nation", table(spark, dir, "customer"), "c_nationkey",
+        table(spark, dir, "nation"), "n_nationkey"),
+      edge("supplier.s_nationkey->nation", table(spark, dir, "supplier"), "s_nationkey",
+        table(spark, dir, "nation"), "n_nationkey"),
+      edge("nation.n_regionkey->region", table(spark, dir, "nation"), "n_regionkey",
+        table(spark, dir, "region"), "r_regionkey"))
+    rows.toDF("fk_edge", "n_rows", "n_orphans")
+      .orderBy(col("fk_edge"))
+  }
+
+  /** Delta modulus for [[q152IncrementalAgg]]: every 101st order is the
+    * newly-arriving batch, the rest the maintained snapshot.
+    */
+  val AggDeltaMod = 101
+
+  /** R4 — INCREMENTAL AGGREGATE MAINTENANCE (the materialized-view
+    * refresh): a per-customer (order count, total spend) view maintained
+    * from a base snapshot PLUS a delta batch by merging ALGEBRAIC
+    * partials — count and sum add, so the view updates with
+    * |delta|-sized work instead of a full recompute. The Spark side MUST
+    * run the merge path (base partials ⟗ delta partials, coalesced
+    * adds); the oracle IS the full recompute over all orders — green
+    * means the incremental path is provably equivalent, which is the
+    * entire point of algebraic view maintenance. round(…,2) absorbs the
+    * merge-order FP noise exactly as q01's aggregates do.
+    */
+  def q152IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    def partials(df: DataFrame, n: String, s: String): DataFrame =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(n), sum(col("o_totalprice")).as(s))
+    val base = partials(orders.filter(col("o_orderkey") % AggDeltaMod =!= 0), "bn", "bs")
+    val delta = partials(orders.filter(col("o_orderkey") % AggDeltaMod === 0), "dn", "ds")
+    base
+      .join(delta, Seq("o_custkey"), "full_outer")
+      .select(
+        col("o_custkey"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        round(coalesce(col("bs"), lit(0.0)) + coalesce(col("ds"), lit(0.0)), 2)
+          .as("total_spend"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -806,6 +878,8 @@ object Queries {
     "q147_large_orders" -> (q147LargeOrders _),
     "q148_rich_inactive" -> (q148RichInactive _),
     "q149_lone_late_supplier" -> (q149LoneLateSupplier _),
-    "q150_supplier_diversity" -> (q150SupplierDiversity _)
+    "q150_supplier_diversity" -> (q150SupplierDiversity _),
+    "q151_fk_audit" -> (q151FkAudit _),
+    "q152_incremental_agg" -> (q152IncrementalAgg _)
   )
 }

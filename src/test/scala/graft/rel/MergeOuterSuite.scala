@@ -13,6 +13,50 @@ class MergeOuterSuite extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("q151 FK audit: clean on the generator, and the detector actually fires on corruption") {
+    import spark.implicits._
+    val clean = Queries.q151FkAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(clean.length == 7)
+    assert(clean.forall(_._3 == 0L), s"generator data should audit clean: ${clean.toSeq}")
+    // corrupt a copy: point 5 orders at a customer key that cannot exist
+    val tmp = java.nio.file.Files.createTempDirectory("fkaudit").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "lineitem"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/$t.parquet"),
+        java.nio.file.Paths.get(s"$tmp/$t.parquet"))
+    Queries.table(spark, dir, "orders")
+      .withColumn(
+        "o_custkey",
+        org.apache.spark.sql.functions.when(col("o_orderkey") % 97 === 0,
+          org.apache.spark.sql.functions.lit(-999L)).otherwise(col("o_custkey")))
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val audited = Queries.q151FkAudit(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(audited("orders.o_custkey->customer") > 0, "corruption not detected")
+    // the unrelated edges still audit clean
+    assert(audited("customer.c_nationkey->nation") == 0L)
+    assert(audited("nation.n_regionkey->region") == 0L)
+  }
+
+  test("q152 incremental agg: merge path == full recompute, delta genuinely contributes") {
+    import spark.implicits._
+    val full = Queries.table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum(col("o_totalprice")), 2).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val merged = Queries.q152IncrementalAgg(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(merged == full)
+    // the delta side is non-empty, so the merge path was exercised
+    val nDelta = Queries.table(spark, dir, "orders")
+      .filter(col("o_orderkey") % Queries.AggDeltaMod === 0).count()
+    assert(nDelta > 0)
+  }
+
   test("full outer join: both sides contribute unmatched null-padded rows") {
     val rows = Queries.q92FullOuterJoin(spark, dir).collect()
     val leftOnly = rows.count(r => !r.isNullAt(1) && r.isNullAt(3))

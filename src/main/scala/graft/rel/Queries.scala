@@ -777,19 +777,21 @@ object Queries {
     * per-edge cost is a scan, never a shuffle of the referenced side.
     */
   def q151FkAudit(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    // one LAZY plan — each edge contributes a 1-row branch (total count
+    // × anti-join orphan count) and the union evaluates as a single
+    // action, not 14 driver-side count() jobs
     def edge(
         name: String, child: DataFrame, key: String,
-        parent: DataFrame, pkey: String): (String, Long, Long) = {
-      val total = child.count()
-      val orphans = child
-        .join(broadcast(parent.select(col(pkey))), col(key) === col(pkey), "left_anti")
-        .count()
-      (name, total, orphans)
-    }
+        parent: DataFrame, pkey: String): DataFrame =
+      child.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(
+          child
+            .join(broadcast(parent.select(col(pkey))), col(key) === col(pkey), "left_anti")
+            .agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
     val li = table(spark, dir, "lineitem")
     val od = table(spark, dir, "orders")
-    val rows = Seq(
+    Seq(
       edge("orders.o_custkey->customer", od, "o_custkey",
         table(spark, dir, "customer"), "c_custkey"),
       edge("lineitem.l_orderkey->orders", li, "l_orderkey", od, "o_orderkey"),
@@ -803,7 +805,7 @@ object Queries {
         table(spark, dir, "nation"), "n_nationkey"),
       edge("nation.n_regionkey->region", table(spark, dir, "nation"), "n_regionkey",
         table(spark, dir, "region"), "r_regionkey"))
-    rows.toDF("fk_edge", "n_rows", "n_orphans")
+      .reduce(_ unionByName _)
       .orderBy(col("fk_edge"))
   }
 

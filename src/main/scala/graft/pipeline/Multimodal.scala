@@ -9,14 +9,21 @@ import graft.rel.Queries.table
   * `binary` columns with a typed metadata struct, plus decode /
   * feature-extract / frame-sample stages.
   *
-  * The decode step is a STUB — no image/audio codecs exist in this
-  * container — implemented as a deterministic fake (byte histogram over the
-  * raw payload). Everything AROUND the stub is the real Spark shape a
-  * production pipeline needs: binary column + metadata struct schema,
-  * `mapPartitions` batch processing with one reusable buffer per partition
-  * (the Scala analog of `mapInPandas` batch semantics), fixed-length
-  * feature vectors, and partition-parallel execution with no driver
-  * collect.
+  * Two decode tiers:
+  *  - REAL pure-JVM parsers for two container formats — RIFF/WAVE PCM16
+  *    ([[wavDecode]]) and uncompressed 24-bit BMP ([[bmpDecode]]) — that
+  *    read every field from the header bytes (magic checks, little-endian
+  *    sample decode, stride arithmetic, bottom-up row unflip), gated by
+  *    oracles that regenerate expected features from the synthesis
+  *    formulas and by patched-byte sensitivity tests;
+  *  - a byte-histogram stand-in ([[extractFeatures]]) for formats whose
+  *    codecs don't exist in this container (JPEG/H.264/...), kept as the
+  *    documented generic-payload path.
+  * Either way the Spark shape is the production one: binary column +
+  * metadata struct schema, `mapPartitions` batch processing with one
+  * reusable buffer per partition (the Scala analog of `mapInPandas`
+  * batch semantics), fixed-length feature vectors, and partition-parallel
+  * execution with no driver collect.
   */
 object Multimodal {
 

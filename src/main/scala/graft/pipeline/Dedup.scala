@@ -677,20 +677,23 @@ object Dedup {
     * driver-side reference within 1e-6 and that total rank is conserved.
     */
   private val prEdgeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, Long, Long)]()
+    (SparkSession, String, String), (DataFrame, Long, Long)]()
 
-  /** The degree-annotated symmetric edge list of the q16 similarity
-    * graph, plus (n docs, n isolated docs) — persisted and memoized: the
-    * graph is a standing asset (at scale it is the materialized pair
+  /** The degree-annotated symmetric edge list of a similarity graph
+    * (keyed by `graph`: the exact q16 pairs or the LSH-verified q137
+    * pairs), plus (n docs, n isolated docs) — persisted and memoized:
+    * the graph is a standing asset (at scale it is the materialized pair
     * table the dedup pipeline already maintains), and every power
     * iteration reads it.
     */
-  private def prEdges(spark: SparkSession, dir: String): (DataFrame, Long, Long) =
+  private def prEdges(
+      spark: SparkSession, dir: String, graph: String): (DataFrame, Long, Long) =
     prEdgeCache.computeIfAbsent(
-      (spark, dir),
-      { case (s, d) =>
+      (spark, dir, graph),
+      { case (s, d, g) =>
         val nDocs = table(s, d, "documents").count()
-        val pairs = ngramJaccard(s, d).select(col("d1"), col("d2"))
+        val src = if (g == "lsh") minhashLsh(s, d) else ngramJaccard(s, d)
+        val pairs = src.select(col("d1"), col("d2"))
         val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
           .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
         val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -700,9 +703,28 @@ object Dedup {
         (edgesDeg, nDocs, nDocs - nConnected)
       })
 
-  def similarityPageRank(spark: SparkSession, dir: String): DataFrame = {
+  def similarityPageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankOver(spark, dir, "exact")
+
+  /** L2/L5 at scale — the SAME power iteration over the LSH-VERIFIED
+    * edge set ([[minhashLsh]]: banded candidate generation + exact
+    * jaccard verification) instead of the exact all-pairs q16 graph.
+    * This is the graph that actually EXISTS at 100 TB: the all-pairs
+    * input of [[similarityPageRank]] is unbuildable there, while the
+    * banded pipeline materializes this edge table as a matter of course.
+    * LSH edges ⊆ exact edges (every candidate is exact-verified), so
+    * rank can only redistribute where banding missed an edge — never
+    * invent centrality. Declared rows-only (banding is probabilistic AND
+    * the fixpoint is FP-order-dependent); PipelineSuite gates rank-mass
+    * conservation and ≥0.9 rank correlation + top-k overlap against the
+    * exact-graph ranks.
+    */
+  def similarityPageRankLsh(spark: SparkSession, dir: String): DataFrame =
+    pageRankOver(spark, dir, "lsh")
+
+  private def pageRankOver(spark: SparkSession, dir: String, graph: String): DataFrame = {
     val docs = table(spark, dir, "documents").select(col("doc_id"))
-    val (edgesDeg, nDocs, nIso) = prEdges(spark, dir)
+    val (edgesDeg, nDocs, nIso) = prEdges(spark, dir, graph)
     val n = nDocs.toDouble
     var ranks = docs.select(col("doc_id"), lit(1.0 / n).as("rank")).localCheckpoint()
     // In a SYMMETRIC graph the dangling nodes are exactly the isolated

@@ -158,7 +158,12 @@ object PipelineQueries {
     "q142_compression_ratio" -> (TextAnalysis.compressionRatio _),
     "q143_dedup_group_sizes" -> (Dedup.dedupGroupSizes _),
     "q144_vocab_growth" -> (TextAnalysis.vocabGrowth _),
-    "q145_semantic_decontam" -> (Similarity.semanticDecontam _)
+    "q145_semantic_decontam" -> (Similarity.semanticDecontam _),
+    // q153 is rows-only: the LSH candidate stage is probabilistic (q17/
+    // q137) and the PageRank fixpoint FP-order-dependent (q116);
+    // PipelineSuite gates rank-mass conservation plus ≥0.9 rank
+    // correlation and top-k overlap against the exact-graph ranks.
+    "q153_pagerank_lsh" -> (Dedup.similarityPageRankLsh _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */

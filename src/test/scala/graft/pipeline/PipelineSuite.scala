@@ -1511,6 +1511,37 @@ class PipelineSuite extends AnyFunSuite {
     assert(connected.exists(id => got(id) > isolatedRank.head))
   }
 
+  test("L2/L5 PageRank over the LSH-verified graph: mass conserved, tracks exact ranks") {
+    val exact = Dedup.similarityPageRank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val lsh = Dedup.similarityPageRankLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // same node set: PageRank ranks every corpus doc under either graph
+    assert(lsh.keySet == exact.keySet)
+    val n = exact.size.toDouble
+    // rank mass conserved (mean-1.0 normalization => total == n)
+    assert(math.abs(lsh.values.sum - n) < 1e-3, s"LSH rank mass ${lsh.values.sum} != $n")
+    // LSH edges are a subset of exact edges, so no doc can concentrate
+    // MORE centrality than the densest exact structure supports — and the
+    // two rank vectors must agree globally (>= 0.9 correlation) and on
+    // WHO is central (top-k overlap >= 0.9)
+    val ids = exact.keys.toSeq.sorted
+    val xs = ids.map(exact)
+    val ys = ids.map(lsh)
+    val mx = xs.sum / n
+    val my = ys.sum / n
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sx = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum)
+    val sy = math.sqrt(ys.map(y => (y - my) * (y - my)).sum)
+    assert(sx > 0 && sy > 0, "degenerate rank vector")
+    val corr = cov / (sx * sy)
+    assert(corr >= 0.9, s"rank correlation $corr < 0.9")
+    val k = 20
+    val topE = ids.sortBy(id => (-exact(id), id)).take(k).toSet
+    val topL = ids.sortBy(id => (-lsh(id), id)).take(k).toSet
+    assert(topE.intersect(topL).size >= 18, s"top-$k overlap ${topE.intersect(topL).size}")
+  }
+
   test("cell split: members of one cell share a split; deal matches the salted gate") {
     val rows = Similarity.cellSplit(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

@@ -163,7 +163,8 @@ object PipelineQueries {
     // q137) and the PageRank fixpoint FP-order-dependent (q116);
     // PipelineSuite gates rank-mass conservation plus ≥0.9 rank
     // correlation and top-k overlap against the exact-graph ranks.
-    "q153_pagerank_lsh" -> (Dedup.similarityPageRankLsh _)
+    "q153_pagerank_lsh" -> (Dedup.similarityPageRankLsh _),
+    "q154_png_decode" -> (Multimodal.pngFeatures _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1689,6 +1690,27 @@ object PipelineQueries {
         |  round(sqrt(sum(x*x)::DOUBLE / 16), 4) AS f_rms,
         |  sum(CASE WHEN xp IS NOT NULL AND xp * x < 0 THEN 1 ELSE 0 END)::INT AS zcr
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q154: PNG decode — expected features regenerated from the pixel
+    // formulas. The Spark side must validate chunk CRCs, concatenate the
+    // split IDAT chunks, INFLATE the zlib stream, and reconstruct all
+    // five scanline filters (row y carries filter y % 5, and each row's
+    // predictor reads the previous RECONSTRUCTED row) — any filter or
+    // deflate bug shifts mean_lum/bot_row_lum and goes red.
+    "q154_png_decode" ->
+      """WITH d AS (SELECT doc_id, (7 + doc_id % 6) AS w, (5 + doc_id % 5) AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |ys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |ch AS (SELECT doc_id, w, h, x, y,
+        |        (doc_id * 37 + x * 13 + y * 7) % 256 AS r,
+        |        (doc_id * 29 + x * 3 + y * 17) % 256 AS g,
+        |        (doc_id * 41 + x * 19 + y * 11) % 256 AS b
+        |       FROM ys)
+        |SELECT doc_id, w::INT AS width, h::INT AS height,
+        |  round(sum(r+g+b)::DOUBLE / (3*w*h), 4) AS mean_lum,
+        |  sum(CASE WHEN y = 0 THEN r+g+b ELSE 0 END)::BIGINT AS top_row_lum,
+        |  sum(CASE WHEN y = h - 1 THEN r+g+b ELSE 0 END)::BIGINT AS bot_row_lum
+        |FROM ch GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     // q140: the delta-assignment mirror — the SAME unrolled-Lloyd cell
     // CTE, trained on the corpus only and assigned over the delta only.

@@ -1305,6 +1305,70 @@ class PipelineSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.bmpDecode(bad))
   }
 
+  test("PNG codec: encode/decode round-trips every pixel through zlib and all 5 filters") {
+    // doc_ids spanning every (width, height) residue — every image is
+    // tall enough (h >= 5) that rows carry filters 0..4
+    for (docId <- 0L to 29L) {
+      val d = Multimodal.pngDecode(Multimodal.pngEncode(docId))
+      assert(d.width == Multimodal.pngWidth(docId) && d.height == Multimodal.pngHeight(docId))
+      assert(d.bitDepth == 8 && d.colorType == 2)
+      for (y <- 0 until d.height; x <- 0 until d.width) {
+        assert(d.rgb(y)(x * 3) == Multimodal.pngR(docId, x, y), s"R($x,$y) doc $docId")
+        assert(d.rgb(y)(x * 3 + 1) == Multimodal.pngG(docId, x, y), s"G($x,$y) doc $docId")
+        assert(d.rgb(y)(x * 3 + 2) == Multimodal.pngB(docId, x, y), s"B($x,$y) doc $docId")
+      }
+    }
+  }
+
+  test("PNG decode reads the BYTES: CRC, signature, and IDAT integrity are enforced") {
+    val docId = 5L
+    val bytes = Multimodal.pngEncode(docId)
+    // corrupted signature rejected
+    val badSig = bytes.clone(); badSig(1) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.pngDecode(badSig))
+    // a flipped bit inside an IDAT chunk's data must be caught by that
+    // chunk's CRC — a decoder that skips CRC validation would instead
+    // feed garbage to the inflater
+    val ihdrLen = 12 + 13 // IHDR chunk total
+    val idatDataOff = 8 + ihdrLen + 8 // first IDAT's first data byte
+    val badDat = bytes.clone()
+    badDat(idatDataOff) = (badDat(idatDataOff) ^ 0x40).toByte
+    intercept[IllegalArgumentException](Multimodal.pngDecode(badDat))
+    // width patched in IHDR (with CRC recomputed) must be REPORTED: the
+    // parser reads the header, not the synthesis formula. Recompute the
+    // CRC over type+data so only the field change is visible.
+    val badW = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(badW)
+    bb.putInt(16, Multimodal.pngWidth(docId)) // unchanged w -> stream stays consistent
+    val crc = new java.util.zip.CRC32()
+    crc.update(badW, 12, 4 + 13)
+    bb.putInt(12 + 4 + 13, crc.getValue.toInt)
+    assert(Multimodal.pngDecode(badW).width == Multimodal.pngWidth(docId))
+    // IDAT is split into <=64-byte chunks: dropping the LAST IDAT chunk
+    // (well-formed stream otherwise) must fail, proving every chunk is read
+    val nIdat = {
+      var pos = 8; var n = 0
+      while (pos < bytes.length) {
+        val len = java.nio.ByteBuffer.wrap(bytes).getInt(pos)
+        val typ = new String(bytes, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (typ == "IDAT") n += 1
+        pos += 12 + len
+      }
+      n
+    }
+    assert(nIdat >= 2, s"IDAT not split: $nIdat chunk(s)")
+    // locate and excise the last IDAT chunk
+    var pos = 8; var lastIdatPos = -1; var lastIdatLen = -1
+    while (pos < bytes.length) {
+      val len = java.nio.ByteBuffer.wrap(bytes).getInt(pos)
+      val typ = new String(bytes, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (typ == "IDAT") { lastIdatPos = pos; lastIdatLen = len }
+      pos += 12 + len
+    }
+    val excised = bytes.take(lastIdatPos) ++ bytes.drop(lastIdatPos + 12 + lastIdatLen)
+    intercept[IllegalArgumentException](Multimodal.pngDecode(excised))
+  }
+
   private def cosine(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double =
     a._2.zip(b._2).map { case (x, y) => x * y }.sum / (a._3 * b._3)
 

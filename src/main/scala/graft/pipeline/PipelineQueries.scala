@@ -164,7 +164,12 @@ object PipelineQueries {
     // PipelineSuite gates rank-mass conservation plus ≥0.9 rank
     // correlation and top-k overlap against the exact-graph ranks.
     "q153_pagerank_lsh" -> (Dedup.similarityPageRankLsh _),
-    "q154_png_decode" -> (Multimodal.pngFeatures _)
+    "q154_png_decode" -> (Multimodal.pngFeatures _),
+    // q157 is rows-only by nature: it emits run counters from a live
+    // unbounded rate-source execution (wall-clock-dependent); the
+    // invariants travel in its gate_pass column and are asserted in
+    // StreamingSuite against the same operator.
+    "q157_rate_ingest_gate" -> (Events.rateIngestGate _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */

@@ -1115,6 +1115,67 @@ object Events {
     }
   }
 
+  /** Sequence for unique memory-sink names across [[rateIngestGate]]
+    * invocations (bench runs the query several times in one JVM).
+    */
+  private val rateGateSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Declared query (q157) — the CONTINUOUS-INGEST gate: a genuinely
+    * UNBOUNDED source (Spark's rate source) under a processing-time
+    * trigger, the one execution mode no `AvailableNow` file drain
+    * reaches. Windows must finalize and state must evict WHILE the query
+    * keeps running — not at a drain boundary — which is the behavior a
+    * 100 TB always-on ingest depends on for bounded state. Previously
+    * suite-only (`StreamingSuite`): declaring it makes the driver's gate
+    * record the observed eviction counters every round.
+    *
+    * Emits exactly ONE row of run counters read from the progress
+    * stream: finalized-window count, state rows evicted, micro-batch
+    * count, the max per-window event count (the 5 ms tick spacing means
+    * a complete interior 1 s window holds exactly 200 rows), partial
+    * windows seen (only the stream's first, boundary-straddling window
+    * may be partial), and `gate_pass` — the conjunction the suite
+    * asserts. Declared rows-only: the counters are wall-clock-dependent
+    * by nature; the INVARIANTS are in `gate_pass` and re-asserted under
+    * `sbt test`.
+    */
+  def rateIngestGate(spark: SparkSession, dir: String): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val name = s"rate_ingest_gate_${rateGateSeq.incrementAndGet()}"
+    val src = ss.readStream.format("rate").option("rowsPerSecond", "200").load()
+    val agg = src
+      .withWatermark("timestamp", "1 second")
+      .groupBy(window(col("timestamp"), "1 second"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def evicted: Long =
+        q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      while (System.currentTimeMillis() < deadline
+          && (evicted == 0 || ss.table(name).isEmpty)) {
+        Thread.sleep(250)
+      }
+      val out = ss.table(name).collect()
+      val counts = out.map(_.getLong(1)).toSeq
+      val windowsFinalized = out.length.toLong
+      val rowsRemoved = evicted
+      val nBatches = q.recentProgress.length.toLong
+      val maxWindowRows = if (counts.isEmpty) 0L else counts.max
+      val partialWindows = counts.count(_ < 200L).toLong
+      val pass = rowsRemoved > 0 && windowsFinalized > 0 &&
+        maxWindowRows <= 200L && partialWindows <= 1L
+      import spark.implicits._
+      Seq((windowsFinalized, rowsRemoved, nBatches, maxWindowRows, partialWindows, pass))
+        .toDF("windows_finalized", "state_rows_removed", "micro_batches",
+          "max_window_rows", "partial_windows", "gate_pass")
+    } finally q.stop()
+  }
+
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -198,36 +198,20 @@ class StreamingSuite extends AnyFunSuite {
     // the one execution mode no file-source drain exercises: a genuinely
     // UNBOUNDED source (Spark's rate source) under a processing-time
     // trigger — windows must finalize and state must evict WHILE the
-    // query keeps running, not at an AvailableNow drain boundary
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
-    val src = ss.readStream.format("rate").option("rowsPerSecond", "200").load()
-    val agg = src
-      .withWatermark("timestamp", "1 second")
-      .groupBy(window(col("timestamp"), "1 second"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
-    val q = agg.writeStream.format("memory").queryName("rate_gate")
-      .outputMode(OutputMode.Append())
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
-      .start()
-    try {
-      val deadline = System.currentTimeMillis() + 60000
-      def evicted: Long =
-        q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
-      while (System.currentTimeMillis() < deadline
-          && (evicted == 0 || ss.table("rate_gate").isEmpty)) {
-        Thread.sleep(300)
-      }
-      assert(evicted > 0, "no state eviction under continuous ingest")
-      val out = ss.table("rate_gate").collect()
-      assert(out.nonEmpty, "no window finalized while the query was still running")
-      // interior finalized 1s windows are complete (the source ticks at
-      // exactly 5 ms spacing → 200/window); only the stream's first,
-      // boundary-straddling window may be partial
-      val counts = out.map(_.getLong(1)).toSeq
-      assert(counts.forall(_ <= 200L), s"overfull window: $counts")
-      assert(counts.count(_ < 200L) <= 1, s"multiple partial windows: $counts")
-    } finally q.stop()
+    // query keeps running, not at an AvailableNow drain boundary.
+    // Driven through the DECLARED operator (q157) so the driver's gate
+    // and this suite assert the same execution.
+    val row = Events.rateIngestGate(spark, "/root/testdata/sf0.001").collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getLong(1) > 0, "no state eviction under continuous ingest")
+    assert(r.getLong(0) > 0, "no window finalized while the query was still running")
+    // interior finalized 1s windows are complete (the source ticks at
+    // exactly 5 ms spacing → 200/window); only the stream's first,
+    // boundary-straddling window may be partial
+    assert(r.getLong(3) <= 200L, s"overfull window: ${r.getLong(3)} rows")
+    assert(r.getLong(4) <= 1L, s"multiple partial windows: ${r.getLong(4)}")
+    assert(r.getBoolean(5), "gate_pass must encode the conjunction")
   }
 
   test("q87: multi-batch streamed interval join equals the batch twin, with cross-batch pairs") {

@@ -169,6 +169,7 @@ object PipelineQueries {
     // unbounded rate-source execution (wall-clock-dependent); the
     // invariants travel in its gate_pass column and are asserted in
     // StreamingSuite against the same operator.
+    "q155_nested_struct" -> (graft.sources.Formats.nestedRoundtrip _),
     "q157_rate_ingest_gate" -> (Events.rateIngestGate _)
   )
 
@@ -1174,6 +1175,14 @@ object PipelineQueries {
     "q104_sharded_output" ->
       """SELECT doc_id, md5(text) AS text_hash, true AS shard_capped
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q155: the struct-nested write + schema-pruned read-back must be
+    // row-identical to computing the same rows from the FLAT source
+    // table — gating nesting fidelity end-to-end while PlanSuite pins
+    // that the read touched only the referenced struct leaves.
+    "q155_nested_struct" ->
+      """SELECT o_orderkey, o_custkey AS cust_key, o_totalprice AS price
+        |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
 
     // q101: the bloom prefilter only DISCARDS grams (false positives are
     // re-checked by the exact verify join), so the result is exactly

@@ -99,6 +99,53 @@ object Formats {
       .orderBy(col("doc_id"))
   }
 
+  /** The struct-bearing parquet for [[nestedRoundtrip]], memoized per
+    * (session, sf dir): orders nested into two structs —
+    * `meta(cust_key, status)` and `amount(price, odate)` — written once
+    * and re-read by both the declared query and the PlanSuite pruning
+    * pin. The testdata tables are all flat, so without this source the
+    * nested-schema-pruning path (a first-class behavior for real
+    * log/event schemas, which are deeply nested) would stay ungated.
+    */
+  private val nestedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  def nestedOrdersPath(spark: SparkSession, dir: String): String =
+    nestedCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-nested").toString
+      s.read.parquet(s"$d/orders.parquet")
+        .select(
+          col("o_orderkey"),
+          struct(
+            col("o_custkey").as("cust_key"),
+            col("o_orderstatus").as("status")).as("meta"),
+          struct(
+            col("o_totalprice").as("price"),
+            col("o_orderdate").as("odate")).as("amount"))
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      out
+    })
+
+  /** Declared query (q155): nested-struct source + SCHEMA-PRUNED read.
+    * Writes the struct-nested orders table, reads it back touching only
+    * three of the four struct leaves (filter on `meta.status`, project
+    * `meta.cust_key` and `amount.price`), and emits the flattened rows.
+    * Catalyst's nested-schema pruning must narrow the parquet ReadSchema
+    * to exactly the referenced leaves — `amount.odate` stays unread
+    * (pinned in PlanSuite) — which at 100 TB is the difference between
+    * scanning a leaf column and scanning every payload a struct drags
+    * along. Hash-gated: the oracle recomputes the rows from the FLAT
+    * orders table, so any nesting/unnesting corruption goes red.
+    */
+  def nestedRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(nestedOrdersPath(spark, dir))
+      .filter(col("meta.status") === "F")
+      .select(
+        col("o_orderkey"),
+        col("meta.cust_key").as("cust_key"),
+        col("amount.price").as("price"))
+      .orderBy(col("o_orderkey"))
+
   /** Hive-style partitioned parquet: one directory per distinct value of
     * `partitionCol`. Choose a column with bounded cardinality (a date, a
     * shard id) — per-key file counts are the classic small-files trap.

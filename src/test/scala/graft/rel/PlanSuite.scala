@@ -352,6 +352,19 @@ class PlanSuite extends AnyFunSuite {
     assert(ep.contains("partial_count") || ep.contains("partial"), ep)
   }
 
+  test("q155: nested-schema pruning narrows the struct read to referenced leaves") {
+    val df = graft.sources.Formats.nestedRoundtrip(spark, dir)
+    val p = plan(df)
+    val read = p.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse(fail(p))
+    // the three referenced leaves are read...
+    assert(read.contains("cust_key") && read.contains("status") && read.contains("price"), read)
+    // ...and the untouched leaf is NOT: the scan must prune INSIDE the
+    // struct, not fetch whole struct payloads for a one-leaf projection
+    assert(!read.contains("odate"), read)
+    // the nested predicate reaches the scan as a pushed filter
+    assert(p.contains("PushedFilters") && p.contains("meta.status"), p)
+  }
+
   test("no declared query plans a cartesian product") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))

@@ -170,6 +170,7 @@ object PipelineQueries {
     // invariants travel in its gate_pass column and are asserted in
     // StreamingSuite against the same operator.
     "q155_nested_struct" -> (graft.sources.Formats.nestedRoundtrip _),
+    "q156_stream_merge_sink" -> (Events.streamMergeSinkFinal _),
     "q157_rate_ingest_gate" -> (Events.rateIngestGate _)
   )
 
@@ -1175,6 +1176,11 @@ object PipelineQueries {
     "q104_sharded_output" ->
       """SELECT doc_id, md5(text) AS text_hash, true AS shard_capped
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q156: the multi-batch streamed MERGE's drained serving table must
+    // equal the one-shot batch MERGE — literally q93's oracle, gating
+    // batch parity of the foreachBatch CDC sink.
+    "q156_stream_merge_sink" -> graft.rel.Oracles.all("q93_merge_upsert"),
 
     // q155: the struct-nested write + schema-pruned read-back must be
     // row-identical to computing the same rows from the FLAT source

@@ -591,9 +591,21 @@ object Queries {
     * bucketing) and no driver-side state exists. The max-key lookup is a
     * 1-row scalar agg used only to mint collision-free insert keys.
     */
-  def q93MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val base = table(spark, dir, "orders")
+  /** The orders snapshot [[q93MergeUpsert]] merges into — shared with the
+    * streamed twin (q156) so both apply the same base.
+    */
+  def mergeBase(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  /** The deterministic change feed of [[q93MergeUpsert]] (deletes ≡ 0
+    * mod 13, re-prices ×2 ≡ 0 mod 7, inserts at key + max + 1 ≡ 0 mod
+    * 101) — each key appears in at most ONE change row, so applying the
+    * feed in any batch split yields the same final snapshot (what lets
+    * q156 stream it in micro-batches against the same oracle).
+    */
+  def mergeChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val base = mergeBase(spark, dir)
     val maxKey = base.agg(max(col("o_orderkey"))).head().getLong(0)
     val deletes = base
       .filter(col("o_orderkey") % 13 === 0)
@@ -611,7 +623,15 @@ object Queries {
       .select((col("o_orderkey") + maxKey + 1).as("k"), lit("I").as("op"),
         col("o_custkey").as("new_custkey"), lit("O").as("new_status"),
         lit(100.0).as("new_price"))
-    val changes = deletes.unionAll(updates).unionAll(inserts)
+    deletes.unionAll(updates).unionAll(inserts)
+  }
+
+  /** One MERGE application: key-partitioned full-outer join of snapshot
+    * vs changes with per-row op precedence — the standard distributed
+    * MERGE shape (at 100 TB both sides hash-partition or co-locate via
+    * bucketing; no driver state).
+    */
+  def mergeApply(base: DataFrame, changes: DataFrame): DataFrame =
     base
       .join(changes, col("o_orderkey") === col("k"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "D")
@@ -620,8 +640,10 @@ object Queries {
         coalesce(col("new_custkey"), col("o_custkey")).as("o_custkey"),
         coalesce(col("new_status"), col("o_orderstatus")).as("o_orderstatus"),
         coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"))
+
+  def q93MergeUpsert(spark: SparkSession, dir: String): DataFrame =
+    mergeApply(mergeBase(spark, dir), mergeChangeFeed(spark, dir))
       .orderBy(col("o_orderkey"))
-  }
 
   // ---- decision-support subquery shapes (the TPC-H Q2/Q18/Q22/Q21/Q16
   // families adapted to this schema) -------------------------------------

@@ -992,6 +992,55 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Declared query (q156) — STREAMING MERGE SINK, the CDC-to-serving-
+    * table path: the q93 change feed arrives as a STREAM (file source,
+    * one staged file per micro-batch) and `foreachBatch` MERGEs each
+    * batch into a keyed parquet serving table. Each application is the
+    * same key-partitioned full-outer join + op precedence as the batch
+    * MERGE ([[graft.rel.Queries.mergeApply]]); the sink is IDEMPOTENT
+    * the way production foreachBatch sinks must be under at-least-once
+    * delivery: batch b deterministically rewrites snapshot version
+    * `v_b` from `v_{b-1}`, so re-processing a batch after a failure
+    * reproduces the identical version instead of double-applying. (With
+    * a transactional table format — Delta/Iceberg — the rewrite becomes
+    * a MERGE INTO commit; the join shape and idempotency contract are
+    * the same.) The feed's keys are pairwise distinct across batches,
+    * so the drained final snapshot equals the one-shot batch MERGE —
+    * q156 hash-gates against q93's oracle, proving batch parity of a
+    * genuinely streamed multi-batch MERGE.
+    */
+  def streamMergeSinkFinal(spark: SparkSession, dir: String): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val root = java.nio.file.Files.createTempDirectory("graft-merge-sink-").toString
+    graft.rel.Queries.mergeBase(ss, dir)
+      .write.mode("overwrite").parquet(s"$root/snap/v_init")
+    // stage the feed as 3 files -> 3 micro-batches (keys are disjoint
+    // across any split, so batch order cannot change the final snapshot)
+    graft.rel.Queries.mergeChangeFeed(ss, dir)
+      .repartition(3).write.mode("overwrite").parquet(s"$root/feed")
+    val schema = ss.read.parquet(s"$root/feed").schema
+    val stream = ss.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/feed")
+    @volatile var last = "v_init"
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = if (batchId == 0L) "v_init" else s"v${batchId - 1}"
+        val snap = batch.sparkSession.read.parquet(s"$root/snap/$prev")
+        graft.rel.Queries.mergeApply(snap, batch.toDF())
+          .write.mode("overwrite").parquet(s"$root/snap/v$batchId")
+        last = s"v$batchId"
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$root/snap/$last").orderBy(col("o_orderkey"))
+  }
+
   /** File-based stream source over an events parquet directory — the
     * production `readStream` shape (one file = one micro-batch at test
     * scale; schema comes from the batch table).

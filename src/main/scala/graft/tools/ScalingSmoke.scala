@@ -1,0 +1,144 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale smoke for the bounded-work claims: synthesizes a corpus
+  * [[Factor]]× the size of a given sf dir under /tmp, runs the capped-
+  * dedup family (q66/q103/q132-shape) and the IVF family (q40/q102/
+  * q140) at BOTH scales, and writes the observed scaling exponents to
+  * `SCALING.json` — measured evidence for the "work bounded per doc /
+  * per vector at any corpus size" scaladoc claims, instead of argument.
+  *
+  * Corpus construction: 10 copies of the sf documents with offset ids;
+  * copy c > 0 suffixes every token with `~c`, making the copies'
+  * shingle vocabularies pairwise DISJOINT while preserving each copy's
+  * internal near-dup structure exactly. Two consequences the smoke
+  * checks as invariants, not just timings:
+  *  - the exact answer scales exactly linearly (q66 emits precisely
+  *    [[Factor]]× the sf pair count), so a timing exponent near 1.0
+  *    measures the ALGORITHM, not answer growth;
+  *  - per-shingle postings sizes are unchanged, so the capped paths'
+  *    candidate work is provably per-copy — a super-linear exponent
+  *    would expose hidden corpus-global work (a broadcast that grew, a
+  *    driver collect, an uncapped fan-out).
+  * Embeddings are replicated with offset vec_ids (values unchanged —
+  * codebook training is hash-sample-bounded either way).
+  *
+  * Protocol per dir: one UNTIMED warmup run per query (JIT + the
+  * memoized standing assets: shingle memo, postings index, codebooks —
+  * infrastructure a deployment holds between queries), then
+  * [[Iters]] timed runs; the minimum is the steady-state time (this
+  * host stalls intermittently — see Bench's scaladoc — so min, not
+  * mean). First-run (warmup) times are recorded too, so the one-time
+  * asset-build cost has its own exponent in the artifact.
+  */
+object ScalingSmoke {
+
+  val Factor = 10
+  val CopyOffset = 1000000L // ≡ 0 mod DeltaMod(5): delta membership preserved per copy
+  val Iters = 2
+
+  def synthesize(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
+    val root = java.nio.file.Paths.get(bigDir)
+    if (java.nio.file.Files.exists(root.resolve("_OK"))) return
+    java.nio.file.Files.createDirectories(root)
+    def stageSingleFile(df: DataFrame, table: String): Unit = {
+      val stage = s"$bigDir/_stage_$table"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      // single FILE named <table>.parquet: the file-stream sources glob
+      // on the file name, so a directory layout would stream nothing
+      java.nio.file.Files.move(part, root.resolve(s"$table.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    stageSingleFile(
+      (0 until Factor).map { c =>
+        if (c == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(c * CopyOffset)).as("doc_id"),
+          array_join(
+            transform(split(col("text"), " "), w => concat(w, lit(s"~$c"))),
+            " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _),
+      "documents")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    stageSingleFile(
+      (0 until Factor).map { c =>
+        emb.select((col("vec_id") + lit(c * CopyOffset)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _),
+      "embeddings")
+    java.nio.file.Files.createFile(root.resolve("_OK"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val bigDir = args.lift(1).getOrElse("/tmp/graft_scale_10x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Sessions.local(s"local[$cpus]", cpus.toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize(spark, sfDir, bigDir)
+
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q66_ngram_jaccard_capped" -> (graft.pipeline.Dedup.ngramJaccardCapped _),
+      "q103_delta_dedup_capped" -> (graft.pipeline.Dedup.deltaDedupCapped _),
+      "q132_stream_delta_dedup" -> (graft.streaming.Events.streamDeltaDedupFinal _),
+      "q40_ann_ivf" -> (graft.pipeline.Similarity.annIvf _),
+      "q102_ivf_pq_ann" -> (graft.pipeline.Similarity.ivfPqAnn _),
+      "q140_ann_delta_assign" -> (graft.pipeline.Similarity.annDeltaAssign _))
+
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+    def timeDir(dir: String): Map[String, (Double, Seq[Double])] = {
+      graft.pipeline.TextAnalysis.warmShared(spark, dir)
+      graft.pipeline.Dedup.warmShared(spark, dir)
+      queries.map { case (name, fn) =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val first = once() // warmup: JIT + memoized standing assets
+        val runs = (1 to Iters).map(_ => once())
+        System.gc()
+        name -> (first, runs)
+      }.toMap
+    }
+
+    val small = timeDir(sfDir)
+    val big = timeDir(bigDir)
+
+    // linearity invariant: disjoint copies -> exactly Factor x the pairs
+    val pairsSmall = graft.pipeline.Dedup.ngramJaccardCapped(spark, sfDir).count()
+    val pairsBig = graft.pipeline.Dedup.ngramJaccardCapped(spark, bigDir).count()
+
+    val lnF = math.log(Factor.toDouble)
+    val perQuery = queries.map { case (name, _) =>
+      val (fs, rs) = small(name)
+      val (fb, rb) = big(name)
+      val ts = rs.min; val tb = rb.min
+      val exp = math.log(tb / ts) / lnF
+      val expFirst = math.log(fb / fs) / lnF
+      s""""$name":{"t_small":${fmt(ts)},"t_big":${fmt(tb)},"exponent":${fmt(exp)},""" +
+        s""""first_small":${fmt(fs)},"first_big":${fmt(fb)},"first_exponent":${fmt(expFirst)},""" +
+        s""""runs_small":${rs.map(fmt).mkString("[", ",", "]")},""" +
+        s""""runs_big":${rb.map(fmt).mkString("[", ",", "]")}}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"factor":$Factor,"iters":$Iters,"sf_small":"$sfDir","dir_big":"$bigDir",
+         |"q66_pairs_small":$pairsSmall,"q66_pairs_big":$pairsBig,
+         |"pairs_exactly_linear":${pairsBig == Factor * pairsSmall},
+         |"queries":$perQuery}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("SCALING.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

@@ -40,12 +40,16 @@ import org.apache.spark.sql.SparkSession
   * stdout and parses the JSON line out of that tail. Five rounds of
   * `"parsed": null` in BENCH_r0*.json traced to exactly this: 73 queries x
   * long names + embedded per-run detail pushed the line past the tail window
-  * and truncated its head. So the FINAL line is compact — short `qNN` keys
-  * (the `_name` suffix is dropped; CORRECTNESS files carry the full names),
-  * 3-decimal medians, no embedded detail — and the full-name per-run detail
-  * goes to `BENCH_DETAIL.json` in the working directory, never to stdout
-  * (r5's tail landed wholly inside the old detail stdout line, proving the
-  * capture is byte-capped and anything bulky starves the parse target).
+  * and truncated its head. So the FINAL line is compact — bare numeric keys
+  * (r13: the `q` prefix is dropped too — at 152 queries the r12 line hit
+  * 2098 chars and, with sbt's ~100-char epilogue inside the same window,
+  * parsed null again; CORRECTNESS files carry the full names), 2-decimal
+  * zero-trimmed medians with an automatic 1-decimal fallback if the line
+  * ever exceeds 1850 chars, no embedded detail — and the full-name
+  * 3-decimal per-run detail goes to `BENCH_DETAIL.json` in the working
+  * directory, never to stdout (r5's tail landed wholly inside the old
+  * detail stdout line, proving the capture is byte-capped and anything
+  * bulky starves the parse target).
   * Subset runs (`SPARK_GRAFT_BENCH_ONLY`) write `BENCH_DETAIL_<subset>.json`
   * instead, so a profiling run can never clobber the full-suite artifact.
   */
@@ -141,10 +145,20 @@ object Bench {
       val med = if (q.err.isDefined || q.times.isEmpty) -1.0 else median(q.kept.sorted)
       (q, med)
     }
-    // qNN short key for the size-capped final line; full names in the detail.
-    def short(name: String): String = { val i = name.indexOf('_'); if (i > 0) name.take(i) else name }
-    val qs = results.map { case (q, med) =>
-      "\"" + short(q.name) + "\":" + (if (q.err.isEmpty) fmt(med) else "-1.0")
+    // bare numeric key for the size-capped final line ("q153_x" -> "153");
+    // full names live in the detail file and the CORRECTNESS artifacts.
+    def short(name: String): String = {
+      val i = name.indexOf('_')
+      (if (i > 0) name.take(i) else name).stripPrefix("q")
+    }
+    // per-query values: nd decimals, trailing zeros trimmed ("1.10"->"1.1")
+    def fmtQ(v: Double, nd: Int): String = {
+      val s = BigDecimal(v).setScale(nd, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
+      if (s == "-0") "0" else s
+    }
+    def qsLine(nd: Int): String = results.map { case (q, med) =>
+      "\"" + short(q.name) + "\":" + (if (q.err.isEmpty) fmtQ(med, nd) else "-1")
     }.mkString("{", ",", "}")
     val runsJson = results.collect { case (q, med) if q.err.isEmpty && q.times.nonEmpty =>
       val ts = q.times
@@ -234,8 +248,12 @@ object Bench {
     // ~20 KB detail line starves the final metric line out of the captured
     // window. Total stdout from this main must stay small.
     // FINAL stdout line = the driver's parse target; keep it last and small.
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"iters":$iters,"failed":$nFail,"rejected":$nRejected,"suspect":$nSuspect,"value_minmed":${fmt(totalMinMed)},"sf":"$sfDir"}""")
+    // The ~2000-char tail window must hold the WHOLE line plus sbt's
+    // epilogue, so degrade per-query precision before ever busting it.
+    def metricLine(nd: Int): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsLine(nd)},"iters":$iters,"failed":$nFail,"rejected":$nRejected,"suspect":$nSuspect,"value_minmed":${fmt(totalMinMed)},"sf":"$sfDir"}"""
+    val line2 = metricLine(2)
+    println(if (line2.length <= 1850) line2 else metricLine(1))
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

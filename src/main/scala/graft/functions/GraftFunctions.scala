@@ -26,6 +26,8 @@ object GraftFunctions {
   def registerAll(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("dot_f64"), dotInfo, dotBuilder _))
     ext.injectOptimizerRule(_ => FuseSelfDot)
+    // whole-operator tier: the native as-of join's planner strategy
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 
   def register(spark: SparkSession): Unit = {

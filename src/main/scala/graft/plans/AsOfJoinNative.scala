@@ -1,0 +1,242 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+
+/** NATIVE as-of join — the custom-operator tier above expressions and
+  * optimizer rules: a whole-operator `LogicalPlan` node, a planner
+  * `Strategy`, and a `SparkPlan` that executes the point-in-time merge
+  * directly, registered through the same `SparkSessionExtensions` /
+  * `experimental` hooks as the `dot_f64` expression family.
+  *
+  * Semantics (identical to [[graft.rel.AsOfJoin.asOf]], the composed
+  * union-window implementation it is hash-gated against): for each left
+  * row, the right row with the greatest time ≤ the left row's time
+  * within the same key, left-join style (unmatched left rows null-pad).
+  * Ties on (key, time) resolve to the right row whose payload sorts
+  * LAST — the window twin's struct-max, made deterministic here by
+  * including the payload columns in the required child ordering.
+  *
+  * Execution shape — why a custom plan is the right tier for this
+  * operator: Catalyst has no join type whose matching rule is "greatest
+  * prior per key", so the composed form must fake it with a union + a
+  * running window. The native plan instead declares exactly what the
+  * merge needs and lets EnsureRequirements provide it:
+  *  - `requiredChildDistribution`: both sides clustered on the key →
+  *    one hash Exchange per side (same bytes as a sort-merge join; at
+  *    100 TB bucketing either side makes its Exchange vanish, which the
+  *    union form can never claim because it must co-shuffle the union);
+  *  - `requiredChildOrdering`: (key, time) per side → per-partition
+  *    sorts;
+  *  - `doExecute`: one forward pass over the two sorted streams per
+  *    partition (`zipPartitions`) holding ONE buffered right row per
+  *    key — O(|L| + |R|) time, O(1) state, no windowed carry column,
+  *    no union row-widening.
+  */
+final case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTime: Attribute,
+    rightTime: Attribute)
+  extends BinaryNode {
+
+  /** left.* followed by right.* minus the join key (right's time column
+    * is the caller-renamed `__asof_time` payload head) — all right
+    * outputs nullable (unmatched left rows null-pad them).
+    */
+  override val output: Seq[Attribute] =
+    left.output ++
+      right.output.filterNot(_.exprId == rightKey.exprId).map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]; everything else falls
+  * through to the built-in strategies.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTime: Attribute,
+    rightTime: Attribute)
+  extends BinaryExecNode {
+
+  override def nodeName: String = "GraftAsOfJoin"
+
+  override val output: Seq[Attribute] =
+    left.output ++
+      right.output.filterNot(_.exprId == rightKey.exprId).map(_.withNullability(true))
+
+  /** Both sides clustered on the key: EnsureRequirements inserts one
+    * hash Exchange per side (or none over bucketed/co-partitioned
+    * input — the scale story).
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  /** (key, time) per side; the right side additionally orders by its
+    * payload so the tie winner (last in order = payload max) is
+    * deterministic regardless of shuffle arrival order.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    SortOrder(rightKey, Ascending) +: SortOrder(rightTime, Ascending) +:
+      right.output.filterNot(a =>
+        a.exprId == rightKey.exprId || a.exprId == rightTime.exprId)
+        .map(SortOrder(_, Ascending)))
+
+  /** The merge is per-partition and order-preserving on the left. */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyOrdinal = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lTimeOrdinal = left.output.indexWhere(_.exprId == leftTime.exprId)
+    val rKeyOrdinal = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rTimeOrdinal = right.output.indexWhere(_.exprId == rightTime.exprId)
+    require(lKeyOrdinal >= 0 && lTimeOrdinal >= 0 && rKeyOrdinal >= 0 && rTimeOrdinal >= 0)
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val rightArity = right.output.length
+    val outAttrs = output
+    val leftAttrs = left.output
+    val rightAttrs = right.output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      // projection binds output attrs (right side nullability-widened
+      // copies share exprIds) against the concatenated child schemas,
+      // dropping right's key column positionally. The bind-side right
+      // attrs are widened too: unmatched left rows read the null pad, so
+      // a non-nullable bound reference would skip the null check and
+      // read garbage zeros
+      val proj = UnsafeProjection.create(
+        outAttrs, leftAttrs ++ rightAttrs.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightArity)
+
+      // ONE buffered right row of lookahead + ONE retained best match —
+      // the entire per-partition state of the merge
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var matchRow: InternalRow = null
+      var matchKey: Any = null
+
+      def rKey(r: InternalRow): Any =
+        if (r.isNullAt(rKeyOrdinal)) null else r.get(rKeyOrdinal, keyType)
+      def rTime(r: InternalRow): Any =
+        if (r.isNullAt(rTimeOrdinal)) null else r.get(rTimeOrdinal, timeType)
+
+      lIter.map { lRow =>
+        val lk = if (lRow.isNullAt(lKeyOrdinal)) null else lRow.get(lKeyOrdinal, keyType)
+        val lt = if (lRow.isNullAt(lTimeOrdinal)) null else lRow.get(lTimeOrdinal, timeType)
+        if (lk == null || lt == null) {
+          // null key/time never matches (both sort first, so no state skew)
+          proj(joined(lRow, nullRight))
+        } else {
+          // advance the right stream through every row at-or-before
+          // (lk, lt); later-sorting ties overwrite, giving the payload-max
+          var advancing = true
+          while (advancing && rHead != null) {
+            val rk = rKey(rHead)
+            val rt = rTime(rHead)
+            if (rk == null || rt == null) {
+              // null-keyed/timed right rows sort first; skip them
+              rHead = if (rIter.hasNext) rIter.next() else null
+            } else {
+              val kc = keyOrd.compare(rk, lk)
+              if (kc < 0 || (kc == 0 && timeOrd.compare(rt, lt) <= 0)) {
+                if (kc == 0) { matchRow = rHead.copy(); matchKey = rk }
+                rHead = if (rIter.hasNext) rIter.next() else null
+              } else {
+                advancing = false
+              }
+            }
+          }
+          val matched =
+            matchRow != null && matchKey != null && keyOrd.compare(matchKey, lk) == 0
+          proj(joined(lRow, if (matched) matchRow else nullRight))
+        }
+      }
+    }
+  }
+}
+
+/** Public face of the native operator. */
+object AsOfJoinNative {
+
+  /** Idempotent strategy registration — the imperative twin of
+    * `injectPlannerStrategy` (mirrors [[graft.functions.GraftFunctions.register]]).
+    */
+  def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+  }
+
+  /** Same contract as [[graft.rel.AsOfJoin.asOf]]: `left` and `right`
+    * carry `key` and `time`; right's other columns are the payload.
+    * Output = left.* ++ `__asof_time` (matched right time, null if no
+    * match) ++ payload (null if no match).
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String, time: String): DataFrame = {
+    val payload = right.columns.toSeq.filterNot(c => c == key || c == time)
+    require(
+      payload.nonEmpty && left.columns.toSet.intersect(payload.toSet).isEmpty,
+      s"right payload columns ${payload.mkString(",")} must not clash with left")
+    val spark = left.sparkSession
+    register(spark)
+    val rightPrep = right.select(
+      (col(key) +: col(time).as("__asof_time") +: payload.map(col)): _*)
+    val lPlan = left.queryExecution.analyzed
+    // Self-join-style lineage is legal here (q158's two sides scan the
+    // same table), but a custom node never passes through the analyzer's
+    // Join/Union-specific dedup — so run DeduplicateRelations ourselves
+    // on a throwaway Join wrapper and keep its rewritten right child:
+    // any exprIds the right subtree shared with the left are regenerated,
+    // exactly what the analyzer would have done for a built-in join.
+    val rPlan = {
+      import org.apache.spark.sql.catalyst.plans.Cross
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+      val wrapped = Join(lPlan, rightPrep.queryExecution.analyzed, Cross, None, JoinHint.NONE)
+      org.apache.spark.sql.catalyst.analysis.DeduplicateRelations(wrapped)
+        .asInstanceOf[Join].right
+    }
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val node = AsOfJoinNode(
+      lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, key),
+      attr(lPlan, time), attr(rPlan, "__asof_time"))
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark, node)
+  }
+}

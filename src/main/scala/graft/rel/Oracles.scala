@@ -208,6 +208,17 @@ object Oracles {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.err_ts
         |ORDER BY l.event_id""".stripMargin,
 
+    // q158: the native as-of SparkPlan must reproduce the composed
+    // union-window form's answer — literally q36's ASOF oracle.
+    "q158_asof_native" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts AS err_ts, max(value) AS err_value
+        |      FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, l.ts::TIMESTAMP AS ts, l.value,
+        |       r.err_ts::TIMESTAMP AS err_ts, r.err_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.err_ts
+        |ORDER BY l.event_id""".stripMargin,
+
     "q37_pivot" ->
       """SELECT user_id,
         | count(*) FILTER (event_type = 'click') AS click,

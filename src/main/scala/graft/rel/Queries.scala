@@ -425,6 +425,27 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** The q36 shape through the NATIVE as-of operator
+    * ([[graft.plans.AsOfJoinNative]]: custom LogicalPlan + Strategy +
+    * SparkPlan, one O(|L|+|R|) sorted merge per co-partitioned pair) —
+    * hash-gated against the SAME DuckDB ASOF oracle as the composed
+    * union-window form, so the two implementation tiers are proven
+    * result-identical by the driver every round.
+    */
+  def q158AsOfNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("err_value"))
+    graft.plans.AsOfJoinNative.asOf(clicks, errors, key = "user_id", time = "ts")
+      .withColumnRenamed("__asof_time", "err_ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("err_ts"), col("err_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Event types pivoted to columns — `groupBy().pivot()` with an explicit
     * value list so the output schema is static (at scale an unlisted pivot
     * forces an extra distinct-values job first).
@@ -884,6 +905,7 @@ object Queries {
     "q32_cube" -> (q32Cube _),
     "q33_sql_api" -> (q33SqlApi _),
     "q36_asof_join" -> (q36AsOfJoin _),
+    "q158_asof_native" -> (q158AsOfNative _),
     "q37_pivot" -> (q37Pivot _),
     "q38_unpivot" -> (q38Unpivot _),
     "q39_percentiles" -> (q39Percentiles _),

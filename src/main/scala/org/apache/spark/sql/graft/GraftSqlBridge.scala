@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The one `private[sql]` doorway a custom whole-operator plan needs:
+  * wrapping a hand-built resolved [[LogicalPlan]] back into a public
+  * DataFrame. Lives in an `org.apache.spark.sql` subpackage for exactly
+  * that access — the standard shape for Spark extension libraries
+  * (every connector/plan extension ships an equivalent shim). Nothing
+  * else of Spark's internals is touched here.
+  */
+object GraftSqlBridge {
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

@@ -352,6 +352,19 @@ class PlanSuite extends AnyFunSuite {
     assert(ep.contains("partial_count") || ep.contains("partial"), ep)
   }
 
+  test("q158: the native as-of exec plans with per-side Exchange + Sort, no window") {
+    val df = Queries.q158AsOfNative(spark, dir)
+    val ep = execPlan(df)
+    assert(ep.contains("GraftAsOfJoin"), ep)
+    // EnsureRequirements must serve the declared distribution + ordering:
+    // one hash Exchange per side and a per-partition Sort above each
+    assert("Exchange hashpartitioning".r.findAllIn(ep).size >= 2, ep)
+    assert(ep.contains("Sort "), ep)
+    // the whole point vs the composed form: no union, no running Window
+    assert(!ep.contains("Window"), ep)
+    assert(!ep.contains("Union"), ep)
+  }
+
   test("q155: nested-schema pruning narrows the struct read to referenced leaves") {
     val df = graft.sources.Formats.nestedRoundtrip(spark, dir)
     val p = plan(df)

@@ -1499,6 +1499,68 @@ object Dedup {
       .orderBy(col("s1"), col("s2"))
   }
 
+  /** Bottom-k signature size for [[sourceOverlapSketch]] — estimator
+    * standard deviation ≈ sqrt(J(1−J)/k) ≤ 0.032 at k = 256.
+    */
+  val OverlapSketchK = 256
+
+  /** Exact-when-small bottom-k jaccard estimate: the k smallest hashes
+    * of A ∪ B are an (exact, not pseudo-) uniform sample of the union
+    * because the hash ORDER is what defines the sketch; the fraction of
+    * them present in both signatures estimates |A∩B|/|A∪B|. When the
+    * union fits inside k the signatures are complete and the estimate
+    * IS the exact jaccard.
+    */
+  private[pipeline] def bottomKJaccard(
+      a: Seq[String], b: Seq[String], k: Int): Double = {
+    val ord = graft.rel.TopK.Utf8StringOrdering
+    val setA = a.toSet
+    val setB = b.toSet
+    val merged = (setA ++ setB).toSeq.sorted(ord).take(k)
+    if (merged.isEmpty) 0.0
+    else merged.count(h => setA(h) && setB(h)).toDouble / merged.size
+  }
+
+  /** L2/L5 at scale — the SKETCHED source-overlap matrix, q127's scale
+    * path: the exact matrix aggregates the FULL distinct shingle
+    * vocabulary per source pair, which at 100 TB is itself corpus-scale
+    * work; this pass reduces every source to a [[OverlapSketchK]]-hash
+    * bottom-k signature (ONE aggregation with k-bounded TopKAgg state —
+    * the shuffle carries ≤ k rows per (partition, source)) and estimates
+    * each pair's jaccard from the merged signatures. Driver state is the
+    * |sources|×k signature table — the bounded SOURCE dimension times a
+    * constant, the same boundedness class as the probe/query caps.
+    * Declared rows-only (the estimate is approximate by construction);
+    * PipelineSuite asserts a same-algorithm driver-model equality, the
+    * error bound vs the exact q127 matrix, and the exact-when-small
+    * property of the estimator.
+    */
+  def sourceOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = table(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val srcH = docShingles(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(src, "doc_id")
+      .select(col("source"), md5(col("g")).as("h"))
+      .distinct()
+    implicit val utf8: Ordering[String] = graft.rel.TopK.Utf8StringOrdering
+    val sigs = srcH.as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(t => (0.0, t._2)) // constant score -> TopKAgg keeps the k SMALLEST ids
+      .agg(new graft.rel.TopK.TopKAgg[String](OverlapSketchK).toColumn.name("sig"))
+      .collect() // |sources| rows x k hashes — source-dimension bounded
+      .map { case (s, sig) => (s, sig.map(_._2)) }
+      .sortBy(_._1)(utf8)
+    val ests = for {
+      i <- sigs.indices
+      j <- (i + 1) until sigs.length
+    } yield (sigs(i)._1, sigs(j)._1,
+      bottomKJaccard(sigs(i)._2, sigs(j)._2, OverlapSketchK))
+    ests.toDF("s1", "s2", "est_raw")
+      .select(col("s1"), col("s2"), round(col("est_raw"), 4).as("est_jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   /** Content-defined-chunking parameters: rolling window (chars),
     * polynomial base, modulus, and the boundary divisor (expected chunk
     * length ≈ [[CdcDivisor]] chars). B and M are coprime-ish small

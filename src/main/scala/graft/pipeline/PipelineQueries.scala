@@ -170,6 +170,10 @@ object PipelineQueries {
     // invariants travel in its gate_pass column and are asserted in
     // StreamingSuite against the same operator.
     "q155_nested_struct" -> (graft.sources.Formats.nestedRoundtrip _),
+    // q159 is rows-only: a sketch estimator (the q27/q71/q126 family);
+    // PipelineSuite gates driver-model equality, the error bound vs the
+    // exact q127 matrix, and exact-when-small behavior.
+    "q159_source_overlap_sketch" -> (Dedup.sourceOverlapSketch _),
     "q156_stream_merge_sink" -> (Events.streamMergeSinkFinal _),
     "q157_rate_ingest_gate" -> (Events.rateIngestGate _)
   )

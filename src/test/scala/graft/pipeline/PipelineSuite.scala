@@ -1995,6 +1995,53 @@ class PipelineSuite extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("L2/L5 sketched source overlap: matches the same-algorithm model, bounds error vs exact") {
+    import spark.implicits._
+    val docs = graft.rel.Queries
+      .table(spark, dir, "documents")
+      .select("source", "text").as[(String, String)].collect()
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val k = Dedup.OverlapSketchK
+    val ord = graft.rel.TopK.Utf8StringOrdering
+    val bySrc = docs.groupBy(_._1).view
+      .mapValues(_.map(t => sh(t._2)).reduce(_ ++ _).map(md5hex)).toMap
+    val sig = bySrc.view.mapValues(_.toSeq.sorted(ord).take(k)).toMap
+    val srcs = bySrc.keys.toSeq.sorted(ord)
+    val expected = (for {
+      a <- srcs; b <- srcs if ord.lt(a, b)
+    } yield (a, b,
+      BigDecimal(Dedup.bottomKJaccard(sig(a), sig(b), k))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val got = Dedup.sourceOverlapSketch(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    // same-algorithm driver model: exact equality, every pair present
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // error vs the EXACT matrix: within 4 sigma + rounding of the
+    // bottom-k estimator (sigma = sqrt(J(1-J)/k))
+    val exact = (for {
+      a <- srcs; b <- srcs if ord.lt(a, b)
+      u = bySrc(a).union(bySrc(b)).size if u > 0
+    } yield ((a, b), bySrc(a).intersect(bySrc(b)).size.toDouble / u)).toMap
+    got.foreach { case (a, b, est) =>
+      val j = exact.getOrElse((a, b), 0.0)
+      val bound = 4 * math.sqrt(math.max(j * (1 - j), 0.25 / k) / k) + 1e-4
+      assert(math.abs(est - j) <= bound, s"($a,$b): est $est vs exact $j, bound $bound")
+    }
+    // exact-when-small: a union that fits inside k makes the estimator exact
+    val sa = (1 to 40).map(i => md5hex(s"a$i"))
+    val sb = sa.take(10) ++ (1 to 30).map(i => md5hex(s"b$i"))
+    val exactSmall = sa.toSet.intersect(sb.toSet).size.toDouble / sa.toSet.union(sb.toSet).size
+    assert(Dedup.bottomKJaccard(sa, sb, k) == exactSmall)
+  }
+
   test("L5 CMS estimates: over-count only, within the eps*N bound of exact counts") {
     import spark.implicits._
     val texts = graft.rel.Queries

@@ -647,6 +647,269 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ---- real image decode (GIF87a, LZW) -----------------------------------
+
+  /** Third member of the real-decoder tier, chosen because its
+    * compression is a genuinely DIFFERENT algorithm from PNG's DEFLATE:
+    * GIF87a with a hand-written variable-width LZW codec (code widths
+    * growing 5→12 bits, clear/end codes, dictionary reconstruction
+    * including the KwKwK self-reference case), LSB-first bit packing,
+    * and the 255-byte-max data sub-block framing (the encoder caps
+    * sub-blocks at [[GifSubBlockBytes]] so multi-block reads are always
+    * exercised). Pixels are 4-bit palette indices from integer formulas;
+    * the palette maps indices to RGB by its own formulas — both mirrored
+    * by the q160 oracle, so any LZW/bit-packing/framing bug scrambles
+    * the features and goes red.
+    */
+  val GifPaletteBits = 4 // 16-color global palette
+  val GifSubBlockBytes = 32
+
+  def gifWidth(docId: Long): Int = (10 + docId % 7).toInt // 10..16
+  def gifHeight(docId: Long): Int = (6 + docId % 5).toInt // 6..10
+
+  /** Palette index of pixel (x, y): x/3 makes horizontal runs, so the
+    * LZW dictionary genuinely compresses (and the KwKwK decode case
+    * occurs in the corpus).
+    */
+  def gifIndex(docId: Long, x: Int, y: Int): Int =
+    ((docId + x / 3 + y * 2) % 16).toInt
+
+  /** Palette entry i (RGB) — index-only formulas the oracle mirrors. */
+  def gifPalR(i: Int): Int = (i * 37) % 256
+  def gifPalG(i: Int): Int = (i * 57) % 256
+  def gifPalB(i: Int): Int = (i * 11 + 5) % 256
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0L
+    private var nBits = 0
+    def write(code: Int, width: Int): Unit = {
+      acc |= (code.toLong & ((1L << width) - 1)) << nBits
+      nBits += width
+      while (nBits >= 8) { out.write((acc & 0xFF).toInt); acc >>>= 8; nBits -= 8 }
+    }
+    def finish(): Array[Byte] = {
+      if (nBits > 0) { out.write((acc & 0xFF).toInt); acc = 0; nBits = 0 }
+      out.toByteArray
+    }
+  }
+
+  private final class BitReader(bytes: Array[Byte]) {
+    private var acc = 0L
+    private var nBits = 0
+    private var pos = 0
+    def read(width: Int): Int = {
+      while (nBits < width) {
+        require(pos < bytes.length, "LZW stream truncated")
+        acc |= (bytes(pos) & 0xFFL) << nBits
+        pos += 1
+        nBits += 8
+      }
+      val v = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width
+      nBits -= width
+      v
+    }
+  }
+
+  /** GIF variable-width LZW compress of a palette-index stream. Width
+    * bumps when the just-assigned code reaches 2^width — mirrored
+    * exactly by [[lzwDecode]]'s dict-size check (the non-"early-change"
+    * convention, consistently on both sides).
+    */
+  private[pipeline] def lzwEncode(indices: Array[Int], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val bw = new BitWriter
+    var width = minCodeSize + 1
+    val dict = new java.util.HashMap[String, Int]()
+    var next = end + 1
+    bw.write(clear, width)
+    var cur = "" // current sequence, palette indices as chars
+    var curCode = -1
+    for (c <- indices) {
+      if (cur.isEmpty) { cur = "" + c.toChar; curCode = c }
+      else {
+        val cand = cur + c.toChar
+        if (dict.containsKey(cand)) { cur = cand; curCode = dict.get(cand) }
+        else {
+          bw.write(curCode, width)
+          dict.put(cand, next)
+          next += 1
+          if (next - 1 == (1 << width) && width < 12) width += 1
+          if (next == 4096) {
+            bw.write(clear, width)
+            dict.clear(); next = end + 1; width = minCodeSize + 1
+          }
+          cur = "" + c.toChar; curCode = c
+        }
+      }
+    }
+    if (curCode >= 0) bw.write(curCode, width)
+    bw.write(end, width)
+    bw.finish()
+  }
+
+  /** GIF variable-width LZW decompress — dictionary reconstruction with
+    * the KwKwK (code == next unassigned entry) case.
+    */
+  private[pipeline] def lzwDecode(bytes: Array[Byte], minCodeSize: Int): Array[Int] = {
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val br = new BitReader(bytes)
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var width = minCodeSize + 1
+    var dict = new scala.collection.mutable.ArrayBuffer[Array[Int]]()
+    def reset(): Unit = {
+      dict = scala.collection.mutable.ArrayBuffer.tabulate(end + 1)(i => Array(i))
+      width = minCodeSize + 1
+    }
+    reset()
+    var prev: Array[Int] = null
+    var done = false
+    while (!done) {
+      val code = br.read(width)
+      if (code == end) done = true
+      else if (code == clear) { reset(); prev = null }
+      else {
+        val entry =
+          if (code < dict.length) dict(code)
+          else if (code == dict.length && prev != null) prev :+ prev(0) // KwKwK
+          else throw new IllegalArgumentException(s"bad LZW code $code (dict ${dict.length})")
+        out ++= entry
+        if (prev != null) {
+          dict += (prev :+ entry(0))
+          if (dict.length == (1 << width) && width < 12) width += 1
+        }
+        prev = entry
+      }
+    }
+    out.toArray
+  }
+
+  /** Encode one spec-compliant GIF87a: header, logical screen descriptor,
+    * 16-entry global color table, image descriptor, LZW data in capped
+    * sub-blocks, trailer.
+    */
+  private[pipeline] def gifEncode(docId: Long): Array[Byte] = {
+    val w = gifWidth(docId)
+    val h = gifHeight(docId)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    u16(w); u16(h)
+    // packed: GCT present, color resolution 8, GCT size 2^(3+1)=16
+    out.write(0x80 | (7 << 4) | (GifPaletteBits - 1))
+    out.write(0) // background color index
+    out.write(0) // pixel aspect
+    for (i <- 0 until 16) { out.write(gifPalR(i)); out.write(gifPalG(i)); out.write(gifPalB(i)) }
+    out.write(0x2C) // image descriptor
+    u16(0); u16(0); u16(w); u16(h)
+    out.write(0) // no local table, not interlaced
+    val indices = Array.tabulate(h * w)(p => gifIndex(docId, p % w, p / w))
+    out.write(GifPaletteBits) // LZW min code size
+    val z = lzwEncode(indices, GifPaletteBits)
+    var off = 0
+    while (off < z.length) {
+      val n = math.min(GifSubBlockBytes, z.length - off)
+      out.write(n)
+      out.write(z, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Decoded GIF: dimensions + palette + pixel indices in row order. */
+  final case class GifDecoded(
+      width: Int, height: Int, palette: Array[Array[Int]], indices: Array[Int])
+
+  /** REAL GIF87a parse: signature, screen descriptor, global color
+    * table, image descriptor, sub-block concatenation, LZW decode.
+    */
+  private[pipeline] def gifDecode(bytes: Array[Byte]): GifDecoded = {
+    require(bytes.length > 13 &&
+      new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII) == "GIF87a",
+      "not a GIF87a: bad signature")
+    def u16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    val sw = u16(6)
+    val sh = u16(8)
+    val packed = bytes(10) & 0xFF
+    require((packed & 0x80) != 0, "no global color table")
+    val palSize = 1 << ((packed & 0x07) + 1)
+    val palette = Array.tabulate(palSize) { i =>
+      val o = 13 + i * 3
+      Array(bytes(o) & 0xFF, bytes(o + 1) & 0xFF, bytes(o + 2) & 0xFF)
+    }
+    var pos = 13 + palSize * 3
+    require((bytes(pos) & 0xFF) == 0x2C, s"expected image descriptor at $pos")
+    val w = u16(pos + 5)
+    val h = u16(pos + 7)
+    require(w == sw && h == sh, "sub-image GIFs not supported")
+    require((bytes(pos + 9) & 0xC0) == 0, "local table/interlace not supported")
+    pos += 10
+    val minCodeSize = bytes(pos) & 0xFF
+    pos += 1
+    val z = new java.io.ByteArrayOutputStream()
+    var len = bytes(pos) & 0xFF
+    while (len != 0) {
+      require(pos + 1 + len <= bytes.length, "truncated sub-block")
+      z.write(bytes, pos + 1, len)
+      pos += 1 + len
+      len = bytes(pos) & 0xFF
+    }
+    require((bytes(pos + 1) & 0xFF) == 0x3B, "missing trailer")
+    val indices = lzwDecode(z.toByteArray, minCodeSize)
+    require(indices.length == w * h, s"decoded ${indices.length} pixels, want ${w * h}")
+    GifDecoded(w, h, palette, indices)
+  }
+
+  /** The synthesized GIF corpus: (doc_id, media) with a real GIF payload. */
+  def gifTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, gifEncode(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** Declared query (q160): decode the GIF corpus and emit per-doc
+    * features — dimensions, mean palette-mapped luminance, and the
+    * top/bottom row luminance sums (any LZW dictionary or bit-packing
+    * slip shifts every later pixel, so bot_row_lum is maximally
+    * sensitive). Oracle recomputes from the index + palette formulas.
+    */
+  def gifFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gifTable(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = gifDecode(bytes)
+        var sum = 0L
+        var topSum = 0L
+        var botSum = 0L
+        var p = 0
+        while (p < d.indices.length) {
+          val y = p / d.width
+          val c = d.palette(d.indices(p))
+          val lum = c(0) + c(1) + c(2)
+          sum += lum
+          if (y == 0) topSum += lum
+          if (y == d.height - 1) botSum += lum
+          p += 1
+        }
+        (id, d.width, d.height, sum.toDouble / (3L * d.width * d.height), topSum, botSum)
+      })
+      .toDF("doc_id", "width", "height", "mean_lum_raw", "top_row_lum", "bot_row_lum")
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        round(col("mean_lum_raw"), 4).as("mean_lum"),
+        col("top_row_lum"), col("bot_row_lum"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- audio frame features (windowed, over the decoded WAV) -------------
 
   /** Samples per analysis frame for [[wavFrameFeatures]]. */

@@ -174,6 +174,7 @@ object PipelineQueries {
     // PipelineSuite gates driver-model equality, the error bound vs the
     // exact q127 matrix, and exact-when-small behavior.
     "q159_source_overlap_sketch" -> (Dedup.sourceOverlapSketch _),
+    "q160_gif_decode" -> (Multimodal.gifFeatures _),
     "q156_stream_merge_sink" -> (Events.streamMergeSinkFinal _),
     "q157_rate_ingest_gate" -> (Events.rateIngestGate _)
   )
@@ -1734,6 +1735,26 @@ object PipelineQueries {
         |  round(sum(r+g+b)::DOUBLE / (3*w*h), 4) AS mean_lum,
         |  sum(CASE WHEN y = 0 THEN r+g+b ELSE 0 END)::BIGINT AS top_row_lum,
         |  sum(CASE WHEN y = h - 1 THEN r+g+b ELSE 0 END)::BIGINT AS bot_row_lum
+        |FROM ch GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // q160: GIF decode — expected features regenerated from the palette
+    // index + palette-entry formulas. The Spark side must parse the
+    // container (screen descriptor, global color table, sub-block
+    // framing) AND run a correct variable-width LZW decode — any
+    // dictionary, width-bump, or bit-packing slip shifts every later
+    // pixel and goes red.
+    "q160_gif_decode" ->
+      """WITH d AS (SELECT doc_id, (10 + doc_id % 7) AS w, (6 + doc_id % 5) AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |ys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |px AS (SELECT doc_id, w, h, x, y, (doc_id + x // 3 + y * 2) % 16 AS i FROM ys),
+        |ch AS (SELECT doc_id, w, h, x, y,
+        |        (i * 37) % 256 + (i * 57) % 256 + (i * 11 + 5) % 256 AS lum
+        |       FROM px)
+        |SELECT doc_id, w::INT AS width, h::INT AS height,
+        |  round(sum(lum)::DOUBLE / (3*w*h), 4) AS mean_lum,
+        |  sum(CASE WHEN y = 0 THEN lum ELSE 0 END)::BIGINT AS top_row_lum,
+        |  sum(CASE WHEN y = h - 1 THEN lum ELSE 0 END)::BIGINT AS bot_row_lum
         |FROM ch GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     // q140: the delta-assignment mirror — the SAME unrolled-Lloyd cell

@@ -1369,6 +1369,60 @@ class PipelineSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.pngDecode(excised))
   }
 
+  test("GIF codec: encode/decode round-trips every pixel through variable-width LZW") {
+    for (docId <- 0L to 34L) { // every (w, h) residue pair
+      val d = Multimodal.gifDecode(Multimodal.gifEncode(docId))
+      assert(d.width == Multimodal.gifWidth(docId) && d.height == Multimodal.gifHeight(docId))
+      for (y <- 0 until d.height; x <- 0 until d.width) {
+        assert(d.indices(y * d.width + x) == Multimodal.gifIndex(docId, x, y),
+          s"idx($x,$y) doc $docId")
+      }
+      for (i <- 0 until 16) {
+        assert(d.palette(i).toSeq ==
+          Seq(Multimodal.gifPalR(i), Multimodal.gifPalG(i), Multimodal.gifPalB(i)))
+      }
+    }
+  }
+
+  test("GIF LZW: KwKwK self-reference decodes; width growth round-trips long streams") {
+    // all-same-index input forces code == next-unassigned on the second
+    // code (the classic KwKwK case a naive decoder crashes on)
+    val runs = Array.fill(64)(3)
+    assert(Multimodal.lzwDecode(Multimodal.lzwEncode(runs, 4), 4).toSeq == runs.toSeq)
+    // a long pseudo-random stream pushes the dictionary through several
+    // width bumps (5 -> 6 -> 7 -> 8 bits); any encoder/decoder width
+    // disagreement desynchronizes the bit stream immediately
+    var seed = 99L
+    val big = Array.fill(3000) {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ((seed >>> 33) % 16).toInt
+    }
+    assert(Multimodal.lzwDecode(Multimodal.lzwEncode(big, 4), 4).toSeq == big.toSeq)
+  }
+
+  test("GIF decode reads the BYTES: signature, palette, and LZW stream are load-bearing") {
+    val docId = 9L
+    val bytes = Multimodal.gifEncode(docId)
+    // corrupted signature rejected
+    val bad = bytes.clone(); bad(3) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.gifDecode(bad))
+    // patch one global-color-table byte -> exactly that palette entry
+    // must change in the decode (the palette comes from the BYTES)
+    val palPatched = bytes.clone()
+    palPatched(13 + 3 * 3) = ((palPatched(13 + 3 * 3) ^ 0x55) & 0xFF).toByte
+    val got = Multimodal.gifDecode(palPatched)
+    assert(got.palette(3)(0) == (Multimodal.gifPalR(3) ^ 0x55))
+    assert(got.palette(4).toSeq ==
+      Seq(Multimodal.gifPalR(4), Multimodal.gifPalG(4), Multimodal.gifPalB(4)))
+    // truncating the LZW stream (drop the last sub-block) must fail
+    // loudly, not decode a short image
+    var pos = 13 + 16 * 3 + 10 + 1
+    var lastBlock = -1
+    while ((bytes(pos) & 0xFF) != 0) { lastBlock = pos; pos += 1 + (bytes(pos) & 0xFF) }
+    val excised = bytes.take(lastBlock) ++ bytes.drop(lastBlock + 1 + (bytes(lastBlock) & 0xFF))
+    intercept[IllegalArgumentException](Multimodal.gifDecode(excised))
+  }
+
   private def cosine(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double =
     a._2.zip(b._2).map { case (x, y) => x * y }.sum / (a._3 * b._3)
 

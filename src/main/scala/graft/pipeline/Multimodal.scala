@@ -442,16 +442,14 @@ object Multimodal {
     out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
   }
 
-  /** Encode one spec-compliant 8-bit RGB PNG: filtered scanlines (row y
-    * gets filter y % 5), zlib-deflated, chunked with CRC-32 trailers.
+  /** Encode one spec-compliant 8-bit RGB PNG of the synthesized corpus
+    * image (pixels from the integer formulas).
     */
   private[pipeline] def pngEncode(docId: Long): Array[Byte] = {
     val w = pngWidth(docId)
     val h = pngHeight(docId)
-    val rowBytes = w * 3
-    // raw scanlines in image order
-    val raw = Array.tabulate(h) { y =>
-      val r = new Array[Int](rowBytes)
+    pngEncodeImage(Array.tabulate(h) { y =>
+      val r = new Array[Int](w * 3)
       var x = 0
       while (x < w) {
         r(x * 3) = pngR(docId, x, y)
@@ -460,7 +458,20 @@ object Multimodal {
         x += 1
       }
       r
-    }
+    })
+  }
+
+  /** Encode ARBITRARY raw scanlines (`raw(y)(x*3 + c)`, any byte
+    * values): filtered rows (row y gets filter y % 5), zlib-deflated,
+    * chunked with CRC-32 trailers. Split out of [[pngEncode]] so the
+    * property suite can round-trip arbitrary images through the REAL
+    * codec, not a mirror of its arithmetic.
+    */
+  private[pipeline] def pngEncodeImage(raw: Array[Array[Int]]): Array[Byte] = {
+    val h = raw.length
+    require(h > 0 && raw(0).length % 3 == 0 && raw(0).length > 0, "bad image shape")
+    val w = raw(0).length / 3
+    val rowBytes = w * 3
     // filter: out = raw - predictor (mod 256), predictor per PNG spec, bpp=3
     val filtered = new Array[Byte](h * (1 + rowBytes))
     var y = 0
@@ -717,13 +728,22 @@ object Multimodal {
     * exactly by [[lzwDecode]]'s dict-size check (the non-"early-change"
     * convention, consistently on both sides).
     */
-  private[pipeline] def lzwEncode(indices: Array[Int], minCodeSize: Int): Array[Byte] = {
+  private[pipeline] def lzwEncode(indices: Array[Int], minCodeSize: Int): Array[Byte] =
+    lzwEncodeWithStats(indices, minCodeSize)._1
+
+  /** [[lzwEncode]] plus the number of mid-stream dictionary resets —
+    * exposed so the property suite can prove its long-stream case really
+    * drives the 4096-entry clear path on both sides.
+    */
+  private[pipeline] def lzwEncodeWithStats(
+      indices: Array[Int], minCodeSize: Int): (Array[Byte], Int) = {
     val clear = 1 << minCodeSize
     val end = clear + 1
     val bw = new BitWriter
     var width = minCodeSize + 1
     val dict = new java.util.HashMap[String, Int]()
     var next = end + 1
+    var nClears = 0
     bw.write(clear, width)
     var cur = "" // current sequence, palette indices as chars
     var curCode = -1
@@ -740,6 +760,7 @@ object Multimodal {
           if (next == 4096) {
             bw.write(clear, width)
             dict.clear(); next = end + 1; width = minCodeSize + 1
+            nClears += 1
           }
           cur = "" + c.toChar; curCode = c
         }
@@ -747,7 +768,7 @@ object Multimodal {
     }
     if (curCode >= 0) bw.write(curCode, width)
     bw.write(end, width)
-    bw.finish()
+    (bw.finish(), nClears)
   }
 
   /** GIF variable-width LZW decompress — dictionary reconstruction with

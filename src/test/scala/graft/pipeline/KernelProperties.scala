@@ -193,4 +193,40 @@ object KernelProperties extends Properties("Kernels") {
       val d = cents.map(c => c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
       d(got) == d.min && !d.take(got).exists(_ == d.min)
     }
+
+  property("GIF LZW round-trips arbitrary 4-bit index streams") =
+    forAll(Gen.listOf(Gen.choose(0, 15))) { idx =>
+      val a = idx.toArray
+      Multimodal.lzwDecode(Multimodal.lzwEncode(a, 4), 4).toSeq == a.toSeq
+    }
+
+  property("GIF LZW round-trips across the 4096-entry dictionary reset") = {
+    // long random streams so dictionaries grow past 4096 entries and
+    // the clear-code reset path executes on BOTH sides — the one branch
+    // short streams never reach; the stats probe PROVES at least one
+    // reset happened rather than assuming the stream was long enough
+    val runs = Gen.listOfN(8000,
+      Gen.zip(Gen.choose(0, 15), Gen.choose(1, 3)))
+    forAll(runs) { rs =>
+      val a = rs.flatMap { case (v, n) => Seq.fill(n)(v) }.toArray
+      val (bytes, nClears) = Multimodal.lzwEncodeWithStats(a, 4)
+      nClears >= 1 && Multimodal.lzwDecode(bytes, 4).toSeq == a.toSeq
+    }
+  }
+
+  property("PNG codec round-trips ARBITRARY images through encode+decode") =
+    forAll(
+      Gen.choose(1, 9), Gen.choose(1, 9), Gen.choose(0L, 1000000L)) { (w, h, seed) =>
+      // arbitrary byte-valued pixels through the REAL chunk-level codec
+      // (zlib, CRCs, and — with h up to 9 — every scanline filter type)
+      var s = seed
+      def nextByte(): Int = {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33) & 0xFF).toInt
+      }
+      val px = Array.fill(h, w * 3)(nextByte())
+      val d = Multimodal.pngDecode(Multimodal.pngEncodeImage(px))
+      d.width == w && d.height == h &&
+        d.rgb.map(_.toSeq).toSeq == px.map(_.toSeq).toSeq
+    }
 }

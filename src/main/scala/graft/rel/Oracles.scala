@@ -219,6 +219,25 @@ object Oracles {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.err_ts
         |ORDER BY l.event_id""".stripMargin,
 
+    // q161: lag/lead/ntile/percent_rank share one (user, ts, event_id)
+    // window — DuckDB's ntile/percent_rank semantics match Spark's
+    // (SQL-standard bucket sizing and (rank-1)/(n-1)).
+    "q161_window_analytics" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    // q162: the CSV write+read round-trip must be row-identical to the
+    // parquet table — typed fidelity through the text format.
+    "q162_csv_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q37_pivot" ->
       """SELECT user_id,
         | count(*) FILTER (event_type = 'click') AS click,

@@ -446,6 +446,47 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** R5 breadth — the analytic window functions q07/q08 don't cover:
+    * lag/lead (neighbor access), ntile (quartile bucketing), and
+    * percent_rank (relative position), all over one per-user
+    * (ts, event_id)-ordered window — ONE hash shuffle on user_id plus a
+    * per-partition sort serves all four functions (Catalyst collapses
+    * same-spec windows into a single Window operator). event_id breaks
+    * ts ties so every function is deterministic.
+    */
+  def q161WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Gate for the CSV source/sink pair ([[graft.sources.Formats]]): the
+    * orders snapshot round-trips write → read with an explicit schema
+    * and must hash-equal the rows computed straight from the parquet
+    * table — typed fidelity (bigint/varchar/double/timestamp) through
+    * the text format is exactly what silently breaks at ingest
+    * boundaries. (o_orderdate is second-precision, so the default CSV
+    * timestamp format is lossless here; micro-precision columns would
+    * need an explicit timestampFormat.)
+    */
+  def q162CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-csv-rt").toString
+    val src = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    graft.sources.Formats.writeCsv(src, out)
+    graft.sources.Formats.readCsv(spark, out, src.schema)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Event types pivoted to columns — `groupBy().pivot()` with an explicit
     * value list so the output schema is static (at scale an unlisted pivot
     * forces an extra distinct-values job first).
@@ -906,6 +947,8 @@ object Queries {
     "q33_sql_api" -> (q33SqlApi _),
     "q36_asof_join" -> (q36AsOfJoin _),
     "q158_asof_native" -> (q158AsOfNative _),
+    "q161_window_analytics" -> (q161WindowAnalytics _),
+    "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q37_pivot" -> (q37Pivot _),
     "q38_unpivot" -> (q38Unpivot _),
     "q39_percentiles" -> (q39Percentiles _),

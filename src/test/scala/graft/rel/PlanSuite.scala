@@ -352,6 +352,16 @@ class PlanSuite extends AnyFunSuite {
     assert(ep.contains("partial_count") || ep.contains("partial"), ep)
   }
 
+  test("q161: four analytic functions share one Window operator and one shuffle") {
+    val ep = execPlan(Queries.q161WindowAnalytics(spark, dir))
+    // lag/lead/ntile/percent_rank share the window SPEC, so Catalyst
+    // must collapse them into a single Window operator over a single
+    // user_id exchange — four separate Windows would mean three
+    // redundant sorts of the event stream
+    assert("Window".r.findAllIn(ep).size == 1, ep)
+    assert("Exchange hashpartitioning".r.findAllIn(ep).size == 1, ep)
+  }
+
   test("q158: the native as-of exec plans with per-side Exchange + Sort, no window") {
     val df = Queries.q158AsOfNative(spark, dir)
     val ep = execPlan(df)

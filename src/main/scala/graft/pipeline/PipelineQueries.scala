@@ -175,6 +175,7 @@ object PipelineQueries {
     // exact q127 matrix, and exact-when-small behavior.
     "q159_source_overlap_sketch" -> (Dedup.sourceOverlapSketch _),
     "q160_gif_decode" -> (Multimodal.gifFeatures _),
+    "q163_phrase_search" -> (Retrieval.phraseSearch _),
     "q156_stream_merge_sink" -> (Events.streamMergeSinkFinal _),
     "q157_rate_ingest_gate" -> (Events.rateIngestGate _)
   )
@@ -1756,6 +1757,24 @@ object PipelineQueries {
         |  sum(CASE WHEN y = 0 THEN lum ELSE 0 END)::BIGINT AS top_row_lum,
         |  sum(CASE WHEN y = h - 1 THEN lum ELSE 0 END)::BIGINT AS bot_row_lum
         |FROM ch GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // q163: phrase search — the oracle defines "contains the phrase" by
+    // space-padded substring containment (exactly token adjacency on
+    // this single-spaced corpus), a semantically INDEPENDENT definition
+    // the positional-index intersection must reproduce.
+    "q163_phrase_search" ->
+      s"""WITH qcap AS (SELECT doc_id, text FROM documents
+         |  WHERE source = '${Dedup.BenchSource}'
+         |    AND len(string_split(text, ' ')) >= ${Retrieval.PhraseLen}
+         |  ORDER BY substr(md5('${Retrieval.PhraseSalt}' || doc_id), 1, 12), doc_id
+         |  LIMIT ${Retrieval.PhraseCap}),
+         |ph AS (SELECT DISTINCT
+         |         array_to_string((string_split(text, ' '))[1:${Retrieval.PhraseLen}], ' ') AS phrase
+         |       FROM qcap),
+         |m AS (SELECT ph.phrase, d.doc_id FROM ph JOIN documents d
+         |      ON contains(' ' || d.text || ' ', ' ' || ph.phrase || ' '))
+         |SELECT phrase, count(DISTINCT doc_id)::BIGINT AS n_docs
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q140: the delta-assignment mirror — the SAME unrolled-Lloyd cell
     // CTE, trained on the corpus only and assigned over the delta only.

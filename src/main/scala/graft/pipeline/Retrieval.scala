@@ -45,6 +45,62 @@ object Retrieval {
     * scores are bit-identical to the DuckDB oracle and the whole query
     * is hash-gated.
     */
+  /** Phrase set size for [[phraseSearch]] — the q62/q107 MaxQueries
+    * discipline: the phrase table is a fixed-size broadcast at any
+    * corpus scale.
+    */
+  val PhraseCap = 8
+  val PhraseSalt = "phrase:"
+  val PhraseLen = 3
+
+  /** L4 — PHRASE SEARCH over a POSITIONAL inverted index: the exact
+    * multi-word matching primitive BM25's bag-of-words scoring cannot
+    * express (BM25 scores "spark shuffle join" identically in any word
+    * order; a phrase query requires ADJACENT positions). Index shape is
+    * the production one: positional postings (token, doc, pos) — the
+    * standing IR asset a deployment maintains — probed by a broadcast
+    * phrase-word table. The intersection is the classic positional
+    * algorithm made relational: each phrase word at offset `off`
+    * matching a posting at `pos` votes for start `pos − off`, and a
+    * start with ALL [[PhraseLen]] distinct offsets present is a phrase
+    * occurrence (`count(distinct off) == len` also handles repeated
+    * words in a phrase). Per-phrase doc counts aggregate from there.
+    *
+    * Phrases are the first [[PhraseLen]] words of [[Dedup.BenchSource]]
+    * docs, capped at [[PhraseCap]] by salted-md5 order (mirrored by the
+    * oracle), so the probe side is bounded while the postings side
+    * scales with the corpus — one corpus-wide shuffle on the group key,
+    * map-side partial counts. Hash-gated: the oracle recomputes each
+    * count by space-padded substring containment, which on this
+    * single-spaced corpus is EXACTLY token-sequence adjacency — so the
+    * whole positional machinery must agree with a semantically
+    * independent definition of "contains the phrase".
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val phrases = docs
+      .filter(col("source") === Dedup.BenchSource)
+      .withColumn("h",
+        substring(md5(concat(lit(PhraseSalt), col("doc_id").cast("string"))), 1, 12))
+      .filter(size(split(col("text"), " ")) >= PhraseLen)
+      .orderBy(col("h"), col("doc_id"))
+      .limit(PhraseCap)
+      .select(array_join(slice(split(col("text"), " "), 1, PhraseLen), " ").as("phrase"))
+      .distinct()
+    val postings = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    val phraseWords = phrases
+      .select(col("phrase"), posexplode(split(col("phrase"), " ")).as(Seq("off", "w")))
+    postings
+      .join(broadcast(phraseWords), col("token") === col("w"))
+      .groupBy(col("phrase"), col("doc_id"), (col("pos") - col("off")).as("start"))
+      .agg(countDistinct(col("off")).as("nw"))
+      .filter(col("nw") === PhraseLen)
+      .groupBy(col("phrase"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("phrase"))
+  }
+
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lex = TextAnalysis.bm25(spark, dir)

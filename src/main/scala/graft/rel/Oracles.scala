@@ -238,6 +238,25 @@ object Oracles {
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // q164: the ANALYZE-style stats table, one UNION ALL arm per column.
+    "q164_table_stats" ->
+      """SELECT 'o_custkey' AS col_name, count(*)::BIGINT AS n_rows,
+        |  (count(*) - count(o_custkey))::BIGINT AS n_nulls,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+        |  min(o_custkey)::DOUBLE AS min_val, max(o_custkey)::DOUBLE AS max_val
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', count(*)::BIGINT, (count(*) - count(o_orderkey))::BIGINT,
+        |  count(DISTINCT o_orderkey)::BIGINT,
+        |  min(o_orderkey)::DOUBLE, max(o_orderkey)::DOUBLE
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*)::BIGINT, (count(*) - count(o_totalprice))::BIGINT,
+        |  count(DISTINCT o_totalprice)::BIGINT,
+        |  min(o_totalprice)::DOUBLE, max(o_totalprice)::DOUBLE
+        |FROM orders
+        |ORDER BY col_name""".stripMargin,
+
     "q37_pivot" ->
       """SELECT user_id,
         | count(*) FILTER (event_type = 'click') AS click,

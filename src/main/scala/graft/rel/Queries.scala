@@ -487,6 +487,41 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** R4/R8 — COLUMN-STATISTICS COLLECTION, the `ANALYZE TABLE` pass a
+    * lakehouse runs to feed the optimizer (row counts, per-column
+    * null counts, NDVs, min/max): one scan of orders computes every
+    * metric in a single wide aggregation, then `stack` pivots the
+    * 1-row × 4-metric-per-column result into the per-column stats table
+    * shape catalogs store. The multi-column `count(distinct)` plans
+    * through Spark's Expand (one duplicated stream per distinct column)
+    * — the standard exact-NDV trade; a production pass at 100 TB swaps
+    * in `approx_count_distinct` (HLL, q27's machinery) per column with
+    * the same plan shape minus the Expand.
+    */
+  def q164TableStats(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_ndv"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"))
+    }
+    val stackArgs = cols
+      .map(c => s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max")
+      .mkString(", ")
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    table(spark, dir, "orders")
+      .agg(allAggs.head, allAggs.tail: _*)
+      .selectExpr(
+        "n_rows",
+        s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+      .select(
+        col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy(col("col_name"))
+  }
+
   /** Event types pivoted to columns — `groupBy().pivot()` with an explicit
     * value list so the output schema is static (at scale an unlisted pivot
     * forces an extra distinct-values job first).
@@ -949,6 +984,7 @@ object Queries {
     "q158_asof_native" -> (q158AsOfNative _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
+    "q164_table_stats" -> (q164TableStats _),
     "q37_pivot" -> (q37Pivot _),
     "q38_unpivot" -> (q38Unpivot _),
     "q39_percentiles" -> (q39Percentiles _),

@@ -238,6 +238,11 @@ object Oracles {
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // q165: the JSONL write+read round-trip, same identity gate as q162.
+    "q165_jsonl_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     // q164: the ANALYZE-style stats table, one UNION ALL arm per column.
     "q164_table_stats" ->
       """SELECT 'o_custkey' AS col_name, count(*)::BIGINT AS n_rows,

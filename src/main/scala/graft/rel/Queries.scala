@@ -487,6 +487,22 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The JSONL twin of [[q162CsvRoundtrip]] — same explicit-schema
+    * write → read identity gate through `Formats.writeJsonl`/`readJsonl`.
+    * JSON's failure modes differ from CSV's (silent null on type
+    * mismatch without FAILFAST, field-order independence, string
+    * escaping), so the text-format tier gets its second independent
+    * fidelity gate.
+    */
+  def q165JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl-rt").toString
+    val src = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    graft.sources.Formats.writeJsonl(src, out)
+    graft.sources.Formats.readJsonl(spark, out, src.schema)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** R4/R8 — COLUMN-STATISTICS COLLECTION, the `ANALYZE TABLE` pass a
     * lakehouse runs to feed the optimizer (row counts, per-column
     * null counts, NDVs, min/max): one scan of orders computes every
@@ -985,6 +1001,7 @@ object Queries {
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),
+    "q165_jsonl_roundtrip" -> (q165JsonlRoundtrip _),
     "q37_pivot" -> (q37Pivot _),
     "q38_unpivot" -> (q38Unpivot _),
     "q39_percentiles" -> (q39Percentiles _),

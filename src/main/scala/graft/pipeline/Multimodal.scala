@@ -10,14 +10,15 @@ import graft.rel.Queries.table
   * feature-extract / frame-sample stages.
   *
   * Two decode tiers:
-  *  - REAL pure-JVM parsers for three formats — RIFF/WAVE PCM16
-  *    ([[wavDecode]]), uncompressed 24-bit BMP ([[bmpDecode]]), and
+  *  - REAL pure-JVM parsers for four formats — RIFF/WAVE PCM16
+  *    ([[wavDecode]]), uncompressed 24-bit BMP ([[bmpDecode]]),
   *    zlib-compressed 8-bit RGB PNG ([[pngDecode]]: Inflater + all five
-  *    scanline filters) — that read every field from the bytes (magic/CRC
-  *    checks, little-endian sample decode, stride arithmetic, bottom-up
-  *    row unflip, filter-chain reconstruction), gated by oracles that
-  *    regenerate expected features from the synthesis formulas and by
-  *    patched-byte sensitivity tests;
+  *    scanline filters), and GIF87a ([[gifDecode]]: a hand-written
+  *    variable-width LZW codec) — that read every field from the bytes
+  *    (magic/CRC checks, little-endian sample decode, stride arithmetic,
+  *    bottom-up row unflip, filter-chain reconstruction, dictionary
+  *    rebuild), gated by oracles that regenerate expected features from
+  *    the synthesis formulas and by patched-byte sensitivity tests;
   *  - a byte-histogram stand-in ([[extractFeatures]]) for formats whose
   *    codecs don't exist in this container (JPEG/H.264/...), kept as the
   *    documented generic-payload path.

@@ -37,7 +37,7 @@ object ScalingSmoke {
 
   val Factor = 10
   val CopyOffset = 1000000L // ≡ 0 mod DeltaMod(5): delta membership preserved per copy
-  val Iters = 2
+  val Iters = 3
 
   def synthesize(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
     val root = java.nio.file.Paths.get(bigDir)
@@ -90,7 +90,12 @@ object ScalingSmoke {
       "q132_stream_delta_dedup" -> (graft.streaming.Events.streamDeltaDedupFinal _),
       "q40_ann_ivf" -> (graft.pipeline.Similarity.annIvf _),
       "q102_ivf_pq_ann" -> (graft.pipeline.Similarity.ivfPqAnn _),
-      "q140_ann_delta_assign" -> (graft.pipeline.Similarity.annDeltaAssign _))
+      "q140_ann_delta_assign" -> (graft.pipeline.Similarity.annDeltaAssign _),
+      // r13 scale-path additions: the bottom-k overlap sketch (bounded
+      // signature agg over a 10x shingle universe) and the positional
+      // phrase index (corpus-scale postings, bounded probe)
+      "q159_source_overlap_sketch" -> (graft.pipeline.Dedup.sourceOverlapSketch _),
+      "q163_phrase_search" -> (graft.pipeline.Retrieval.phraseSearch _))
 
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

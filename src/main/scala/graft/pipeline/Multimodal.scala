@@ -724,10 +724,20 @@ object Multimodal {
     }
   }
 
-  /** GIF variable-width LZW compress of a palette-index stream. Width
-    * bumps when the just-assigned code reaches 2^width — mirrored
-    * exactly by [[lzwDecode]]'s dict-size check (the non-"early-change"
-    * convention, consistently on both sides).
+  /** GIF variable-width LZW compress of a palette-index stream.
+    *
+    * WIDTH-BUMP CONVENTION (shared with [[lzwDecode]], and the reason it
+    * is stated in terms of CODES EMITTED rather than dictionary size):
+    * after the n-th data code since a clear, both sides bump when
+    * `clear + 1 + n == 2^width`. Mid-stream this is identical to the
+    * usual "dictionary reached 2^width" rule (the decoder's dict after
+    * reading n codes holds exactly clear+1+n entries), but at the END
+    * code they differ: the encoder's final flushed code adds NO
+    * dictionary entry while the decoder's matching read adds one, so a
+    * dict-size rule desynchronizes exactly when the final data code
+    * lands on a width boundary — the decoder would read the end code one
+    * bit wider than the encoder wrote it. Counting codes makes the two
+    * sides provably bump at the same stream position in every case.
     */
   private[pipeline] def lzwEncode(indices: Array[Int], minCodeSize: Int): Array[Byte] =
     lzwEncodeWithStats(indices, minCodeSize)._1
@@ -744,7 +754,13 @@ object Multimodal {
     var width = minCodeSize + 1
     val dict = new java.util.HashMap[String, Int]()
     var next = end + 1
+    var nCodes = 0 // data codes written since the last clear
     var nClears = 0
+    def writeData(code: Int): Unit = {
+      bw.write(code, width)
+      nCodes += 1
+      if (clear + 1 + nCodes == (1 << width) && width < 12) width += 1
+    }
     bw.write(clear, width)
     var cur = "" // current sequence, palette indices as chars
     var curCode = -1
@@ -754,26 +770,27 @@ object Multimodal {
         val cand = cur + c.toChar
         if (dict.containsKey(cand)) { cur = cand; curCode = dict.get(cand) }
         else {
-          bw.write(curCode, width)
+          writeData(curCode)
           dict.put(cand, next)
           next += 1
-          if (next - 1 == (1 << width) && width < 12) width += 1
           if (next == 4096) {
             bw.write(clear, width)
-            dict.clear(); next = end + 1; width = minCodeSize + 1
+            dict.clear(); next = end + 1; width = minCodeSize + 1; nCodes = 0
             nClears += 1
           }
           cur = "" + c.toChar; curCode = c
         }
       }
     }
-    if (curCode >= 0) bw.write(curCode, width)
+    if (curCode >= 0) writeData(curCode)
     bw.write(end, width)
     (bw.finish(), nClears)
   }
 
   /** GIF variable-width LZW decompress — dictionary reconstruction with
-    * the KwKwK (code == next unassigned entry) case.
+    * the KwKwK (code == next unassigned entry) case. Width bumps follow
+    * the codes-read count, mirroring [[lzwEncode]] exactly (see its
+    * scaladoc for why dict-size-based bumping desyncs at the end code).
     */
   private[pipeline] def lzwDecode(bytes: Array[Byte], minCodeSize: Int): Array[Int] = {
     val clear = 1 << minCodeSize
@@ -781,10 +798,12 @@ object Multimodal {
     val br = new BitReader(bytes)
     val out = new scala.collection.mutable.ArrayBuffer[Int]()
     var width = minCodeSize + 1
+    var nCodes = 0 // data codes read since the last clear
     var dict = new scala.collection.mutable.ArrayBuffer[Array[Int]]()
     def reset(): Unit = {
       dict = scala.collection.mutable.ArrayBuffer.tabulate(end + 1)(i => Array(i))
       width = minCodeSize + 1
+      nCodes = 0
     }
     reset()
     var prev: Array[Int] = null
@@ -799,11 +818,10 @@ object Multimodal {
           else if (code == dict.length && prev != null) prev :+ prev(0) // KwKwK
           else throw new IllegalArgumentException(s"bad LZW code $code (dict ${dict.length})")
         out ++= entry
-        if (prev != null) {
-          dict += (prev :+ entry(0))
-          if (dict.length == (1 << width) && width < 12) width += 1
-        }
+        if (prev != null) dict += (prev :+ entry(0))
         prev = entry
+        nCodes += 1
+        if (clear + 1 + nCodes == (1 << width) && width < 12) width += 1
       }
     }
     out.toArray
@@ -874,14 +892,15 @@ object Multimodal {
     val minCodeSize = bytes(pos) & 0xFF
     pos += 1
     val z = new java.io.ByteArrayOutputStream()
+    require(pos < bytes.length, "truncated before first sub-block")
     var len = bytes(pos) & 0xFF
     while (len != 0) {
-      require(pos + 1 + len <= bytes.length, "truncated sub-block")
+      require(pos + 1 + len < bytes.length, "truncated sub-block")
       z.write(bytes, pos + 1, len)
       pos += 1 + len
       len = bytes(pos) & 0xFF
     }
-    require((bytes(pos + 1) & 0xFF) == 0x3B, "missing trailer")
+    require(pos + 1 < bytes.length && (bytes(pos + 1) & 0xFF) == 0x3B, "missing trailer")
     val indices = lzwDecode(z.toByteArray, minCodeSize)
     require(indices.length == w * h, s"decoded ${indices.length} pixels, want ${w * h}")
     GifDecoded(w, h, palette, indices)

@@ -165,19 +165,19 @@ object PipelineQueries {
     // correlation and top-k overlap against the exact-graph ranks.
     "q153_pagerank_lsh" -> (Dedup.similarityPageRankLsh _),
     "q154_png_decode" -> (Multimodal.pngFeatures _),
+    "q155_nested_struct" -> (graft.sources.Formats.nestedRoundtrip _),
+    "q156_stream_merge_sink" -> (Events.streamMergeSinkFinal _),
     // q157 is rows-only by nature: it emits run counters from a live
     // unbounded rate-source execution (wall-clock-dependent); the
     // invariants travel in its gate_pass column and are asserted in
     // StreamingSuite against the same operator.
-    "q155_nested_struct" -> (graft.sources.Formats.nestedRoundtrip _),
+    "q157_rate_ingest_gate" -> (Events.rateIngestGate _),
     // q159 is rows-only: a sketch estimator (the q27/q71/q126 family);
     // PipelineSuite gates driver-model equality, the error bound vs the
     // exact q127 matrix, and exact-when-small behavior.
     "q159_source_overlap_sketch" -> (Dedup.sourceOverlapSketch _),
     "q160_gif_decode" -> (Multimodal.gifFeatures _),
-    "q163_phrase_search" -> (Retrieval.phraseSearch _),
-    "q156_stream_merge_sink" -> (Events.streamMergeSinkFinal _),
-    "q157_rate_ingest_gate" -> (Events.rateIngestGate _)
+    "q163_phrase_search" -> (Retrieval.phraseSearch _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */

@@ -212,6 +212,8 @@ object AsOfJoinNative {
     require(
       payload.nonEmpty && left.columns.toSet.intersect(payload.toSet).isEmpty,
       s"right payload columns ${payload.mkString(",")} must not clash with left")
+    require(!left.columns.contains("__asof_time") && !payload.contains("__asof_time"),
+      "__asof_time is reserved for the matched right time column")
     val spark = left.sparkSession
     register(spark)
     val rightPrep = right.select(

@@ -478,8 +478,19 @@ object Queries {
     * timestamp format is lossless here; micro-precision columns would
     * need an explicit timestampFormat.)
     */
+  /** One stable scratch path per (format, sf dir, process): the writers
+    * use Overwrite, so repeated invocations (bench runs each query
+    * several times per round) rewrite one directory instead of
+    * accumulating a temp-dir copy of the table per call. pid-scoped so
+    * concurrent Verify/Bench processes never clobber each other's
+    * in-progress files (the q53 discipline).
+    */
+  private def roundtripPath(format: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${format}_rt_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" + ProcessHandle.current().pid()
+
   def q162CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-csv-rt").toString
+    val out = roundtripPath("csv", dir)
     val src = table(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
     graft.sources.Formats.writeCsv(src, out)
@@ -495,7 +506,7 @@ object Queries {
     * fidelity gate.
     */
   def q165JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-jsonl-rt").toString
+    val out = roundtripPath("jsonl", dir)
     val src = table(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
     graft.sources.Formats.writeJsonl(src, out)

@@ -1400,6 +1400,24 @@ class PipelineSuite extends AnyFunSuite {
     assert(Multimodal.lzwDecode(Multimodal.lzwEncode(big, 4), 4).toSeq == big.toSeq)
   }
 
+  test("GIF LZW: end code stays in sync when the final data code lands on a width boundary") {
+    // regression (r13 review): with dict-size-based width bumps the
+    // decoder adds one more entry than the encoder at the FINAL data
+    // code, so a stream whose last code hits 2^width made the decoder
+    // read the end code one bit wide. 0..14 emits exactly 15 data codes
+    // (every adjacent pair distinct) — the first boundary (17+15 = 32).
+    val boundary = (0 until 15).toArray
+    assert(Multimodal.lzwDecode(Multimodal.lzwEncode(boundary, 4), 4).toSeq == boundary.toSeq)
+    // sweep every stream length 1..300 of a fixed pseudo-stream: the
+    // emitted code count crosses each width boundary at SOME length, so
+    // every end-of-stream alignment (including the byte-exact one that
+    // crashed) is exercised
+    for (n <- 1 to 300) {
+      val s = Array.tabulate(n)(i => (i * 7 + 3) % 16)
+      assert(Multimodal.lzwDecode(Multimodal.lzwEncode(s, 4), 4).toSeq == s.toSeq, s"len $n")
+    }
+  }
+
   test("GIF decode reads the BYTES: signature, palette, and LZW stream are load-bearing") {
     val docId = 9L
     val bytes = Multimodal.gifEncode(docId)

@@ -498,6 +498,38 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The 100 TB form of [[q164TableStats]]: `approx_count_distinct`
+    * (HLL++, q27's machinery) replaces the exact NDVs, so the plan is
+    * ONE scan with ONE aggregation and NO Expand — q164's exact
+    * multi-column distinct duplicates the input stream per NDV column
+    * (the Expand trade its scaladoc flags). Declared rows-only (sketch
+    * family); PipelineSuite bounds each approx NDV within 5% of exact
+    * and PlanSuite pins the Expand-free single-pass plan.
+    */
+  def q166TableStatsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        approx_count_distinct(col(c), 0.01).as(s"${c}_ndv"), // rsd 1%: stats-grade NDV
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"))
+    }
+    val stackArgs = cols
+      .map(c => s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max")
+      .mkString(", ")
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    table(spark, dir, "orders")
+      .agg(allAggs.head, allAggs.tail: _*)
+      .selectExpr(
+        "n_rows",
+        s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+      .select(
+        col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy(col("col_name"))
+  }
+
   /** The JSONL twin of [[q162CsvRoundtrip]] — same explicit-schema
     * write → read identity gate through `Formats.writeJsonl`/`readJsonl`.
     * JSON's failure modes differ from CSV's (silent null on type
@@ -1013,6 +1045,10 @@ object Queries {
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),
     "q165_jsonl_roundtrip" -> (q165JsonlRoundtrip _),
+    // q166 is rows-only: approx_count_distinct is a sketch (the q27
+    // family); PipelineSuite bounds it within 5% of the exact q164 NDVs
+    // and PlanSuite pins the Expand-free single-pass plan.
+    "q166_table_stats_approx" -> (q166TableStatsApprox _),
     "q37_pivot" -> (q37Pivot _),
     "q38_unpivot" -> (q38Unpivot _),
     "q39_percentiles" -> (q39Percentiles _),

@@ -84,4 +84,21 @@ class MergeOuterSuite extends AnyFunSuite {
     assert(inserts.nonEmpty && inserts.forall(k => got(k) == 100.0))
     assert(got.size == base.size - base.keys.count(_ % 13 == 0) + inserts.size)
   }
+
+  test("q166 approx stats: NDVs within 5% of exact; every other metric identical") {
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val exact = asMap(Queries.q164TableStats(spark, dir))
+    val approx = asMap(Queries.q166TableStatsApprox(spark, dir))
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, (nRows, nNulls, ndv, mn, mx)) =>
+      val (aRows, aNulls, aNdv, aMn, aMx) = approx(c)
+      // only the NDV is sketched; the rest must be bit-identical
+      assert((aRows, aNulls, aMn, aMx) == ((nRows, nNulls, mn, mx)), c)
+      assert(math.abs(aNdv - ndv) <= math.max(1L, (ndv * 0.05).toLong),
+        s"$c: approx NDV $aNdv vs exact $ndv")
+    }
+  }
 }

@@ -362,6 +362,16 @@ class PlanSuite extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(ep).size == 1, ep)
   }
 
+  test("q164/q166: exact stats pay Expand; approx stats scan once without it") {
+    // the trade both scaladocs describe, pinned: exact multi-column NDV
+    // duplicates the stream per distinct column; the HLL form must not
+    val exact = execPlan(Queries.q164TableStats(spark, dir))
+    assert(exact.contains("Expand"), exact)
+    val approx = execPlan(Queries.q166TableStatsApprox(spark, dir))
+    assert(!approx.contains("Expand"), approx)
+    assert(approx.contains("partial"), approx) // map-side partial aggregation
+  }
+
   test("q158: the native as-of exec plans with per-side Exchange + Sort, no window") {
     val df = Queries.q158AsOfNative(spark, dir)
     val ep = execPlan(df)

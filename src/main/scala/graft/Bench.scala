@@ -253,7 +253,19 @@ object Bench {
     def metricLine(nd: Int): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsLine(nd)},"iters":$iters,"failed":$nFail,"rejected":$nRejected,"suspect":$nSuspect,"value_minmed":${fmt(totalMinMed)},"sf":"$sfDir"}"""
     val line2 = metricLine(2)
-    println(if (line2.length <= 1850) line2 else metricLine(1))
+    val line1 = metricLine(1)
+    // last-ditch fallback: drop the per-query map entirely rather than let
+    // the metric line bust the tail window (the suite has grown past what
+    // 1-decimal precision can fit) — and say so loudly on stderr
+    val finalLine =
+      if (line2.length <= 1850) line2
+      else if (line1.length <= 1850) line1
+      else {
+        System.err.println(
+          s"WARN: metric line exceeds tail budget even at 1 decimal (${line1.length} chars); eliding per-query map")
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"iters":$iters,"failed":$nFail,"rejected":$nRejected,"suspect":$nSuspect,"value_minmed":${fmt(totalMinMed)},"sf":"$sfDir"}"""
+      }
+    println(finalLine)
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

@@ -550,7 +550,9 @@ object Multimodal {
       require(pos + 8 <= bytes.length, "truncated chunk header")
       val len = bb.getInt(pos)
       val typ = new String(bytes, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      require(len >= 0 && pos + 12 + len <= bytes.length, s"truncated $typ chunk")
+      // Long arithmetic: an adversarial len near Int.MaxValue overflows the
+      // Int sum and would slip past this require into an array exception
+      require(len >= 0 && pos.toLong + 12L + len <= bytes.length, s"truncated $typ chunk")
       val crc = new java.util.zip.CRC32()
       crc.update(bytes, pos + 4, 4 + len)
       require(crc.getValue.toInt == bb.getInt(pos + 8 + len), s"bad CRC in $typ chunk")

@@ -97,14 +97,19 @@ final case class AsOfJoinExec(
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
   /** (key, time) per side; the right side additionally orders by its
-    * payload so the tie winner (last in order = payload max) is
-    * deterministic regardless of shuffle arrival order.
+    * ORDERABLE payload columns so the tie winner (last in order =
+    * payload max) is deterministic regardless of shuffle arrival order.
+    * Unorderable payload types (MapType, …) are skipped rather than
+    * failing planning — rows tying on (key, time) and every orderable
+    * payload column are then interchangeable, which is the same
+    * guarantee the composed window form's struct-max gives.
     */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
     SortOrder(rightKey, Ascending) +: SortOrder(rightTime, Ascending) +:
       right.output.filterNot(a =>
         a.exprId == rightKey.exprId || a.exprId == rightTime.exprId)
+        .filter(a => org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(a.dataType))
         .map(SortOrder(_, Ascending)))
 
   /** The merge is per-partition and order-preserving on the left. */
@@ -173,7 +178,13 @@ final case class AsOfJoinExec(
             } else {
               val kc = keyOrd.compare(rk, lk)
               if (kc < 0 || (kc == 0 && timeOrd.compare(rt, lt) <= 0)) {
-                if (kc == 0) { matchRow = rHead.copy(); matchKey = rk }
+                // re-extract the key from the COPY: `rk` may reference the
+                // sorter's reused buffer (UTF8String/Decimal/binary keys),
+                // which mutates once rIter advances
+                if (kc == 0) {
+                  matchRow = rHead.copy()
+                  matchKey = matchRow.get(rKeyOrdinal, keyType)
+                }
                 rHead = if (rIter.hasNext) rIter.next() else null
               } else {
                 advancing = false

@@ -46,9 +46,13 @@ object ScalingSmoke {
     def stageSingleFile(df: DataFrame, table: String): Unit = {
       val stage = s"$bigDir/_stage_$table"
       df.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow()
+      val part = {
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        try listing
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        finally listing.close() // Files.list holds an open dir handle
+      }
       // single FILE named <table>.parquet: the file-stream sources glob
       // on the file name, so a directory layout would stream nothing
       java.nio.file.Files.move(part, root.resolve(s"$table.parquet"),

@@ -85,6 +85,31 @@ class AsOfJoinSuite extends AnyFunSuite {
     assert(m3("ok").contains("r10") && m3("nullkey").isEmpty && m3("nulltime").isEmpty)
   }
 
+  test("native as-of: string keys survive the sorter's buffer reuse") {
+    import spark.implicits._
+    // regression for the retained-matchKey hazard: with a non-primitive
+    // key type the extracted key must be re-read from the COPIED row, not
+    // the sorter's reused buffer — otherwise advancing the right iterator
+    // silently mutates the retained key and the match check misfires.
+    // Many keys + many rows per key force real iterator advancement
+    // between the match capture and its use.
+    val left = (0 until 400).map { i =>
+      (s"key-${i % 29}", (i / 29).toLong * 2 + 1, i.toLong)
+    }.toDF("k", "t", "lid")
+    val right = (0 until 400).map { i =>
+      (s"key-${i % 23}", (i / 23).toLong * 2, i.toLong)
+    }.toDF("k", "t", "rv")
+    val rightU = right.groupBy("k", "t").agg(org.apache.spark.sql.functions.max("rv").as("rv"))
+    val a = AsOfJoin.asOf(left, rightU, "k", "t")
+      .select("lid", "__asof_time", "rv").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val b = graft.plans.AsOfJoinNative.asOf(left, rightU, "k", "t")
+      .select("lid", "__asof_time", "rv").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(a == b)
+    assert(b.exists(_._2.nonEmpty) && b.exists(_._2.isEmpty))
+  }
+
   test("native as-of == composed window form on a randomized dense fixture") {
     import spark.implicits._
     // deterministic LCG fixture: many keys, duplicate times, sparse matches

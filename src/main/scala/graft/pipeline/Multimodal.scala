@@ -953,6 +953,549 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ---- real image decode (baseline JPEG / JFIF) --------------------------
+
+  /** Fifth member of the real-decoder tier and the last one the
+    * byte-histogram stand-in used to cover: baseline sequential JPEG in
+    * a JFIF container, decoded by a REAL entropy decoder — marker walk
+    * (APP0/COM skipped by length), DQT (zigzag-order quant tables), DHT
+    * (canonical Huffman code reconstruction from BITS/HUFFVAL), SOF0
+    * (dims + sampling), SOS, then the entropy scan: MSB-first bit
+    * reading with 0xFF00 byte-unstuffing, Huffman DC-category/AC-(run,
+    * size) symbol decode, the `EXTEND` sign recovery of F.2.2.1,
+    * DC prediction, de-zigzag, dequantization, an exact integer 8×8
+    * IDCT, level shift, clamp, and partial-MCU crop.
+    *
+    * JPEG is lossy, so unlike PNG/GIF the corpus is synthesized in the
+    * QUANTIZED-COEFFICIENT domain: integer formulas generate each
+    * block's quantized DCT coefficients, the encoder Huffman-codes them
+    * (real DC diffs, run-length AC with EOB/ZRL, byte stuffing), and
+    * decode is then bit-exact predictable — the q167 oracle regenerates
+    * the same coefficients and replays dequant + the SAME fixed-point
+    * IDCT (the 64-entry [[JpegIdctK]] table inlined as SQL literals,
+    * all-integer arithmetic) without ever touching the bytes. A wrong
+    * Huffman table, a bit-reader slip, a missed stuffed byte, or a
+    * wrong IDCT constant shifts pixels and goes red.
+    *
+    * The IDCT is integer-exact BY DEFINITION: this decoder's output
+    * spec is `pixel = clamp(floorDiv(Σ deq·K[u][x]·K[v][y] + 2^23,
+    * 2^24) + 128)` with K[u][x] = round(C(u)·cos((2x+1)uπ/16)·2048) —
+    * within ±1 of the real-valued IDCT (full-scale accuracy far inside
+    * ITU T.83 §A bounds) and reproducible in integer SQL.
+    */
+  val JpegIdctScaleBits = 11 // K table is round(C·cos · 2^11)
+  val JpegIdctK: Array[Array[Long]] = Array(
+    Array(1448L, 1448L, 1448L, 1448L, 1448L, 1448L, 1448L, 1448L),
+    Array(2009L, 1703L, 1138L, 400L, -400L, -1138L, -1703L, -2009L),
+    Array(1892L, 784L, -784L, -1892L, -1892L, -784L, 784L, 1892L),
+    Array(1703L, -400L, -2009L, -1138L, 1138L, 2009L, 400L, -1703L),
+    Array(1448L, -1448L, -1448L, 1448L, 1448L, -1448L, -1448L, 1448L),
+    Array(1138L, -2009L, 400L, 1703L, -1703L, -400L, 2009L, -1138L),
+    Array(784L, -1892L, 1892L, -784L, -784L, 1892L, -1892L, 784L),
+    Array(400L, -1138L, 1703L, -2009L, 2009L, -1703L, 1138L, -400L))
+
+  /** The table above, re-derived from the defining formula — the suite
+    * asserts equality so the literals' provenance stays checked.
+    */
+  private[pipeline] def jpegIdctKDerived: Array[Array[Long]] =
+    Array.tabulate(8, 8) { (u, x) =>
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      Math.round(cu * Math.cos((2 * x + 1) * u * Math.PI / 16) * (1 << JpegIdctScaleBits))
+    }
+
+  /** Zigzag scan order: entry k = natural index (v*8 + u) of the k-th
+    * coefficient in the scan (ISO 10918-1 Figure A.6).
+    */
+  val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Grayscale image dims — non-multiples of 8 in two residue classes so
+    * partial-MCU cropping is exercised on both axes.
+    */
+  def jpegWidth(docId: Long): Int =
+    (8 * (1 + docId % 3) - (if (docId % 4 == 1) 3 else 0)).toInt // 5..24
+  def jpegHeight(docId: Long): Int =
+    (8 * (1 + docId % 2) - (if (docId % 4 == 2) 2 else 0)).toInt // 6..16
+
+  /** Quant table entry for frequency (u horizontal, v vertical). */
+  def jpegQuant(u: Int, v: Int): Int = 1 + (u * 3 + v * 5) % 8
+
+  /** Quantized DC coefficient of block `b` (raster block index). */
+  def jpegDc(docId: Long, b: Int): Int = ((docId * 5 + b * 3) % 15 - 7).toInt
+
+  /** Quantized AC coefficient at (u, v) ≠ (0, 0): sparse (≈11% nonzero,
+    * via an IRREGULAR mod-97 gate so zigzag gaps have a geometric tail —
+    * a structured gate would space nonzeros evenly and never produce the
+    * >16 gaps that exercise ZRL), values sized for Huffman categories
+    * 1..3, early EOBs common.
+    */
+  def jpegAc(docId: Long, b: Int, u: Int, v: Int): Int = {
+    val v0 = ((docId * 7 + b * 11 + u * 13 + v * 17) % 13 - 6).toInt
+    if ((docId * 31 + b * 17 + u * 7 + v * 23) % 97 < 12 && v0 != 0) v0 else 0
+  }
+
+  /** The scan's two Huffman tables, spec'd as (BITS, HUFFVAL) exactly as
+    * they travel in DHT: DC = five category symbols at length 3; AC =
+    * fifty symbols at length 6 (EOB, ZRL, then (run 0..15) × (size
+    * 1..3)). Canonical code assignment on both sides — the encoder
+    * builds codes from this spec, the decoder rebuilds them from the
+    * DHT bytes it reads.
+    */
+  private val JpegDcBits: Array[Int] = { val a = new Array[Int](16); a(2) = 5; a }
+  private val JpegDcVals: Array[Int] = Array(0, 1, 2, 3, 4)
+  private val JpegAcBits: Array[Int] = { val a = new Array[Int](16); a(5) = 63; a }
+  /** AC symbol order chooses the CODES: canonical assignment gives the
+    * first HUFFVAL the all-zeros code, so thirteen never-emitted dummy
+    * symbols ((run 0, size 4..16) — legal but outside this corpus's
+    * value range) absorb the 0-dense low codes and the frequent symbols
+    * (low runs, then ZRL, then EOB last at 111110) land on the 1-dense
+    * high codes. That keeps the entropy stream's 1-density high enough
+    * that 0xFF bytes — and therefore the spec's 0xFF00 byte stuffing —
+    * actually occur in the corpus (a stream with EOB = 000000 would
+    * essentially never stuff, leaving the decoder's unstuffing path
+    * untested).
+    */
+  private val JpegAcVals: Array[Int] =
+    ((4 to 15).toArray :+ 0x14) ++ // 13 dummies: (run 0, size 4..15), (run 1, size 4)
+      (for (r <- 15 to 0 by -1; s <- 1 to 3) yield (r << 4) | s) ++
+      Array(0xF0, 0x00) // ZRL, then EOB on the highest assigned code
+
+  /** symbol -> (code, length) canonical assignment (C.2 of the spec). */
+  private def huffAssign(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var vi = 0
+    val m = Map.newBuilder[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        m += vals(vi) -> ((code, l))
+        code += 1; vi += 1; i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    m.result()
+  }
+
+  /** MSB-first entropy bit writer with 0xFF00 byte stuffing and 1-fill
+    * final padding (F.1.2.3).
+    */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def write(code: Int, width: Int): Unit = {
+      var i = width - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >>> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00)
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def finish(): Unit = if (n > 0) write((1 << (8 - n)) - 1, 8 - n)
+  }
+
+  /** Size category of a DC diff / AC value (CSIZE): bits of |v|. */
+  private def jpegCategory(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  private def marker(out: java.io.ByteArrayOutputStream, m: Int, payload: Array[Byte]): Unit = {
+    out.write(0xFF); out.write(m)
+    val len = payload.length + 2
+    out.write(len >> 8); out.write(len & 0xFF)
+    out.write(payload, 0, payload.length)
+  }
+
+  /** Encode ARBITRARY quantized-coefficient blocks (natural-order 64-int
+    * arrays, raster block order for a (w, h) grayscale image) as a
+    * spec-compliant baseline JFIF stream. Split out of [[jpegEncode]] so
+    * the property suite can round-trip arbitrary coefficient grids
+    * through the real codec.
+    */
+  private[pipeline] def jpegEncodeImage(blocks: Array[Array[Int]], w: Int, h: Int): Array[Byte] = {
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    require(blocks.length == bw * bh && blocks.forall(_.length == 64), "bad block grid")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xFF); out.write(0xD8) // SOI
+    // APP0 JFIF header — exercises the decoder's skip-by-length path
+    marker(out, 0xE0, Array[Byte](
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // DQT: Pq=0 Tq=0, 64 entries in zigzag order
+    val dqt = new Array[Byte](65)
+    dqt(0) = 0
+    var k = 0
+    while (k < 64) {
+      val nat = JpegZigzag(k)
+      dqt(1 + k) = jpegQuant(nat % 8, nat / 8).toByte
+      k += 1
+    }
+    marker(out, 0xDB, dqt)
+    // SOF0: precision 8, h, w, one component (id 1, 1x1 sampling, Tq 0)
+    marker(out, 0xC0, Array[Byte](
+      8, (h >> 8).toByte, (h & 0xFF).toByte, (w >> 8).toByte, (w & 0xFF).toByte,
+      1, 1, 0x11, 0))
+    // DHT: both tables in ONE segment (decoder must loop within it)
+    val dht = new java.io.ByteArrayOutputStream()
+    dht.write(0x00); JpegDcBits.foreach(dht.write); JpegDcVals.foreach(dht.write)
+    dht.write(0x10); JpegAcBits.foreach(dht.write); JpegAcVals.foreach(dht.write)
+    marker(out, 0xC4, dht.toByteArray)
+    // SOS: one component, Td=0 Ta=0, full spectral selection
+    marker(out, 0xDA, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    // entropy-coded scan
+    val dcCodes = huffAssign(JpegDcBits, JpegDcVals)
+    val acCodes = huffAssign(JpegAcBits, JpegAcVals)
+    val bw2 = new JpegBitWriter(out)
+    def writeVal(v: Int, s: Int): Unit =
+      if (s > 0) bw2.write(if (v < 0) v + (1 << s) - 1 else v, s)
+    var pred = 0
+    var b = 0
+    while (b < blocks.length) {
+      val coefs = blocks(b)
+      val diff = coefs(0) - pred
+      pred = coefs(0)
+      val s = jpegCategory(diff)
+      val (dc, dl) = dcCodes(s)
+      bw2.write(dc, dl)
+      writeVal(diff, s)
+      var run = 0
+      var kk = 1
+      while (kk < 64) {
+        val c = coefs(JpegZigzag(kk))
+        if (c == 0) run += 1
+        else {
+          while (run > 15) { val (z, zl) = acCodes(0xF0); bw2.write(z, zl); run -= 16 }
+          val cs = jpegCategory(c)
+          require(cs <= 3, s"AC value $c exceeds the table's size categories")
+          val (ac, al) = acCodes((run << 4) | cs)
+          bw2.write(ac, al)
+          writeVal(c, cs)
+          run = 0
+        }
+        kk += 1
+      }
+      if (run > 0) { val (e, el) = acCodes(0x00); bw2.write(e, el) }
+      b += 1
+    }
+    bw2.finish()
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode the synthesized corpus image for `docId` (coefficients from
+    * the integer formulas).
+    */
+  private[pipeline] def jpegEncode(docId: Long): Array[Byte] = {
+    val w = jpegWidth(docId); val h = jpegHeight(docId)
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val blocks = Array.tabulate(bw * bh) { b =>
+      val coefs = new Array[Int](64)
+      coefs(0) = jpegDc(docId, b)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          if (u != 0 || v != 0) coefs(v * 8 + u) = jpegAc(docId, b, u, v)
+          u += 1
+        }
+        v += 1
+      }
+      coefs
+    }
+    jpegEncodeImage(blocks, w, h)
+  }
+
+  /** Canonical Huffman decode table rebuilt from DHT's (BITS, HUFFVAL)
+    * via the spec's MINCODE/MAXCODE/VALPTR procedure (F.2.2.3).
+    */
+  private final class JpegHuffTable(bits: Array[Int], vals: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var vi = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = vi
+          minCode(l) = code
+          code += bits(l - 1); vi += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: JpegBitReader): Int = {
+      var code = br.readBit()
+      var l = 1
+      while (l <= 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+        code = (code << 1) | br.readBit()
+        l += 1
+      }
+      require(l <= 16, "invalid Huffman code in entropy stream")
+      vals(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  /** MSB-first entropy bit reader with 0xFF00 unstuffing. */
+  private final class JpegBitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    def readBit(): Int = {
+      if (n == 0) {
+        require(pos < bytes.length, "entropy stream truncated")
+        val b = bytes(pos) & 0xFF
+        pos += 1
+        if (b == 0xFF) {
+          require(pos < bytes.length && bytes(pos) == 0,
+            "marker inside entropy-coded segment")
+          pos += 1 // stuffed zero byte
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def receive(s: Int): Int = {
+      var v = 0; var i = 0
+      while (i < s) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+  }
+
+  /** EXTEND of F.2.2.1: recover the signed value from its `s` raw bits. */
+  private def jpegExtend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Structurally decoded JPEG: dims + quantized coefficient blocks
+    * (natural order, raster block order) + the quant table that applies
+    * to them — the lossless layer, before IDCT.
+    */
+  final case class JpegRaw(width: Int, height: Int,
+      quantZigzag: Array[Int], blocks: Array[Array[Int]])
+
+  final case class JpegDecoded(width: Int, height: Int, pixels: Array[Int])
+
+  /** Parse + entropy-decode a baseline JFIF stream down to quantized
+    * coefficients. Real parser: every field below comes from the BYTES.
+    */
+  private[pipeline] def jpegDecodeRaw(bytes: Array[Byte]): JpegRaw = {
+    def u8(i: Int): Int = {
+      require(i < bytes.length, "truncated JPEG"); bytes(i) & 0xFF
+    }
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    require(bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8, "not a JPEG: missing SOI")
+    var pos = 2
+    val quant = new Array[Array[Int]](4)
+    val huff = Array.fill(2, 4)(null: JpegHuffTable)
+    var w = -1; var h = -1; var compQuantId = -1
+    var dcId = -1; var acId = -1
+    var scanAt = -1
+    while (scanAt < 0) {
+      require(u8(pos) == 0xFF, f"expected marker at $pos, got 0x${u8(pos)}%02X")
+      val m = u8(pos + 1)
+      m match {
+        case 0xDB => // DQT (possibly several tables per segment)
+          val len = u16(pos + 2)
+          var p = pos + 4
+          while (p < pos + 2 + len) {
+            val pqtq = u8(p)
+            require((pqtq >> 4) == 0, "only 8-bit quant tables supported")
+            quant(pqtq & 0x0F) = Array.tabulate(64)(k => u8(p + 1 + k))
+            p += 65
+          }
+          pos += 2 + len
+        case 0xC4 => // DHT (possibly several tables per segment)
+          val len = u16(pos + 2)
+          var p = pos + 4
+          while (p < pos + 2 + len) {
+            val tcth = u8(p)
+            val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+            val nv = bits.sum
+            val vals = Array.tabulate(nv)(i => u8(p + 17 + i))
+            huff(tcth >> 4)(tcth & 0x0F) = new JpegHuffTable(bits, vals)
+            p += 17 + nv
+          }
+          pos += 2 + len
+        case 0xC0 => // SOF0 baseline
+          require(u8(pos + 4) == 8, "only 8-bit precision supported")
+          h = u16(pos + 5); w = u16(pos + 7)
+          require(u8(pos + 9) == 1, "only single-component (grayscale) scans supported")
+          require(u8(pos + 11) == 0x11, "only 1x1 sampling supported")
+          compQuantId = u8(pos + 12)
+          pos += 2 + u16(pos + 2)
+        case 0xDA => // SOS
+          require(u8(pos + 4) == 1, "single-component scan expected")
+          dcId = u8(pos + 6) >> 4; acId = u8(pos + 6) & 0x0F
+          require(u8(pos + 7) == 0 && u8(pos + 8) == 63,
+            "baseline full-spectral scan expected")
+          scanAt = pos + 2 + u16(pos + 2)
+        case x if (x >= 0xE0 && x <= 0xEF) || x == 0xFE => // APPn / COM
+          pos += 2 + u16(pos + 2)
+        case 0xD9 => throw new IllegalArgumentException("EOI before scan data")
+        case x if x >= 0xC1 && x <= 0xCF =>
+          throw new IllegalArgumentException(
+            f"unsupported SOF marker 0x$x%02X (only baseline SOF0)")
+        case x => throw new IllegalArgumentException(f"unsupported marker 0x$x%02X")
+      }
+    }
+    require(w > 0 && h > 0, "missing SOF0 before SOS")
+    val qt = quant(compQuantId)
+    require(qt != null, s"missing quant table $compQuantId")
+    val dcTab = huff(0)(dcId); val acTab = huff(1)(acId)
+    require(dcTab != null && acTab != null, "missing Huffman tables for scan")
+    val bwBlocks = (w + 7) / 8; val bhBlocks = (h + 7) / 8
+    val br = new JpegBitReader(bytes, scanAt)
+    val blocks = new Array[Array[Int]](bwBlocks * bhBlocks)
+    var pred = 0
+    var b = 0
+    while (b < blocks.length) {
+      val coefs = new Array[Int](64)
+      val s = dcTab.decode(br)
+      val diff = jpegExtend(br.receive(s), s)
+      pred += diff
+      coefs(0) = pred
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = acTab.decode(br)
+        val run = rs >> 4; val size = rs & 0x0F
+        if (size == 0) {
+          if (run == 15) k += 16 // ZRL: sixteen zeros
+          else eob = true        // EOB
+        } else {
+          k += run
+          require(k < 64, "AC run overflows the block")
+          coefs(JpegZigzag(k)) = jpegExtend(br.receive(size), size)
+          k += 1
+        }
+      }
+      blocks(b) = coefs
+      b += 1
+    }
+    // after the scan: padding bits then EOI
+    require(br.pos + 1 < bytes.length &&
+      (bytes(br.pos) & 0xFF) == 0xFF && (bytes(br.pos + 1) & 0xFF) == 0xD9,
+      "missing EOI after entropy scan")
+    JpegRaw(w, h, qt, blocks)
+  }
+
+  /** Full decode: [[jpegDecodeRaw]] + dequantization + the exact integer
+    * IDCT + level shift + clamp + partial-MCU crop. Pixels row-major.
+    */
+  private[pipeline] def jpegDecode(bytes: Array[Byte]): JpegDecoded = {
+    val raw = jpegDecodeRaw(bytes)
+    val w = raw.width; val h = raw.height
+    val bwBlocks = (w + 7) / 8
+    val pixels = new Array[Int](w * h)
+    // dequant in zigzag order (that's how the table is stored), then IDCT
+    val deq = new Array[Long](64)
+    var b = 0
+    while (b < raw.blocks.length) {
+      val coefs = raw.blocks(b)
+      var k = 0
+      while (k < 64) {
+        val nat = JpegZigzag(k)
+        deq(nat) = coefs(nat).toLong * raw.quantZigzag(k)
+        k += 1
+      }
+      val bx = b % bwBlocks; val by = b / bwBlocks
+      var ly = 0
+      while (ly < 8) {
+        val y = by * 8 + ly
+        var lx = 0
+        while (lx < 8) {
+          val x = bx * 8 + lx
+          if (x < w && y < h) {
+            var sum = 0L
+            var v = 0
+            while (v < 8) {
+              val kv = JpegIdctK(v)(ly)
+              var u = 0
+              while (u < 8) {
+                val d = deq(v * 8 + u)
+                if (d != 0) sum += d * JpegIdctK(u)(lx) * kv
+                u += 1
+              }
+              v += 1
+            }
+            val p = Math.floorDiv(sum + (1L << 23), 1L << 24) + 128
+            pixels(y * w + x) = math.max(0L, math.min(255L, p)).toInt
+          }
+          lx += 1
+        }
+        ly += 1
+      }
+      b += 1
+    }
+    JpegDecoded(w, h, pixels)
+  }
+
+  /** The synthesized JPEG corpus: (doc_id, media) with a real baseline
+    * JFIF payload.
+    */
+  def jpegTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, jpegEncode(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** Declared query (q167): decode the JPEG corpus and emit per-doc
+    * features — dimensions, mean luminance, top/bottom row luminance
+    * sums. The oracle regenerates the quantized coefficients from the
+    * synthesis formulas and replays dequant + the same integer IDCT in
+    * SQL, so every decoder stage (marker walk, DHT canonical codes, bit
+    * reader, unstuffing, DC prediction, de-zigzag, dequant, IDCT
+    * constants) is load-bearing.
+    */
+  def jpegFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jpegTable(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = jpegDecode(bytes)
+        var sum = 0L; var topSum = 0L; var botSum = 0L
+        var p = 0
+        while (p < d.pixels.length) {
+          val y = p / d.width
+          val lum = d.pixels(p)
+          sum += lum
+          if (y == 0) topSum += lum
+          if (y == d.height - 1) botSum += lum
+          p += 1
+        }
+        (id, d.width, d.height, sum.toDouble / (d.width.toLong * d.height), topSum, botSum)
+      })
+      .toDF("doc_id", "width", "height", "mean_lum_raw", "top_row_lum", "bot_row_lum")
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        round(col("mean_lum_raw"), 4).as("mean_lum"),
+        col("top_row_lum"), col("bot_row_lum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The [[JpegIdctK]] table rendered as a SQL VALUES list `(i, j, k)` —
+    * the q167 oracle inlines it so oracle and decoder share ONE
+    * definition of the IDCT constants (and the suite pins that
+    * definition to the cosine formula).
+    */
+  def jpegIdctKSqlValues: String =
+    (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${JpegIdctK(u)(x)})").mkString(", ")
+
   // ---- audio frame features (windowed, over the decoded WAV) -------------
 
   /** Samples per analysis frame for [[wavFrameFeatures]]. */

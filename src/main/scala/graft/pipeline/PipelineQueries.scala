@@ -177,7 +177,8 @@ object PipelineQueries {
     // exact q127 matrix, and exact-when-small behavior.
     "q159_source_overlap_sketch" -> (Dedup.sourceOverlapSketch _),
     "q160_gif_decode" -> (Multimodal.gifFeatures _),
-    "q163_phrase_search" -> (Retrieval.phraseSearch _)
+    "q163_phrase_search" -> (Retrieval.phraseSearch _),
+    "q167_jpeg_decode" -> (Multimodal.jpegFeatures _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1775,6 +1776,51 @@ object PipelineQueries {
          |      ON contains(' ' || d.text || ' ', ' ' || ph.phrase || ' '))
          |SELECT phrase, count(DISTINCT doc_id)::BIGINT AS n_docs
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q167: baseline-JPEG decode — the oracle NEVER touches the bytes:
+    // it regenerates each block's quantized coefficients from the
+    // synthesis formulas, dequantizes with the formula quant table, and
+    // replays the decoder's exact integer IDCT (the shared 64-literal
+    // K table; pixel = clamp(floor((Σ deq·K·K + 2^23)/2^24) + 128)).
+    // The Spark side must recover those coefficients from the entropy
+    // stream through the full parse chain — a wrong DHT rebuild, missed
+    // stuffed byte, DC-prediction slip, de-zigzag error, or wrong IDCT
+    // constant shifts pixels and goes red.
+    "q167_jpeg_decode" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id,
+         |    (8*(1 + doc_id % 3) - CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 0 END) AS w,
+         |    (8*(1 + doc_id % 2) - CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 0 END) AS h
+         |  FROM documents),
+         |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+         |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+         |pb AS (SELECT doc_id, w, h, x, y,
+         |        (y // 8) * ((w + 7) // 8) + (x // 8) AS b,
+         |        x % 8 AS lx, y % 8 AS ly FROM px),
+         |uv AS (SELECT unnest(range(0, 8)) AS u),
+         |uvv AS (SELECT u, unnest(range(0, 8)) AS v FROM uv),
+         |kt AS (SELECT * FROM (VALUES ${Multimodal.jpegIdctKSqlValues}) t(i, j, kk)),
+         |term AS (
+         |  SELECT p.doc_id, p.w, p.h, p.x, p.y,
+         |    (CASE WHEN c.u = 0 AND c.v = 0 THEN (p.doc_id*5 + p.b*3) % 15 - 7
+         |          WHEN (p.doc_id*31 + p.b*17 + c.u*7 + c.v*23) % 97 < 12
+         |               AND (p.doc_id*7 + p.b*11 + c.u*13 + c.v*17) % 13 - 6 <> 0
+         |          THEN (p.doc_id*7 + p.b*11 + c.u*13 + c.v*17) % 13 - 6
+         |          ELSE 0 END)
+         |    * (1 + (c.u*3 + c.v*5) % 8) * ku.kk * kv.kk AS t
+         |  FROM pb p CROSS JOIN uvv c
+         |  JOIN kt ku ON ku.i = c.u AND ku.j = p.lx
+         |  JOIN kt kv ON kv.i = c.v AND kv.j = p.ly),
+         |pix AS (
+         |  SELECT doc_id, w, h, x, y,
+         |    least(255, greatest(0,
+         |      CAST(floor((sum(t) + 8388608) / 16777216.0) AS BIGINT) + 128)) AS lum
+         |  FROM term GROUP BY doc_id, w, h, x, y)
+         |SELECT doc_id, w::INT AS width, h::INT AS height,
+         |  round(sum(lum)::DOUBLE / (w*h), 4) AS mean_lum,
+         |  sum(CASE WHEN y = 0 THEN lum ELSE 0 END)::BIGINT AS top_row_lum,
+         |  sum(CASE WHEN y = h - 1 THEN lum ELSE 0 END)::BIGINT AS bot_row_lum
+         |FROM pix GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     // q140: the delta-assignment mirror — the SAME unrolled-Lloyd cell
     // CTE, trained on the corpus only and assigned over the delta only.

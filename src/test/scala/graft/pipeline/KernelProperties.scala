@@ -229,4 +229,33 @@ object KernelProperties extends Properties("Kernels") {
       d.width == w && d.height == h &&
         d.rgb.map(_.toSeq).toSeq == px.map(_.toSeq).toSeq
     }
+
+  property("JPEG entropy layer round-trips ARBITRARY coefficient grids exactly") =
+    forAll(
+      Gen.choose(1, 20), Gen.choose(1, 18), Gen.choose(0L, 1000000L)) { (w, h, seed) =>
+      // arbitrary quantized coefficients (AC in the table's size range
+      // 1..3 → |v| <= 7, DC category <= 4 → |dc| <= 15 with |diff| <= 15
+      // enforced by clamping dc to [-7, 7]) through the REAL entropy
+      // codec: Huffman, run-length, stuffing, DC prediction — the
+      // lossless layer must be bit-exact for every input, not just the
+      // corpus formulas
+      var s = seed
+      def next(mod: Int): Int = {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33) % mod).toInt
+      }
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      val blocks = Array.fill(bw * bh) {
+        val c = new Array[Int](64)
+        c(0) = next(15) - 7
+        for (k <- 1 until 64 if next(100) < 15) {
+          val v = next(15) - 7
+          if (v != 0) c(k) = v
+        }
+        c
+      }
+      val raw = Multimodal.jpegDecodeRaw(Multimodal.jpegEncodeImage(blocks, w, h))
+      raw.width == w && raw.height == h &&
+        raw.blocks.map(_.toSeq).toSeq == blocks.map(_.toSeq).toSeq
+    }
 }

@@ -1441,6 +1441,145 @@ class PipelineSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.gifDecode(excised))
   }
 
+  test("JPEG IDCT constant table matches its defining cosine formula") {
+    val derived = Multimodal.jpegIdctKDerived
+    for (u <- 0 until 8; x <- 0 until 8)
+      assert(Multimodal.JpegIdctK(u)(x) == derived(u)(x), s"K($u)($x)")
+  }
+
+  test("JPEG codec: entropy round-trip recovers every quantized coefficient") {
+    // doc_ids spanning every (w, h, crop) residue class: full blocks,
+    // partial right/bottom blocks, multi-block DC prediction chains
+    for (docId <- 0L to 23L) {
+      val raw = Multimodal.jpegDecodeRaw(Multimodal.jpegEncode(docId))
+      assert(raw.width == Multimodal.jpegWidth(docId), s"w doc $docId")
+      assert(raw.height == Multimodal.jpegHeight(docId), s"h doc $docId")
+      // quant table read back from DQT (zigzag order)
+      for (k <- 0 until 64) {
+        val nat = Multimodal.JpegZigzag(k)
+        assert(raw.quantZigzag(k) == Multimodal.jpegQuant(nat % 8, nat / 8), s"Q[$k] doc $docId")
+      }
+      // every coefficient of every block recovered exactly
+      val bw = (raw.width + 7) / 8
+      for (b <- raw.blocks.indices; v <- 0 until 8; u <- 0 until 8) {
+        val expected =
+          if (u == 0 && v == 0) Multimodal.jpegDc(docId, b)
+          else Multimodal.jpegAc(docId, b, u, v)
+        assert(raw.blocks(b)(v * 8 + u) == expected, s"coef($u,$v) block $b doc $docId (bw=$bw)")
+      }
+    }
+  }
+
+  test("JPEG corpus exercises byte stuffing, ZRL, and partial-MCU crop") {
+    // at least one encoded stream must contain a stuffed 0xFF00 inside
+    // the entropy segment (so the unstuffing path is load-bearing)
+    def entropyHasStuffing(docId: Long): Boolean = {
+      val bytes = Multimodal.jpegEncode(docId)
+      // find SOS, skip its header, scan to EOI
+      var pos = 2
+      var sos = -1
+      while (sos < 0) {
+        val m = bytes(pos + 1) & 0xFF
+        val len = ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+        if (m == 0xDA) sos = pos + 2 + len else pos += 2 + len
+      }
+      (sos until bytes.length - 2).exists(i =>
+        (bytes(i) & 0xFF) == 0xFF && bytes(i + 1) == 0)
+    }
+    assert((0L until 64L).exists(entropyHasStuffing), "no stuffed byte in 64 docs")
+    // crop residues appear: some docs have w % 8 != 0, some h % 8 != 0
+    assert((0L until 12L).exists(d => Multimodal.jpegWidth(d) % 8 != 0))
+    assert((0L until 12L).exists(d => Multimodal.jpegHeight(d) % 8 != 0))
+    // ZRL: some block somewhere encodes a >15 zero run (verified by the
+    // round-trip above; here just assert the symbol appears in a stream
+    // by checking a known-sparse block's gap structure exists)
+    val hasLongGap = (0L until 64L).exists { d =>
+      val w = Multimodal.jpegWidth(d); val h = Multimodal.jpegHeight(d)
+      val nb = ((w + 7) / 8) * ((h + 7) / 8)
+      (0 until nb).exists { b =>
+        val nz = (1 until 64).filter { k =>
+          val nat = Multimodal.JpegZigzag(k)
+          Multimodal.jpegAc(d, b, nat % 8, nat / 8) != 0
+        }
+        nz.nonEmpty && (nz.head > 16 || nz.sliding(2).exists {
+          case Seq(a, c) => c - a > 16
+          case _ => false
+        })
+      }
+    }
+    assert(hasLongGap, "no >16 zero run in 64 docs — ZRL never exercised")
+  }
+
+  test("JPEG decode reads the BYTES: DHT, DQT, and the entropy stream are load-bearing") {
+    // pick a doc whose stream contains an EOB before zigzag position 48:
+    // there the EOB↔ZRL huffval swap below is guaranteed to corrupt the
+    // decode (an EOB at k >= 48 misread as ZRL just pads zeros past 63
+    // and changes nothing)
+    def lastNonzeroZigzag(d: Long, b: Int): Int =
+      (1 until 64).filter { k =>
+        val nat = Multimodal.JpegZigzag(k)
+        Multimodal.jpegAc(d, b, nat % 8, nat / 8) != 0
+      }.lastOption.getOrElse(0)
+    val docId = (0L until 64L).find { d =>
+      val nb = ((Multimodal.jpegWidth(d) + 7) / 8) * ((Multimodal.jpegHeight(d) + 7) / 8)
+      (0 until nb).exists(b => lastNonzeroZigzag(d, b) < 47) &&
+        (0 until nb).exists(b => Multimodal.jpegDc(d, b) != 0)
+    }.get
+    val bytes = Multimodal.jpegEncode(docId)
+    val clean = Multimodal.jpegDecode(bytes)
+    // locate segments by marker walk
+    def findSeg(m: Int): Int = {
+      var pos = 2
+      while (true) {
+        if ((bytes(pos + 1) & 0xFF) == m) return pos
+        pos += 2 + (((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF))
+      }
+      -1
+    }
+    // missing SOI rejected
+    val noSoi = bytes.clone(); noSoi(1) = 0xD7.toByte
+    intercept[IllegalArgumentException](Multimodal.jpegDecode(noSoi))
+    // progressive SOF rejected (we only claim baseline)
+    val prog = bytes.clone(); prog(findSeg(0xC0) + 1) = 0xC2.toByte
+    intercept[IllegalArgumentException](Multimodal.jpegDecode(prog))
+    // patch the DC quant entry (zigzag 0) -> decoded pixels must shift
+    // (dequant uses the table FROM THE FILE, not the synthesis formula;
+    // the doc search above guarantees a nonzero DC somewhere)
+    val dqtPatched = bytes.clone()
+    val dqtAt = findSeg(0xDB)
+    dqtPatched(dqtAt + 5) = (dqtPatched(dqtAt + 5) + 3).toByte
+    val gotQ = Multimodal.jpegDecode(dqtPatched)
+    assert(gotQ.pixels.toSeq != clean.pixels.toSeq, "DQT patch did not change pixels")
+    // permute two DHT HUFFVAL entries (the AC table's EOB and ZRL
+    // symbols) -> the canonical code map changes, so decode must either
+    // throw or produce different coefficients
+    val dhtPatched = bytes.clone()
+    val dhtAt = findSeg(0xC4)
+    // AC HUFFVAL block: marker(2)+len(2) + DC[TcTh(1)+BITS(16)+vals(5)]
+    // + AC[TcTh(1)+BITS(16)] = offset 43 from the segment start; the
+    // last two entries are ZRL and EOB — swapping them breaks every EOB
+    val acVals = dhtAt + 43
+    val tmp = dhtPatched(acVals + 61); dhtPatched(acVals + 61) = dhtPatched(acVals + 62)
+    dhtPatched(acVals + 62) = tmp
+    val dhtResult = scala.util.Try(Multimodal.jpegDecode(dhtPatched))
+    assert(dhtResult.isFailure || dhtResult.get.pixels.toSeq != clean.pixels.toSeq,
+      "DHT permutation changed nothing — the table is not read from the bytes")
+    // corrupt a byte mid-entropy-stream -> throw or different pixels
+    var pos = 2
+    var sos = -1
+    while (sos < 0) {
+      val m = bytes(pos + 1) & 0xFF
+      val len = ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+      if (m == 0xDA) sos = pos + 2 + len else pos += 2 + len
+    }
+    val entPatched = bytes.clone()
+    entPatched(sos + (bytes.length - 2 - sos) / 2) =
+      (entPatched(sos + (bytes.length - 2 - sos) / 2) ^ 0x24).toByte
+    val entResult = scala.util.Try(Multimodal.jpegDecode(entPatched))
+    assert(entResult.isFailure || entResult.get.pixels.toSeq != clean.pixels.toSeq,
+      "entropy corruption changed nothing")
+  }
+
   private def cosine(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double =
     a._2.zip(b._2).map { case (x, y) => x * y }.sum / (a._3 * b._3)
 

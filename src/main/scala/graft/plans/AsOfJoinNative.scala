@@ -47,7 +47,9 @@ final case class AsOfJoinNode(
     leftKey: Attribute,
     rightKey: Attribute,
     leftTime: Attribute,
-    rightTime: Attribute)
+    rightTime: Attribute,
+    forward: Boolean = false,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
 
   /** left.* followed by right.* minus the join key (right's time column
@@ -68,8 +70,8 @@ final case class AsOfJoinNode(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -80,7 +82,9 @@ final case class AsOfJoinExec(
     leftKey: Attribute,
     rightKey: Attribute,
     leftTime: Attribute,
-    rightTime: Attribute)
+    rightTime: Attribute,
+    forward: Boolean = false,
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
   override def nodeName: String = "GraftAsOfJoin"
@@ -153,11 +157,21 @@ final case class AsOfJoinExec(
       var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
       var matchRow: InternalRow = null
       var matchKey: Any = null
+      var matchTime: Any = null
 
       def rKey(r: InternalRow): Any =
         if (r.isNullAt(rKeyOrdinal)) null else r.get(rKeyOrdinal, keyType)
       def rTime(r: InternalRow): Any =
         if (r.isNullAt(rTimeOrdinal)) null else r.get(rTimeOrdinal, timeType)
+      def advance(): Unit = rHead = if (rIter.hasNext) rIter.next() else null
+      // tolerance compares physical integral time values (micros for
+      // timestamps, days for dates, raw for int/long) — asOf() validated
+      // the type
+      def timeL(a: Any): Long = a.asInstanceOf[Number].longValue
+      def withinTol(lt: Any): Boolean = tolerance.forall { tol =>
+        val gap = if (forward) timeL(matchTime) - timeL(lt) else timeL(lt) - timeL(matchTime)
+        gap <= tol
+      }
 
       lIter.map { lRow =>
         val lk = if (lRow.isNullAt(lKeyOrdinal)) null else lRow.get(lKeyOrdinal, keyType)
@@ -165,34 +179,83 @@ final case class AsOfJoinExec(
         if (lk == null || lt == null) {
           // null key/time never matches (both sort first, so no state skew)
           proj(joined(lRow, nullRight))
-        } else {
-          // advance the right stream through every row at-or-before
-          // (lk, lt); later-sorting ties overwrite, giving the payload-max
+        } else if (!forward) {
+          // BACKWARD: advance the right stream through every row
+          // at-or-before (lk, lt); later-sorting ties overwrite, giving
+          // the payload-max
           var advancing = true
           while (advancing && rHead != null) {
             val rk = rKey(rHead)
             val rt = rTime(rHead)
             if (rk == null || rt == null) {
               // null-keyed/timed right rows sort first; skip them
-              rHead = if (rIter.hasNext) rIter.next() else null
+              advance()
             } else {
               val kc = keyOrd.compare(rk, lk)
               if (kc < 0 || (kc == 0 && timeOrd.compare(rt, lt) <= 0)) {
-                // re-extract the key from the COPY: `rk` may reference the
-                // sorter's reused buffer (UTF8String/Decimal/binary keys),
-                // which mutates once rIter advances
+                // re-extract key/time from the COPY: `rk`/`rt` may
+                // reference the sorter's reused buffer (UTF8String /
+                // Decimal / binary), which mutates once rIter advances
                 if (kc == 0) {
                   matchRow = rHead.copy()
                   matchKey = matchRow.get(rKeyOrdinal, keyType)
+                  matchTime = matchRow.get(rTimeOrdinal, timeType)
                 }
-                rHead = if (rIter.hasNext) rIter.next() else null
+                advance()
               } else {
                 advancing = false
               }
             }
           }
           val matched =
-            matchRow != null && matchKey != null && keyOrd.compare(matchKey, lk) == 0
+            matchRow != null && matchKey != null && keyOrd.compare(matchKey, lk) == 0 &&
+              withinTol(lt)
+          proj(joined(lRow, if (matched) matchRow else nullRight))
+        } else {
+          // FORWARD: the match is the EARLIEST right row with time >= lt
+          // in the key — among (key, time) ties the payload-max, i.e. the
+          // last of the run in the required ordering. A retained match
+          // stays valid for later left rows while its time still >= their
+          // time (everything consumed behind it is provably earlier);
+          // rows skipped below can never match a later left row either
+          // (left times only grow within the key).
+          if (matchRow != null &&
+              (keyOrd.compare(matchKey, lk) != 0 || timeOrd.compare(matchTime, lt) < 0)) {
+            matchRow = null; matchKey = null; matchTime = null
+          }
+          if (matchRow == null) {
+            var searching = true
+            while (searching && rHead != null) {
+              val rk = rKey(rHead)
+              val rt = rTime(rHead)
+              if (rk == null || rt == null) advance()
+              else {
+                val kc = keyOrd.compare(rk, lk)
+                if (kc < 0 || (kc == 0 && timeOrd.compare(rt, lt) < 0)) advance()
+                else if (kc == 0) {
+                  // first candidate; consume its (key, time) tie run,
+                  // keeping the last (payload-max) row
+                  matchRow = rHead.copy()
+                  matchKey = matchRow.get(rKeyOrdinal, keyType)
+                  matchTime = matchRow.get(rTimeOrdinal, timeType)
+                  advance()
+                  var inRun = true
+                  while (inRun && rHead != null) {
+                    val rk2 = rKey(rHead)
+                    val rt2 = rTime(rHead)
+                    if (rk2 != null && rt2 != null &&
+                        keyOrd.compare(rk2, matchKey) == 0 &&
+                        timeOrd.compare(rt2, matchTime) == 0) {
+                      matchRow = rHead.copy()
+                      advance()
+                    } else inRun = false
+                  }
+                  searching = false
+                } else searching = false // rk > lk: no rows left in this key
+              }
+            }
+          }
+          val matched = matchRow != null && withinTol(lt)
           proj(joined(lRow, if (matched) matchRow else nullRight))
         }
       }
@@ -217,8 +280,20 @@ object AsOfJoinNative {
     * carry `key` and `time`; right's other columns are the payload.
     * Output = left.* ++ `__asof_time` (matched right time, null if no
     * match) ++ payload (null if no match).
+    *
+    * `direction`: `"backward"` (default — greatest right time ≤ left
+    * time) or `"forward"` (smallest right time ≥ left time). `tolerance`
+    * (max staleness): match only if |left time − matched right time| ≤
+    * tolerance, expressed in the time column's PHYSICAL integral units —
+    * microseconds for timestamps, days for dates, raw value for
+    * int/long times (the same convention as Spark's own
+    * `datetime - datetime` arithmetic at the Catalyst layer).
     */
-  def asOf(left: DataFrame, right: DataFrame, key: String, time: String): DataFrame = {
+  def asOf(left: DataFrame, right: DataFrame, key: String, time: String,
+      direction: String = "backward", tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
     val payload = right.columns.toSeq.filterNot(c => c == key || c == time)
     require(
       payload.nonEmpty && left.columns.toSet.intersect(payload.toSet).isEmpty,
@@ -246,10 +321,21 @@ object AsOfJoinNative {
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
+    val lTimeAttr = attr(lPlan, time)
+    if (tolerance.isDefined) {
+      import org.apache.spark.sql.types._
+      val ok = lTimeAttr.dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             TimestampType | TimestampNTZType | DateType => true
+        case _ => false
+      }
+      require(ok, s"tolerance needs an integral-backed time type, got ${lTimeAttr.dataType}")
+    }
     val node = AsOfJoinNode(
       lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, key),
-      attr(lPlan, time), attr(rPlan, "__asof_time"))
+      lTimeAttr, attr(rPlan, "__asof_time"),
+      forward = direction == "forward", tolerance = tolerance)
     org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark, node)
   }
 }

@@ -219,6 +219,22 @@ object Oracles {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.err_ts
         |ORDER BY l.event_id""".stripMargin,
 
+    // q168: the native as-of's forward direction + 24 h tolerance —
+    // DuckDB's ASOF with the `<=` inequality finds the earliest
+    // at-or-after error; the tolerance is applied as a predicate over
+    // the raw match (a match beyond tolerance null-pads, identical to
+    // a miss, which is exactly the operator's contract).
+    "q168_asof_fwd_tol" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts AS err_ts, max(value) AS err_value
+        |      FROM events WHERE event_type = 'error' GROUP BY user_id, ts),
+        |m AS (SELECT l.event_id, l.user_id, l.ts, l.value, r.err_ts, r.err_value
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.err_ts)
+        |SELECT event_id, user_id, ts::TIMESTAMP AS ts, value,
+        |  CASE WHEN err_ts - ts <= INTERVAL 24 HOUR THEN err_ts::TIMESTAMP END AS err_ts,
+        |  CASE WHEN err_ts - ts <= INTERVAL 24 HOUR THEN err_value END AS err_value
+        |FROM m ORDER BY event_id""".stripMargin,
+
     // q161: lag/lead/ntile/percent_rank share one (user, ts, event_id)
     // window — DuckDB's ntile/percent_rank semantics match Spark's
     // (SQL-standard bucket sizing and (rank-1)/(n-1)).

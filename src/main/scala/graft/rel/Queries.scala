@@ -446,6 +446,30 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** The native as-of operator's full parameter surface (q168): FORWARD
+    * direction (each click picks up the NEXT error at-or-after its
+    * timestamp) with a 24-hour max-staleness TOLERANCE (errors farther
+    * out don't match — the row null-pads exactly like a miss). Oracled
+    * by DuckDB's ASOF with the `<=` inequality plus a tolerance
+    * predicate applied over the raw match. Same one-merge-pass plan
+    * shape as q158; tolerance is a per-row integer comparison, no extra
+    * shuffle or plan change.
+    */
+  def q168AsOfForwardTol(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("err_value"))
+    graft.plans.AsOfJoinNative.asOf(clicks, errors, key = "user_id", time = "ts",
+        direction = "forward", tolerance = Some(24L * 3600L * 1000000L))
+      .withColumnRenamed("__asof_time", "err_ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("err_ts"), col("err_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** R5 breadth — the analytic window functions q07/q08 don't cover:
     * lag/lead (neighbor access), ntile (quartile bucketing), and
     * percent_rank (relative position), all over one per-user
@@ -1041,6 +1065,7 @@ object Queries {
     "q33_sql_api" -> (q33SqlApi _),
     "q36_asof_join" -> (q36AsOfJoin _),
     "q158_asof_native" -> (q158AsOfNative _),
+    "q168_asof_fwd_tol" -> (q168AsOfForwardTol _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

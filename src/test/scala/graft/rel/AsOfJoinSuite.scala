@@ -110,6 +110,93 @@ class AsOfJoinSuite extends AnyFunSuite {
     assert(b.exists(_._2.nonEmpty) && b.exists(_._2.isEmpty))
   }
 
+  test("native as-of: tolerance boundary — exactly-tol matches, tol+1 does not") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "exact"),   // right at 90, gap 10 == tol -> match
+      (2L, 100L, "beyond"),  // right at 89, gap 11 > tol -> null
+      (3L, 100L, "zero-gap") // right at 100, gap 0 -> match
+    ).toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, "r1"), (2L, 89L, "r2"), (3L, 100L, "r3")).toDF("k", "t", "rv")
+    val got = graft.plans.AsOfJoinNative
+      .asOf(left, right, "k", "t", tolerance = Some(10L))
+      .select("tag", "rv").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("exact").contains("r1"))
+    assert(got("beyond").isEmpty)
+    assert(got("zero-gap").contains("r3"))
+    // backward never matches future rows regardless of tolerance
+    val l2 = Seq((1L, 50L)).toDF("k", "t")
+    val r2 = Seq((1L, 51L, "future")).toDF("k", "t", "rv")
+    assert(graft.plans.AsOfJoinNative.asOf(l2, r2, "k", "t", tolerance = Some(1000L))
+      .select("rv").first().isNullAt(0))
+  }
+
+  test("native as-of: forward direction picks the earliest at-or-after row") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "tie"),      // right AT 10 matches (>=)
+      (1L, 11L, "between"),  // earliest right >= 11 is 15
+      (1L, 16L, "after-all"),// no right >= 16 -> null
+      (2L, 1L, "no-key")
+    ).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15")).toDF("k", "t", "rv")
+    val got = graft.plans.AsOfJoinNative
+      .asOf(left, right, "k", "t", direction = "forward")
+      .select("tag", "__asof_time", "rv").collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)).map(_.toString), Option(r.getString(2)))))
+      .toMap
+    assert(got("tie") == ((Some("10"), Some("r10"))))
+    assert(got("between") == ((Some("15"), Some("r15"))))
+    assert(got("after-all") == ((None, None)))
+    assert(got("no-key") == ((None, None)))
+    // forward tolerance boundary
+    val l2 = Seq((1L, 10L, "in"), (2L, 10L, "out")).toDF("k", "t", "tag")
+    val r2 = Seq((1L, 15L, "a"), (2L, 16L, "b")).toDF("k", "t", "rv")
+    val tolGot = graft.plans.AsOfJoinNative
+      .asOf(l2, r2, "k", "t", direction = "forward", tolerance = Some(5L))
+      .select("tag", "rv").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(tolGot("in").contains("a") && tolGot("out").isEmpty)
+    // forward (key, time) ties resolve to the payload-max, like backward
+    val l3 = Seq((1L, 5L)).toDF("k", "t")
+    val r3 = Seq((1L, 9L, "low"), (1L, 9L, "zzz")).toDF("k", "t", "rv")
+    assert(graft.plans.AsOfJoinNative.asOf(l3, r3, "k", "t", direction = "forward")
+      .select("rv").first().getString(0) == "zzz")
+  }
+
+  test("native as-of forward/tolerance == brute force on a randomized dense fixture") {
+    import spark.implicits._
+    var seed = 98765L
+    def next(mod: Int): Int = { seed = (seed * 6364136223846793005L + 1442695040888963407L); ((seed >>> 33) % mod).toInt }
+    val leftRows = (0 until 500).map(i => ((next(7)).toLong, next(60).toLong, i.toLong))
+    val rightRaw = (0 until 300).map(i => ((next(9)).toLong, next(60).toLong, i.toLong))
+    // unique (k, t) with max payload — the shared well-defined answer
+    val rightRows = rightRaw.groupBy(r => (r._1, r._2)).map { case ((k, t), g) =>
+      (k, t, g.map(_._3).max)
+    }.toSeq
+    val left = leftRows.toDF("k", "t", "lid")
+    val rightU = rightRows.toDF("k", "t", "rv")
+    for (fwd <- Seq(false, true); tol <- Seq(None, Some(7L), Some(0L))) {
+      val dir = if (fwd) "forward" else "backward"
+      val got = graft.plans.AsOfJoinNative.asOf(left, rightU, "k", "t", dir, tol)
+        .select("lid", "__asof_time", "rv").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      val expected = leftRows.map { case (k, t, lid) =>
+        val cands = rightRows.filter(r => r._1 == k &&
+          (if (fwd) r._2 >= t else r._2 <= t) &&
+          tol.forall(x => math.abs(r._2 - t) <= x))
+        if (cands.isEmpty) (lid, None, None)
+        else {
+          val m = if (fwd) cands.minBy(_._2) else cands.maxBy(_._2)
+          (lid, Some(m._2: Any), Some(m._3: Any))
+        }
+      }.toSet
+      assert(got == expected, s"dir=$dir tol=$tol")
+      assert(got.exists(_._2.nonEmpty) && got.exists(_._2.isEmpty), s"degenerate dir=$dir tol=$tol")
+    }
+  }
+
   test("native as-of == composed window form on a randomized dense fixture") {
     import spark.implicits._
     // deterministic LCG fixture: many keys, duplicate times, sparse matches

@@ -4,9 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+  Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode,
+  Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
@@ -49,7 +51,8 @@ final case class AsOfJoinNode(
     leftTime: Attribute,
     rightTime: Attribute,
     forward: Boolean = false,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    broadcast: Boolean = false)
   extends BinaryNode {
 
   /** left.* followed by right.* minus the join key (right's time column
@@ -70,8 +73,12 @@ final case class AsOfJoinNode(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, fwd, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol) :: Nil
+    case n: AsOfJoinNode if n.broadcast =>
+      AsOfJoinBroadcastExec(planLater(n.left), planLater(n.right),
+        n.leftKey, n.rightKey, n.leftTime, n.rightTime, n.forward, n.tolerance) :: Nil
+    case n: AsOfJoinNode =>
+      AsOfJoinExec(planLater(n.left), planLater(n.right),
+        n.leftKey, n.rightKey, n.leftTime, n.rightTime, n.forward, n.tolerance) :: Nil
     case _ => Nil
   }
 }
@@ -263,6 +270,146 @@ final case class AsOfJoinExec(
   }
 }
 
+/** Broadcast variant of the native as-of join — the 100 TB shape when
+  * the right side is dimension-bounded: the LEFT side keeps whatever
+  * partitioning its scan produced (ZERO Exchange on the corpus, the one
+  * thing the shuffle merge can only achieve over bucketed tables), while
+  * the right side arrives whole on every executor through a
+  * `BroadcastDistribution(IdentityBroadcastMode)` — EnsureRequirements
+  * inserts the BroadcastExchange exactly as it does for a broadcast
+  * nested-loop join. Each task buckets the broadcast rows per key into
+  * time-sorted arrays once, then answers every left row with a binary
+  * search: O(|R| log |R|) prep + O(log |R|) per row, no sort of the
+  * left side at all.
+  */
+final case class AsOfJoinBroadcastExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTime: Attribute,
+    rightTime: Attribute,
+    forward: Boolean,
+    tolerance: Option[Long])
+  extends BinaryExecNode {
+
+  override def nodeName: String = "GraftAsOfJoinBroadcast"
+
+  override val output: Seq[Attribute] =
+    left.output ++
+      right.output.filterNot(_.exprId == rightKey.exprId).map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  /** Pure per-row lookup: left order and partitioning pass through. */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinBroadcastExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyOrdinal = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lTimeOrdinal = left.output.indexWhere(_.exprId == leftTime.exprId)
+    val rKeyOrdinal = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rTimeOrdinal = right.output.indexWhere(_.exprId == rightTime.exprId)
+    require(lKeyOrdinal >= 0 && lTimeOrdinal >= 0 && rKeyOrdinal >= 0 && rTimeOrdinal >= 0)
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val rightArity = right.output.length
+    val outAttrs = output
+    val leftAttrs = left.output
+    val rightAttrs = right.output
+    val fwd = forward
+    val tol = tolerance
+    // (key, time, orderable payload) ascending — same tie-determinism
+    // contract as the shuffle merge
+    val rightOrder: Seq[SortOrder] =
+      SortOrder(rightKey, Ascending) +: SortOrder(rightTime, Ascending) +:
+        rightAttrs.filterNot(a =>
+          a.exprId == rightKey.exprId || a.exprId == rightTime.exprId)
+          .filter(a => RowOrdering.isOrderable(a.dataType))
+          .map(SortOrder(_, Ascending))
+
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions({ lIter =>
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      val rowOrd = RowOrdering.create(rightOrder, rightAttrs)
+      // per-task index build over the (dim-bounded) broadcast rows:
+      // drop null key/time rows, sort, bucket per key with the times
+      // extracted alongside so the binary search compares boxed values
+      // without re-reading rows
+      val sorted = bcast.value
+        .filter(r => !r.isNullAt(rKeyOrdinal) && !r.isNullAt(rTimeOrdinal))
+        .sorted(rowOrd)
+      val buckets = new java.util.HashMap[Any, (Array[InternalRow], Array[Any])]()
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        val k = sorted(i).get(rKeyOrdinal, keyType)
+        while (j < sorted.length &&
+          keyOrd.compare(sorted(j).get(rKeyOrdinal, keyType), k) == 0) j += 1
+        val rows = java.util.Arrays.copyOfRange(sorted, i, j)
+        buckets.put(k, (rows, rows.map(_.get(rTimeOrdinal, timeType): Any)))
+        i = j
+      }
+      val proj = UnsafeProjection.create(
+        outAttrs, leftAttrs ++ rightAttrs.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightArity)
+      def timeL(a: Any): Long = a.asInstanceOf[Number].longValue
+
+      lIter.map { lRow =>
+        val lk = if (lRow.isNullAt(lKeyOrdinal)) null else lRow.get(lKeyOrdinal, keyType)
+        val lt = if (lRow.isNullAt(lTimeOrdinal)) null else lRow.get(lTimeOrdinal, timeType)
+        val bucket = if (lk == null || lt == null) null else buckets.get(lk)
+        if (bucket == null) proj(joined(lRow, nullRight))
+        else {
+          val (rows, times) = bucket
+          // rightmost index with time <= bound (-1 if none)
+          def rightmostLe(bound: Any): Int = {
+            var lo = 0; var hi = rows.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrd.compare(times(mid), bound) <= 0) { ans = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            ans
+          }
+          // leftmost index with time >= bound (-1 if none)
+          def leftmostGe(bound: Any): Int = {
+            var lo = 0; var hi = rows.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrd.compare(times(mid), bound) >= 0) { ans = mid; hi = mid - 1 }
+              else lo = mid + 1
+            }
+            ans
+          }
+          val idx =
+            if (!fwd) rightmostLe(lt)
+            else {
+              val first = leftmostGe(lt)
+              // payload-max of the matched time's tie run = rightmost
+              // index sharing that time (sorted by payload within time)
+              if (first < 0) -1 else rightmostLe(times(first))
+            }
+          val matched = idx >= 0 && tol.forall { t =>
+            val gap = if (fwd) timeL(times(idx)) - timeL(lt) else timeL(lt) - timeL(times(idx))
+            gap <= t
+          }
+          proj(joined(lRow, if (matched) rows(idx) else nullRight))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
 /** Public face of the native operator. */
 object AsOfJoinNative {
 
@@ -290,7 +437,22 @@ object AsOfJoinNative {
     * `datetime - datetime` arithmetic at the Catalyst layer).
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, time: String,
-      direction: String = "backward", tolerance: Option[Long] = None): DataFrame = {
+      direction: String = "backward", tolerance: Option[Long] = None): DataFrame =
+    build(left, right, key, time, direction, tolerance, broadcast = false)
+
+  /** The same operator through [[AsOfJoinBroadcastExec]]: the right side
+    * is broadcast whole (EnsureRequirements inserts the
+    * BroadcastExchange) and the LEFT side keeps its scan partitioning —
+    * ZERO Exchange on the corpus. Use when the right side is
+    * dimension-bounded; semantics (including direction, tolerance, and
+    * tie determinism) are identical to [[asOf]].
+    */
+  def asOfBroadcast(left: DataFrame, right: DataFrame, key: String, time: String,
+      direction: String = "backward", tolerance: Option[Long] = None): DataFrame =
+    build(left, right, key, time, direction, tolerance, broadcast = true)
+
+  private def build(left: DataFrame, right: DataFrame, key: String, time: String,
+      direction: String, tolerance: Option[Long], broadcast: Boolean): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
@@ -335,7 +497,7 @@ object AsOfJoinNative {
       lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, key),
       lTimeAttr, attr(rPlan, "__asof_time"),
-      forward = direction == "forward", tolerance = tolerance)
+      forward = direction == "forward", tolerance = tolerance, broadcast = broadcast)
     org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark, node)
   }
 }

@@ -219,6 +219,17 @@ object Oracles {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.err_ts
         |ORDER BY l.event_id""".stripMargin,
 
+    // q169: the broadcast as-of exec must reproduce the composed and
+    // shuffle-merge forms' answer — literally q36's ASOF oracle again.
+    "q169_asof_broadcast" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts AS err_ts, max(value) AS err_value
+        |      FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, l.ts::TIMESTAMP AS ts, l.value,
+        |       r.err_ts::TIMESTAMP AS err_ts, r.err_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.err_ts
+        |ORDER BY l.event_id""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

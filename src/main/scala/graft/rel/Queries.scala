@@ -470,6 +470,31 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** The q36/q158 shape through the BROADCAST as-of path (q169):
+    * [[graft.plans.AsOfJoinNative.asOfBroadcast]] ships the
+    * dim-bounded error table whole (one BroadcastExchange) and leaves
+    * the click side's scan partitioning untouched — ZERO Exchange on
+    * the probe corpus, the plan a 100 TB unbucketed fact table needs
+    * (the shuffle merge must hash-Exchange both sides unless they're
+    * bucketed). Hash-gated against the SAME DuckDB ASOF oracle as
+    * q36/q158, so all three implementation tiers are proven
+    * result-identical every round; PlanSuite pins the no-left-Exchange
+    * shape.
+    */
+  def q169AsOfBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("err_value"))
+    graft.plans.AsOfJoinNative.asOfBroadcast(clicks, errors, key = "user_id", time = "ts")
+      .withColumnRenamed("__asof_time", "err_ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("err_ts"), col("err_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** R5 breadth — the analytic window functions q07/q08 don't cover:
     * lag/lead (neighbor access), ntile (quartile bucketing), and
     * percent_rank (relative position), all over one per-user
@@ -1066,6 +1091,7 @@ object Queries {
     "q36_asof_join" -> (q36AsOfJoin _),
     "q158_asof_native" -> (q158AsOfNative _),
     "q168_asof_fwd_tol" -> (q168AsOfForwardTol _),
+    "q169_asof_broadcast" -> (q169AsOfBroadcast _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

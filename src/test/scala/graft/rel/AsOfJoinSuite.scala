@@ -179,9 +179,6 @@ class AsOfJoinSuite extends AnyFunSuite {
     val rightU = rightRows.toDF("k", "t", "rv")
     for (fwd <- Seq(false, true); tol <- Seq(None, Some(7L), Some(0L))) {
       val dir = if (fwd) "forward" else "backward"
-      val got = graft.plans.AsOfJoinNative.asOf(left, rightU, "k", "t", dir, tol)
-        .select("lid", "__asof_time", "rv").collect()
-        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
       val expected = leftRows.map { case (k, t, lid) =>
         val cands = rightRows.filter(r => r._1 == k &&
           (if (fwd) r._2 >= t else r._2 <= t) &&
@@ -192,9 +189,44 @@ class AsOfJoinSuite extends AnyFunSuite {
           (lid, Some(m._2: Any), Some(m._3: Any))
         }
       }.toSet
-      assert(got == expected, s"dir=$dir tol=$tol")
-      assert(got.exists(_._2.nonEmpty) && got.exists(_._2.isEmpty), s"degenerate dir=$dir tol=$tol")
+      // BOTH execution tiers — the shuffle merge and the broadcast
+      // binary search — against the same brute-force answer
+      for (variant <- Seq("merge", "broadcast")) {
+        val df =
+          if (variant == "merge")
+            graft.plans.AsOfJoinNative.asOf(left, rightU, "k", "t", dir, tol)
+          else
+            graft.plans.AsOfJoinNative.asOfBroadcast(left, rightU, "k", "t", dir, tol)
+        val got = df.select("lid", "__asof_time", "rv").collect()
+          .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+        assert(got == expected, s"dir=$dir tol=$tol variant=$variant")
+        assert(got.exists(_._2.nonEmpty) && got.exists(_._2.isEmpty),
+          s"degenerate dir=$dir tol=$tol variant=$variant")
+      }
     }
+  }
+
+  test("broadcast as-of: null keys/times and string keys behave like the merge") {
+    import spark.implicits._
+    val l3 = Seq((Some(1L), Some(12L), "ok"), (None, Some(12L), "nullkey"),
+      (Some(1L), None, "nulltime")).toDF("k", "t", "tag")
+    val r3 = Seq((Some(1L), Some(10L), "r10"), (None, Some(1L), "rnull"))
+      .toDF("k", "t", "rv")
+    val m3 = graft.plans.AsOfJoinNative.asOfBroadcast(l3, r3, "k", "t")
+      .select("tag", "rv").collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(m3("ok").contains("r10") && m3("nullkey").isEmpty && m3("nulltime").isEmpty)
+    val l4 = (0 until 200).map(i => (s"key-${i % 29}", (i / 29).toLong * 2 + 1, i.toLong))
+      .toDF("k", "t", "lid")
+    val r4 = (0 until 200).map(i => (s"key-${i % 23}", (i / 23).toLong * 2, i.toLong))
+      .toDF("k", "t", "rv")
+    val r4U = r4.groupBy("k", "t").agg(org.apache.spark.sql.functions.max("rv").as("rv"))
+    val a = AsOfJoin.asOf(l4, r4U, "k", "t")
+      .select("lid", "__asof_time", "rv").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val b = graft.plans.AsOfJoinNative.asOfBroadcast(l4, r4U, "k", "t")
+      .select("lid", "__asof_time", "rv").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(a == b)
   }
 
   test("native as-of == composed window form on a randomized dense fixture") {

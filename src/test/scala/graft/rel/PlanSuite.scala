@@ -385,6 +385,28 @@ class PlanSuite extends AnyFunSuite {
     assert(!ep.contains("Union"), ep)
   }
 
+  test("q169: the broadcast as-of exec leaves the probe side Exchange-free") {
+    // strip the final presentation orderBy: the pin is about the JOIN
+    // subtree (a global sort legitimately adds a range exchange above)
+    val ev = Queries.events(spark, dir)
+    val clicks = ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val errors = ev.filter(org.apache.spark.sql.functions.col("event_type") === "error")
+      .groupBy("user_id", "ts")
+      .agg(org.apache.spark.sql.functions.max("value").as("err_value"))
+    val ep = execPlan(
+      graft.plans.AsOfJoinNative.asOfBroadcast(clicks, errors, "user_id", "ts"))
+    assert(ep.contains("GraftAsOfJoinBroadcast"), ep)
+    // right side arrives via ONE BroadcastExchange; the only hash
+    // Exchange in the plan belongs to the right side's pre-aggregation —
+    // the probe (click) side reads straight from the scan: no Exchange,
+    // no Sort on the left at all
+    assert("BroadcastExchange".r.findAllIn(ep).size == 1, ep)
+    assert("Exchange hashpartitioning".r.findAllIn(ep).size == 1, ep)
+    assert(!ep.contains("Sort "), ep)
+    assert(!ep.contains("Window"), ep)
+  }
+
   test("q155: nested-schema pruning narrows the struct read to referenced leaves") {
     val df = graft.sources.Formats.nestedRoundtrip(spark, dir)
     val p = plan(df)

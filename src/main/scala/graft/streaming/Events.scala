@@ -992,53 +992,121 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Key-range directory partitions in the q156 serving table. */
+  val MergeSnapParts = 6
+
+  /** Merge ONE change batch (the q93 feed schema: k/op/new_*) into the
+    * `__part`-partitioned parquet serving snapshot at `snapRoot`,
+    * rewriting ONLY the partitions that contain the batch's keys — the
+    * file-pruned MERGE a 100 TB serving table needs: cost is
+    * O(|touched partitions|) per increment, never O(|table|).
+    *
+    * Mechanics: (1) the batch's touched partition values are a tiny
+    * distinct-collect (≤ [[MergeSnapParts]] ints); (2) the snapshot
+    * read FILTERS on the partition column, so only touched directories
+    * are scanned (directory-level partition pruning); (3) the merged
+    * rows are staged to a temp dir first (a parquet path cannot be
+    * overwritten while it is being read), then written back with
+    * DYNAMIC partition overwrite — Spark replaces exactly the
+    * partitions present in the frame and leaves every other directory's
+    * files byte-untouched (asserted in StreamingSuite); (4) a touched
+    * partition whose keys were ALL deleted yields no rows, which
+    * dynamic overwrite would leave stale — its directory is removed
+    * explicitly. Idempotent under at-least-once redelivery because
+    * [[graft.rel.Queries.mergeApply]] is a per-key LAST-WRITE
+    * semantics: re-upserting the same values and re-deleting an absent
+    * key both reproduce the already-merged partition content.
+    *
+    * Returns the touched partition values (sorted) for observability.
+    */
+  private[streaming] def mergeBatchIntoSnapshot(snapRoot: String, batch: DataFrame): Seq[Int] = {
+    val ss = batch.sparkSession
+    val touched = batch
+      .select(pmod(col("k"), lit(MergeSnapParts)).cast("int").as("p"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return touched
+    val snap = ss.read.parquet(snapRoot)
+      .filter(col("__part").isin(touched.map(Int.box): _*))
+      .drop("__part")
+    val merged = graft.rel.Queries.mergeApply(snap, batch)
+      .withColumn("__part", pmod(col("o_orderkey"), lit(MergeSnapParts)).cast("int"))
+    val stage = java.nio.file.Files.createTempDirectory("graft-merge-stage-")
+    try {
+      merged.write.parquet(s"$stage/delta")
+      val staged = ss.read.parquet(s"$stage/delta")
+      staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__part")
+        .parquet(snapRoot)
+      val present = staged.select(col("__part")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      touched.filterNot(present).foreach { p =>
+        val dead = java.nio.file.Paths.get(snapRoot, s"__part=$p")
+        if (java.nio.file.Files.exists(dead)) {
+          java.nio.file.Files.walk(dead).sorted(java.util.Comparator.reverseOrder())
+            .forEach(x => java.nio.file.Files.deleteIfExists(x))
+        }
+      }
+    } finally {
+      java.nio.file.Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => java.nio.file.Files.deleteIfExists(x))
+    }
+    touched
+  }
+
   /** Declared query (q156) — STREAMING MERGE SINK, the CDC-to-serving-
     * table path: the q93 change feed arrives as a STREAM (file source,
     * one staged file per micro-batch) and `foreachBatch` MERGEs each
-    * batch into a keyed parquet serving table. Each application is the
-    * same key-partitioned full-outer join + op precedence as the batch
-    * MERGE ([[graft.rel.Queries.mergeApply]]); the sink is IDEMPOTENT
-    * the way production foreachBatch sinks must be under at-least-once
-    * delivery: batch b deterministically rewrites snapshot version
-    * `v_b` from `v_{b-1}`, so re-processing a batch after a failure
-    * reproduces the identical version instead of double-applying. (With
-    * a transactional table format — Delta/Iceberg — the rewrite becomes
-    * a MERGE INTO commit; the join shape and idempotency contract are
-    * the same.) The feed's keys are pairwise distinct across batches,
-    * so the drained final snapshot equals the one-shot batch MERGE —
-    * q156 hash-gates against q93's oracle, proving batch parity of a
-    * genuinely streamed multi-batch MERGE.
+    * batch into a `__part`-partitioned parquet serving table through
+    * [[mergeBatchIntoSnapshot]] — each micro-batch rewrites ONLY the
+    * key-range partitions its changes touch (the feed is staged split
+    * by k mod 3, so every batch touches exactly 2 of the 6 partitions
+    * and provably leaves the other 4 directories byte-identical;
+    * StreamingSuite asserts that). Each application is the same
+    * key-partitioned full-outer join + op precedence as the batch MERGE
+    * ([[graft.rel.Queries.mergeApply]]), whose per-key last-write
+    * semantics make re-processing a batch after failure reproduce the
+    * identical partition content (at-least-once safe). The feed's keys
+    * are pairwise distinct across batches, so the drained final
+    * snapshot equals the one-shot batch MERGE — q156 hash-gates against
+    * q93's oracle, proving batch parity of a genuinely streamed,
+    * file-pruned multi-batch MERGE.
     */
   def streamMergeSinkFinal(spark: SparkSession, dir: String): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
     val root = java.nio.file.Files.createTempDirectory("graft-merge-sink-").toString
     graft.rel.Queries.mergeBase(ss, dir)
-      .write.mode("overwrite").parquet(s"$root/snap/v_init")
-    // stage the feed as 3 files -> 3 micro-batches (keys are disjoint
-    // across any split, so batch order cannot change the final snapshot)
-    graft.rel.Queries.mergeChangeFeed(ss, dir)
-      .repartition(3).write.mode("overwrite").parquet(s"$root/feed")
-    val schema = ss.read.parquet(s"$root/feed").schema
+      .withColumn("__part", pmod(col("o_orderkey"), lit(MergeSnapParts)).cast("int"))
+      .write.partitionBy("__part").parquet(s"$root/snap")
+    // stage the feed as 3 single-file micro-batches SPLIT BY KEY RANGE
+    // (k mod 3): batch g touches only snapshot partitions {g, g+3} —
+    // the shape that makes partition pruning observable. Keys are still
+    // disjoint across batches, so order cannot change the final snapshot.
+    val feed = graft.rel.Queries.mergeChangeFeed(ss, dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/feed"))
+    for (g <- 0 until 3)
+      writeSingleParquet(
+        feed.filter(pmod(col("k"), lit(3)) === g),
+        java.nio.file.Paths.get(s"$root/feed/g$g.parquet"),
+        1700000000000L + g * 60000L)
+    val schema = ss.read.parquet(s"$root/feed/g0.parquet").schema
     val stream = ss.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$root/feed")
-    @volatile var last = "v_init"
     val q = stream.writeStream
       .option("checkpointLocation", s"$root/ckpt")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val prev = if (batchId == 0L) "v_init" else s"v${batchId - 1}"
-        val snap = batch.sparkSession.read.parquet(s"$root/snap/$prev")
-        graft.rel.Queries.mergeApply(snap, batch.toDF())
-          .write.mode("overwrite").parquet(s"$root/snap/v$batchId")
-        last = s"v$batchId"
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        mergeBatchIntoSnapshot(s"$root/snap", batch.toDF())
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$root/snap/$last").orderBy(col("o_orderkey"))
+    spark.read.parquet(s"$root/snap")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
   }
 
   /** File-based stream source over an events parquet directory — the

@@ -531,4 +531,67 @@ class StreamingSuite extends AnyFunSuite {
       ("2024-01-01 09:00:00", 3L, 7.0),
       ("2024-01-01 11:00:00", 1L, 8.0)))
   }
+
+  test("q156 merge sink: a batch rewrites ONLY the partitions it touches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = java.nio.file.Files.createTempDirectory("graft-merge-prune-").toString
+    // synthetic 6-partition snapshot: keys 0..35 cover every partition
+    val base = (0L until 36L).map(k => (k, k * 10, s"S$k", k * 1.5))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    base
+      .withColumn("__part", pmod(col("o_orderkey"), lit(Events.MergeSnapParts)).cast("int"))
+      .write.partitionBy("__part").parquet(s"$root/snap")
+    def fileHashes(): Map[String, String] = {
+      val rootPath = java.nio.file.Paths.get(s"$root/snap")
+      val stream = java.nio.file.Files.walk(rootPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map { p =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            rootPath.relativize(p).toString ->
+              md.digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString
+          }.toMap
+      } finally stream.close()
+    }
+    val before = fileHashes()
+    assert((0 until 6).forall(p => before.keys.exists(_.startsWith(s"__part=$p/"))))
+    // the batch touches ONLY partition 1: upsert key 1, delete key 7
+    val batch = Seq(
+      (1L, "U", Some(999L), Some("UPD"), Some(42.0)),
+      (7L, "D", None: Option[Long], None: Option[String], None: Option[Double]))
+      .toDF("k", "op", "new_custkey", "new_status", "new_price")
+    val touched = Events.mergeBatchIntoSnapshot(s"$root/snap", batch)
+    assert(touched == Seq(1))
+    val after = fileHashes()
+    // untouched partition directories: identical file sets, identical bytes
+    for (p <- 0 until 6 if p != 1) {
+      val b = before.filter(_._1.startsWith(s"__part=$p/"))
+      val a = after.filter(_._1.startsWith(s"__part=$p/"))
+      assert(a == b, s"partition $p was rewritten: before=$b after=$a")
+    }
+    // the touched partition WAS rewritten
+    assert(after.filter(_._1.startsWith("__part=1/")) !=
+      before.filter(_._1.startsWith("__part=1/")))
+    // and its content is the merged result
+    val part1 = spark.read.parquet(s"$root/snap")
+      .filter(col("__part") === 1)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(part1 == Set(
+      (1L, 999L, "UPD", 42.0), // upserted
+      (13L, 130L, "S13", 19.5), (19L, 190L, "S19", 28.5),
+      (25L, 250L, "S25", 37.5), (31L, 310L, "S31", 46.5))) // 7 deleted
+    // a batch that deletes EVERY key of a partition removes its directory
+    val killAll = (0 until 6).map(i => (2L + 6 * i, "D",
+      None: Option[Long], None: Option[String], None: Option[Double]))
+      .toDF("k", "op", "new_custkey", "new_status", "new_price")
+    assert(Events.mergeBatchIntoSnapshot(s"$root/snap", killAll) == Seq(2))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/snap/__part=2")))
+    assert(spark.read.parquet(s"$root/snap")
+      .filter(col("__part") === 2).count() == 0L)
+  }
 }

@@ -99,7 +99,11 @@ object ScalingSmoke {
       // signature agg over a 10x shingle universe) and the positional
       // phrase index (corpus-scale postings, bounded probe)
       "q159_source_overlap_sketch" -> (graft.pipeline.Dedup.sourceOverlapSketch _),
-      "q163_phrase_search" -> (graft.pipeline.Retrieval.phraseSearch _))
+      "q163_phrase_search" -> (graft.pipeline.Retrieval.phraseSearch _),
+      // r14: the JPEG decode pipeline — strictly per-doc bounded work
+      // (decode + 64-term IDCT per pixel), so its exponent should sit
+      // at ~1.0 (pure linear) with zero corpus-global stages
+      "q167_jpeg_decode" -> (graft.pipeline.Multimodal.jpegFeatures _))
 
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -127,6 +131,27 @@ object ScalingSmoke {
     val pairsSmall = graft.pipeline.Dedup.ngramJaccardCapped(spark, sfDir).count()
     val pairsBig = graft.pipeline.Dedup.ngramJaccardCapped(spark, bigDir).count()
 
+    // SPILL GATE (SURVEY §4: the reference's reducer state is an
+    // unbounded in-process map; Spark's replacement must stay correct
+    // when it spills): run the q16 shingle-pair aggregation in a session
+    // squeezed so the hash aggregate provably falls back and writes
+    // spill files, and record bytes + answer parity in the artifact.
+    // SpillSuite is the per-commit unit twin at sf0.001.
+    val spillGate = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      ss.conf.set("spark.sql.TungstenAggregate.testFallbackStartsAt", "10000, 20000")
+      val df = graft.pipeline.Dedup.ngramJaccard(ss, sfDir)
+      val squeezed = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val spillBytes = df.queryExecution.executedPlan.collect { case n => n }
+        .flatMap(_.metrics.get("spillSize").map(_.value).filter(_ > 0L)).sum
+      val base = graft.pipeline.Dedup.ngramJaccard(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      s""""spill_gate":{"query":"q16_ngram_jaccard","spill_bytes":$spillBytes,""" +
+        s""""rows":${base.size},"match":${squeezed == base}}"""
+    }
+
     val lnF = math.log(Factor.toDouble)
     val perQuery = queries.map { case (name, _) =>
       val (fs, rs) = small(name)
@@ -143,6 +168,7 @@ object ScalingSmoke {
       s"""{"factor":$Factor,"iters":$Iters,"sf_small":"$sfDir","dir_big":"$bigDir",
          |"q66_pairs_small":$pairsSmall,"q66_pairs_big":$pairsBig,
          |"pairs_exactly_linear":${pairsBig == Factor * pairsSmall},
+         |$spillGate,
          |"queries":$perQuery}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("SCALING.json"),

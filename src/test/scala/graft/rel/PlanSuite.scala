@@ -407,6 +407,40 @@ class PlanSuite extends AnyFunSuite {
     assert(!ep.contains("Window"), ep)
   }
 
+  test("q164 stats fed into the catalog flip a filtered join from SMJ to broadcast") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    // threshold far below the orders table's FILE size but far above the
+    // post-filter estimate CBO derives from the injected NDV
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "2048")
+    val tbl = "graft_stats_cbo_orders"
+    ss.sql(s"DROP TABLE IF EXISTS $tbl")
+    Queries.table(ss, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.saveAsTable(tbl)
+    try {
+      val big = Queries.table(ss, dir, "lineitem").select("l_orderkey", "l_quantity")
+      def joined = big.join(
+        ss.table(tbl).filter(col("o_custkey") === 7),
+        col("l_orderkey") === col("o_orderkey"))
+      // WITHOUT stats the filter's output is estimated at the child's
+      // full (file-size) footprint -> above threshold -> sort-merge join
+      val before = execPlan(joined)
+      assert(before.contains("SortMergeJoin"), before)
+      assert(!before.contains("BroadcastHashJoin"), before)
+      // feed OUR q164 ANALYZE output (same data as the saved table) into
+      // the catalog; CBO now estimates ~n_rows/ndv post-filter rows ->
+      // tiny build side -> the SAME query plans a broadcast join
+      Stats.feedTableStats(ss, tbl, Queries.q164TableStats(ss, dir))
+      val after = execPlan(joined)
+      assert(after.contains("BroadcastHashJoin"), after)
+      assert(!after.contains("SortMergeJoin"), after)
+    } finally {
+      ss.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("q155: nested-schema pruning narrows the struct read to referenced leaves") {
     val df = graft.sources.Formats.nestedRoundtrip(spark, dir)
     val p = plan(df)

@@ -258,4 +258,26 @@ object KernelProperties extends Properties("Kernels") {
       raw.width == w && raw.height == h &&
         raw.blocks.map(_.toSeq).toSeq == blocks.map(_.toSeq).toSeq
     }
+
+  property("bottom-k jaccard from SIGNATURES == from full sets, even when one side saturates") =
+    forAll(Gen.choose(4, 32), Gen.choose(0L, 1000000L)) { (k, seed) =>
+      // the adversarial skew case: |A| >> k (signature saturated at the
+      // k smallest hashes) while |B| < k (signature IS the full set).
+      // The estimator's merge-then-take-k must lose nothing: every
+      // member of bottomK(A ∪ B) that lies in A is by construction among
+      // the k smallest of A, so testing membership against the
+      // SIGNATURES gives the identical estimate to the full sets —
+      // signature exchange is lossless for the estimator regardless of
+      // size skew between sources.
+      var s = seed
+      def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 16 }
+      val big = Seq.fill(6 * k)(f"h${next() % 100000}%06d").distinct
+      val small = big.take(k / 2).filter(_ => next() % 2 == 0) ++ // overlap slice
+        Seq.fill(k / 3)(f"x${next() % 100000}%06d") // disjoint slice
+      val ord = graft.rel.TopK.Utf8StringOrdering
+      def sig(xs: Seq[String]): Seq[String] = xs.distinct.sorted(ord).take(k)
+      val fromSigs = Dedup.bottomKJaccard(sig(big), sig(small), k)
+      val fromFull = Dedup.bottomKJaccard(big, small.distinct, k)
+      fromSigs == fromFull && sig(big).size == k && sig(small.distinct).size < k
+    }
 }

@@ -250,10 +250,12 @@ object Bench {
     // FINAL stdout line = the driver's parse target; keep it last and small.
     // The ~2000-char tail window must hold the WHOLE line plus sbt's
     // epilogue, so degrade per-query precision before ever busting it.
-    def metricLine(nd: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsLine(nd)},"iters":$iters,"failed":$nFail,"rejected":$nRejected,"suspect":$nSuspect,"value_minmed":${fmt(totalMinMed)},"sf":"$sfDir"}"""
-    val line2 = metricLine(2)
-    val line1 = metricLine(1)
+    // ONE format string for every fallback tier: only the queries payload
+    // varies, so a future field can't silently diverge between tiers
+    def metricLine(queriesPayload: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$queriesPayload,"iters":$iters,"failed":$nFail,"rejected":$nRejected,"suspect":$nSuspect,"value_minmed":${fmt(totalMinMed)},"sf":"$sfDir"}"""
+    val line2 = metricLine(qsLine(2))
+    val line1 = metricLine(qsLine(1))
     // last-ditch fallback: drop the per-query map entirely rather than let
     // the metric line bust the tail window (the suite has grown past what
     // 1-decimal precision can fit) — and say so loudly on stderr
@@ -263,7 +265,7 @@ object Bench {
       else {
         System.err.println(
           s"WARN: metric line exceeds tail budget even at 1 decimal (${line1.length} chars); eliding per-query map")
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"iters":$iters,"failed":$nFail,"rejected":$nRejected,"suspect":$nSuspect,"value_minmed":${fmt(totalMinMed)},"sf":"$sfDir"}"""
+        metricLine("{}")
       }
     println(finalLine)
     spark.stop()

@@ -270,6 +270,24 @@ final case class AsOfJoinExec(
   }
 }
 
+/** Per-executor memo of built broadcast as-of indexes, keyed by
+  * broadcast id: the index is immutable and identical for every task
+  * reading the same broadcast, so the O(|R| log |R|) sort + bucket build
+  * (and the codegen'd row-ordering compilation) happens once per
+  * executor, not once per probe-side partition — on a 100 TB probe with
+  * thousands of scan tasks that difference dominates small-task runtime.
+  * Bounded: the memo is cleared wholesale past a handful of live
+  * broadcasts (rebuilding is cheap; retaining dead broadcast rows is
+  * the real cost).
+  */
+private object AsOfBroadcastIndex {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, AnyRef]()
+  def getOrBuild(id: Long)(build: => AnyRef): AnyRef = {
+    if (cache.size > 8) cache.clear()
+    cache.computeIfAbsent(id, _ => build)
+  }
+}
+
 /** Broadcast variant of the native as-of join — the 100 TB shape when
   * the right side is dimension-bounded: the LEFT side keeps whatever
   * partitioning its scan produced (ZERO Exchange on the corpus, the one
@@ -339,25 +357,29 @@ final case class AsOfJoinBroadcastExec(
     left.execute().mapPartitions({ lIter =>
       val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
       val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
-      val rowOrd = RowOrdering.create(rightOrder, rightAttrs)
-      // per-task index build over the (dim-bounded) broadcast rows:
-      // drop null key/time rows, sort, bucket per key with the times
-      // extracted alongside so the binary search compares boxed values
-      // without re-reading rows
-      val sorted = bcast.value
-        .filter(r => !r.isNullAt(rKeyOrdinal) && !r.isNullAt(rTimeOrdinal))
-        .sorted(rowOrd)
-      val buckets = new java.util.HashMap[Any, (Array[InternalRow], Array[Any])]()
-      var i = 0
-      while (i < sorted.length) {
-        var j = i
-        val k = sorted(i).get(rKeyOrdinal, keyType)
-        while (j < sorted.length &&
-          keyOrd.compare(sorted(j).get(rKeyOrdinal, keyType), k) == 0) j += 1
-        val rows = java.util.Arrays.copyOfRange(sorted, i, j)
-        buckets.put(k, (rows, rows.map(_.get(rTimeOrdinal, timeType): Any)))
-        i = j
-      }
+      // index build over the (dim-bounded) broadcast rows — once per
+      // EXECUTOR via the broadcast-id memo, not per task: drop null
+      // key/time rows, sort, bucket per key with the times extracted
+      // alongside so the binary search compares boxed values without
+      // re-reading rows
+      val buckets = AsOfBroadcastIndex.getOrBuild(bcast.id) {
+        val rowOrd = RowOrdering.create(rightOrder, rightAttrs)
+        val sorted = bcast.value
+          .filter(r => !r.isNullAt(rKeyOrdinal) && !r.isNullAt(rTimeOrdinal))
+          .sorted(rowOrd)
+        val b = new java.util.HashMap[Any, (Array[InternalRow], Array[Any])]()
+        var i = 0
+        while (i < sorted.length) {
+          var j = i
+          val k = sorted(i).get(rKeyOrdinal, keyType)
+          while (j < sorted.length &&
+            keyOrd.compare(sorted(j).get(rKeyOrdinal, keyType), k) == 0) j += 1
+          val rows = java.util.Arrays.copyOfRange(sorted, i, j)
+          b.put(k, (rows, rows.map(_.get(rTimeOrdinal, timeType): Any)))
+          i = j
+        }
+        b
+      }.asInstanceOf[java.util.HashMap[Any, (Array[InternalRow], Array[Any])]]
       val proj = UnsafeProjection.create(
         outAttrs, leftAttrs ++ rightAttrs.map(_.withNullability(true)))
       val joined = new JoinedRow

@@ -39,17 +39,37 @@ object Stats {
     val colStats = rows.flatMap { r =>
       val name = r.getAs[String]("col_name")
       schema.find(_.name == name).map { field =>
-        // CatalogColumnStat stores min/max in EXTERNAL string form;
-        // integral columns must not carry a decimal point
-        def render(v: Double): Option[String] = field.dataType match {
-          case ByteType | ShortType | IntegerType | LongType | DateType =>
-            Some(v.toLong.toString)
-          case _ => Some(v.toString)
+        // CatalogColumnStat stores min/max in EXTERNAL string form:
+        // integral columns must not carry a decimal point, DateType must
+        // be the yyyy-MM-dd form fromExternalString parses (the q164
+        // shape normalizes min/max to double = days since epoch), and
+        // types with non-numeric external forms (timestamp, string)
+        // carry NO min/max — NDV and null count remain useful on their
+        // own. An all-null column has NULL min/max in the stats frame;
+        // injecting a fabricated 0 would hand CBO a fake [0,0] range,
+        // so nulls stay None.
+        def render(col: String): Option[String] = {
+          val i = r.fieldIndex(col)
+          if (r.isNullAt(i)) None
+          else {
+            val v = r.getDouble(i)
+            field.dataType match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                Some(v.toLong.toString)
+              case DateType =>
+                Some(java.time.LocalDate.ofEpochDay(v.toLong).toString)
+              case org.apache.spark.sql.types.FloatType |
+                   org.apache.spark.sql.types.DoubleType => Some(v.toString)
+              case t: org.apache.spark.sql.types.DecimalType =>
+                Some(BigDecimal(v).setScale(t.scale, BigDecimal.RoundingMode.HALF_UP).toString)
+              case _ => None
+            }
+          }
         }
         name -> CatalogColumnStat(
           distinctCount = Some(BigInt(r.getAs[Long]("n_distinct"))),
-          min = render(r.getAs[Double]("min_val")),
-          max = render(r.getAs[Double]("max_val")),
+          min = render("min_val"),
+          max = render("max_val"),
           nullCount = Some(BigInt(r.getAs[Long]("n_nulls"))),
           avgLen = Some(8L),
           maxLen = Some(8L))

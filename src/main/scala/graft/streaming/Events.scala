@@ -602,6 +602,18 @@ object Events {
     * ONLY — listings of it (the file source, [[restartRecoveryFinal]]'s
     * reveal copy) never see write-side litter.
     */
+  /** Recursive delete with the walk stream closed (`Files.walk` holds an
+    * open directory handle until closed — the same leak class the
+    * `Files.list` fix in ScalingSmoke addressed).
+    */
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => java.nio.file.Files.deleteIfExists(x))
+      finally walk.close()
+    }
+
   private def writeSingleParquet(df: DataFrame, dst: java.nio.file.Path, modMillis: Long): Unit = {
     val tmpOut = java.nio.file.Files.createTempDirectory(dst.getParent, "graft-write-tmp-")
     val outDir = tmpOut.resolve("out")
@@ -614,8 +626,7 @@ object Events {
     java.nio.file.Files.move(part, dst)
     java.nio.file.Files.setLastModifiedTime(
       dst, java.nio.file.attribute.FileTime.fromMillis(modMillis))
-    java.nio.file.Files.walk(tmpOut).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    deleteRecursively(tmpOut)
   }
 
   /** Stream-stream interval-join horizon in minutes — the ONE source for
@@ -1041,15 +1052,10 @@ object Events {
       val present = staged.select(col("__part")).distinct()
         .collect().map(_.getInt(0)).toSet
       touched.filterNot(present).foreach { p =>
-        val dead = java.nio.file.Paths.get(snapRoot, s"__part=$p")
-        if (java.nio.file.Files.exists(dead)) {
-          java.nio.file.Files.walk(dead).sorted(java.util.Comparator.reverseOrder())
-            .forEach(x => java.nio.file.Files.deleteIfExists(x))
-        }
+        deleteRecursively(java.nio.file.Paths.get(snapRoot, s"__part=$p"))
       }
     } finally {
-      java.nio.file.Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
-        .forEach(x => java.nio.file.Files.deleteIfExists(x))
+      deleteRecursively(stage)
     }
     touched
   }

@@ -441,6 +441,44 @@ class PlanSuite extends AnyFunSuite {
     }
   }
 
+  test("feedTableStats: date min/max render external form, all-null columns stay None") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    import ss.implicits._
+    val tbl = "graft_stats_types"
+    ss.sql(s"DROP TABLE IF EXISTS $tbl")
+    Seq((1L, java.sql.Date.valueOf("2024-03-01")), (2L, java.sql.Date.valueOf("2024-05-02")))
+      .toDF("id", "d")
+      .withColumn("allnull", org.apache.spark.sql.functions.lit(null).cast("long"))
+      .write.saveAsTable(tbl)
+    try {
+      val stats = Seq(
+        ("id", 2L, 0L, 2L, Some(1.0), Some(2.0)),
+        // date min/max arrive as doubles (days since epoch) per the q164
+        // normalization; the feeder must re-render yyyy-MM-dd
+        ("d", 2L, 0L, 2L,
+          Some(java.time.LocalDate.parse("2024-03-01").toEpochDay.toDouble),
+          Some(java.time.LocalDate.parse("2024-05-02").toEpochDay.toDouble)),
+        // an all-null column has NULL min/max — must NOT unbox to 0.0
+        ("allnull", 2L, 2L, 0L, None: Option[Double], None: Option[Double]))
+        .toDF("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+      Stats.feedTableStats(ss, tbl, stats)
+      val cs = ss.sessionState.catalog
+        .getTableMetadata(ss.sessionState.sqlParser.parseTableIdentifier(tbl))
+        .stats.get.colStats
+      assert(cs("d").min.contains("2024-03-01") && cs("d").max.contains("2024-05-02"), cs)
+      assert(cs("allnull").min.isEmpty && cs("allnull").max.isEmpty, cs)
+      // CBO planning must CONSUME the injected stats without throwing
+      // (fromExternalString parses the date form during estimation)
+      val n = ss.table(tbl)
+        .filter(col("d") > org.apache.spark.sql.functions.lit(
+          java.sql.Date.valueOf("2024-04-01")))
+        .join(ss.table(tbl).select(col("id")), "id")
+        .count()
+      assert(n == 1L)
+    } finally ss.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("q155: nested-schema pruning narrows the struct read to referenced leaves") {
     val df = graft.sources.Formats.nestedRoundtrip(spark, dir)
     val p = plan(df)

@@ -1496,6 +1496,195 @@ object Multimodal {
     (for (u <- 0 until 8; x <- 0 until 8)
       yield s"($u, $x, ${JpegIdctK(u)(x)})").mkString(", ")
 
+  // ---- real VIDEO decode (YUV4MPEG2, planar 4:2:0) -----------------------
+
+  /** Sixth real decoder and the first VIDEO one — YUV4MPEG2 (y4m), the
+    * uncompressed interchange format every video toolchain (ffmpeg,
+    * mjpegtools, codecs' reference implementations) reads and writes.
+    * The container is genuinely parsed: the `YUV4MPEG2` magic, the
+    * space-separated header tokens (`W<w> H<h> F<n>:<d> I<p> A<n>:<d>
+    * C<cs>`), then per frame a `FRAME` marker line (with optional
+    * parameters up to its newline) followed by fixed-stride planar
+    * 4:2:0 data — a full-res Y plane and quarter-res Cb/Cr planes.
+    * Frame count is NOT in the header (y4m is a stream format): the
+    * decoder discovers it by walking frame by frame to EOF, validating
+    * every marker and plane length.
+    *
+    * This moves the video modality off the byte-histogram tier the same
+    * way BMP first did for images: the ENCODING is trivial (that's what
+    * makes a pure-JVM real decoder feasible) but every byte offset is
+    * load-bearing — a wrong plane stride, a missed FRAME parameter, or
+    * an off-by-one in the 4:2:0 subsampling shifts the features and
+    * goes red against the q170 oracle, which regenerates them from the
+    * integer synthesis formulas without touching bytes. Temporal
+    * features (inter-frame motion) make the FRAME SEQUENCE itself
+    * load-bearing, not just one image.
+    */
+  def y4mWidth(docId: Long): Int = (16 + 8 * (docId % 3)).toInt // 16..32, even
+  def y4mHeight(docId: Long): Int = (12 + 4 * (docId % 2)).toInt // 12..16, even
+  def y4mFrames(docId: Long): Int = (3 + docId % 4).toInt // 3..6
+
+  /** Luma of pixel (x, y) in frame f — integer formulas the oracle
+    * mirrors; the f·31 term makes consecutive frames differ everywhere,
+    * so the motion feature sums a dense diff field.
+    */
+  def y4mY(docId: Long, f: Int, x: Int, y: Int): Int =
+    ((docId * 7 + f * 31 + x * 5 + y * 11) % 256).toInt
+  /** Chroma planes at quarter resolution ((x, y) are SUBSAMPLED coords). */
+  def y4mCb(docId: Long, f: Int, x: Int, y: Int): Int =
+    ((docId * 13 + f * 17 + x * 3 + y * 7) % 256).toInt
+  def y4mCr(docId: Long, f: Int, x: Int, y: Int): Int =
+    ((docId * 19 + f * 23 + x * 9 + y * 13) % 256).toInt
+
+  /** Encode the synthesized clip for `docId` as a spec-compliant y4m
+    * stream (C420jpeg chroma siting — full planes, no interlacing).
+    */
+  private[pipeline] def y4mEncode(docId: Long): Array[Byte] = {
+    val w = y4mWidth(docId); val h = y4mHeight(docId); val n = y4mFrames(docId)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    for (f <- 0 until n) {
+      // exercise the optional-parameter path on the first frame marker
+      val marker = if (f == 0) "FRAME Xgraft\n" else "FRAME\n"
+      out.write(marker.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out.write(y4mY(docId, f, x, y)); x += 1 }
+        y += 1
+      }
+      var cy = 0
+      while (cy < h / 2) {
+        var cx = 0
+        while (cx < w / 2) { out.write(y4mCb(docId, f, cx, cy)); cx += 1 }
+        cy += 1
+      }
+      cy = 0
+      while (cy < h / 2) {
+        var cx = 0
+        while (cx < w / 2) { out.write(y4mCr(docId, f, cx, cy)); cx += 1 }
+        cy += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Decoded y4m clip: header fields + per-frame planes (`frames(f)` =
+    * (Y, Cb, Cr), Y row-major w×h, chroma (w/2)×(h/2)).
+    */
+  final case class Y4mDecoded(width: Int, height: Int,
+      frames: IndexedSeq[(Array[Byte], Array[Byte], Array[Byte])])
+
+  /** REAL y4m parser: magic + header token walk, per-frame marker
+    * validation (parameters allowed through the newline), fixed-stride
+    * plane reads, frame discovery to EOF.
+    */
+  private[pipeline] def y4mDecode(bytes: Array[Byte]): Y4mDecoded = {
+    var pos = 0
+    def readLine(): String = {
+      val nl = bytes.indexOf('\n'.toByte, pos)
+      require(nl >= 0, "y4m: unterminated header/marker line")
+      val s = new String(bytes, pos, nl - pos, java.nio.charset.StandardCharsets.US_ASCII)
+      pos = nl + 1
+      s
+    }
+    val header = readLine()
+    require(header.startsWith("YUV4MPEG2"), "not a y4m stream: bad magic")
+    var w = -1; var h = -1; var cs = "420jpeg"
+    header.split(' ').drop(1).foreach { tok =>
+      if (tok.nonEmpty) tok.charAt(0) match {
+        case 'W' => w = tok.substring(1).toInt
+        case 'H' => h = tok.substring(1).toInt
+        case 'C' => cs = tok.substring(1)
+        case 'F' | 'I' | 'A' | 'X' => // rate/interlace/aspect/extension: accepted
+        case c => throw new IllegalArgumentException(s"y4m: unknown header token '$c'")
+      }
+    }
+    require(w > 0 && h > 0, "y4m: missing W/H header tokens")
+    require(cs.startsWith("420"), s"y4m: only 4:2:0 chroma supported, got C$cs")
+    require(w % 2 == 0 && h % 2 == 0, "y4m: 4:2:0 needs even dimensions")
+    val ySize = w * h; val cSize = (w / 2) * (h / 2)
+    val frames = IndexedSeq.newBuilder[(Array[Byte], Array[Byte], Array[Byte])]
+    while (pos < bytes.length) {
+      val marker = readLine()
+      require(marker == "FRAME" || marker.startsWith("FRAME "),
+        s"y4m: expected FRAME marker, got '${marker.take(16)}'")
+      require(pos.toLong + ySize + 2L * cSize <= bytes.length, "y4m: truncated frame planes")
+      val yP = java.util.Arrays.copyOfRange(bytes, pos, pos + ySize); pos += ySize
+      val cbP = java.util.Arrays.copyOfRange(bytes, pos, pos + cSize); pos += cSize
+      val crP = java.util.Arrays.copyOfRange(bytes, pos, pos + cSize); pos += cSize
+      frames += ((yP, cbP, crP))
+    }
+    val fs = frames.result()
+    require(fs.nonEmpty, "y4m: no frames")
+    Y4mDecoded(w, h, fs)
+  }
+
+  /** The synthesized video corpus: (doc_id, media) with a real y4m
+    * payload.
+    */
+  def y4mTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, y4mEncode(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** Declared query (q170): decode the video corpus and emit per-clip
+    * features — dims, frame count, mean luma over all frames, mean Cb
+    * (pins the chroma plane OFFSET: a stride slip reads Cr or luma
+    * bytes), total inter-frame MOTION (Σ |Y_f − Y_{f−1}| over all
+    * pixels and consecutive frame pairs — the temporal feature that
+    * makes the frame sequence load-bearing), and the last frame's
+    * bottom-row luma sum (maximum sensitivity to cumulative offset
+    * errors). Oracle regenerates everything from the synthesis formulas.
+    */
+  def y4mFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    y4mTable(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = y4mDecode(bytes)
+        val n = d.frames.length
+        var lumaSum = 0L; var cbSum = 0L; var motion = 0L; var lastBot = 0L
+        var f = 0
+        while (f < n) {
+          val yP = d.frames(f)._1
+          var i = 0
+          while (i < yP.length) {
+            lumaSum += yP(i) & 0xFF
+            if (f > 0) motion += math.abs((yP(i) & 0xFF) - (d.frames(f - 1)._1(i) & 0xFF))
+            i += 1
+          }
+          val cbP = d.frames(f)._2
+          i = 0
+          while (i < cbP.length) { cbSum += cbP(i) & 0xFF; i += 1 }
+          f += 1
+        }
+        val lastY = d.frames(n - 1)._1
+        var x = 0
+        while (x < d.width) {
+          lastBot += lastY((d.height - 1) * d.width + x) & 0xFF
+          x += 1
+        }
+        val yPix = d.width.toLong * d.height * n
+        val cPix = (d.width / 2).toLong * (d.height / 2) * n
+        (id, d.width, d.height, n,
+          lumaSum.toDouble / yPix, cbSum.toDouble / cPix, motion, lastBot)
+      })
+      .toDF("doc_id", "width", "height", "n_frames",
+        "mean_luma_raw", "mean_cb_raw", "motion", "last_bot_luma")
+      .select(
+        col("doc_id"), col("width"), col("height"), col("n_frames"),
+        round(col("mean_luma_raw"), 4).as("mean_luma"),
+        round(col("mean_cb_raw"), 4).as("mean_cb"),
+        col("motion"), col("last_bot_luma"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- audio frame features (windowed, over the decoded WAV) -------------
 
   /** Samples per analysis frame for [[wavFrameFeatures]]. */

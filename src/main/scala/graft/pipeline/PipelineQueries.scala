@@ -178,7 +178,8 @@ object PipelineQueries {
     "q159_source_overlap_sketch" -> (Dedup.sourceOverlapSketch _),
     "q160_gif_decode" -> (Multimodal.gifFeatures _),
     "q163_phrase_search" -> (Retrieval.phraseSearch _),
-    "q167_jpeg_decode" -> (Multimodal.jpegFeatures _)
+    "q167_jpeg_decode" -> (Multimodal.jpegFeatures _),
+    "q170_y4m_decode" -> (Multimodal.y4mFeatures _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1821,6 +1822,43 @@ object PipelineQueries {
          |  sum(CASE WHEN y = 0 THEN lum ELSE 0 END)::BIGINT AS top_row_lum,
          |  sum(CASE WHEN y = h - 1 THEN lum ELSE 0 END)::BIGINT AS bot_row_lum
          |FROM pix GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // q170: y4m video decode — the oracle regenerates dims, frame count,
+    // luma/chroma plane means, the inter-frame motion sum, and the last
+    // frame's bottom-row luma from the integer synthesis formulas; the
+    // Spark side must recover them from the BYTES through the real
+    // container parse (header tokens, FRAME markers, planar 4:2:0
+    // strides). A plane-offset or stride slip shifts mean_cb/motion and
+    // goes red.
+    "q170_y4m_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    (16 + 8*(doc_id % 3)) AS w, (12 + 4*(doc_id % 2)) AS h,
+        |    (3 + doc_id % 4) AS n
+        |  FROM documents),
+        |fr AS (SELECT doc_id, w, h, n, unnest(range(0, n)) AS f FROM d),
+        |xs AS (SELECT doc_id, w, h, n, f, unnest(range(0, w)) AS x FROM fr),
+        |px AS (SELECT doc_id, w, h, n, f, x, unnest(range(0, h)) AS y FROM xs),
+        |lum AS (SELECT doc_id, w, h, n, f, x, y,
+        |        (doc_id*7 + f*31 + x*5 + y*11) % 256 AS yy,
+        |        CASE WHEN f > 0 THEN abs((doc_id*7 + f*31 + x*5 + y*11) % 256
+        |                               - (doc_id*7 + (f-1)*31 + x*5 + y*11) % 256)
+        |             ELSE 0 END AS md
+        |       FROM px),
+        |ylev AS (SELECT doc_id, w, h, n,
+        |          sum(yy) AS lsum, sum(md) AS motion,
+        |          sum(CASE WHEN f = n - 1 AND y = h - 1 THEN yy ELSE 0 END) AS bot
+        |         FROM lum GROUP BY doc_id, w, h, n),
+        |cfr AS (SELECT doc_id, w, h, n, unnest(range(0, n)) AS f FROM d),
+        |cxs AS (SELECT doc_id, w, h, n, f, unnest(range(0, w // 2)) AS cx FROM cfr),
+        |cpx AS (SELECT doc_id, w, h, n, f, cx, unnest(range(0, h // 2)) AS cy FROM cxs),
+        |clev AS (SELECT doc_id, sum((doc_id*13 + f*17 + cx*3 + cy*7) % 256) AS cbsum
+        |         FROM cpx GROUP BY doc_id)
+        |SELECT y.doc_id, y.w::INT AS width, y.h::INT AS height, y.n::INT AS n_frames,
+        |  round(y.lsum::DOUBLE / (y.w * y.h * y.n), 4) AS mean_luma,
+        |  round(c.cbsum::DOUBLE / ((y.w // 2) * (y.h // 2) * y.n), 4) AS mean_cb,
+        |  y.motion::BIGINT AS motion, y.bot::BIGINT AS last_bot_luma
+        |FROM ylev y JOIN clev c ON y.doc_id = c.doc_id
+        |ORDER BY y.doc_id""".stripMargin,
 
     // q140: the delta-assignment mirror — the SAME unrolled-Lloyd cell
     // CTE, trained on the corpus only and assigned over the delta only.

@@ -1580,6 +1580,62 @@ class PipelineSuite extends AnyFunSuite {
       "entropy corruption changed nothing")
   }
 
+  test("y4m codec: every plane byte of every frame round-trips") {
+    for (docId <- 0L to 23L) {
+      val d = Multimodal.y4mDecode(Multimodal.y4mEncode(docId))
+      assert(d.width == Multimodal.y4mWidth(docId) && d.height == Multimodal.y4mHeight(docId))
+      assert(d.frames.length == Multimodal.y4mFrames(docId), s"frames doc $docId")
+      for (f <- d.frames.indices) {
+        val (yP, cbP, crP) = d.frames(f)
+        for (y <- 0 until d.height; x <- 0 until d.width)
+          assert((yP(y * d.width + x) & 0xFF) == Multimodal.y4mY(docId, f, x, y),
+            s"Y($x,$y) frame $f doc $docId")
+        for (cy <- 0 until d.height / 2; cx <- 0 until d.width / 2) {
+          assert((cbP(cy * (d.width / 2) + cx) & 0xFF) == Multimodal.y4mCb(docId, f, cx, cy),
+            s"Cb($cx,$cy) frame $f doc $docId")
+          assert((crP(cy * (d.width / 2) + cx) & 0xFF) == Multimodal.y4mCr(docId, f, cx, cy),
+            s"Cr($cx,$cy) frame $f doc $docId")
+        }
+      }
+    }
+  }
+
+  test("y4m decode reads the BYTES: magic, header tokens, markers, and planes bind") {
+    val docId = 11L
+    val bytes = Multimodal.y4mEncode(docId)
+    val clean = Multimodal.y4mDecode(bytes)
+    // corrupted magic rejected
+    val bad = bytes.clone(); bad(0) = 'Z'.toByte
+    intercept[IllegalArgumentException](Multimodal.y4mDecode(bad))
+    // width token drives the plane stride: shrinking W by an even amount
+    // desynchronizes every later FRAME marker -> loud failure, not a
+    // silently re-shaped image
+    val header = new String(bytes.takeWhile(_ != '\n'),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val w = Multimodal.y4mWidth(docId)
+    val shrunk = (header.replace(s"W$w", s"W${w - 2}") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      bytes.drop(header.length + 1)
+    intercept[IllegalArgumentException](Multimodal.y4mDecode(shrunk))
+    // truncating the last frame's final plane bytes is caught
+    intercept[IllegalArgumentException](Multimodal.y4mDecode(bytes.dropRight(3)))
+    // a patched luma byte in frame 1 changes exactly that frame's plane
+    val hdrLen = header.length + 1
+    val ySize = w * Multimodal.y4mHeight(docId)
+    val cSize = (w / 2) * (Multimodal.y4mHeight(docId) / 2)
+    // frame 0 marker is "FRAME Xgraft\n" (13), later markers "FRAME\n" (6)
+    val f1YStart = hdrLen + 13 + ySize + 2 * cSize + 6
+    val patched = bytes.clone()
+    patched(f1YStart + 5) = ((patched(f1YStart + 5) ^ 0x41) & 0xFF).toByte
+    val got = Multimodal.y4mDecode(patched)
+    assert((got.frames(1)._1(5) & 0xFF) == (Multimodal.y4mY(docId, 1, 5, 0) ^ 0x41))
+    assert(got.frames(0)._1.toSeq == clean.frames(0)._1.toSeq)
+    // an unknown header token type is rejected
+    val badTok = ("YUV4MPEG2 Q9 " + header.drop(10) + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ bytes.drop(hdrLen)
+    intercept[IllegalArgumentException](Multimodal.y4mDecode(badTok))
+  }
+
   private def cosine(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double =
     a._2.zip(b._2).map { case (x, y) => x * y }.sum / (a._3 * b._3)
 

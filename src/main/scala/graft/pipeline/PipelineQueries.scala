@@ -179,7 +179,8 @@ object PipelineQueries {
     "q160_gif_decode" -> (Multimodal.gifFeatures _),
     "q163_phrase_search" -> (Retrieval.phraseSearch _),
     "q167_jpeg_decode" -> (Multimodal.jpegFeatures _),
-    "q170_y4m_decode" -> (Multimodal.y4mFeatures _)
+    "q170_y4m_decode" -> (Multimodal.y4mFeatures _),
+    "q171_stream_asof" -> (Events.streamAsOfEnrichFinal _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1189,6 +1190,9 @@ object PipelineQueries {
     // equal the one-shot batch MERGE — literally q93's oracle, gating
     // batch parity of the foreachBatch CDC sink.
     "q156_stream_merge_sink" -> graft.rel.Oracles.all("q93_merge_upsert"),
+    // q171: the streamed per-batch broadcast as-of must reproduce the
+    // one-shot as-of exactly (per-left-row independence) — q36's oracle.
+    "q171_stream_asof" -> graft.rel.Oracles.all("q36_asof_join"),
 
     // q155: the struct-nested write + schema-pruned read-back must be
     // row-identical to computing the same rows from the FLAT source

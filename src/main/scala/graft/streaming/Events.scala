@@ -1039,23 +1039,28 @@ object Events {
     val snap = ss.read.parquet(snapRoot)
       .filter(col("__part").isin(touched.map(Int.box): _*))
       .drop("__part")
+    // localCheckpoint materializes the merged delta into executor block
+    // storage and TRUNCATES lineage — the write below no longer reads
+    // from the path it overwrites (which Spark rightly forbids), without
+    // paying a second on-disk staging copy. At 100 TB a reliable
+    // checkpoint (or a transactional table format) takes this role; the
+    // at-least-once story is unchanged either way — losing the blocks
+    // just re-runs the batch, and re-applying it is idempotent.
     val merged = graft.rel.Queries.mergeApply(snap, batch)
       .withColumn("__part", pmod(col("o_orderkey"), lit(MergeSnapParts)).cast("int"))
-    val stage = java.nio.file.Files.createTempDirectory("graft-merge-stage-")
+      .localCheckpoint()
     try {
-      merged.write.parquet(s"$stage/delta")
-      val staged = ss.read.parquet(s"$stage/delta")
-      staged.write.mode("overwrite")
+      merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__part")
         .parquet(snapRoot)
-      val present = staged.select(col("__part")).distinct()
+      val present = merged.select(col("__part")).distinct()
         .collect().map(_.getInt(0)).toSet
       touched.filterNot(present).foreach { p =>
         deleteRecursively(java.nio.file.Paths.get(snapRoot, s"__part=$p"))
       }
     } finally {
-      deleteRecursively(stage)
+      merged.unpersist()
     }
     touched
   }
@@ -1113,6 +1118,62 @@ object Events {
     spark.read.parquet(s"$root/snap")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** Declared query (q171) — STREAMING AS-OF ENRICHMENT: the click
+    * stream arrives file-per-micro-batch and each batch is enriched via
+    * the BROADCAST native as-of join
+    * ([[graft.plans.AsOfJoinNative.asOfBroadcast]]) against the static
+    * dim-bounded error table, appending to a parquet sink. As-of
+    * matching is per-left-row independent — a row's match depends only
+    * on that row and the FULL right table — so batching the probe side
+    * cannot change any answer: the drained multi-batch enrichment must
+    * equal the one-shot batch as-of, and q171 hash-gates against q36's
+    * DuckDB ASOF oracle unchanged. This is the custom-operator tier
+    * composing with Structured Streaming the way a 100 TB CDC
+    * enrichment runs: ZERO shuffle on the streaming probe side (the
+    * broadcast exec needs no Exchange there), one broadcast of the dim
+    * per batch, and an append-only sink.
+    */
+  def streamAsOfEnrichFinal(spark: SparkSession, dir: String): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val root = java.nio.file.Files.createTempDirectory("graft-asof-stream-").toString
+    val ev = graft.rel.Queries.events(ss, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    // three single-file micro-batches split by event_id mod 3 — the
+    // multi-batch drain is real, not a one-trigger formality
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/feed"))
+    for (g <- 0 until 3)
+      writeSingleParquet(
+        clicks.filter(pmod(col("event_id"), lit(3)) === g),
+        java.nio.file.Paths.get(s"$root/feed/g$g.parquet"),
+        1700000000000L + g * 60000L)
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("err_value"))
+    val schema = ss.read.parquet(s"$root/feed/g0.parquet").schema
+    val stream = ss.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/feed")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.plans.AsOfJoinNative
+          .asOfBroadcast(batch.toDF(), errors, key = "user_id", time = "ts")
+          .write.mode("append").parquet(s"$root/out")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$root/out")
+      .withColumnRenamed("__asof_time", "err_ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("err_ts"), col("err_value"))
+      .orderBy(col("event_id"))
   }
 
   /** File-based stream source over an events parquet directory — the

@@ -1604,7 +1604,14 @@ object Multimodal {
     require(w > 0 && h > 0, "y4m: missing W/H header tokens")
     require(cs.startsWith("420"), s"y4m: only 4:2:0 chroma supported, got C$cs")
     require(w % 2 == 0 && h % 2 == 0, "y4m: 4:2:0 needs even dimensions")
-    val ySize = w * h; val cSize = (w / 2) * (h / 2)
+    // Long-domain sizes: adversarial header dims (W 2^30 H 4) would wrap
+    // an Int product to 0 and slip past the truncation require; a plane
+    // can never exceed the stream length, so the bound also re-grounds
+    // the sizes into safe Int range
+    val ySizeL = w.toLong * h; val cSizeL = (w / 2).toLong * (h / 2)
+    require(ySizeL + 2 * cSizeL <= bytes.length,
+      "y4m: declared frame size exceeds the stream")
+    val ySize = ySizeL.toInt; val cSize = cSizeL.toInt
     val frames = IndexedSeq.newBuilder[(Array[Byte], Array[Byte], Array[Byte])]
     while (pos < bytes.length) {
       val marker = readLine()

@@ -281,10 +281,13 @@ final case class AsOfJoinExec(
   * the real cost).
   */
 private object AsOfBroadcastIndex {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, AnyRef]()
-  def getOrBuild(id: Long)(build: => AnyRef): AnyRef = {
+  // keyed by (applicationId, broadcast id): broadcast ids restart from 0
+  // per SparkContext, so an id-only key could serve a dead context's
+  // index to a new context in the same JVM — silently wrong rows
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  def getOrBuild(key: String)(build: => AnyRef): AnyRef = {
     if (cache.size > 8) cache.clear()
-    cache.computeIfAbsent(id, _ => build)
+    cache.computeIfAbsent(key, _ => build)
   }
 }
 
@@ -353,6 +356,9 @@ final case class AsOfJoinBroadcastExec(
           .map(SortOrder(_, Ascending))
 
     val bcast = right.executeBroadcast[Array[InternalRow]]()
+    // application-unique memo key minted on the DRIVER (applicationId is
+    // stable per SparkContext and ships as a plain string)
+    val memoKey = s"${sparkContext.applicationId}#${bcast.id}"
 
     left.execute().mapPartitions({ lIter =>
       val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
@@ -362,7 +368,7 @@ final case class AsOfJoinBroadcastExec(
       // key/time rows, sort, bucket per key with the times extracted
       // alongside so the binary search compares boxed values without
       // re-reading rows
-      val buckets = AsOfBroadcastIndex.getOrBuild(bcast.id) {
+      val buckets = AsOfBroadcastIndex.getOrBuild(memoKey) {
         val rowOrd = RowOrdering.create(rightOrder, rightAttrs)
         val sorted = bcast.value
           .filter(r => !r.isNullAt(rKeyOrdinal) && !r.isNullAt(rTimeOrdinal))

@@ -596,12 +596,6 @@ object Events {
       }
     }.toSeq)
 
-  /** Writes `df` as exactly one parquet file at `dst` with the given mod
-    * time. Spark's working directory (part files, _SUCCESS, .crc) is
-    * deleted after the move, so a staged directory contains DATA FILES
-    * ONLY — listings of it (the file source, [[restartRecoveryFinal]]'s
-    * reveal copy) never see write-side litter.
-    */
   /** Recursive delete with the walk stream closed (`Files.walk` holds an
     * open directory handle until closed — the same leak class the
     * `Files.list` fix in ScalingSmoke addressed).
@@ -614,6 +608,12 @@ object Events {
       finally walk.close()
     }
 
+  /** Writes `df` as exactly one parquet file at `dst` with the given mod
+    * time. Spark's working directory (part files, _SUCCESS, .crc) is
+    * deleted after the move, so a staged directory contains DATA FILES
+    * ONLY — listings of it (the file source, [[restartRecoveryFinal]]'s
+    * reveal copy) never see write-side litter.
+    */
   private def writeSingleParquet(df: DataFrame, dst: java.nio.file.Path, modMillis: Long): Unit = {
     val tmpOut = java.nio.file.Files.createTempDirectory(dst.getParent, "graft-write-tmp-")
     val outDir = tmpOut.resolve("out")
@@ -823,8 +823,12 @@ object Events {
     val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
     // name order == slice order == mod-time order (00_, 01_, …, sentinel);
     // data files only, even if the stage dir ever grows other entries
-    java.nio.file.Files.list(java.nio.file.Paths.get(stage)).sorted()
-      .forEach(p => if (p.getFileName.toString.endsWith(".parquet")) all += p)
+    locally {
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+      try listing.sorted()
+        .forEach(p => if (p.getFileName.toString.endsWith(".parquet")) all += p)
+      finally listing.close() // Files.list holds an open dir handle
+    }
     def reveal(p: java.nio.file.Path): Unit = {
       val dst = src.resolve(p.getFileName)
       java.nio.file.Files.copy(p, dst)
@@ -1016,8 +1020,10 @@ object Events {
     * distinct-collect (≤ [[MergeSnapParts]] ints); (2) the snapshot
     * read FILTERS on the partition column, so only touched directories
     * are scanned (directory-level partition pruning); (3) the merged
-    * rows are staged to a temp dir first (a parquet path cannot be
-    * overwritten while it is being read), then written back with
+    * rows are localCheckpoint-materialized first — lineage truncation
+    * satisfies the no-self-overwrite rule (a parquet path cannot be
+    * overwritten while it is being read) without paying a second
+    * on-disk staging copy — then written back with
     * DYNAMIC partition overwrite — Spark replaces exactly the
     * partitions present in the frame and leaves every other directory's
     * files byte-untouched (asserted in StreamingSuite); (4) a touched
@@ -1060,7 +1066,13 @@ object Events {
         deleteRecursively(java.nio.file.Paths.get(snapRoot, s"__part=$p"))
       }
     } finally {
-      merged.unpersist()
+      // Dataset.unpersist is a NO-OP for a localCheckpoint (the blocks
+      // belong to the checkpoint RDD, not the CacheManager): free them
+      // by unpersisting the underlying RDD itself, or batches would
+      // strand dead delta blocks in executor storage until GC
+      merged.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
     }
     touched
   }

@@ -532,6 +532,33 @@ class StreamingSuite extends AnyFunSuite {
       ("2024-01-01 11:00:00", 1L, 8.0)))
   }
 
+  test("q156 snapshot read partition-prunes: only touched directories are scanned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = java.nio.file.Files.createTempDirectory("graft-merge-pplan-").toString
+    (0L until 24L).map(k => (k, k * 2))
+      .toDF("o_orderkey", "o_custkey")
+      .withColumn("__part", pmod(col("o_orderkey"), lit(Events.MergeSnapParts)).cast("int"))
+      .write.partitionBy("__part").parquet(s"$root/snap")
+    // the exact read shape mergeBatchIntoSnapshot issues for touched {1, 4}
+    val pruned = spark.read.parquet(s"$root/snap")
+      .filter(col("__part").isin(Seq(1, 4).map(Int.box): _*))
+    val ep = pruned.queryExecution.executedPlan.toString
+    // the isin lands in PartitionFilters (directory-level pruning), NOT
+    // in the data filter — the scan never opens untouched directories
+    val pf = ep.linesIterator.mkString(" ")
+    assert(pf.contains("PartitionFilters:") &&
+      "PartitionFilters: \\[[^\\]]*__part".r.findFirstIn(pf).isDefined, ep)
+    // and the scan's chosen files are exactly the touched directories
+    val scanFiles = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .flatMap(_.files.map(_.getPath.toString))
+    }.flatten
+    assert(scanFiles.nonEmpty &&
+      scanFiles.forall(p => p.contains("__part=1/") || p.contains("__part=4/")), scanFiles)
+  }
+
   test("q156 merge sink: a batch rewrites ONLY the partitions it touches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}

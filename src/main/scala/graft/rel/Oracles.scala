@@ -230,6 +230,20 @@ object Oracles {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.err_ts
         |ORDER BY l.event_id""".stripMargin,
 
+    // q172: hourly resample + forward-fill — generate_series builds the
+    // same per-user grid (both engines' sequence/series are inclusive of
+    // both endpoints) and ASOF carries the last at-or-before observation
+    // onto each grid point; pre-aggregated obs make ties unambiguous.
+    "q172_resample_ffill" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |             date_trunc('hour', max(ts)) AS h1 FROM e GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+        |o AS (SELECT user_id, ts, max(value) AS value FROM e GROUP BY 1, 2)
+        |SELECT g.user_id, g.h::TIMESTAMP AS h, o.ts::TIMESTAMP AS obs_ts, o.value
+        |FROM g ASOF LEFT JOIN o ON g.user_id = o.user_id AND g.h >= o.ts
+        |ORDER BY g.user_id, g.h""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

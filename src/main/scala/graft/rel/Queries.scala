@@ -495,6 +495,35 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Time-series RESAMPLE + FORWARD-FILL (q172) — the pandas
+    * `resample('1h').ffill()` shape, built Spark-native: per user,
+    * generate the hourly grid spanning [first, last] click
+    * (`sequence` + `explode`, per-key bounded so the grid never
+    * explodes past span×users), then carry the LAST observation
+    * at-or-before each grid point forward with the native as-of join.
+    * Grid points before the user's first observation inside the
+    * opening hour null-fill — the honest left-join edge. At 100 TB the
+    * observation side is corpus-scale, so this uses the shuffle-merge
+    * as-of tier (one hash Exchange per side), not the broadcast one;
+    * the grid side is generated, never materialized to a driver.
+    * Oracle: DuckDB `generate_series` + ASOF.
+    */
+  def q172ResampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("ts"))
+    val obs = e.groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+    graft.plans.AsOfJoinNative.asOf(grid, obs, key = "user_id", time = "ts")
+      .withColumnRenamed("__asof_time", "obs_ts")
+      .withColumnRenamed("ts", "h")
+      .select(col("user_id"), col("h"), col("obs_ts"), col("value"))
+      .orderBy(col("user_id"), col("h"))
+  }
+
   /** R5 breadth — the analytic window functions q07/q08 don't cover:
     * lag/lead (neighbor access), ntile (quartile bucketing), and
     * percent_rank (relative position), all over one per-user
@@ -1092,6 +1121,7 @@ object Queries {
     "q158_asof_native" -> (q158AsOfNative _),
     "q168_asof_fwd_tol" -> (q168AsOfForwardTol _),
     "q169_asof_broadcast" -> (q169AsOfBroadcast _),
+    "q172_resample_ffill" -> (q172ResampleFfill _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

@@ -244,6 +244,30 @@ object Oracles {
         |FROM g ASOF LEFT JOIN o ON g.user_id = o.user_id AND g.h >= o.ts
         |ORDER BY g.user_id, g.h""".stripMargin,
 
+    // q173: linear interpolation at the grid points — two ASOFs (one
+    // per direction) then the same blend expression in the same
+    // operand order; `+ 0.0` canonicalizes any -0.0 the rounding could
+    // emit (the q128 precedent).
+    "q173_resample_interp" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |             date_trunc('hour', max(ts)) AS h1 FROM e GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+        |o AS (SELECT user_id, ts, max(value) AS v FROM e GROUP BY 1, 2),
+        |bk AS (SELECT g.user_id, g.h, o.ts AS tb, o.v AS vb
+        |       FROM g ASOF LEFT JOIN o ON g.user_id = o.user_id AND g.h >= o.ts),
+        |bf AS (SELECT bk.user_id, bk.h, bk.tb, bk.vb, o.ts AS tf, o.v AS vf
+        |       FROM bk ASOF LEFT JOIN o ON bk.user_id = o.user_id AND bk.h <= o.ts)
+        |SELECT user_id, h::TIMESTAMP AS h,
+        |  round(CASE WHEN tb IS NULL AND tf IS NULL THEN NULL
+        |             WHEN tb IS NULL THEN vf
+        |             WHEN tf IS NULL THEN vb
+        |             WHEN tf = tb THEN vb
+        |             ELSE vb + (vf - vb) * ((epoch_us(h) - epoch_us(tb))::DOUBLE
+        |                                    / (epoch_us(tf) - epoch_us(tb))::DOUBLE)
+        |        END, 4) + 0.0 AS v_interp
+        |FROM bf ORDER BY user_id, h""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

@@ -524,6 +524,45 @@ object Queries {
       .orderBy(col("user_id"), col("h"))
   }
 
+  /** Resample with LINEAR INTERPOLATION (q173) — q172's grid, but each
+    * grid point blends its neighbors: one BACKWARD as-of (last obs ≤ h)
+    * chained with one FORWARD as-of (first obs ≥ h), then
+    * `vb + (vf − vb) · (h − tb)/(tf − tb)` with flat extrapolation at
+    * the edges — the two direction parameters doing real analytical
+    * work in one query. Both as-ofs ride the same user_id clustering,
+    * so the second one reuses the first's partitioning (EnsureRequirements
+    * inserts no second grid-side Exchange). All-double arithmetic in
+    * the SAME expression order as the DuckDB oracle keeps the hash gate
+    * exact.
+    */
+  def q173ResampleInterp(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("ts"))
+    val obsB = e.groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("vb"))
+    val obsF = e.groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("vf"))
+    val back = graft.plans.AsOfJoinNative.asOf(grid, obsB, key = "user_id", time = "ts")
+      .withColumnRenamed("__asof_time", "tb")
+    val both = graft.plans.AsOfJoinNative
+      .asOf(back, obsF, key = "user_id", time = "ts", direction = "forward")
+      .withColumnRenamed("__asof_time", "tf")
+    val ratio = (unix_micros(col("ts")) - unix_micros(col("tb"))).cast("double") /
+      (unix_micros(col("tf")) - unix_micros(col("tb"))).cast("double")
+    val interp = when(col("tb").isNull && col("tf").isNull, lit(null).cast("double"))
+      .when(col("tb").isNull, col("vf"))
+      .when(col("tf").isNull, col("vb"))
+      .when(col("tf") === col("tb"), col("vb"))
+      .otherwise(col("vb") + (col("vf") - col("vb")) * ratio)
+    both
+      .select(col("user_id"), col("ts").as("h"),
+        (round(interp, 4) + lit(0.0)).as("v_interp"))
+      .orderBy(col("user_id"), col("h"))
+  }
+
   /** R5 breadth — the analytic window functions q07/q08 don't cover:
     * lag/lead (neighbor access), ntile (quartile bucketing), and
     * percent_rank (relative position), all over one per-user
@@ -1122,6 +1161,7 @@ object Queries {
     "q168_asof_fwd_tol" -> (q168AsOfForwardTol _),
     "q169_asof_broadcast" -> (q169AsOfBroadcast _),
     "q172_resample_ffill" -> (q172ResampleFfill _),
+    "q173_resample_interp" -> (q173ResampleInterp _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

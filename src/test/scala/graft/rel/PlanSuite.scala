@@ -479,6 +479,42 @@ class PlanSuite extends AnyFunSuite {
     } finally ss.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("q173: chained as-ofs reuse the grid clustering — no second left Exchange/Sort") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "false") // static tree for the walk
+    val plan = Queries.q173ResampleInterp(ss, dir).queryExecution.executedPlan
+    val asofs = plan.collect { case a: graft.plans.AsOfJoinExec => a }
+    assert(asofs.length == 2, plan.toString)
+    // collect is pre-order: head is the OUTER (forward) as-of. Its left
+    // subtree down to the inner as-of must carry no Exchange and no
+    // Sort — the inner join's declared outputPartitioning/outputOrdering
+    // satisfy the outer's requirements through the Project.
+    val between = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.execution.SparkPlan]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case _: graft.plans.AsOfJoinExec => ()
+      case other => between += other; other.children.foreach(walk)
+    }
+    walk(asofs.head.left)
+    assert(!between.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      plan.toString)
+    assert(!between.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      plan.toString)
+    // and the grid side feeds the INNER as-of straight from the
+    // generated sequence: one Sort, but NO Exchange between Generate and
+    // the join (the groupBy's clustering is reused)
+    val innerLeft = asofs(1).left
+    val gridNodes = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.execution.SparkPlan]
+    def walkToAgg(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => ()
+      case other => gridNodes += other; other.children.foreach(walkToAgg)
+    }
+    walkToAgg(innerLeft)
+    assert(!gridNodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      plan.toString)
+  }
+
   test("q155: nested-schema pruning narrows the struct read to referenced leaves") {
     val df = graft.sources.Formats.nestedRoundtrip(spark, dir)
     val p = plan(df)

@@ -463,6 +463,11 @@ object AsOfJoinNative {
     * microseconds for timestamps, days for dates, raw value for
     * int/long times (the same convention as Spark's own
     * `datetime - datetime` arithmetic at the Catalyst layer).
+    *
+    * COMPOSITE KEYS: pack them into one struct column
+    * (`struct(sym, exch).as("k")`) — struct ordering drives the
+    * clustering, the merge comparisons, and the broadcast bucket
+    * hashing identically on both exec tiers (AsOfJoinSuite pins it).
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, time: String,
       direction: String = "backward", tolerance: Option[Long] = None): DataFrame =

@@ -229,6 +229,36 @@ class AsOfJoinSuite extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("composite keys work through struct packing on both exec tiers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct}
+    // (symbol, exchange) composite key packed into ONE struct column —
+    // the documented multi-key recipe: struct ordering drives both the
+    // clustering and the merge/bucket comparisons
+    val left = Seq(
+      ("A", 1L, 10L, "a1-t10"),
+      ("A", 2L, 10L, "a2-t10"), // same symbol, different exchange
+      ("B", 1L, 10L, "b1-t10")
+    ).toDF("sym", "exch", "t", "tag")
+      .select(struct(col("sym"), col("exch")).as("k"), col("t"), col("tag"))
+    val right = Seq(
+      ("A", 1L, 5L, "rA1"),
+      ("A", 2L, 7L, "rA2"),
+      ("B", 2L, 3L, "rB2-wrong-exch")
+    ).toDF("sym", "exch", "t", "rv")
+      .select(struct(col("sym"), col("exch")).as("k"), col("t"), col("rv"))
+    for (variant <- Seq("merge", "broadcast")) {
+      val df =
+        if (variant == "merge") graft.plans.AsOfJoinNative.asOf(left, right, "k", "t")
+        else graft.plans.AsOfJoinNative.asOfBroadcast(left, right, "k", "t")
+      val got = df.select("tag", "rv").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(got("a1-t10").contains("rA1"), s"$variant: $got")
+      assert(got("a2-t10").contains("rA2"), s"$variant: $got")
+      assert(got("b1-t10").isEmpty, s"$variant: $got") // B/1 has no match (B/2 does not count)
+    }
+  }
+
   test("native as-of == composed window form on a randomized dense fixture") {
     import spark.implicits._
     // deterministic LCG fixture: many keys, duplicate times, sparse matches

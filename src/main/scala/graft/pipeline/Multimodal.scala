@@ -1496,6 +1496,379 @@ object Multimodal {
     (for (u <- 0 until 8; x <- 0 until 8)
       yield s"($u, $x, ${JpegIdctK(u)(x)})").mkString(", ")
 
+  // ---- full-COLOR baseline JPEG (interleaved 4:2:0 MCUs) -----------------
+
+  /** The color tier of the JPEG decoder — the part of baseline JPEG the
+    * grayscale path (q167) doesn't exercise: THREE components with
+    * 2×2/1×1/1×1 sampling factors, so the entropy stream interleaves
+    * 16×16 MCUs of four Y blocks + one Cb + one Cr, each component with
+    * its OWN quantization table (DQT carries two), its own Huffman
+    * table pair (DHT carries four), and its own DC prediction chain.
+    * Decode must walk the MCU interleave in exactly the spec's order
+    * (components in scan order; within a component, blocks
+    * left-to-right, top-to-bottom), dequantize per component, and crop
+    * each plane to its own dimensions (chroma at half resolution,
+    * ceil-divided). Like q167, the corpus is synthesized in the
+    * quantized-coefficient domain so decode is bit-exact predictable by
+    * the q174 oracle.
+    */
+  def jpegColorWidth(docId: Long): Int =
+    (16 * (1 + docId % 2) - (if (docId % 4 == 1) 4 else 0)).toInt // 12..32
+  def jpegColorHeight(docId: Long): Int =
+    (16 - (if (docId % 4 == 2) 6 else 0)).toInt // 10 or 16
+
+  /** Chroma quant table — deliberately different from the luma one so a
+    * table-id mixup shifts chroma features and goes red.
+    */
+  def jpegQuantChroma(u: Int, v: Int): Int = 1 + (u * 5 + v * 3) % 8
+
+  /** Per-component quantized coefficients: `comp` 0 = Y, 1 = Cb, 2 = Cr;
+    * `b` the block index in the COMPONENT's own block grid.
+    */
+  def jpegColorDc(docId: Long, comp: Int, b: Int): Int =
+    ((docId * 5 + comp * 19 + b * 3) % 15 - 7).toInt
+  def jpegColorAc(docId: Long, comp: Int, b: Int, u: Int, v: Int): Int = {
+    val v0 = ((docId * 7 + comp * 29 + b * 11 + u * 13 + v * 17) % 13 - 6).toInt
+    if ((docId * 31 + comp * 41 + b * 17 + u * 7 + v * 23) % 97 < 12 && v0 != 0) v0 else 0
+  }
+
+  /** Encode the synthesized color image for `docId`: a spec-compliant
+    * interleaved-MCU baseline JFIF (Y 2×2 quant 0 tables 0; Cb/Cr 1×1
+    * quant 1 tables 1).
+    */
+  private[pipeline] def jpegColorEncode(docId: Long): Array[Byte] = {
+    val w = jpegColorWidth(docId); val h = jpegColorHeight(docId)
+    val mcuCols = (w + 15) / 16; val mcuRows = (h + 15) / 16
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xFF); out.write(0xD8)
+    marker(out, 0xE0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // DQT: BOTH tables in one segment (decoder must loop)
+    val dqt = new java.io.ByteArrayOutputStream()
+    for ((tq, f) <- Seq((0, jpegQuant _), (1, jpegQuantChroma _))) {
+      dqt.write(tq)
+      var k = 0
+      while (k < 64) {
+        val nat = JpegZigzag(k); dqt.write(f(nat % 8, nat / 8)); k += 1
+      }
+    }
+    marker(out, 0xDB, dqt.toByteArray)
+    // SOF0: 3 components — Y (2x2, Tq 0), Cb (1x1, Tq 1), Cr (1x1, Tq 1)
+    marker(out, 0xC0, Array[Byte](
+      8, (h >> 8).toByte, (h & 0xFF).toByte, (w >> 8).toByte, (w & 0xFF).toByte,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    // DHT: FOUR tables in one segment (DC0, AC0, DC1, AC1 — same
+    // BITS/HUFFVAL content under distinct ids; the decoder must still
+    // select by the id each scan component names)
+    val dht = new java.io.ByteArrayOutputStream()
+    for (tcth <- Seq(0x00, 0x10, 0x01, 0x11)) {
+      dht.write(tcth)
+      if ((tcth >> 4) == 0) { JpegDcBits.foreach(dht.write); JpegDcVals.foreach(dht.write) }
+      else { JpegAcBits.foreach(dht.write); JpegAcVals.foreach(dht.write) }
+    }
+    marker(out, 0xC4, dht.toByteArray)
+    // SOS: 3 components, each naming its table pair
+    marker(out, 0xDA, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    val dcCodes = huffAssign(JpegDcBits, JpegDcVals)
+    val acCodes = huffAssign(JpegAcBits, JpegAcVals)
+    val bw2 = new JpegBitWriter(out)
+    def writeVal(v: Int, s: Int): Unit =
+      if (s > 0) bw2.write(if (v < 0) v + (1 << s) - 1 else v, s)
+    def encodeBlock(comp: Int, b: Int, pred: Int): Int = {
+      val coefs = new Array[Int](64)
+      coefs(0) = jpegColorDc(docId, comp, b)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          if (u != 0 || v != 0) coefs(v * 8 + u) = jpegColorAc(docId, comp, b, u, v)
+          u += 1
+        }
+        v += 1
+      }
+      val diff = coefs(0) - pred
+      val s = jpegCategory(diff)
+      val (dc, dl) = dcCodes(s); bw2.write(dc, dl); writeVal(diff, s)
+      var run = 0; var kk = 1
+      while (kk < 64) {
+        val c = coefs(JpegZigzag(kk))
+        if (c == 0) run += 1
+        else {
+          while (run > 15) { val (z, zl) = acCodes(0xF0); bw2.write(z, zl); run -= 16 }
+          val cs = jpegCategory(c)
+          val (ac, al) = acCodes((run << 4) | cs); bw2.write(ac, al); writeVal(c, cs)
+          run = 0
+        }
+        kk += 1
+      }
+      if (run > 0) { val (e, el) = acCodes(0x00); bw2.write(e, el) }
+      coefs(0)
+    }
+    var predY = 0; var predCb = 0; var predCr = 0
+    var my = 0
+    while (my < mcuRows) {
+      var mx = 0
+      while (mx < mcuCols) {
+        // Y: 2x2 blocks, left-to-right then top-to-bottom
+        var by2 = 0
+        while (by2 < 2) {
+          var bx2 = 0
+          while (bx2 < 2) {
+            val b = (my * 2 + by2) * (mcuCols * 2) + (mx * 2 + bx2)
+            predY = encodeBlock(0, b, predY)
+            bx2 += 1
+          }
+          by2 += 1
+        }
+        val bC = my * mcuCols + mx
+        predCb = encodeBlock(1, bC, predCb)
+        predCr = encodeBlock(2, bC, predCr)
+        mx += 1
+      }
+      my += 1
+    }
+    bw2.finish()
+    out.write(0xFF); out.write(0xD9)
+    out.toByteArray
+  }
+
+  /** Decoded color JPEG: three planes, Y at (width × height), chroma at
+    * (ceil(w/2) × ceil(h/2)), row-major.
+    */
+  final case class JpegColorDecoded(width: Int, height: Int,
+      yPlane: Array[Int], cbPlane: Array[Int], crPlane: Array[Int])
+
+  /** REAL interleaved-MCU decoder. Generalizes the grayscale path: SOF0
+    * sampling factors, per-component quant + Huffman selection from the
+    * SOS mapping, the MCU interleave walk, per-component DC prediction,
+    * and per-plane crop. Supports the common (hmax ≤ 2, vmax ≤ 2)
+    * sampling grid.
+    */
+  private[pipeline] def jpegColorDecode(bytes: Array[Byte]): JpegColorDecoded = {
+    def u8(i: Int): Int = { require(i < bytes.length, "truncated JPEG"); bytes(i) & 0xFF }
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    require(bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8, "not a JPEG: missing SOI")
+    var pos = 2
+    val quant = new Array[Array[Int]](4)
+    val huff = Array.fill(2, 4)(null: JpegHuffTable)
+    var w = -1; var h = -1
+    // per component (SOF order): id, hSamp, vSamp, quantId; SOS adds dc/ac ids
+    var compIds: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var compDc: Array[Int] = null
+    var compAc: Array[Int] = null
+    var scanAt = -1
+    while (scanAt < 0) {
+      require(u8(pos) == 0xFF, f"expected marker at $pos")
+      val m = u8(pos + 1)
+      m match {
+        case 0xDB =>
+          val len = u16(pos + 2)
+          var p = pos + 4
+          while (p < pos + 2 + len) {
+            val pqtq = u8(p)
+            require((pqtq >> 4) == 0, "only 8-bit quant tables supported")
+            quant(pqtq & 0x0F) = Array.tabulate(64)(k => u8(p + 1 + k))
+            p += 65
+          }
+          pos += 2 + len
+        case 0xC4 =>
+          val len = u16(pos + 2)
+          var p = pos + 4
+          while (p < pos + 2 + len) {
+            val tcth = u8(p)
+            val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+            val nv = bits.sum
+            huff(tcth >> 4)(tcth & 0x0F) =
+              new JpegHuffTable(bits, Array.tabulate(nv)(i => u8(p + 17 + i)))
+            p += 17 + nv
+          }
+          pos += 2 + len
+        case 0xC0 =>
+          require(u8(pos + 4) == 8, "only 8-bit precision supported")
+          h = u16(pos + 5); w = u16(pos + 7)
+          val n = u8(pos + 9)
+          compIds = new Array[Int](n); compH = new Array[Int](n)
+          compV = new Array[Int](n); compQ = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            compIds(i) = u8(pos + 10 + 3 * i)
+            val hv = u8(pos + 11 + 3 * i)
+            compH(i) = hv >> 4; compV(i) = hv & 0x0F
+            require(compH(i) >= 1 && compH(i) <= 2 && compV(i) >= 1 && compV(i) <= 2,
+              "only sampling factors 1..2 supported")
+            compQ(i) = u8(pos + 12 + 3 * i)
+            i += 1
+          }
+          pos += 2 + u16(pos + 2)
+        case 0xDA =>
+          val n = u8(pos + 4)
+          require(compIds != null && n == compIds.length, "SOS/SOF component mismatch")
+          compDc = new Array[Int](n); compAc = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            require(u8(pos + 5 + 2 * i) == compIds(i), "SOS order must match SOF")
+            compDc(i) = u8(pos + 6 + 2 * i) >> 4
+            compAc(i) = u8(pos + 6 + 2 * i) & 0x0F
+            i += 1
+          }
+          scanAt = pos + 2 + u16(pos + 2)
+        case x if (x >= 0xE0 && x <= 0xEF) || x == 0xFE => pos += 2 + u16(pos + 2)
+        case x => throw new IllegalArgumentException(f"unsupported marker 0x$x%02X")
+      }
+    }
+    require(w > 0 && h > 0, "missing SOF0 before SOS")
+    val nComp = compIds.length
+    val hMax = compH.max; val vMax = compV.max
+    val mcuCols = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcuRows = (h + 8 * vMax - 1) / (8 * vMax)
+    // per-component block grids + coefficient storage
+    val bwC = Array.tabulate(nComp)(i => mcuCols * compH(i))
+    val bhC = Array.tabulate(nComp)(i => mcuRows * compV(i))
+    val blocks = Array.tabulate(nComp)(i => new Array[Array[Int]](bwC(i) * bhC(i)))
+    val br = new JpegBitReader(bytes, scanAt)
+    val pred = new Array[Int](nComp)
+    var my = 0
+    while (my < mcuRows) {
+      var mx = 0
+      while (mx < mcuCols) {
+        var ci = 0
+        while (ci < nComp) {
+          val dcTab = huff(0)(compDc(ci)); val acTab = huff(1)(compAc(ci))
+          require(dcTab != null && acTab != null, s"missing Huffman tables for comp $ci")
+          var bv = 0
+          while (bv < compV(ci)) {
+            var bu = 0
+            while (bu < compH(ci)) {
+              val coefs = new Array[Int](64)
+              val s = dcTab.decode(br)
+              pred(ci) += jpegExtend(br.receive(s), s)
+              coefs(0) = pred(ci)
+              var k = 1; var eob = false
+              while (k < 64 && !eob) {
+                val rs = acTab.decode(br)
+                val run = rs >> 4; val size = rs & 0x0F
+                if (size == 0) { if (run == 15) k += 16 else eob = true }
+                else {
+                  k += run
+                  require(k < 64, "AC run overflows the block")
+                  coefs(JpegZigzag(k)) = jpegExtend(br.receive(size), size)
+                  k += 1
+                }
+              }
+              blocks(ci)((my * compV(ci) + bv) * bwC(ci) + (mx * compH(ci) + bu)) = coefs
+              bu += 1
+            }
+            bv += 1
+          }
+          ci += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    require(br.pos + 1 < bytes.length &&
+      (bytes(br.pos) & 0xFF) == 0xFF && (bytes(br.pos + 1) & 0xFF) == 0xD9,
+      "missing EOI after entropy scan")
+    // IDCT + crop each plane to its own dims
+    def plane(ci: Int): (Int, Int, Array[Int]) = {
+      val pw = (w * compH(ci) + hMax - 1) / hMax
+      val ph = (h * compV(ci) + vMax - 1) / vMax
+      val px = new Array[Int](pw * ph)
+      val qt = quant(compQ(ci))
+      require(qt != null, s"missing quant table ${compQ(ci)}")
+      val deq = new Array[Long](64)
+      var b = 0
+      while (b < blocks(ci).length) {
+        val coefs = blocks(ci)(b)
+        var k = 0
+        while (k < 64) { val nat = JpegZigzag(k); deq(nat) = coefs(nat).toLong * qt(k); k += 1 }
+        val bx = b % bwC(ci); val by = b / bwC(ci)
+        var ly = 0
+        while (ly < 8) {
+          val y = by * 8 + ly
+          var lx = 0
+          while (lx < 8) {
+            val x = bx * 8 + lx
+            if (x < pw && y < ph) {
+              var sum = 0L
+              var v = 0
+              while (v < 8) {
+                val kv = JpegIdctK(v)(ly)
+                var u = 0
+                while (u < 8) {
+                  val d = deq(v * 8 + u)
+                  if (d != 0) sum += d * JpegIdctK(u)(lx) * kv
+                  u += 1
+                }
+                v += 1
+              }
+              val p = Math.floorDiv(sum + (1L << 23), 1L << 24) + 128
+              px(y * pw + x) = math.max(0L, math.min(255L, p)).toInt
+            }
+            lx += 1
+          }
+          ly += 1
+        }
+        b += 1
+      }
+      (pw, ph, px)
+    }
+    require(nComp == 3, "color decode expects a 3-component scan")
+    val (_, _, yP) = plane(0)
+    val (_, _, cbP) = plane(1)
+    val (_, _, crP) = plane(2)
+    JpegColorDecoded(w, h, yP, cbP, crP)
+  }
+
+  /** The synthesized COLOR JPEG corpus. */
+  def jpegColorTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, jpegColorEncode(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** Declared query (q174): decode the color corpus and emit per-doc
+    * plane features — dims, mean of each plane (chroma means pin the
+    * table-id and interleave order: a Cb/Cr swap or a luma-table mixup
+    * shifts them), and the Y plane's bottom-row sum (cumulative MCU
+    * walk sensitivity). Oracle regenerates all three planes from the
+    * per-component formulas + the shared integer IDCT.
+    */
+  def jpegColorFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jpegColorTable(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = jpegColorDecode(bytes)
+        val cw = (d.width + 1) / 2; val ch = (d.height + 1) / 2
+        var ySum = 0L; var cbSum = 0L; var crSum = 0L; var yBot = 0L
+        var i = 0
+        while (i < d.yPlane.length) { ySum += d.yPlane(i); i += 1 }
+        i = 0
+        while (i < d.cbPlane.length) { cbSum += d.cbPlane(i); crSum += d.crPlane(i); i += 1 }
+        var x = 0
+        while (x < d.width) { yBot += d.yPlane((d.height - 1) * d.width + x); x += 1 }
+        (id, d.width, d.height,
+          ySum.toDouble / (d.width.toLong * d.height),
+          cbSum.toDouble / (cw.toLong * ch),
+          crSum.toDouble / (cw.toLong * ch),
+          yBot)
+      })
+      .toDF("doc_id", "width", "height", "mean_y_raw", "mean_cb_raw", "mean_cr_raw", "y_bot_row")
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        round(col("mean_y_raw"), 4).as("mean_y"),
+        round(col("mean_cb_raw"), 4).as("mean_cb"),
+        round(col("mean_cr_raw"), 4).as("mean_cr"),
+        col("y_bot_row"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- real VIDEO decode (YUV4MPEG2, planar 4:2:0) -----------------------
 
   /** Sixth real decoder and the first VIDEO one — YUV4MPEG2 (y4m), the

@@ -180,7 +180,8 @@ object PipelineQueries {
     "q163_phrase_search" -> (Retrieval.phraseSearch _),
     "q167_jpeg_decode" -> (Multimodal.jpegFeatures _),
     "q170_y4m_decode" -> (Multimodal.y4mFeatures _),
-    "q171_stream_asof" -> (Events.streamAsOfEnrichFinal _)
+    "q171_stream_asof" -> (Events.streamAsOfEnrichFinal _),
+    "q174_jpeg_color_decode" -> (Multimodal.jpegColorFeatures _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1825,6 +1826,57 @@ object PipelineQueries {
          |  round(sum(lum)::DOUBLE / (w*h), 4) AS mean_lum,
          |  sum(CASE WHEN y = 0 THEN lum ELSE 0 END)::BIGINT AS top_row_lum,
          |  sum(CASE WHEN y = h - 1 THEN lum ELSE 0 END)::BIGINT AS bot_row_lum
+         |FROM pix GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // q174: COLOR JPEG decode — per-component coefficient/quant formulas
+    // + the shared integer IDCT, one plane-parameterized CTE for Y (full
+    // res, luma quant) and Cb/Cr (half res, chroma quant). The Spark
+    // side must walk the interleaved 4:2:0 MCU order with per-component
+    // DC prediction and table selection — a Cb/Cr swap, a table-id
+    // mixup, or an interleave slip shifts the plane means and goes red.
+    "q174_jpeg_color_decode" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    (16*(1 + doc_id % 2) - CASE WHEN doc_id % 4 = 1 THEN 4 ELSE 0 END) AS w,
+         |    (16 - CASE WHEN doc_id % 4 = 2 THEN 6 ELSE 0 END) AS h
+         |  FROM documents),
+         |planes AS (
+         |  SELECT doc_id, w, h, 0 AS comp, w AS pw, h AS ph, ((w+15)//16)*2 AS bw FROM d
+         |  UNION ALL SELECT doc_id, w, h, 1, (w+1)//2, (h+1)//2, (w+15)//16 FROM d
+         |  UNION ALL SELECT doc_id, w, h, 2, (w+1)//2, (h+1)//2, (w+15)//16 FROM d),
+         |xs AS (SELECT doc_id, w, h, comp, pw, ph, bw, unnest(range(0, pw)) AS x FROM planes),
+         |px AS (SELECT doc_id, w, h, comp, pw, ph, bw, x, unnest(range(0, ph)) AS y FROM xs),
+         |pb AS (SELECT doc_id, w, h, comp, pw, ph, x, y,
+         |        (y // 8) * bw + (x // 8) AS b, x % 8 AS lx, y % 8 AS ly FROM px),
+         |uv AS (SELECT unnest(range(0, 8)) AS u),
+         |uvv AS (SELECT u, unnest(range(0, 8)) AS v FROM uv),
+         |kt AS (SELECT * FROM (VALUES ${Multimodal.jpegIdctKSqlValues}) t(i, j, kk)),
+         |term AS (
+         |  SELECT p.doc_id, p.w, p.h, p.comp, p.pw, p.ph, p.x, p.y,
+         |    (CASE WHEN c.u = 0 AND c.v = 0
+         |          THEN (p.doc_id*5 + p.comp*19 + p.b*3) % 15 - 7
+         |          WHEN (p.doc_id*31 + p.comp*41 + p.b*17 + c.u*7 + c.v*23) % 97 < 12
+         |               AND (p.doc_id*7 + p.comp*29 + p.b*11 + c.u*13 + c.v*17) % 13 - 6 <> 0
+         |          THEN (p.doc_id*7 + p.comp*29 + p.b*11 + c.u*13 + c.v*17) % 13 - 6
+         |          ELSE 0 END)
+         |    * (CASE WHEN p.comp = 0 THEN 1 + (c.u*3 + c.v*5) % 8
+         |            ELSE 1 + (c.u*5 + c.v*3) % 8 END)
+         |    * ku.kk * kv.kk AS t
+         |  FROM pb p CROSS JOIN uvv c
+         |  JOIN kt ku ON ku.i = c.u AND ku.j = p.lx
+         |  JOIN kt kv ON kv.i = c.v AND kv.j = p.ly),
+         |pix AS (
+         |  SELECT doc_id, w, h, comp, pw, ph, x, y,
+         |    least(255, greatest(0,
+         |      CAST(floor((sum(t) + 8388608) / 16777216.0) AS BIGINT) + 128)) AS lum
+         |  FROM term GROUP BY doc_id, w, h, comp, pw, ph, x, y)
+         |SELECT doc_id, w::INT AS width, h::INT AS height,
+         |  round(sum(CASE WHEN comp = 0 THEN lum ELSE 0 END)::DOUBLE
+         |        / max(CASE WHEN comp = 0 THEN pw * ph END), 4) AS mean_y,
+         |  round(sum(CASE WHEN comp = 1 THEN lum ELSE 0 END)::DOUBLE
+         |        / max(CASE WHEN comp = 1 THEN pw * ph END), 4) AS mean_cb,
+         |  round(sum(CASE WHEN comp = 2 THEN lum ELSE 0 END)::DOUBLE
+         |        / max(CASE WHEN comp = 2 THEN pw * ph END), 4) AS mean_cr,
+         |  sum(CASE WHEN comp = 0 AND y = ph - 1 THEN lum ELSE 0 END)::BIGINT AS y_bot_row
          |FROM pix GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     // q170: y4m video decode — the oracle regenerates dims, frame count,

@@ -1580,6 +1580,85 @@ class PipelineSuite extends AnyFunSuite {
       "entropy corruption changed nothing")
   }
 
+  test("color JPEG: the interleaved-MCU entropy walk reconstructs every plane pixel") {
+    // expected planes computed STRAIGHT from the coefficient formulas +
+    // the shared IDCT, bypassing the container and entropy layers — so
+    // any DHT-selection, DC-prediction, interleave-order, or crop bug in
+    // the real decode path diverges
+    def expectedPlane(docId: Long, comp: Int): (Int, Int, Array[Int]) = {
+      val w = Multimodal.jpegColorWidth(docId); val h = Multimodal.jpegColorHeight(docId)
+      val mcuCols = (w + 15) / 16
+      val (pw, ph, bw) =
+        if (comp == 0) (w, h, mcuCols * 2) else ((w + 1) / 2, (h + 1) / 2, mcuCols)
+      val px = new Array[Int](pw * ph)
+      for (y <- 0 until ph; x <- 0 until pw) {
+        val b = (y / 8) * bw + (x / 8)
+        var sum = 0L
+        for (v <- 0 until 8; u <- 0 until 8) {
+          val coef =
+            if (u == 0 && v == 0) Multimodal.jpegColorDc(docId, comp, b)
+            else Multimodal.jpegColorAc(docId, comp, b, u, v)
+          val q = if (comp == 0) Multimodal.jpegQuant(u, v) else Multimodal.jpegQuantChroma(u, v)
+          sum += coef.toLong * q * Multimodal.JpegIdctK(u)(x % 8) * Multimodal.JpegIdctK(v)(y % 8)
+        }
+        val p = Math.floorDiv(sum + (1L << 23), 1L << 24) + 128
+        px(y * pw + x) = math.max(0L, math.min(255L, p)).toInt
+      }
+      (pw, ph, px)
+    }
+    for (docId <- 0L to 7L) {
+      val d = Multimodal.jpegColorDecode(Multimodal.jpegColorEncode(docId))
+      assert(d.width == Multimodal.jpegColorWidth(docId) &&
+        d.height == Multimodal.jpegColorHeight(docId))
+      val (_, _, ey) = expectedPlane(docId, 0)
+      val (_, _, ecb) = expectedPlane(docId, 1)
+      val (_, _, ecr) = expectedPlane(docId, 2)
+      assert(d.yPlane.toSeq == ey.toSeq, s"Y plane doc $docId")
+      assert(d.cbPlane.toSeq == ecb.toSeq, s"Cb plane doc $docId")
+      assert(d.crPlane.toSeq == ecr.toSeq, s"Cr plane doc $docId")
+    }
+  }
+
+  test("color JPEG decode reads the BYTES: chroma quant table and chroma Huffman bind") {
+    val docId = 5L
+    val bytes = Multimodal.jpegColorEncode(docId)
+    val clean = Multimodal.jpegColorDecode(bytes)
+    def findSeg(m: Int): Int = {
+      var pos = 2
+      while (true) {
+        if ((bytes(pos + 1) & 0xFF) == m) return pos
+        pos += 2 + (((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF))
+      }
+      -1
+    }
+    // patch the CHROMA quant table's DC entry (+3): Cb/Cr planes must
+    // shift while the Y plane stays byte-identical — proving the decoder
+    // selects the table each component NAMES, not a shared one
+    val dqtAt = findSeg(0xDB)
+    val chromaDcAt = dqtAt + 4 + 65 + 1 // [len][PqTq0|64][PqTq1| ->first<- ...]
+    val qPatched = bytes.clone()
+    qPatched(chromaDcAt) = (qPatched(chromaDcAt) + 3).toByte
+    val gotQ = Multimodal.jpegColorDecode(qPatched)
+    assert(gotQ.yPlane.toSeq == clean.yPlane.toSeq, "Y plane moved on a chroma-table patch")
+    assert(gotQ.cbPlane.toSeq != clean.cbPlane.toSeq, "Cb ignored the patched chroma table")
+    assert(gotQ.crPlane.toSeq != clean.crPlane.toSeq, "Cr ignored the patched chroma table")
+    // swap EOB/ZRL in the SECOND AC table (id 1, chroma): the interleaved
+    // stream desyncs inside the first MCU's chroma block -> throw or
+    // different planes
+    val dhtAt = findSeg(0xC4)
+    // tables: [TcTh+21][TcTh+79][TcTh+21][TcTh+79]; AC1 vals start at
+    // dhtAt+4 + 22 + 80 + 22 + 1 + 16
+    val ac1Vals = dhtAt + 4 + 22 + 80 + 22 + 17
+    val hPatched = bytes.clone()
+    val tmp = hPatched(ac1Vals + 61)
+    hPatched(ac1Vals + 61) = hPatched(ac1Vals + 62); hPatched(ac1Vals + 62) = tmp
+    val hResult = scala.util.Try(Multimodal.jpegColorDecode(hPatched))
+    assert(hResult.isFailure ||
+      hResult.get.cbPlane.toSeq != clean.cbPlane.toSeq ||
+      hResult.get.yPlane.toSeq != clean.yPlane.toSeq,
+      "chroma Huffman swap changed nothing")
+  }
+
   test("y4m codec: every plane byte of every frame round-trips") {
     for (docId <- 0L to 23L) {
       val d = Multimodal.y4mDecode(Multimodal.y4mEncode(docId))

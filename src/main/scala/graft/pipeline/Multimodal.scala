@@ -1105,6 +1105,13 @@ object Multimodal {
       }
     }
     def finish(): Unit = if (n > 0) write((1 << (8 - n)) - 1, 8 - n)
+    /** Restart marker: 1-pad to the byte boundary, then emit RSTm —
+      * markers live OUTSIDE the entropy layer, so no stuffing.
+      */
+    def restart(m: Int): Unit = {
+      finish()
+      out.write(0xFF); out.write(0xD0 + (m & 7))
+    }
   }
 
   /** Size category of a DC diff / AC value (CSIZE): bits of |v|. */
@@ -1270,6 +1277,17 @@ object Multimodal {
       var v = 0; var i = 0
       while (i < s) { v = (v << 1) | readBit(); i += 1 }
       v
+    }
+    /** Consume an expected RSTm marker: drop the current byte's padding
+      * bits (restart boundaries are byte-aligned by spec), then require
+      * exactly the next marker in the 0..7 cycle.
+      */
+    def expectRestart(m: Int): Unit = {
+      n = 0 // discard buffered padding bits
+      require(pos + 1 < bytes.length &&
+        (bytes(pos) & 0xFF) == 0xFF && (bytes(pos + 1) & 0xFF) == (0xD0 + (m & 7)),
+        f"expected RST${m & 7} marker at $pos")
+      pos += 2
     }
   }
 
@@ -1566,6 +1584,10 @@ object Multimodal {
       else { JpegAcBits.foreach(dht.write); JpegAcVals.foreach(dht.write) }
     }
     marker(out, 0xC4, dht.toByteArray)
+    // DRI: restart every MCU — multi-MCU images then carry real RSTn
+    // markers (byte-aligned, DC prediction reset, marker id cycling),
+    // the recovery scaffolding every hardened JPEG stream uses
+    marker(out, 0xDD, Array[Byte](0, 1))
     // SOS: 3 components, each naming its table pair
     marker(out, 0xDA, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
     val dcCodes = huffAssign(JpegDcBits, JpegDcVals)
@@ -1604,6 +1626,9 @@ object Multimodal {
       coefs(0)
     }
     var predY = 0; var predCb = 0; var predCr = 0
+    val nMcus = mcuCols * mcuRows
+    var mcuIdx = 0
+    var rstM = 0
     var my = 0
     while (my < mcuRows) {
       var mx = 0
@@ -1622,6 +1647,11 @@ object Multimodal {
         val bC = my * mcuCols + mx
         predCb = encodeBlock(1, bC, predCb)
         predCr = encodeBlock(2, bC, predCr)
+        mcuIdx += 1
+        if (mcuIdx < nMcus) { // DRI interval 1: restart between every MCU pair
+          bw2.restart(rstM); rstM = (rstM + 1) & 7
+          predY = 0; predCb = 0; predCr = 0
+        }
         mx += 1
       }
       my += 1
@@ -1658,11 +1688,15 @@ object Multimodal {
     var compQ: Array[Int] = null
     var compDc: Array[Int] = null
     var compAc: Array[Int] = null
+    var restartInterval = 0
     var scanAt = -1
     while (scanAt < 0) {
       require(u8(pos) == 0xFF, f"expected marker at $pos")
       val m = u8(pos + 1)
       m match {
+        case 0xDD => // DRI: restart interval in MCUs
+          restartInterval = u16(pos + 4)
+          pos += 2 + u16(pos + 2)
         case 0xDB =>
           val len = u16(pos + 2)
           var p = pos + 4
@@ -1729,6 +1763,9 @@ object Multimodal {
     val blocks = Array.tabulate(nComp)(i => new Array[Array[Int]](bwC(i) * bhC(i)))
     val br = new JpegBitReader(bytes, scanAt)
     val pred = new Array[Int](nComp)
+    val nMcus = mcuCols * mcuRows
+    var mcuIdx = 0
+    var rstM = 0
     var my = 0
     while (my < mcuRows) {
       var mx = 0
@@ -1763,6 +1800,12 @@ object Multimodal {
             bv += 1
           }
           ci += 1
+        }
+        mcuIdx += 1
+        if (restartInterval > 0 && mcuIdx < nMcus && mcuIdx % restartInterval == 0) {
+          // byte-align, require the expected RSTm, reset every DC chain
+          br.expectRestart(rstM); rstM = (rstM + 1) & 7
+          java.util.Arrays.fill(pred, 0)
         }
         mx += 1
       }

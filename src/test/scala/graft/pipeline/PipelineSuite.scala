@@ -1659,6 +1659,36 @@ class PipelineSuite extends AnyFunSuite {
       "chroma Huffman swap changed nothing")
   }
 
+  test("color JPEG restart markers: RSTn present, byte-aligned, and load-bearing") {
+    // doc 1 (w=28) has two MCUs -> exactly one RST0 between them
+    val docId = 1L
+    val bytes = Multimodal.jpegColorEncode(docId)
+    // locate SOS, then the RST marker inside the entropy segment
+    var pos = 2
+    var sos = -1
+    while (sos < 0) {
+      val m = bytes(pos + 1) & 0xFF
+      val len = ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+      if (m == 0xDA) sos = pos + 2 + len else pos += 2 + len
+    }
+    val rstAt = (sos until bytes.length - 1).find(i =>
+      (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xD0)
+    assert(rstAt.nonEmpty, "no RST0 marker in a two-MCU stream")
+    // clean decode already pinned by the reconstruction test; corrupting
+    // the RST id must fail loudly (the decoder REQUIRES the cycle)
+    val bad = bytes.clone()
+    bad(rstAt.get + 1) = 0xD5.toByte // RST5 where RST0 expected
+    intercept[IllegalArgumentException](Multimodal.jpegColorDecode(bad))
+    // and a stream whose encoder "forgot" to reset DC prediction would
+    // differ: splice the RST out and decode must throw or change planes
+    // (the byte-aligned padding makes a clean splice impossible to
+    // decode consistently)
+    val spliced = bytes.take(rstAt.get) ++ bytes.drop(rstAt.get + 2)
+    val clean = Multimodal.jpegColorDecode(bytes)
+    val r = scala.util.Try(Multimodal.jpegColorDecode(spliced))
+    assert(r.isFailure || r.get.yPlane.toSeq != clean.yPlane.toSeq)
+  }
+
   test("y4m codec: every plane byte of every frame round-trips") {
     for (docId <- 0L to 23L) {
       val d = Multimodal.y4mDecode(Multimodal.y4mEncode(docId))

@@ -1130,6 +1130,100 @@ object Multimodal {
     * the property suite can round-trip arbitrary coefficient grids
     * through the real codec.
     */
+  /** Entropy-encode ONE quantized coefficient block (natural order): DC
+    * diff + run-length AC with EOB/ZRL. Returns the new DC predictor.
+    * Shared by the grayscale and interleaved-color encoders so the
+    * trickiest logic exists once.
+    */
+  private def jpegWriteBlock(
+      bw2: JpegBitWriter,
+      dcCodes: Map[Int, (Int, Int)], acCodes: Map[Int, (Int, Int)],
+      coefs: Array[Int], pred: Int): Int = {
+    def writeVal(v: Int, s: Int): Unit =
+      if (s > 0) bw2.write(if (v < 0) v + (1 << s) - 1 else v, s)
+    val diff = coefs(0) - pred
+    val s = jpegCategory(diff)
+    val (dc, dl) = dcCodes(s); bw2.write(dc, dl); writeVal(diff, s)
+    var run = 0
+    var kk = 1
+    while (kk < 64) {
+      val c = coefs(JpegZigzag(kk))
+      if (c == 0) run += 1
+      else {
+        while (run > 15) { val (z, zl) = acCodes(0xF0); bw2.write(z, zl); run -= 16 }
+        val cs = jpegCategory(c)
+        require(cs <= 3, s"AC value $c exceeds the table's size categories")
+        val (ac, al) = acCodes((run << 4) | cs); bw2.write(ac, al); writeVal(c, cs)
+        run = 0
+      }
+      kk += 1
+    }
+    if (run > 0) { val (e, el) = acCodes(0x00); bw2.write(e, el) }
+    coefs(0)
+  }
+
+  /** Entropy-decode ONE block into natural-order coefficients; returns
+    * (coefficients, new DC predictor). Shared by both decoders.
+    */
+  private def jpegReadBlock(
+      br: JpegBitReader, dcTab: JpegHuffTable, acTab: JpegHuffTable,
+      pred: Int): (Array[Int], Int) = {
+    val coefs = new Array[Int](64)
+    val s = dcTab.decode(br)
+    val dc = pred + jpegExtend(br.receive(s), s)
+    coefs(0) = dc
+    var k = 1
+    var eob = false
+    while (k < 64 && !eob) {
+      val rs = acTab.decode(br)
+      val run = rs >> 4; val size = rs & 0x0F
+      if (size == 0) { if (run == 15) k += 16 else eob = true }
+      else {
+        k += run
+        require(k < 64, "AC run overflows the block")
+        coefs(JpegZigzag(k)) = jpegExtend(br.receive(size), size)
+        k += 1
+      }
+    }
+    (coefs, dc)
+  }
+
+  /** Dequantization (zigzag-ordered table) + the exact integer IDCT of
+    * one block → 64 clamped pixels row-major. Shared by both pixel
+    * decoders.
+    */
+  private def jpegIdctBlock(coefs: Array[Int], quantZigzag: Array[Int]): Array[Int] = {
+    val deq = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      val nat = JpegZigzag(k); deq(nat) = coefs(nat).toLong * quantZigzag(k); k += 1
+    }
+    val px = new Array[Int](64)
+    var ly = 0
+    while (ly < 8) {
+      var lx = 0
+      while (lx < 8) {
+        var sum = 0L
+        var v = 0
+        while (v < 8) {
+          val kv = JpegIdctK(v)(ly)
+          var u = 0
+          while (u < 8) {
+            val d = deq(v * 8 + u)
+            if (d != 0) sum += d * JpegIdctK(u)(lx) * kv
+            u += 1
+          }
+          v += 1
+        }
+        val p = Math.floorDiv(sum + (1L << 23), 1L << 24) + 128
+        px(ly * 8 + lx) = math.max(0L, math.min(255L, p)).toInt
+        lx += 1
+      }
+      ly += 1
+    }
+    px
+  }
+
   private[pipeline] def jpegEncodeImage(blocks: Array[Array[Int]], w: Int, h: Int): Array[Byte] = {
     val bw = (w + 7) / 8; val bh = (h + 7) / 8
     require(blocks.length == bw * bh && blocks.forall(_.length == 64), "bad block grid")
@@ -1163,35 +1257,10 @@ object Multimodal {
     val dcCodes = huffAssign(JpegDcBits, JpegDcVals)
     val acCodes = huffAssign(JpegAcBits, JpegAcVals)
     val bw2 = new JpegBitWriter(out)
-    def writeVal(v: Int, s: Int): Unit =
-      if (s > 0) bw2.write(if (v < 0) v + (1 << s) - 1 else v, s)
     var pred = 0
     var b = 0
     while (b < blocks.length) {
-      val coefs = blocks(b)
-      val diff = coefs(0) - pred
-      pred = coefs(0)
-      val s = jpegCategory(diff)
-      val (dc, dl) = dcCodes(s)
-      bw2.write(dc, dl)
-      writeVal(diff, s)
-      var run = 0
-      var kk = 1
-      while (kk < 64) {
-        val c = coefs(JpegZigzag(kk))
-        if (c == 0) run += 1
-        else {
-          while (run > 15) { val (z, zl) = acCodes(0xF0); bw2.write(z, zl); run -= 16 }
-          val cs = jpegCategory(c)
-          require(cs <= 3, s"AC value $c exceeds the table's size categories")
-          val (ac, al) = acCodes((run << 4) | cs)
-          bw2.write(ac, al)
-          writeVal(c, cs)
-          run = 0
-        }
-        kk += 1
-      }
-      if (run > 0) { val (e, el) = acCodes(0x00); bw2.write(e, el) }
+      pred = jpegWriteBlock(bw2, dcCodes, acCodes, blocks(b), pred)
       b += 1
     }
     bw2.finish()
@@ -1378,26 +1447,8 @@ object Multimodal {
     var pred = 0
     var b = 0
     while (b < blocks.length) {
-      val coefs = new Array[Int](64)
-      val s = dcTab.decode(br)
-      val diff = jpegExtend(br.receive(s), s)
-      pred += diff
-      coefs(0) = pred
-      var k = 1
-      var eob = false
-      while (k < 64 && !eob) {
-        val rs = acTab.decode(br)
-        val run = rs >> 4; val size = rs & 0x0F
-        if (size == 0) {
-          if (run == 15) k += 16 // ZRL: sixteen zeros
-          else eob = true        // EOB
-        } else {
-          k += run
-          require(k < 64, "AC run overflows the block")
-          coefs(JpegZigzag(k)) = jpegExtend(br.receive(size), size)
-          k += 1
-        }
-      }
+      val (coefs, dc) = jpegReadBlock(br, dcTab, acTab, pred)
+      pred = dc
       blocks(b) = coefs
       b += 1
     }
@@ -1416,17 +1467,9 @@ object Multimodal {
     val w = raw.width; val h = raw.height
     val bwBlocks = (w + 7) / 8
     val pixels = new Array[Int](w * h)
-    // dequant in zigzag order (that's how the table is stored), then IDCT
-    val deq = new Array[Long](64)
     var b = 0
     while (b < raw.blocks.length) {
-      val coefs = raw.blocks(b)
-      var k = 0
-      while (k < 64) {
-        val nat = JpegZigzag(k)
-        deq(nat) = coefs(nat).toLong * raw.quantZigzag(k)
-        k += 1
-      }
+      val px = jpegIdctBlock(raw.blocks(b), raw.quantZigzag)
       val bx = b % bwBlocks; val by = b / bwBlocks
       var ly = 0
       while (ly < 8) {
@@ -1434,22 +1477,7 @@ object Multimodal {
         var lx = 0
         while (lx < 8) {
           val x = bx * 8 + lx
-          if (x < w && y < h) {
-            var sum = 0L
-            var v = 0
-            while (v < 8) {
-              val kv = JpegIdctK(v)(ly)
-              var u = 0
-              while (u < 8) {
-                val d = deq(v * 8 + u)
-                if (d != 0) sum += d * JpegIdctK(u)(lx) * kv
-                u += 1
-              }
-              v += 1
-            }
-            val p = Math.floorDiv(sum + (1L << 23), 1L << 24) + 128
-            pixels(y * w + x) = math.max(0L, math.min(255L, p)).toInt
-          }
+          if (x < w && y < h) pixels(y * w + x) = px(ly * 8 + lx)
           lx += 1
         }
         ly += 1
@@ -1530,10 +1558,17 @@ object Multimodal {
     * quantized-coefficient domain so decode is bit-exact predictable by
     * the q174 oracle.
     */
+  /** Dims chosen so the corpus exercises every crop/interleave shape:
+    * w ∈ {16, 28, 13, 32} by docId % 4 — 13 makes the chroma plane
+    * width ODD (ceil(13/2) = 7, the ceil-division crop); h ∈ {16, 10,
+    * 32} — 32 gives a 2×2 MCU grid (FOUR MCUs, so the RSTn id cycle
+    * advances through RST0..RST2, not just a single RST0).
+    */
   def jpegColorWidth(docId: Long): Int =
-    (16 * (1 + docId % 2) - (if (docId % 4 == 1) 4 else 0)).toInt // 12..32
+    (16 * (1 + docId % 2) -
+      (if (docId % 4 == 1) 4 else if (docId % 4 == 2) 3 else 0)).toInt
   def jpegColorHeight(docId: Long): Int =
-    (16 - (if (docId % 4 == 2) 6 else 0)).toInt // 10 or 16
+    (16 * (if (docId % 4 == 3) 2 else 1) - (if (docId % 4 == 2) 6 else 0)).toInt
 
   /** Chroma quant table — deliberately different from the luma one so a
     * table-id mixup shifts chroma features and goes red.
@@ -1593,8 +1628,6 @@ object Multimodal {
     val dcCodes = huffAssign(JpegDcBits, JpegDcVals)
     val acCodes = huffAssign(JpegAcBits, JpegAcVals)
     val bw2 = new JpegBitWriter(out)
-    def writeVal(v: Int, s: Int): Unit =
-      if (s > 0) bw2.write(if (v < 0) v + (1 << s) - 1 else v, s)
     def encodeBlock(comp: Int, b: Int, pred: Int): Int = {
       val coefs = new Array[Int](64)
       coefs(0) = jpegColorDc(docId, comp, b)
@@ -1607,23 +1640,7 @@ object Multimodal {
         }
         v += 1
       }
-      val diff = coefs(0) - pred
-      val s = jpegCategory(diff)
-      val (dc, dl) = dcCodes(s); bw2.write(dc, dl); writeVal(diff, s)
-      var run = 0; var kk = 1
-      while (kk < 64) {
-        val c = coefs(JpegZigzag(kk))
-        if (c == 0) run += 1
-        else {
-          while (run > 15) { val (z, zl) = acCodes(0xF0); bw2.write(z, zl); run -= 16 }
-          val cs = jpegCategory(c)
-          val (ac, al) = acCodes((run << 4) | cs); bw2.write(ac, al); writeVal(c, cs)
-          run = 0
-        }
-        kk += 1
-      }
-      if (run > 0) { val (e, el) = acCodes(0x00); bw2.write(e, el) }
-      coefs(0)
+      jpegWriteBlock(bw2, dcCodes, acCodes, coefs, pred)
     }
     var predY = 0; var predCb = 0; var predCr = 0
     val nMcus = mcuCols * mcuRows
@@ -1778,22 +1795,8 @@ object Multimodal {
           while (bv < compV(ci)) {
             var bu = 0
             while (bu < compH(ci)) {
-              val coefs = new Array[Int](64)
-              val s = dcTab.decode(br)
-              pred(ci) += jpegExtend(br.receive(s), s)
-              coefs(0) = pred(ci)
-              var k = 1; var eob = false
-              while (k < 64 && !eob) {
-                val rs = acTab.decode(br)
-                val run = rs >> 4; val size = rs & 0x0F
-                if (size == 0) { if (run == 15) k += 16 else eob = true }
-                else {
-                  k += run
-                  require(k < 64, "AC run overflows the block")
-                  coefs(JpegZigzag(k)) = jpegExtend(br.receive(size), size)
-                  k += 1
-                }
-              }
+              val (coefs, dc) = jpegReadBlock(br, dcTab, acTab, pred(ci))
+              pred(ci) = dc
               blocks(ci)((my * compV(ci) + bv) * bwC(ci) + (mx * compH(ci) + bu)) = coefs
               bu += 1
             }
@@ -1821,12 +1824,9 @@ object Multimodal {
       val px = new Array[Int](pw * ph)
       val qt = quant(compQ(ci))
       require(qt != null, s"missing quant table ${compQ(ci)}")
-      val deq = new Array[Long](64)
       var b = 0
       while (b < blocks(ci).length) {
-        val coefs = blocks(ci)(b)
-        var k = 0
-        while (k < 64) { val nat = JpegZigzag(k); deq(nat) = coefs(nat).toLong * qt(k); k += 1 }
+        val bp = jpegIdctBlock(blocks(ci)(b), qt)
         val bx = b % bwC(ci); val by = b / bwC(ci)
         var ly = 0
         while (ly < 8) {
@@ -1834,22 +1834,7 @@ object Multimodal {
           var lx = 0
           while (lx < 8) {
             val x = bx * 8 + lx
-            if (x < pw && y < ph) {
-              var sum = 0L
-              var v = 0
-              while (v < 8) {
-                val kv = JpegIdctK(v)(ly)
-                var u = 0
-                while (u < 8) {
-                  val d = deq(v * 8 + u)
-                  if (d != 0) sum += d * JpegIdctK(u)(lx) * kv
-                  u += 1
-                }
-                v += 1
-              }
-              val p = Math.floorDiv(sum + (1L << 23), 1L << 24) + 128
-              px(y * pw + x) = math.max(0L, math.min(255L, p)).toInt
-            }
+            if (x < pw && y < ph) px(y * pw + x) = bp(ly * 8 + lx)
             lx += 1
           }
           ly += 1

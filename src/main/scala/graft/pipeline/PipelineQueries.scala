@@ -1836,8 +1836,10 @@ object PipelineQueries {
     // mixup, or an interleave slip shifts the plane means and goes red.
     "q174_jpeg_color_decode" ->
       s"""WITH d AS (SELECT doc_id,
-         |    (16*(1 + doc_id % 2) - CASE WHEN doc_id % 4 = 1 THEN 4 ELSE 0 END) AS w,
-         |    (16 - CASE WHEN doc_id % 4 = 2 THEN 6 ELSE 0 END) AS h
+         |    (16*(1 + doc_id % 2) - CASE WHEN doc_id % 4 = 1 THEN 4
+         |                                WHEN doc_id % 4 = 2 THEN 3 ELSE 0 END) AS w,
+         |    (16*(CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END)
+         |       - CASE WHEN doc_id % 4 = 2 THEN 6 ELSE 0 END) AS h
          |  FROM documents),
          |planes AS (
          |  SELECT doc_id, w, h, 0 AS comp, w AS pw, h AS ph, ((w+15)//16)*2 AS bw FROM d

@@ -467,7 +467,12 @@ object AsOfJoinNative {
     * COMPOSITE KEYS: pack them into one struct column
     * (`struct(sym, exch).as("k")`) — struct ordering drives the
     * clustering, the merge comparisons, and the broadcast bucket
-    * hashing identically on both exec tiers (AsOfJoinSuite pins it).
+    * hashing identically on both exec tiers (AsOfJoinSuite pins it for
+    * string/long fields). Caveat: a custom node bypasses the analyzer's
+    * NormalizeFloatingNumbers rule, so FLOATING-POINT key fields keep
+    * -0.0 ≠ 0.0 / NaN-bit distinctions a built-in equi-join would
+    * normalize away — canonicalize float/double key fields (or cast to
+    * an exact type) before packing.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, time: String,
       direction: String = "backward", tolerance: Option[Long] = None): DataFrame =

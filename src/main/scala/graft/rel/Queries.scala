@@ -508,14 +508,20 @@ object Queries {
     * the grid side is generated, never materialized to a driver.
     * Oracle: DuckDB `generate_series` + ASOF.
     */
-  def q172ResampleFfill(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir).filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("value"))
-    val grid = e.groupBy(col("user_id"))
+  /** Per-user hourly grid spanning [first, last] observation — shared by
+    * the q172/q173 resamplers.
+    */
+  private def hourlyGrid(e: DataFrame): DataFrame =
+    e.groupBy(col("user_id"))
       .agg(date_trunc("hour", min(col("ts"))).as("h0"),
         date_trunc("hour", max(col("ts"))).as("h1"))
       .select(col("user_id"),
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("ts"))
+
+  def q172ResampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val grid = hourlyGrid(e)
     val obs = e.groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
     graft.plans.AsOfJoinNative.asOf(grid, obs, key = "user_id", time = "ts")
       .withColumnRenamed("__asof_time", "obs_ts")
@@ -538,13 +544,11 @@ object Queries {
   def q173ResampleInterp(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir).filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("value"))
-    val grid = e.groupBy(col("user_id"))
-      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
-        date_trunc("hour", max(col("ts"))).as("h1"))
-      .select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("ts"))
+    val grid = hourlyGrid(e)
     val obsB = e.groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("vb"))
-    val obsF = e.groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("vf"))
+    // the forward side is the SAME aggregation under a different alias —
+    // one definition, and canonically-identical subtrees for ReuseExchange
+    val obsF = obsB.withColumnRenamed("vb", "vf")
     val back = graft.plans.AsOfJoinNative.asOf(grid, obsB, key = "user_id", time = "ts")
       .withColumnRenamed("__asof_time", "tb")
     val both = graft.plans.AsOfJoinNative

@@ -1687,6 +1687,26 @@ class PipelineSuite extends AnyFunSuite {
     val clean = Multimodal.jpegColorDecode(bytes)
     val r = scala.util.Try(Multimodal.jpegColorDecode(spliced))
     assert(r.isFailure || r.get.yPlane.toSeq != clean.yPlane.toSeq)
+    // doc 3 (32x32 -> FOUR MCUs) advances the marker id cycle: RST0,
+    // RST1, RST2 must all appear, in order — a decoder hard-expecting
+    // RST0 everywhere would fail here (and does, via expectRestart)
+    val bytes4 = Multimodal.jpegColorEncode(3L)
+    var pos4 = 2
+    var sos4 = -1
+    while (sos4 < 0) {
+      val m = bytes4(pos4 + 1) & 0xFF
+      val len = ((bytes4(pos4 + 2) & 0xFF) << 8) | (bytes4(pos4 + 3) & 0xFF)
+      if (m == 0xDA) sos4 = pos4 + 2 + len else pos4 += 2 + len
+    }
+    val markers = (sos4 until bytes4.length - 1).collect {
+      case i if (bytes4(i) & 0xFF) == 0xFF &&
+        (bytes4(i + 1) & 0xFF) >= 0xD0 && (bytes4(i + 1) & 0xFF) <= 0xD7 =>
+        (bytes4(i + 1) & 0xFF) - 0xD0
+    }
+    assert(markers == Seq(0, 1, 2), s"RST cycle was $markers")
+    // and the 4-MCU image still reconstructs (covered per-pixel by the
+    // reconstruction test's doc range, which includes doc 3)
+    Multimodal.jpegColorDecode(bytes4)
   }
 
   test("y4m codec: every plane byte of every frame round-trips") {

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's DuckDB correctness gate.
 
-Usage: python3 scripts/selfcheck.py <verify_out_dir> <sf_dir>
+Usage: python3 scripts/selfcheck.py <verify_out_dir> <sf_dir> [q1,q2,...]
 
 Reads each <out>/<name> parquet result written by graft.Verify plus
 <out>/oracle_sql.json, runs every oracle against DuckDB views of the
@@ -31,6 +31,7 @@ def canon(rows, cols):
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -42,6 +43,8 @@ def main():
         name = os.path.basename(path)
         if name in oracle or not os.path.isdir(path):
             continue
+        if only is not None and name not in only:
+            continue
         files = glob.glob(f"{path}/*.parquet")
         n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
         if n > 0:
@@ -50,6 +53,8 @@ def main():
             print(f"FAIL {name}: empty result (rows-only check)")
             failures += 1
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         pq = os.path.join(out_dir, name)
         files = glob.glob(f"{pq}/*.parquet")
         if not files:

@@ -1318,7 +1318,10 @@ object Multimodal {
         code = (code << 1) | br.readBit()
         l += 1
       }
-      require(l <= 16, "invalid Huffman code in entropy stream")
+      // code >= minCode(l) guards a corrupt stream whose code lands BELOW
+      // the assigned range at this length: without it the vals() offset
+      // goes negative (ArrayIndexOutOfBounds) instead of a clean failure
+      require(l <= 16 && code >= minCode(l), "invalid Huffman code in entropy stream")
       vals(valPtr(l) + code - minCode(l))
     }
   }
@@ -1542,11 +1545,14 @@ object Multimodal {
     (for (u <- 0 until 8; x <- 0 until 8)
       yield s"($u, $x, ${JpegIdctK(u)(x)})").mkString(", ")
 
-  // ---- full-COLOR baseline JPEG (interleaved 4:2:0 MCUs) -----------------
+  // ---- full-COLOR baseline JPEG (interleaved MCUs; 4:2:0/4:2:2/4:4:4) ----
 
   /** The color tier of the JPEG decoder — the part of baseline JPEG the
     * grayscale path (q167) doesn't exercise: THREE components with
-    * 2×2/1×1/1×1 sampling factors, so the entropy stream interleaves
+    * per-doc sampling factors spanning all three common chroma
+    * samplings (4:2:0 = 2×2, 4:2:2 = 2×1, 4:4:4 = 1×1 luma against 1×1
+    * chroma), so the entropy stream interleaves MCUs whose geometry the
+    * decoder must derive from SOF — e.g. 4:2:0's
     * 16×16 MCUs of four Y blocks + one Cb + one Cr, each component with
     * its OWN quantization table (DQT carries two), its own Huffman
     * table pair (DHT carries four), and its own DC prediction chain.
@@ -1561,8 +1567,11 @@ object Multimodal {
   /** Dims chosen so the corpus exercises every crop/interleave shape:
     * w ∈ {16, 28, 13, 32} by docId % 4 — 13 makes the chroma plane
     * width ODD (ceil(13/2) = 7, the ceil-division crop); h ∈ {16, 10,
-    * 32} — 32 gives a 2×2 MCU grid (FOUR MCUs, so the RSTn id cycle
-    * advances through RST0..RST2, not just a single RST0).
+    * 32} — 32 gives a multi-row MCU grid. Crossed with the docId % 3
+    * sampling mode the full combo period is 12: a 32×32 4:4:4 doc
+    * (docId ≡ 11 mod 12) carries SIXTEEN 8×8 MCUs, so the RSTn id cycle
+    * wraps past RST7 back to RST0 — the wrap a modulo-free decoder
+    * misses.
     */
   def jpegColorWidth(docId: Long): Int =
     (16 * (1 + docId % 2) -
@@ -1575,6 +1584,18 @@ object Multimodal {
     */
   def jpegQuantChroma(u: Int, v: Int): Int = 1 + (u * 5 + v * 3) % 8
 
+  /** Luma sampling factors (h, v) by doc: the corpus mixes all three
+    * common chroma samplings — 4:2:0 (2×2), 4:2:2 (2×1), 4:4:4 (1×1);
+    * chroma components are always 1×1. The MCU geometry, the chroma
+    * plane dims, and the restart cadence all change with the mode, so a
+    * decoder pinned to one sampling goes red on two-thirds of the corpus.
+    */
+  def jpegColorSampling(docId: Long): (Int, Int) = (docId % 3) match {
+    case 0 => (2, 2) // 4:2:0 — 16×16 MCUs
+    case 1 => (2, 1) // 4:2:2 — 16×8 MCUs
+    case _ => (1, 1) // 4:4:4 — 8×8 MCUs
+  }
+
   /** Per-component quantized coefficients: `comp` 0 = Y, 1 = Cb, 2 = Cr;
     * `b` the block index in the COMPONENT's own block grid.
     */
@@ -1586,12 +1607,13 @@ object Multimodal {
   }
 
   /** Encode the synthesized color image for `docId`: a spec-compliant
-    * interleaved-MCU baseline JFIF (Y 2×2 quant 0 tables 0; Cb/Cr 1×1
-    * quant 1 tables 1).
+    * interleaved-MCU baseline JFIF (Y at the doc's sampling factors
+    * quant 0 tables 0; Cb/Cr 1×1 quant 1 tables 1).
     */
   private[pipeline] def jpegColorEncode(docId: Long): Array[Byte] = {
     val w = jpegColorWidth(docId); val h = jpegColorHeight(docId)
-    val mcuCols = (w + 15) / 16; val mcuRows = (h + 15) / 16
+    val (hy, vy) = jpegColorSampling(docId)
+    val mcuCols = (w + 8 * hy - 1) / (8 * hy); val mcuRows = (h + 8 * vy - 1) / (8 * vy)
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xFF); out.write(0xD8)
     marker(out, 0xE0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
@@ -1605,10 +1627,10 @@ object Multimodal {
       }
     }
     marker(out, 0xDB, dqt.toByteArray)
-    // SOF0: 3 components — Y (2x2, Tq 0), Cb (1x1, Tq 1), Cr (1x1, Tq 1)
+    // SOF0: 3 components — Y (doc sampling, Tq 0), Cb/Cr (1x1, Tq 1)
     marker(out, 0xC0, Array[Byte](
       8, (h >> 8).toByte, (h & 0xFF).toByte, (w >> 8).toByte, (w & 0xFF).toByte,
-      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+      3, 1, ((hy << 4) | vy).toByte, 0, 2, 0x11, 1, 3, 0x11, 1))
     // DHT: FOUR tables in one segment (DC0, AC0, DC1, AC1 — same
     // BITS/HUFFVAL content under distinct ids; the decoder must still
     // select by the id each scan component names)
@@ -1650,12 +1672,12 @@ object Multimodal {
     while (my < mcuRows) {
       var mx = 0
       while (mx < mcuCols) {
-        // Y: 2x2 blocks, left-to-right then top-to-bottom
+        // Y: hy×vy blocks, left-to-right then top-to-bottom
         var by2 = 0
-        while (by2 < 2) {
+        while (by2 < vy) {
           var bx2 = 0
-          while (bx2 < 2) {
-            val b = (my * 2 + by2) * (mcuCols * 2) + (mx * 2 + bx2)
+          while (bx2 < hy) {
+            val b = (my * vy + by2) * (mcuCols * hy) + (mx * hy + bx2)
             predY = encodeBlock(0, b, predY)
             bx2 += 1
           }
@@ -1679,9 +1701,12 @@ object Multimodal {
   }
 
   /** Decoded color JPEG: three planes, Y at (width × height), chroma at
-    * (ceil(w/2) × ceil(h/2)), row-major.
+    * (chromaWidth × chromaHeight) = ceil-divided by the luma sampling
+    * factors (half in both axes for 4:2:0, half-width for 4:2:2, full
+    * for 4:4:4), row-major.
     */
   final case class JpegColorDecoded(width: Int, height: Int,
+      chromaWidth: Int, chromaHeight: Int,
       yPlane: Array[Int], cbPlane: Array[Int], crPlane: Array[Int])
 
   /** REAL interleaved-MCU decoder. Generalizes the grayscale path: SOF0
@@ -1845,9 +1870,10 @@ object Multimodal {
     }
     require(nComp == 3, "color decode expects a 3-component scan")
     val (_, _, yP) = plane(0)
-    val (_, _, cbP) = plane(1)
-    val (_, _, crP) = plane(2)
-    JpegColorDecoded(w, h, yP, cbP, crP)
+    val (cw, ch, cbP) = plane(1)
+    val (crW, crH, crP) = plane(2)
+    require(cw == crW && ch == crH, "Cb/Cr sampling factors must match")
+    JpegColorDecoded(w, h, cw, ch, yP, cbP, crP)
   }
 
   /** The synthesized COLOR JPEG corpus. */
@@ -1873,7 +1899,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val d = jpegColorDecode(bytes)
-        val cw = (d.width + 1) / 2; val ch = (d.height + 1) / 2
+        val cw = d.chromaWidth; val ch = d.chromaHeight
         var ySum = 0L; var cbSum = 0L; var crSum = 0L; var yBot = 0L
         var i = 0
         while (i < d.yPlane.length) { ySum += d.yPlane(i); i += 1 }

@@ -1830,21 +1830,30 @@ object PipelineQueries {
 
     // q174: COLOR JPEG decode — per-component coefficient/quant formulas
     // + the shared integer IDCT, one plane-parameterized CTE for Y (full
-    // res, luma quant) and Cb/Cr (half res, chroma quant). The Spark
-    // side must walk the interleaved 4:2:0 MCU order with per-component
-    // DC prediction and table selection — a Cb/Cr swap, a table-id
-    // mixup, or an interleave slip shifts the plane means and goes red.
+    // res, luma quant) and Cb/Cr (sampling-divided res, chroma quant).
+    // The corpus mixes all three common samplings (doc_id % 3: 4:2:0 /
+    // 4:2:2 / 4:4:4), so the per-plane dims AND the per-component block
+    // grid both derive from the doc's luma factors (hy, vy). The Spark
+    // side must recover the MCU geometry from SOF and walk the
+    // interleave with per-component DC prediction and table selection —
+    // a Cb/Cr swap, a table-id mixup, a sampling-factor misread, or an
+    // interleave slip shifts the plane means and goes red.
     "q174_jpeg_color_decode" ->
       s"""WITH d AS (SELECT doc_id,
          |    (16*(1 + doc_id % 2) - CASE WHEN doc_id % 4 = 1 THEN 4
          |                                WHEN doc_id % 4 = 2 THEN 3 ELSE 0 END) AS w,
          |    (16*(CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END)
-         |       - CASE WHEN doc_id % 4 = 2 THEN 6 ELSE 0 END) AS h
+         |       - CASE WHEN doc_id % 4 = 2 THEN 6 ELSE 0 END) AS h,
+         |    CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 2 END AS hy,
+         |    CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS vy
          |  FROM documents),
          |planes AS (
-         |  SELECT doc_id, w, h, 0 AS comp, w AS pw, h AS ph, ((w+15)//16)*2 AS bw FROM d
-         |  UNION ALL SELECT doc_id, w, h, 1, (w+1)//2, (h+1)//2, (w+15)//16 FROM d
-         |  UNION ALL SELECT doc_id, w, h, 2, (w+1)//2, (h+1)//2, (w+15)//16 FROM d),
+         |  SELECT doc_id, w, h, 0 AS comp, w AS pw, h AS ph,
+         |    ((w + 8*hy - 1)//(8*hy))*hy AS bw FROM d
+         |  UNION ALL SELECT doc_id, w, h, 1, (w+hy-1)//hy, (h+vy-1)//vy,
+         |    (w + 8*hy - 1)//(8*hy) FROM d
+         |  UNION ALL SELECT doc_id, w, h, 2, (w+hy-1)//hy, (h+vy-1)//vy,
+         |    (w + 8*hy - 1)//(8*hy) FROM d),
          |xs AS (SELECT doc_id, w, h, comp, pw, ph, bw, unnest(range(0, pw)) AS x FROM planes),
          |px AS (SELECT doc_id, w, h, comp, pw, ph, bw, x, unnest(range(0, ph)) AS y FROM xs),
          |pb AS (SELECT doc_id, w, h, comp, pw, ph, x, y,

@@ -271,23 +271,33 @@ final case class AsOfJoinExec(
 }
 
 /** Per-executor memo of built broadcast as-of indexes, keyed by
-  * broadcast id: the index is immutable and identical for every task
-  * reading the same broadcast, so the O(|R| log |R|) sort + bucket build
-  * (and the codegen'd row-ordering compilation) happens once per
-  * executor, not once per probe-side partition — on a 100 TB probe with
-  * thousands of scan tasks that difference dominates small-task runtime.
-  * Bounded: the memo is cleared wholesale past a handful of live
-  * broadcasts (rebuilding is cheap; retaining dead broadcast rows is
-  * the real cost).
+  * broadcast id PLUS the join shape: the index is immutable and
+  * identical for every task reading the same broadcast, so the
+  * O(|R| log |R|) sort + bucket build (and the codegen'd row-ordering
+  * compilation) happens once per executor, not once per probe-side
+  * partition — on a 100 TB probe with thousands of scan tasks that
+  * difference dominates small-task runtime. The join shape (key/time
+  * ordinals + payload order) is part of the key because ReuseExchange
+  * can legally share one BroadcastExchange(IdentityBroadcastMode)
+  * between two as-of execs over the same right subtree but different
+  * key/time columns — an id-only key would serve the first join's
+  * index (bucketed on ITS ordinals) to the second, silently wrong.
+  * Bounded: LRU past a handful of live entries — eldest-only eviction,
+  * so a long streaming drain (one broadcast per micro-batch) never
+  * thrashes indexes still in use by concurrent batches.
   */
 private object AsOfBroadcastIndex {
-  // keyed by (applicationId, broadcast id): broadcast ids restart from 0
-  // per SparkContext, so an id-only key could serve a dead context's
-  // index to a new context in the same JVM — silently wrong rows
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  def getOrBuild(key: String)(build: => AnyRef): AnyRef = {
-    if (cache.size > 8) cache.clear()
-    cache.computeIfAbsent(key, _ => build)
+  // keyed by (applicationId, broadcast id, join shape): broadcast ids
+  // restart from 0 per SparkContext, so an id-only key could serve a
+  // dead context's index to a new context in the same JVM
+  private val cache = new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean =
+      size > 8
+  }
+  def getOrBuild(key: String)(build: => AnyRef): AnyRef = cache.synchronized {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else { val v = build; cache.put(key, v); v }
   }
 }
 
@@ -357,8 +367,12 @@ final case class AsOfJoinBroadcastExec(
 
     val bcast = right.executeBroadcast[Array[InternalRow]]()
     // application-unique memo key minted on the DRIVER (applicationId is
-    // stable per SparkContext and ships as a plain string)
-    val memoKey = s"${sparkContext.applicationId}#${bcast.id}"
+    // stable per SparkContext and ships as a plain string); the join
+    // shape — key/time ordinals + the payload sort order's exprIds — is
+    // included because ReuseExchange may share one broadcast between
+    // as-of execs with different key/time columns over the same subtree
+    val memoKey = s"${sparkContext.applicationId}#${bcast.id}" +
+      s"#k$rKeyOrdinal#t$rTimeOrdinal#o${rightOrder.map(_.child.asInstanceOf[Attribute].exprId.id).mkString(",")}"
 
     left.execute().mapPartitions({ lIter =>
       val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
@@ -531,11 +545,26 @@ object AsOfJoinNative {
       }
       require(ok, s"tolerance needs an integral-backed time type, got ${lTimeAttr.dataType}")
     }
+    // SAFETY RAIL for the broadcast tier: asOfBroadcast trusts the caller
+    // that the right side is dimension-bounded, but a mis-called 100 TB
+    // right side would OOM every executor. Gate on the optimizer's size
+    // estimate (the same statistic Spark's own broadcast joins consult)
+    // against spark.graft.asof.broadcastMaxBytes (default 512 MiB — an
+    // explicit asOfBroadcast call is a hint, so the rail is a generous
+    // OOM bound, not the 10 MB auto threshold) and silently fall back to
+    // the shuffle-merge tier: semantics are identical across tiers, so
+    // the fallback only changes the physical plan.
+    val useBroadcast = broadcast && {
+      val maxBytes = BigInt(spark.conf.getOption("spark.graft.asof.broadcastMaxBytes")
+        .map(_.toLong).getOrElse(512L << 20))
+      org.apache.spark.sql.graft.GraftSqlBridge
+        .ofRows(spark, rPlan).queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
+    }
     val node = AsOfJoinNode(
       lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, key),
       lTimeAttr, attr(rPlan, "__asof_time"),
-      forward = direction == "forward", tolerance = tolerance, broadcast = broadcast)
+      forward = direction == "forward", tolerance = tolerance, broadcast = useBroadcast)
     org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark, node)
   }
 }

@@ -66,13 +66,24 @@ object Stats {
             }
           }
         }
+        // avg/max byte length: taken from the stats frame when the
+        // ANALYZE pass measured them (`avg_len`/`max_len` columns,
+        // nullable), else the type's fixed width — a flat 8 would
+        // understate CBO's size-in-bytes for wide string columns.
+        def measuredLen(col: String): Option[Long] =
+          if (!stats.columns.contains(col)) None
+          else {
+            val i = r.fieldIndex(col)
+            if (r.isNullAt(i)) None else Some(r.getLong(i))
+          }
+        val typeLen = field.dataType.defaultSize.toLong
         name -> CatalogColumnStat(
           distinctCount = Some(BigInt(r.getAs[Long]("n_distinct"))),
           min = render("min_val"),
           max = render("max_val"),
           nullCount = Some(BigInt(r.getAs[Long]("n_nulls"))),
-          avgLen = Some(8L),
-          maxLen = Some(8L))
+          avgLen = Some(measuredLen("avg_len").getOrElse(typeLen)),
+          maxLen = Some(measuredLen("max_len").getOrElse(typeLen)))
       }
     }.toMap
     spark.sessionState.catalog.alterTableStats(

@@ -1587,9 +1587,11 @@ class PipelineSuite extends AnyFunSuite {
     // the real decode path diverges
     def expectedPlane(docId: Long, comp: Int): (Int, Int, Array[Int]) = {
       val w = Multimodal.jpegColorWidth(docId); val h = Multimodal.jpegColorHeight(docId)
-      val mcuCols = (w + 15) / 16
+      val (hy, vy) = Multimodal.jpegColorSampling(docId)
+      val mcuCols = (w + 8 * hy - 1) / (8 * hy)
       val (pw, ph, bw) =
-        if (comp == 0) (w, h, mcuCols * 2) else ((w + 1) / 2, (h + 1) / 2, mcuCols)
+        if (comp == 0) (w, h, mcuCols * hy)
+        else ((w + hy - 1) / hy, (h + vy - 1) / vy, mcuCols)
       val px = new Array[Int](pw * ph)
       for (y <- 0 until ph; x <- 0 until pw) {
         val b = (y / 8) * bw + (x / 8)
@@ -1606,17 +1608,64 @@ class PipelineSuite extends AnyFunSuite {
       }
       (pw, ph, px)
     }
-    for (docId <- 0L to 7L) {
+    // 0..11 covers the full (dims % 4) × (sampling % 3) combo period:
+    // every sampling mode meets every crop shape
+    for (docId <- 0L to 11L) {
       val d = Multimodal.jpegColorDecode(Multimodal.jpegColorEncode(docId))
       assert(d.width == Multimodal.jpegColorWidth(docId) &&
         d.height == Multimodal.jpegColorHeight(docId))
+      val (cw, chh, ecb) = expectedPlane(docId, 1)
+      assert(d.chromaWidth == cw && d.chromaHeight == chh,
+        s"chroma dims doc $docId (sampling ${Multimodal.jpegColorSampling(docId)})")
       val (_, _, ey) = expectedPlane(docId, 0)
-      val (_, _, ecb) = expectedPlane(docId, 1)
       val (_, _, ecr) = expectedPlane(docId, 2)
       assert(d.yPlane.toSeq == ey.toSeq, s"Y plane doc $docId")
       assert(d.cbPlane.toSeq == ecb.toSeq, s"Cb plane doc $docId")
       assert(d.crPlane.toSeq == ecr.toSeq, s"Cr plane doc $docId")
     }
+  }
+
+  test("color JPEG sampling breadth: SOF factors drive geometry; the RST cycle wraps past RST7") {
+    // the SOF sampling byte must actually differ across the three modes
+    def sofSampByte(bytes: Array[Byte]): Int = {
+      var pos = 2
+      while ((bytes(pos + 1) & 0xFF) != 0xC0)
+        pos += 2 + (((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF))
+      bytes(pos + 11) & 0xFF
+    }
+    assert(sofSampByte(Multimodal.jpegColorEncode(0L)) == 0x22) // 4:2:0
+    assert(sofSampByte(Multimodal.jpegColorEncode(1L)) == 0x21) // 4:2:2
+    assert(sofSampByte(Multimodal.jpegColorEncode(2L)) == 0x11) // 4:4:4
+    // a sampling-factor patch (4:4:4 doc re-labeled 4:2:0) changes the
+    // MCU geometry the decoder derives: decode must throw or move planes
+    val docId = 2L
+    val bytes = Multimodal.jpegColorEncode(docId)
+    val clean = Multimodal.jpegColorDecode(bytes)
+    var pos = 2
+    while ((bytes(pos + 1) & 0xFF) != 0xC0)
+      pos += 2 + (((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF))
+    val patched = bytes.clone()
+    patched(pos + 11) = 0x22.toByte
+    val r = scala.util.Try(Multimodal.jpegColorDecode(patched))
+    assert(r.isFailure || r.get.yPlane.toSeq != clean.yPlane.toSeq,
+      "sampling-factor patch changed nothing")
+    // doc 11 (32×32, 4:4:4) carries SIXTEEN 8×8 MCUs -> 15 restarts:
+    // the marker id cycle must wrap RST7 -> RST0
+    val b11 = Multimodal.jpegColorEncode(11L)
+    var p11 = 2
+    var sos11 = -1
+    while (sos11 < 0) {
+      val m = b11(p11 + 1) & 0xFF
+      val len = ((b11(p11 + 2) & 0xFF) << 8) | (b11(p11 + 3) & 0xFF)
+      if (m == 0xDA) sos11 = p11 + 2 + len else p11 += 2 + len
+    }
+    val markers = (sos11 until b11.length - 1).collect {
+      case i if (b11(i) & 0xFF) == 0xFF &&
+        (b11(i + 1) & 0xFF) >= 0xD0 && (b11(i + 1) & 0xFF) <= 0xD7 =>
+        (b11(i + 1) & 0xFF) - 0xD0
+    }
+    assert(markers == (0 to 7) ++ (0 to 6), s"RST cycle was $markers")
+    Multimodal.jpegColorDecode(b11) // and it still decodes
   }
 
   test("color JPEG decode reads the BYTES: chroma quant table and chroma Huffman bind") {
@@ -1660,7 +1709,8 @@ class PipelineSuite extends AnyFunSuite {
   }
 
   test("color JPEG restart markers: RSTn present, byte-aligned, and load-bearing") {
-    // doc 1 (w=28) has two MCUs -> exactly one RST0 between them
+    // doc 1 (4:2:2, 28×16) has four 16×8 MCUs -> the first boundary
+    // carries RST0
     val docId = 1L
     val bytes = Multimodal.jpegColorEncode(docId)
     // locate SOS, then the RST marker inside the entropy segment

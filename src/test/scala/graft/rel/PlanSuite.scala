@@ -407,6 +407,28 @@ class PlanSuite extends AnyFunSuite {
     assert(!ep.contains("Window"), ep)
   }
 
+  test("broadcast as-of safety rail: an over-threshold right side falls back to the merge tier") {
+    val ev = Queries.events(spark, dir)
+    val clicks = ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val errors = ev.filter(org.apache.spark.sql.functions.col("event_type") === "error")
+      .groupBy("user_id", "ts")
+      .agg(org.apache.spark.sql.functions.max("value").as("err_value"))
+    spark.conf.set("spark.graft.asof.broadcastMaxBytes", "1")
+    try {
+      // the rail demotes the EXPLICIT broadcast request: the plan is the
+      // shuffle-merge exec, no broadcast of a side the caller mis-sized
+      val df = graft.plans.AsOfJoinNative.asOfBroadcast(clicks, errors, "user_id", "ts")
+      val ep = execPlan(df)
+      assert(ep.contains("GraftAsOfJoin") && !ep.contains("GraftAsOfJoinBroadcast"), ep)
+      assert(!ep.contains("BroadcastExchange"), ep)
+      // and the answer is tier-independent (same rows as the merge tier)
+      val merge = graft.plans.AsOfJoinNative.asOf(clicks, errors, "user_id", "ts")
+      assert(df.orderBy("event_id").collect().toSeq ==
+        merge.orderBy("event_id").collect().toSeq)
+    } finally spark.conf.unset("spark.graft.asof.broadcastMaxBytes")
+  }
+
   test("q164 stats fed into the catalog flip a filtered join from SMJ to broadcast") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.cbo.enabled", "true")

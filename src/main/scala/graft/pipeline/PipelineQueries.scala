@@ -181,7 +181,8 @@ object PipelineQueries {
     "q167_jpeg_decode" -> (Multimodal.jpegFeatures _),
     "q170_y4m_decode" -> (Multimodal.y4mFeatures _),
     "q171_stream_asof" -> (Events.streamAsOfEnrichFinal _),
-    "q174_jpeg_color_decode" -> (Multimodal.jpegColorFeatures _)
+    "q174_jpeg_color_decode" -> (Multimodal.jpegColorFeatures _),
+    "q175_jpeg_progressive" -> (Multimodal.jpegProgressiveFeatures _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1888,6 +1889,51 @@ object PipelineQueries {
          |  round(sum(CASE WHEN comp = 2 THEN lum ELSE 0 END)::DOUBLE
          |        / max(CASE WHEN comp = 2 THEN pw * ph END), 4) AS mean_cr,
          |  sum(CASE WHEN comp = 0 AND y = ph - 1 THEN lum ELSE 0 END)::BIGINT AS y_bot_row
+         |FROM pix GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // q175: PROGRESSIVE JPEG decode — the q167 oracle shape over the
+    // progressive corpus's own formulas (incl. the block-pair emptiness
+    // gate that guarantees multi-block EOB runs). The oracle never sees
+    // the six-scan stream: the Spark side must reassemble each
+    // coefficient from its spectral band + successive-approximation
+    // bits (first scans at Al=1, refinement bit 0) through the G.7
+    // refinement walk — any band, EOB-run, or correction-bit slip
+    // shifts pixels and goes red.
+    "q175_jpeg_progressive" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id,
+         |    (8*(2 + doc_id % 3) - CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 0 END) AS w,
+         |    (8*(2 + doc_id % 2) - CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 0 END) AS h
+         |  FROM documents),
+         |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+         |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+         |pb AS (SELECT doc_id, w, h, x, y,
+         |        (y // 8) * ((w + 7) // 8) + (x // 8) AS b,
+         |        x % 8 AS lx, y % 8 AS ly FROM px),
+         |uv AS (SELECT unnest(range(0, 8)) AS u),
+         |uvv AS (SELECT u, unnest(range(0, 8)) AS v FROM uv),
+         |kt AS (SELECT * FROM (VALUES ${Multimodal.jpegIdctKSqlValues}) t(i, j, kk)),
+         |term AS (
+         |  SELECT p.doc_id, p.w, p.h, p.x, p.y,
+         |    (CASE WHEN c.u = 0 AND c.v = 0 THEN (p.doc_id*11 + p.b*5) % 15 - 7
+         |          WHEN (p.doc_id + p.b // 2) % 3 = 0 THEN 0
+         |          WHEN (p.doc_id*29 + p.b*23 + c.u*11 + c.v*7) % 89 < 11
+         |               AND (p.doc_id*13 + p.b*7 + c.u*19 + c.v*5) % 13 - 6 <> 0
+         |          THEN (p.doc_id*13 + p.b*7 + c.u*19 + c.v*5) % 13 - 6
+         |          ELSE 0 END)
+         |    * (1 + (c.u*3 + c.v*5) % 8) * ku.kk * kv.kk AS t
+         |  FROM pb p CROSS JOIN uvv c
+         |  JOIN kt ku ON ku.i = c.u AND ku.j = p.lx
+         |  JOIN kt kv ON kv.i = c.v AND kv.j = p.ly),
+         |pix AS (
+         |  SELECT doc_id, w, h, x, y,
+         |    least(255, greatest(0,
+         |      CAST(floor((sum(t) + 8388608) / 16777216.0) AS BIGINT) + 128)) AS lum
+         |  FROM term GROUP BY doc_id, w, h, x, y)
+         |SELECT doc_id, w::INT AS width, h::INT AS height,
+         |  round(sum(lum)::DOUBLE / (w*h), 4) AS mean_lum,
+         |  sum(CASE WHEN y = 0 THEN lum ELSE 0 END)::BIGINT AS top_row_lum,
+         |  sum(CASE WHEN y = h - 1 THEN lum ELSE 0 END)::BIGINT AS bot_row_lum
          |FROM pix GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     // q170: y4m video decode — the oracle regenerates dims, frame count,

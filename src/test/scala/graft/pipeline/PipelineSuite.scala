@@ -1708,6 +1708,133 @@ class PipelineSuite extends AnyFunSuite {
       "chroma Huffman swap changed nothing")
   }
 
+  test("progressive JPEG: six scans reassemble the EXACT coefficients of the formula corpus") {
+    // 0..23 covers the dims period (12) × the block-emptiness phase —
+    // every combination of band density, EOB-run length, and crop shape
+    for (docId <- 0L to 23L) {
+      val w = Multimodal.jpegProgWidth(docId); val h = Multimodal.jpegProgHeight(docId)
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      val expected = Array.tabulate(bw * bh) { b =>
+        val coefs = new Array[Int](64)
+        coefs(0) = Multimodal.jpegProgDc(docId, b)
+        for (v <- 0 until 8; u <- 0 until 8; if u != 0 || v != 0)
+          coefs(v * 8 + u) = Multimodal.jpegProgAc(docId, b, u, v)
+        coefs
+      }
+      val raw = Multimodal.jpegProgressiveDecodeRaw(Multimodal.jpegProgressiveEncode(docId))
+      assert(raw.width == w && raw.height == h, s"dims doc $docId")
+      for (b <- expected.indices)
+        assert(raw.blocks(b).toSeq == expected(b).toSeq, s"doc $docId block $b")
+    }
+  }
+
+  test("progressive JPEG: crafted grids hit the refinement walk's hard paths exactly") {
+    // natural-order coefficient builders
+    def blk(entries: (Int, Int)*): Array[Int] = { // (zigzag index, value)
+      val c = new Array[Int](64)
+      entries.foreach { case (k, v) => c(Multimodal.JpegZigzag(k)) = v }
+      c
+    }
+    val blocks = Array(
+      // A: history-only band (|c| >= 2, no ±1): the refine scan must fold
+      // this block into an EOB run whose correction bits TRAIL the EOBn
+      blk(0 -> -7, 2 -> 4, 9 -> -2, 40 -> 6),
+      // B: ±1 at k=1 and k=40 with a >16 zero-history gap holding
+      // corrections on BOTH sides of the 16th zero — the ZRL boundary
+      // split that desyncs a naive bit-buffer encoder
+      blk(0 -> 5, 1 -> 1, 8 -> 2, 30 -> -3, 40 -> -1),
+      // C: adjacent new bits + corrections needing bit 0 and bit 1
+      blk(0 -> -1, 1 -> -4, 2 -> 5, 3 -> 1, 4 -> -1, 63 -> 3),
+      // D: completely empty (EOB run member in every scan)
+      blk(0 -> 0),
+      // E: another empty block right after D — multi-block EOB run with
+      // a receive()-carried run length
+      blk(0 -> 1),
+      // F: dense tail so the high band's last block isn't an EOB
+      blk(0 -> 2, 6 -> 1, 62 -> -2, 63 -> 1)
+    )
+    val raw = Multimodal.jpegProgressiveDecodeRaw(
+      Multimodal.jpegProgressiveEncodeImage(blocks, 48, 8))
+    for (b <- blocks.indices)
+      assert(raw.blocks(b).toSeq == blocks(b).toSeq, s"crafted block $b")
+    // and a 200-grid randomized sweep: any (value in -7..7, density) mix
+    // must round-trip — the codec has no lucky paths
+    var seed = 987654321L
+    def next(mod: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % mod).toInt
+    }
+    for (trial <- 0 until 200) {
+      val n = 1 + next(8)
+      val g = Array.fill(n) {
+        val c = new Array[Int](64)
+        c(0) = next(15) - 7
+        val density = 1 + next(20)
+        for (k <- 1 until 64; if next(20) < density) c(Multimodal.JpegZigzag(k)) = next(13) - 6
+        c
+      }
+      val got = Multimodal.jpegProgressiveDecodeRaw(
+        Multimodal.jpegProgressiveEncodeImage(g, n * 8, 8))
+      for (b <- 0 until n)
+        assert(got.blocks(b).toSeq == g(b).toSeq, s"trial $trial block $b")
+    }
+  }
+
+  test("progressive JPEG reads the BYTES: SOF2 framing, scan count, stuffing, bit sensitivity") {
+    val docId = 3L
+    val bytes = Multimodal.jpegProgressiveEncode(docId)
+    // SOF2 marker present; the baseline decoder REJECTS the stream and
+    // the progressive decoder rejects baseline streams
+    def markersOf(bs: Array[Byte]): Seq[(Int, Int)] = {
+      var pos = 2
+      val out = Seq.newBuilder[(Int, Int)]
+      var stop = false
+      while (!stop) {
+        val m = bs(pos + 1) & 0xFF
+        out += ((m, pos))
+        if (m == 0xD9) stop = true
+        else {
+          pos += 2 + (((bs(pos + 2) & 0xFF) << 8) | (bs(pos + 3) & 0xFF))
+          if (m == 0xDA) { // skip entropy data to the next marker
+            while (!((bs(pos) & 0xFF) == 0xFF && (bs(pos + 1) & 0xFF) != 0x00)) pos += 1
+          }
+        }
+      }
+      out.result()
+    }
+    val ms = markersOf(bytes)
+    assert(ms.count(_._1 == 0xC2) == 1, s"expected one SOF2: $ms")
+    assert(ms.count(_._1 == 0xDA) == 6, s"expected six scans: $ms")
+    intercept[IllegalArgumentException](Multimodal.jpegDecode(bytes))
+    intercept[IllegalArgumentException](
+      Multimodal.jpegProgressiveDecode(Multimodal.jpegEncode(docId)))
+    // byte stuffing actually occurs somewhere in the corpus's scans
+    assert((0L to 23L).exists { id =>
+      val bs = Multimodal.jpegProgressiveEncode(id)
+      markersOf(bs).filter(_._1 == 0xDA).exists { case (_, sosAt) =>
+        val dataAt = sosAt + 2 + (((bs(sosAt + 2) & 0xFF) << 8) | (bs(sosAt + 3) & 0xFF))
+        (dataAt until bs.length - 1).exists(i =>
+          (bs(i) & 0xFF) == 0xFF && (bs(i + 1) & 0xFF) == 0x00)
+      }
+    }, "no 0xFF00 stuffing anywhere — the unstuffing path would be untested")
+    // flipping ONE byte inside each of the six scans' entropy data must
+    // change the decoded pixels or fail loudly (every scan load-bearing:
+    // a decoder that ignores refinement scans would pass a weaker test)
+    val clean = Multimodal.jpegProgressiveDecode(bytes)
+    for ((sosAt, idx) <- ms.filter(_._1 == 0xDA).map(_._2).zipWithIndex) {
+      val dataAt = sosAt + 2 + (((bytes(sosAt + 2) & 0xFF) << 8) | (bytes(sosAt + 3) & 0xFF))
+      val nextMarker = (dataAt until bytes.length - 1).find(i =>
+        (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) != 0x00).get
+      require(nextMarker > dataAt, s"scan $idx has no entropy bytes")
+      val at = dataAt + (nextMarker - dataAt) / 2
+      val patched = bytes.clone()
+      patched(at) = (patched(at) ^ 0x48).toByte
+      val r = scala.util.Try(Multimodal.jpegProgressiveDecode(patched))
+      assert(r.isFailure || r.get.pixels.toSeq != clean.pixels.toSeq,
+        s"corrupting scan $idx changed nothing — that scan is not load-bearing")
+    }
+  }
+
   test("color JPEG restart markers: RSTn present, byte-aligned, and load-bearing") {
     // doc 1 (4:2:2, 28×16) has four 16×8 MCUs -> the first boundary
     // carries RST0

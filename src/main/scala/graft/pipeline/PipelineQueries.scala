@@ -182,7 +182,8 @@ object PipelineQueries {
     "q170_y4m_decode" -> (Multimodal.y4mFeatures _),
     "q171_stream_asof" -> (Events.streamAsOfEnrichFinal _),
     "q174_jpeg_color_decode" -> (Multimodal.jpegColorFeatures _),
-    "q175_jpeg_progressive" -> (Multimodal.jpegProgressiveFeatures _)
+    "q175_jpeg_progressive" -> (Multimodal.jpegProgressiveFeatures _),
+    "q177_snapshot_time_travel" -> (Events.snapshotTimeTravel _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1195,6 +1196,32 @@ object PipelineQueries {
     // q171: the streamed per-batch broadcast as-of must reproduce the
     // one-shot as-of exactly (per-left-row independence) — q36's oracle.
     "q171_stream_asof" -> graft.rel.Oracles.all("q36_asof_join"),
+    // q177: the snapshot AS OF version N−1 (manifest time travel) must
+    // equal base MERGE'd with only the first two key-split batches —
+    // q93's oracle with the change feed restricted to k % 3 <> 2.
+    "q177_snapshot_time_travel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |mx AS (SELECT max(o_orderkey) AS m FROM base),
+        |allchanges AS (
+        |  SELECT o_orderkey AS k, 'D' AS op, NULL::BIGINT AS new_custkey,
+        |         NULL::VARCHAR AS new_status, NULL::DOUBLE AS new_price
+        |  FROM base WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', o_custkey, o_orderstatus,
+        |         o_totalprice * 2
+        |  FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + mx.m + 1, 'I', o_custkey, 'O', 100.0
+        |  FROM base, mx WHERE o_orderkey % 101 = 0),
+        |changes AS (SELECT * FROM allchanges WHERE k % 3 <> 2)
+        |SELECT coalesce(base.o_orderkey, changes.k) AS o_orderkey,
+        |       coalesce(changes.new_custkey, base.o_custkey) AS o_custkey,
+        |       coalesce(changes.new_status, base.o_orderstatus) AS o_orderstatus,
+        |       coalesce(changes.new_price, base.o_totalprice) AS o_totalprice
+        |FROM base FULL OUTER JOIN changes ON base.o_orderkey = changes.k
+        |WHERE changes.op IS NULL OR changes.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
 
     // q155: the struct-nested write + schema-pruned read-back must be
     // row-identical to computing the same rows from the FLAT source

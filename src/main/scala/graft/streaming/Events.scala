@@ -1011,28 +1011,29 @@ object Events {
   val MergeSnapParts = 6
 
   /** Merge ONE change batch (the q93 feed schema: k/op/new_*) into the
-    * `__part`-partitioned parquet serving snapshot at `snapRoot`,
-    * rewriting ONLY the partitions that contain the batch's keys — the
-    * file-pruned MERGE a 100 TB serving table needs: cost is
-    * O(|touched partitions|) per increment, never O(|table|).
+    * MANIFEST-COMMITTED versioned serving snapshot at `snapRoot`
+    * ([[Snapshot]]), rewriting ONLY the partitions that contain the
+    * batch's keys — the file-pruned MERGE a 100 TB serving table needs:
+    * cost is O(|touched partitions|) per increment, never O(|table|).
     *
     * Mechanics: (1) the batch's touched partition values are a tiny
-    * distinct-collect (≤ [[MergeSnapParts]] ints); (2) the snapshot
-    * read FILTERS on the partition column, so only touched directories
-    * are scanned (directory-level partition pruning); (3) the merged
-    * rows are localCheckpoint-materialized first — lineage truncation
-    * satisfies the no-self-overwrite rule (a parquet path cannot be
-    * overwritten while it is being read) without paying a second
-    * on-disk staging copy — then written back with
-    * DYNAMIC partition overwrite — Spark replaces exactly the
-    * partitions present in the frame and leaves every other directory's
-    * files byte-untouched (asserted in StreamingSuite); (4) a touched
-    * partition whose keys were ALL deleted yields no rows, which
-    * dynamic overwrite would leave stale — its directory is removed
-    * explicitly. Idempotent under at-least-once redelivery because
-    * [[graft.rel.Queries.mergeApply]] is a per-key LAST-WRITE
-    * semantics: re-upserting the same values and re-deleting an absent
-    * key both reproduce the already-merged partition content.
+    * distinct-collect (≤ [[MergeSnapParts]] ints); (2) only the touched
+    * partitions' CURRENT data directories are read (the manifest names
+    * them — untouched dirs never reach the scan's file listing); (3)
+    * the merged rows are written as FRESH `v{N}/__part={p}` directories
+    * — nothing in the serving version is overwritten, so no
+    * self-overwrite hazard and no staging copy; (4) a new manifest maps
+    * touched partitions to the new dirs (a fully-deleted partition maps
+    * to the empty marker) and carries every untouched partition's dir
+    * forward BY REFERENCE; (5) the `CURRENT` pointer rename commits —
+    * the single atomic step. A reader concurrent with the batch
+    * resolves either version N−1 or N, never a mix; a crash anywhere
+    * before the rename leaves readers on N−1 with only unreferenced
+    * garbage on disk. Idempotent under at-least-once redelivery because
+    * [[graft.rel.Queries.mergeApply]] is per-key LAST-WRITE: re-running
+    * a batch commits a new version with identical content. Superseded
+    * versions stay readable by manifest (the q177 time-travel read)
+    * until retention GC.
     *
     * Returns the touched partition values (sorted) for observability.
     */
@@ -1042,38 +1043,26 @@ object Events {
       .select(pmod(col("k"), lit(MergeSnapParts)).cast("int").as("p"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return touched
-    val snap = ss.read.parquet(snapRoot)
-      .filter(col("__part").isin(touched.map(Int.box): _*))
-      .drop("__part")
-    // localCheckpoint materializes the merged delta into executor block
-    // storage and TRUNCATES lineage — the write below no longer reads
-    // from the path it overwrites (which Spark rightly forbids), without
-    // paying a second on-disk staging copy. At 100 TB a reliable
-    // checkpoint (or a transactional table format) takes this role; the
-    // at-least-once story is unchanged either way — losing the blocks
-    // just re-runs the batch, and re-applying it is idempotent.
+    val cur = Snapshot.currentVersion(snapRoot)
+    val newV = cur + 1
+    val snap = Snapshot.readParts(ss, snapRoot, cur, touched).getOrElse {
+      // every touched partition is currently empty (or brand-new):
+      // merge against an empty snapshot in the serving schema
+      batch.select(col("k").as("o_orderkey"), col("new_custkey").as("o_custkey"),
+        col("new_status").as("o_orderstatus"), col("new_price").as("o_totalprice"))
+        .filter(lit(false))
+    }
     val merged = graft.rel.Queries.mergeApply(snap, batch)
       .withColumn("__part", pmod(col("o_orderkey"), lit(MergeSnapParts)).cast("int"))
-      .localCheckpoint()
-    try {
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__part")
-        .parquet(snapRoot)
-      val present = merged.select(col("__part")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      touched.filterNot(present).foreach { p =>
-        deleteRecursively(java.nio.file.Paths.get(snapRoot, s"__part=$p"))
-      }
-    } finally {
-      // Dataset.unpersist is a NO-OP for a localCheckpoint (the blocks
-      // belong to the checkpoint RDD, not the CacheManager): free them
-      // by unpersisting the underlying RDD itself, or batches would
-      // strand dead delta blocks in executor storage until GC
-      merged.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(blocking = false))
-    }
+    merged.write.partitionBy("__part").parquet(s"$snapRoot/v$newV")
+    // which touched partitions produced rows — from the written listing,
+    // not a second pass over the frame; a touched partition whose keys
+    // were ALL deleted simply maps to the empty marker in the manifest
+    val present = Snapshot.listPartDirs(snapRoot, newV)
+    val carried = Snapshot.readManifest(snapRoot, cur).parts
+    Snapshot.writeManifest(snapRoot, Snapshot.Manifest(newV,
+      carried ++ touched.map(p => p -> present.getOrElse(p, Snapshot.EmptyDir))))
+    Snapshot.swapCurrent(snapRoot, newV) // THE commit point
     touched
   }
 
@@ -1096,12 +1085,25 @@ object Events {
     * file-pruned multi-batch MERGE.
     */
   def streamMergeSinkFinal(spark: SparkSession, dir: String): DataFrame = {
+    val snapRoot = runMergeSinkDrain(spark, dir)
+    Snapshot.read(spark, snapRoot)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** The q156 drain body, shared with the q177 time-travel read: stages
+    * the change feed as 3 key-split micro-batches, initializes the
+    * versioned snapshot, streams the feed through
+    * [[mergeBatchIntoSnapshot]], and returns the snapshot root (CURRENT
+    * = version 3 after the drain).
+    */
+  private def runMergeSinkDrain(spark: SparkSession, dir: String): String = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
     val root = java.nio.file.Files.createTempDirectory("graft-merge-sink-").toString
-    graft.rel.Queries.mergeBase(ss, dir)
-      .withColumn("__part", pmod(col("o_orderkey"), lit(MergeSnapParts)).cast("int"))
-      .write.partitionBy("__part").parquet(s"$root/snap")
+    Snapshot.init(s"$root/snap",
+      graft.rel.Queries.mergeBase(ss, dir)
+        .withColumn("__part", pmod(col("o_orderkey"), lit(MergeSnapParts)).cast("int")))
     // stage the feed as 3 single-file micro-batches SPLIT BY KEY RANGE
     // (k mod 3): batch g touches only snapshot partitions {g, g+3} —
     // the shape that makes partition pruning observable. Keys are still
@@ -1127,7 +1129,23 @@ object Events {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$root/snap")
+    s"$root/snap"
+  }
+
+  /** Declared query (q177) — SNAPSHOT TIME TRAVEL: run the q156 drain,
+    * then read version CURRENT−1 by its manifest — the serving table AS
+    * OF the moment before the last micro-batch committed. Because the
+    * feed is key-split by k mod 3 in staged order, version N−1 is
+    * exactly base MERGE'd with the first two batches (k % 3 ∈ {0, 1}),
+    * which the DuckDB oracle recomputes independently — hash-green
+    * proves superseded manifests still resolve to byte-complete data
+    * directories (nothing the last commit did disturbed them), i.e. the
+    * commit protocol really is append-and-swap, not rewrite-in-place.
+    */
+  def snapshotTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val snapRoot = runMergeSinkDrain(spark, dir)
+    val prev = Snapshot.currentVersion(snapRoot) - 1
+    Snapshot.read(spark, snapRoot, Some(prev))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-committed, versioned parquet snapshot — the transactional
+  * commit layer under the q156 streaming MERGE sink (and the q177
+  * time-travel read). The layout is the minimal form of what
+  * table formats (Iceberg/Delta-style) do at warehouse scale:
+  *
+  * {{{
+  * root/
+  *   CURRENT            — the committed version number (pointer file)
+  *   manifest-v{N}.txt  — immutable: one "partition dir" line per part
+  *   v{N}/__part={p}/   — immutable data directories
+  * }}}
+  *
+  * COMMIT PROTOCOL (per increment): (1) write the new version's data
+  * directories for the touched partitions only; (2) write
+  * `manifest-v{N}` mapping every partition to its serving directory —
+  * touched parts point at the new dirs, untouched parts CARRY FORWARD
+  * their existing dirs unchanged; (3) atomically rename a temp file
+  * onto `CURRENT`. The rename is the single commit point: a reader
+  * concurrent with a batch resolves `CURRENT` to a fully-written
+  * manifest whose directories are all complete — it can never see a
+  * partition mid-rewrite — and a crash anywhere before the rename
+  * leaves `CURRENT` at version N−1 with only unreferenced garbage dirs
+  * on disk (re-running the batch is idempotent: the MERGE's per-key
+  * last-write semantics reproduce the same content under a fresh
+  * version number). Old versions stay readable by manifest — time
+  * travel — until a retention GC deletes their manifests and any dirs
+  * no retained manifest references.
+  *
+  * At 100 TB nothing here grows with the table: a manifest is one line
+  * per partition, data dirs are written by ordinary distributed parquet
+  * jobs, and the commit itself is two driver-side metadata writes + one
+  * rename.
+  */
+object Snapshot {
+
+  /** Manifest marker for a partition with no rows (all keys deleted). */
+  val EmptyDir = "-"
+
+  final case class Manifest(version: Int, parts: Map[Int, String])
+
+  private def currentPath(root: String) =
+    java.nio.file.Paths.get(root, "CURRENT")
+  private def manifestPath(root: String, v: Int) =
+    java.nio.file.Paths.get(root, s"manifest-v$v.txt")
+
+  def currentVersion(root: String): Int =
+    new String(java.nio.file.Files.readAllBytes(currentPath(root)),
+      java.nio.charset.StandardCharsets.US_ASCII).trim.toInt
+
+  def readManifest(root: String, version: Int): Manifest = {
+    import scala.jdk.CollectionConverters._
+    val parts = java.nio.file.Files.readAllLines(manifestPath(root, version))
+      .asScala.filter(_.nonEmpty)
+      .map { line =>
+        val Array(p, d) = line.split(" ", 2)
+        p.toInt -> d
+      }.toMap
+    Manifest(version, parts)
+  }
+
+  /** Manifests are immutable: written once under their final name BEFORE
+    * the pointer swap, never rewritten (`CREATE_NEW` enforces it).
+    */
+  def writeManifest(root: String, m: Manifest): Unit = {
+    val body = m.parts.toSeq.sortBy(_._1)
+      .map { case (p, d) => s"$p $d" }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(manifestPath(root, m.version),
+      body.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+  }
+
+  /** THE commit point: write the pointer beside CURRENT, then rename
+    * onto it atomically. Readers resolve either the old or the new
+    * version — never a partial state.
+    */
+  def swapCurrent(root: String, version: Int): Unit = {
+    val tmp = java.nio.file.Paths.get(root, s"CURRENT.tmp-$version")
+    java.nio.file.Files.write(tmp, version.toString
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    java.nio.file.Files.move(tmp, currentPath(root),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Initialize version 0 from a frame already carrying the partition
+    * column: one distributed write + manifest + pointer.
+    */
+  def init(root: String, df: DataFrame, partCol: String = "__part"): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    df.write.partitionBy(partCol).parquet(s"$root/v0")
+    writeManifest(root, Manifest(0, listPartDirs(root, 0)))
+    swapCurrent(root, 0)
+  }
+
+  /** The partition directories a written version actually produced
+    * (`v{N}/__part={p}`), from a filesystem listing — used instead of a
+    * second pass over the frame.
+    */
+  def listPartDirs(root: String, version: Int): Map[Int, String] = {
+    import scala.jdk.CollectionConverters._
+    val vDir = java.nio.file.Paths.get(root, s"v$version")
+    val stream = java.nio.file.Files.list(vDir)
+    try {
+      stream.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("__part="))
+        .map { p =>
+          val v = p.getFileName.toString.stripPrefix("__part=").toInt
+          v -> s"v$version/__part=$v"
+        }.toMap
+    } finally stream.close()
+  }
+
+  /** Read a committed snapshot version (default: CURRENT). The data
+    * directories are leaf dirs, so no partition column is inferred —
+    * rows carry the data schema only.
+    */
+  def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(root))
+    val dirs = readManifest(root, v).parts.toSeq.sortBy(_._1)
+      .collect { case (_, d) if d != EmptyDir => s"$root/$d" }
+    require(dirs.nonEmpty, s"snapshot v$v of $root has no non-empty partitions")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Read ONLY the named partitions of a version — the touched-set read
+    * the MERGE issues: cost is O(|touched|) directories by construction
+    * (the untouched dirs never even reach the scan's file listing).
+    */
+  def readParts(spark: SparkSession, root: String, version: Int, ps: Seq[Int]): Option[DataFrame] = {
+    val man = readManifest(root, version)
+    val dirs = ps.flatMap(p => man.parts.get(p))
+      .filter(_ != EmptyDir).map(d => s"$root/$d")
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+}

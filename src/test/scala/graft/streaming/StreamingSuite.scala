@@ -532,43 +532,37 @@ class StreamingSuite extends AnyFunSuite {
       ("2024-01-01 11:00:00", 1L, 8.0)))
   }
 
-  test("q156 snapshot read partition-prunes: only touched directories are scanned") {
+  test("q156 snapshot read partition-prunes: only touched directories reach the scan") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val root = java.nio.file.Files.createTempDirectory("graft-merge-pplan-").toString
-    (0L until 24L).map(k => (k, k * 2))
-      .toDF("o_orderkey", "o_custkey")
-      .withColumn("__part", pmod(col("o_orderkey"), lit(Events.MergeSnapParts)).cast("int"))
-      .write.partitionBy("__part").parquet(s"$root/snap")
-    // the exact read shape mergeBatchIntoSnapshot issues for touched {1, 4}
-    val pruned = spark.read.parquet(s"$root/snap")
-      .filter(col("__part").isin(Seq(1, 4).map(Int.box): _*))
-    val ep = pruned.queryExecution.executedPlan.toString
-    // the isin lands in PartitionFilters (directory-level pruning), NOT
-    // in the data filter — the scan never opens untouched directories
-    val pf = ep.linesIterator.mkString(" ")
-    assert(pf.contains("PartitionFilters:") &&
-      "PartitionFilters: \\[[^\\]]*__part".r.findFirstIn(pf).isDefined, ep)
-    // and the scan's chosen files are exactly the touched directories
+    Snapshot.init(s"$root/snap",
+      (0L until 24L).map(k => (k, k * 2))
+        .toDF("o_orderkey", "o_custkey")
+        .withColumn("__part", pmod(col("o_orderkey"), lit(Events.MergeSnapParts)).cast("int")))
+    // the exact read shape mergeBatchIntoSnapshot issues for touched {1, 4}:
+    // the manifest resolves the touched dirs and ONLY those are listed
+    val pruned = Snapshot.readParts(spark, s"$root/snap", 0, Seq(1, 4)).get
     val scanFiles = pruned.queryExecution.executedPlan.collectLeaves().collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
           .flatMap(_.files.map(_.getPath.toString))
     }.flatten
     assert(scanFiles.nonEmpty &&
-      scanFiles.forall(p => p.contains("__part=1/") || p.contains("__part=4/")), scanFiles)
+      scanFiles.forall(p => p.contains("/__part=1/") || p.contains("/__part=4/")), scanFiles)
+    // and the leaf-dir read carries NO partition column — data schema only
+    assert(!pruned.columns.contains("__part"), pruned.columns.toSeq)
   }
 
-  test("q156 merge sink: a batch rewrites ONLY the partitions it touches") {
+  test("q156 merge sink: append-and-swap — a batch never rewrites an existing byte") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val root = java.nio.file.Files.createTempDirectory("graft-merge-prune-").toString
     // synthetic 6-partition snapshot: keys 0..35 cover every partition
     val base = (0L until 36L).map(k => (k, k * 10, s"S$k", k * 1.5))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    base
-      .withColumn("__part", pmod(col("o_orderkey"), lit(Events.MergeSnapParts)).cast("int"))
-      .write.partitionBy("__part").parquet(s"$root/snap")
+    Snapshot.init(s"$root/snap", base
+      .withColumn("__part", pmod(col("o_orderkey"), lit(Events.MergeSnapParts)).cast("int")))
     def fileHashes(): Map[String, String] = {
       val rootPath = java.nio.file.Paths.get(s"$root/snap")
       val stream = java.nio.file.Files.walk(rootPath)
@@ -585,7 +579,7 @@ class StreamingSuite extends AnyFunSuite {
       } finally stream.close()
     }
     val before = fileHashes()
-    assert((0 until 6).forall(p => before.keys.exists(_.startsWith(s"__part=$p/"))))
+    assert((0 until 6).forall(p => before.keys.exists(_.startsWith(s"v0/__part=$p/"))))
     // the batch touches ONLY partition 1: upsert key 1, delete key 7
     val batch = Seq(
       (1L, "U", Some(999L), Some("UPD"), Some(42.0)),
@@ -594,31 +588,61 @@ class StreamingSuite extends AnyFunSuite {
     val touched = Events.mergeBatchIntoSnapshot(s"$root/snap", batch)
     assert(touched == Seq(1))
     val after = fileHashes()
-    // untouched partition directories: identical file sets, identical bytes
-    for (p <- 0 until 6 if p != 1) {
-      val b = before.filter(_._1.startsWith(s"__part=$p/"))
-      val a = after.filter(_._1.startsWith(s"__part=$p/"))
-      assert(a == b, s"partition $p was rewritten: before=$b after=$a")
-    }
-    // the touched partition WAS rewritten
-    assert(after.filter(_._1.startsWith("__part=1/")) !=
-      before.filter(_._1.startsWith("__part=1/")))
-    // and its content is the merged result
-    val part1 = spark.read.parquet(s"$root/snap")
-      .filter(col("__part") === 1)
-      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    // EVERY pre-existing file is still there, byte-identical — the
+    // commit only ADDED v1 files and swapped the pointer
+    assert(before.forall { case (f, h) => after.get(f).contains(h) },
+      "an existing data file was rewritten or deleted by a commit")
+    assert((after.keySet -- before.keySet).forall(_.startsWith("v1/__part=1/")),
+      after.keySet -- before.keySet)
+    // the manifest carries untouched partitions forward by reference
+    val man1 = Snapshot.readManifest(s"$root/snap", 1)
+    assert(man1.parts(1) == "v1/__part=1")
+    for (p <- 0 until 6 if p != 1) assert(man1.parts(p) == s"v0/__part=$p", man1.parts)
+    // and the served content of partition 1 is the merged result
+    val part1 = Snapshot.read(spark, s"$root/snap")
+      .filter(pmod(col("o_orderkey"), lit(6)) === 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
     assert(part1 == Set(
       (1L, 999L, "UPD", 42.0), // upserted
       (13L, 130L, "S13", 19.5), (19L, 190L, "S19", 28.5),
       (25L, 250L, "S25", 37.5), (31L, 310L, "S31", 46.5))) // 7 deleted
-    // a batch that deletes EVERY key of a partition removes its directory
+    // a batch that deletes EVERY key of a partition maps it to the empty
+    // marker — the serving read excludes it, the old version still has it
     val killAll = (0 until 6).map(i => (2L + 6 * i, "D",
       None: Option[Long], None: Option[String], None: Option[Double]))
       .toDF("k", "op", "new_custkey", "new_status", "new_price")
     assert(Events.mergeBatchIntoSnapshot(s"$root/snap", killAll) == Seq(2))
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/snap/__part=2")))
-    assert(spark.read.parquet(s"$root/snap")
-      .filter(col("__part") === 2).count() == 0L)
+    assert(Snapshot.readManifest(s"$root/snap", 2).parts(2) == Snapshot.EmptyDir)
+    assert(Snapshot.read(spark, s"$root/snap")
+      .filter(pmod(col("o_orderkey"), lit(6)) === 2).count() == 0L)
+    assert(Snapshot.read(spark, s"$root/snap", Some(1))
+      .filter(pmod(col("o_orderkey"), lit(6)) === 2).count() == 6L)
+  }
+
+  test("snapshot commit is atomic: a crash between data write and pointer swap is invisible") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-crash-").toString
+    val base = (0L until 12L).map(k => (k, s"v$k")).toDF("o_orderkey", "val")
+      .withColumn("__part", pmod(col("o_orderkey"), lit(3)).cast("int"))
+    Snapshot.init(s"$root/snap", base)
+    val served = Snapshot.read(spark, s"$root/snap").collect().map(_.toString).sorted.toSeq
+    // simulate a crashed commit: the new version's data AND manifest are
+    // fully written, but the process dies BEFORE the CURRENT rename
+    (0L until 12L).map(k => (k, "CRASHED"))
+      .toDF("o_orderkey", "val")
+      .withColumn("__part", pmod(col("o_orderkey"), lit(3)).cast("int"))
+      .write.partitionBy("__part").parquet(s"$root/snap/v1")
+    Snapshot.writeManifest(s"$root/snap",
+      Snapshot.Manifest(1, Snapshot.listPartDirs(s"$root/snap", 1)))
+    // ... crash here: no swapCurrent. Readers still resolve version 0
+    assert(Snapshot.currentVersion(s"$root/snap") == 0)
+    val afterCrash = Snapshot.read(spark, s"$root/snap").collect().map(_.toString).sorted.toSeq
+    assert(afterCrash == served, "a reader saw uncommitted data after a simulated crash")
+    // recovery re-runs the commit's final step: the swap is the ONLY
+    // thing that changes what readers see
+    Snapshot.swapCurrent(s"$root/snap", 1)
+    val afterSwap = Snapshot.read(spark, s"$root/snap").collect()
+    assert(afterSwap.length == 12 && afterSwap.forall(_.getString(1) == "CRASHED"))
   }
 }

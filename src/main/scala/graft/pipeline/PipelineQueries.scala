@@ -183,6 +183,7 @@ object PipelineQueries {
     "q171_stream_asof" -> (Events.streamAsOfEnrichFinal _),
     "q174_jpeg_color_decode" -> (Multimodal.jpegColorFeatures _),
     "q175_jpeg_progressive" -> (Multimodal.jpegProgressiveFeatures _),
+    "q176_stream_resample" -> (Events.streamResampleFfillFinal _),
     "q177_snapshot_time_travel" -> (Events.snapshotTimeTravel _)
   )
 
@@ -1196,6 +1197,9 @@ object PipelineQueries {
     // q171: the streamed per-batch broadcast as-of must reproduce the
     // one-shot as-of exactly (per-left-row independence) — q36's oracle.
     "q171_stream_asof" -> graft.rel.Oracles.all("q36_asof_join"),
+    // q176: the streamed per-batch resample must reproduce the one-shot
+    // grid+ffill exactly (per-left-row independence) — q172's oracle.
+    "q176_stream_resample" -> graft.rel.Oracles.all("q172_resample_ffill"),
     // q177: the snapshot AS OF version N−1 (manifest time travel) must
     // equal base MERGE'd with only the first two key-split batches —
     // q93's oracle with the change feed restricted to k % 3 <> 2.

@@ -509,9 +509,9 @@ object Queries {
     * Oracle: DuckDB `generate_series` + ASOF.
     */
   /** Per-user hourly grid spanning [first, last] observation — shared by
-    * the q172/q173 resamplers.
+    * the q172/q173 resamplers and the q176 streamed twin.
     */
-  private def hourlyGrid(e: DataFrame): DataFrame =
+  private[graft] def hourlyGrid(e: DataFrame): DataFrame =
     e.groupBy(col("user_id"))
       .agg(date_trunc("hour", min(col("ts"))).as("h0"),
         date_trunc("hour", max(col("ts"))).as("h1"))

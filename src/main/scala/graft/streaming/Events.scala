@@ -1206,6 +1206,55 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Declared query (q176) — STREAMING RESAMPLE + FORWARD-FILL: the
+    * q172 per-user hourly grid arrives file-per-micro-batch (split by
+    * user_id mod 3) and each batch forward-fills against the STATIC
+    * pre-aggregated observation table through the broadcast native
+    * as-of — the q171 composition pattern. As-of matching is
+    * per-left-row independent, so batching the grid side cannot change
+    * any answer: the drained multi-batch resample hash-gates against
+    * q172's own DuckDB oracle unchanged. This is how a 100 TB
+    * time-series backfill actually runs: the grid is generated and
+    * streamed (never materialized to a driver), the observation side is
+    * broadcast once per batch, and the probe side needs ZERO Exchange.
+    */
+  def streamResampleFfillFinal(spark: SparkSession, dir: String): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val root = java.nio.file.Files.createTempDirectory("graft-resample-stream-").toString
+    val e = graft.rel.Queries.events(ss, dir).filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val grid = graft.rel.Queries.hourlyGrid(e)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/feed"))
+    for (g <- 0 until 3)
+      writeSingleParquet(
+        grid.filter(pmod(col("user_id"), lit(3)) === g),
+        java.nio.file.Paths.get(s"$root/feed/g$g.parquet"),
+        1700000000000L + g * 60000L)
+    val obs = e.groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+    val schema = ss.read.parquet(s"$root/feed/g0.parquet").schema
+    val stream = ss.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/feed")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.plans.AsOfJoinNative
+          .asOfBroadcast(batch.toDF(), obs, key = "user_id", time = "ts")
+          .write.mode("append").parquet(s"$root/out")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$root/out")
+      .withColumnRenamed("__asof_time", "obs_ts")
+      .withColumnRenamed("ts", "h")
+      .select(col("user_id"), col("h"), col("obs_ts"), col("value"))
+      .orderBy(col("user_id"), col("h"))
+  }
+
   /** File-based stream source over an events parquet directory — the
     * production `readStream` shape (one file = one micro-batch at test
     * scale; schema comes from the batch table).

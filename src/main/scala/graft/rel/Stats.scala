@@ -1,7 +1,9 @@
 package graft.rel
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
+import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit, when}
 import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType}
 
 /** Feeds the engine's own ANALYZE output (the q164 exact / q166
@@ -27,11 +29,44 @@ object Stats {
     * row count; CBO's filter/join estimation works off the row count
     * and column stats, so a coarse width is fine.
     */
+  /** Build an EQUI-HEIGHT histogram over `column` — the ANALYZE
+    * `spark.sql.statistics.histogram.enabled` shape, computed by the
+    * engine's own distributed passes: exact percentile boundaries at
+    * the 1/nBins quantiles (one aggregation; swap in approx_percentile
+    * at 100 TB — bin SHAPE is what estimation needs, not exactness),
+    * then one group-by for the exact per-bin NDVs. Feed the result to
+    * [[feedTableStats]] and CBO's FilterEstimation prices RANGE
+    * predicates by the bins actually covered instead of assuming a
+    * uniform [min, max] spread — the difference between a sensible and
+    * a wildly-wrong plan on a skewed column (pinned in PlanSuite).
+    */
+  def equiHeightHistogram(df: DataFrame, column: String, nBins: Int): Histogram = {
+    require(nBins >= 2, "need at least two bins")
+    val v = col(column).cast("double")
+    val qs = (0 to nBins).map(i => i.toDouble / nBins)
+    val head = df.agg(
+      expr(s"percentile($column, array(${qs.mkString(", ")}))").as("bs"),
+      count(v).as("n")).head()
+    val bs = head.getSeq[Double](0)
+    val n = head.getLong(1)
+    require(n > 0, s"no non-null values in $column")
+    // bin assignment by boundary: bin i covers (bs(i), bs(i+1)] with the
+    // first bin closed at both ends — the standard equi-height layout
+    val bin = (1 until nBins).foldRight(lit(nBins - 1): Column)((i, acc) =>
+      when(v <= lit(bs(i)), lit(i - 1)).otherwise(acc))
+    val ndvs = df.filter(v.isNotNull)
+      .groupBy(bin.as("b")).agg(countDistinct(v).as("ndv"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Histogram(n.toDouble / nBins,
+      Array.tabulate(nBins)(i => HistogramBin(bs(i), bs(i + 1), ndvs.getOrElse(i, 0L))))
+  }
+
   def feedTableStats(
       spark: SparkSession,
       tableName: String,
       stats: DataFrame,
-      avgRowBytes: Long = 32L): Unit = {
+      avgRowBytes: Long = 32L,
+      histograms: Map[String, Histogram] = Map.empty): Unit = {
     val rows = stats.collect()
     require(rows.nonEmpty, "empty stats frame")
     val nRows = rows.head.getAs[Long]("n_rows")
@@ -83,7 +118,8 @@ object Stats {
           max = render("max_val"),
           nullCount = Some(BigInt(r.getAs[Long]("n_nulls"))),
           avgLen = Some(measuredLen("avg_len").getOrElse(typeLen)),
-          maxLen = Some(measuredLen("max_len").getOrElse(typeLen)))
+          maxLen = Some(measuredLen("max_len").getOrElse(typeLen)),
+          histogram = histograms.get(name))
       }
     }.toMap
     spark.sessionState.catalog.alterTableStats(

@@ -429,6 +429,56 @@ class PlanSuite extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.asof.broadcastMaxBytes")
   }
 
+  test("equi-height histogram stats price a skewed range filter right where min/max can't") {
+    import spark.implicits._
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+    val tbl = "graft_stats_hist_skew"
+    ss.sql(s"DROP TABLE IF EXISTS $tbl")
+    // heavily skewed value column: 9 900 rows in [0, 100), 100 outliers
+    // spread over [100, 1 000 000]
+    val rows = (0 until 9900).map(i => (i.toLong, (i % 100).toDouble)) ++
+      (0 until 100).map(i => (9900L + i, 100.0 + i * 9999.0))
+    rows.toDF("k", "skew_val").write.saveAsTable(tbl)
+    try {
+      // CBO's post-filter row estimate for the tail predicate — only 49
+      // rows actually qualify. `.stats` reads the THREAD-ACTIVE session's
+      // conf (it's evaluated lazily, outside the query's withActive
+      // scope), so pin the CBO session active for the visit.
+      def estimate(): BigInt = {
+        org.apache.spark.sql.SparkSession.setActiveSession(ss)
+        try ss.table(tbl).filter(col("skew_val") > 500000.0)
+          .queryExecution.optimizedPlan.stats.rowCount.get
+        finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      }
+      val stats = Seq(
+        ("k", 10000L, 0L, 10000L, 0.0, 9999.0),
+        ("skew_val", 10000L, 0L, 199L, 0.0, 100.0 + 99 * 9999.0))
+        .toDF("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+      // basic stats only: min/max imply a UNIFORM spread, so `> 500000`
+      // prices at ~half the table — two orders of magnitude off
+      graft.rel.Stats.feedTableStats(ss, tbl, stats)
+      val uniform = estimate()
+      assert(uniform > BigInt(3000), s"uniform estimate was $uniform")
+      // the engine's own equi-height histogram concentrates 99% of the
+      // mass below 100: the same predicate now prices inside the tail
+      // bins. Only the histogram can see this; NDV/min/max are identical
+      // in both feeds.
+      val hist = graft.rel.Stats.equiHeightHistogram(ss.table(tbl), "skew_val", 10)
+      assert(hist.bins.length == 10 && hist.height == 1000.0)
+      assert(hist.bins.take(8).forall(_.hi < 100.0), hist.bins.toSeq)
+      graft.rel.Stats.feedTableStats(ss, tbl, stats,
+        histograms = Map("skew_val" -> hist))
+      val priced = estimate()
+      assert(priced < BigInt(1000) && priced > BigInt(0),
+        s"histogram estimate was $priced (uniform said $uniform, truth is 49)")
+    } finally {
+      ss.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("q164 stats fed into the catalog flip a filtered join from SMJ to broadcast") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.cbo.enabled", "true")

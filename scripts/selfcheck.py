@@ -37,6 +37,13 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     failures = 0
+    if only is not None:
+        known = set(oracle) | {os.path.basename(p)
+                               for p in glob.glob(os.path.join(out_dir, "q*"))
+                               if os.path.isdir(p)}
+        for name in sorted(only - known):
+            print(f"FAIL {name}: unknown query (not in oracle_sql.json or {out_dir})")
+            failures += 1
     # Queries with a result dump but no oracle → rows-only check (the
     # driver's weaker gate for non-SQL-expressible ops).
     for path in sorted(glob.glob(os.path.join(out_dir, "q*"))):

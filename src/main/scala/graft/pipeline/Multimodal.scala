@@ -1367,6 +1367,42 @@ object Multimodal {
   private def jpegExtend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
+  /** Parse ONE DQT marker segment (possibly several tables) at `pos`
+    * into `quant`; returns the position after the segment. Shared by
+    * all three decoders (baseline gray, interleaved color, progressive)
+    * so the segment walk exists once.
+    */
+  private def jpegParseDqt(bytes: Array[Byte], pos: Int, quant: Array[Array[Int]]): Int = {
+    def u8(i: Int): Int = { require(i < bytes.length, "truncated JPEG"); bytes(i) & 0xFF }
+    val len = (u8(pos + 2) << 8) | u8(pos + 3)
+    var p = pos + 4
+    while (p < pos + 2 + len) {
+      val pqtq = u8(p)
+      require((pqtq >> 4) == 0, "only 8-bit quant tables supported")
+      quant(pqtq & 0x0F) = Array.tabulate(64)(k => u8(p + 1 + k))
+      p += 65
+    }
+    pos + 2 + len
+  }
+
+  /** Parse ONE DHT marker segment (possibly several tables) at `pos`
+    * into `huff(tc)(th)`; returns the position after the segment.
+    */
+  private def jpegParseDht(bytes: Array[Byte], pos: Int, huff: Array[Array[JpegHuffTable]]): Int = {
+    def u8(i: Int): Int = { require(i < bytes.length, "truncated JPEG"); bytes(i) & 0xFF }
+    val len = (u8(pos + 2) << 8) | u8(pos + 3)
+    var p = pos + 4
+    while (p < pos + 2 + len) {
+      val tcth = u8(p)
+      val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+      val nv = bits.sum
+      huff(tcth >> 4)(tcth & 0x0F) =
+        new JpegHuffTable(bits, Array.tabulate(nv)(i => u8(p + 17 + i)))
+      p += 17 + nv
+    }
+    pos + 2 + len
+  }
+
   /** Structurally decoded JPEG: dims + quantized coefficient blocks
     * (natural order, raster block order) + the quant table that applies
     * to them — the lossless layer, before IDCT.
@@ -1395,28 +1431,8 @@ object Multimodal {
       require(u8(pos) == 0xFF, f"expected marker at $pos, got 0x${u8(pos)}%02X")
       val m = u8(pos + 1)
       m match {
-        case 0xDB => // DQT (possibly several tables per segment)
-          val len = u16(pos + 2)
-          var p = pos + 4
-          while (p < pos + 2 + len) {
-            val pqtq = u8(p)
-            require((pqtq >> 4) == 0, "only 8-bit quant tables supported")
-            quant(pqtq & 0x0F) = Array.tabulate(64)(k => u8(p + 1 + k))
-            p += 65
-          }
-          pos += 2 + len
-        case 0xC4 => // DHT (possibly several tables per segment)
-          val len = u16(pos + 2)
-          var p = pos + 4
-          while (p < pos + 2 + len) {
-            val tcth = u8(p)
-            val bits = Array.tabulate(16)(i => u8(p + 1 + i))
-            val nv = bits.sum
-            val vals = Array.tabulate(nv)(i => u8(p + 17 + i))
-            huff(tcth >> 4)(tcth & 0x0F) = new JpegHuffTable(bits, vals)
-            p += 17 + nv
-          }
-          pos += 2 + len
+        case 0xDB => pos = jpegParseDqt(bytes, pos, quant)
+        case 0xC4 => pos = jpegParseDht(bytes, pos, huff)
         case 0xC0 => // SOF0 baseline
           require(u8(pos + 4) == 8, "only 8-bit precision supported")
           h = u16(pos + 5); w = u16(pos + 7)
@@ -1744,28 +1760,8 @@ object Multimodal {
         case 0xDD => // DRI: restart interval in MCUs
           restartInterval = u16(pos + 4)
           pos += 2 + u16(pos + 2)
-        case 0xDB =>
-          val len = u16(pos + 2)
-          var p = pos + 4
-          while (p < pos + 2 + len) {
-            val pqtq = u8(p)
-            require((pqtq >> 4) == 0, "only 8-bit quant tables supported")
-            quant(pqtq & 0x0F) = Array.tabulate(64)(k => u8(p + 1 + k))
-            p += 65
-          }
-          pos += 2 + len
-        case 0xC4 =>
-          val len = u16(pos + 2)
-          var p = pos + 4
-          while (p < pos + 2 + len) {
-            val tcth = u8(p)
-            val bits = Array.tabulate(16)(i => u8(p + 1 + i))
-            val nv = bits.sum
-            huff(tcth >> 4)(tcth & 0x0F) =
-              new JpegHuffTable(bits, Array.tabulate(nv)(i => u8(p + 17 + i)))
-            p += 17 + nv
-          }
-          pos += 2 + len
+        case 0xDB => pos = jpegParseDqt(bytes, pos, quant)
+        case 0xC4 => pos = jpegParseDht(bytes, pos, huff)
         case 0xC0 =>
           require(u8(pos + 4) == 8, "only 8-bit precision supported")
           h = u16(pos + 5); w = u16(pos + 7)
@@ -2004,6 +2000,14 @@ object Multimodal {
     * `al`: baseline run/size coding of coef/2^Al (truncated toward
     * zero), with trailing-zero blocks folded into cross-block EOB runs.
     */
+  /** Longest EOB run the [[JpegProgAcVals]] table can name in one
+    * symbol: EOB4 covers (1<<4) + receive(4) = 16..31 blocks. Runs are
+    * flushed at this bound so longer empty stretches split into legal
+    * symbols (the spec's own bound is 32767 via EOB14 — this corpus's
+    * table stops at EOB4).
+    */
+  private val JpegProgMaxEobRun = 31
+
   private def progWriteAcFirst(bw: JpegBitWriter, codes: Map[Int, (Int, Int)],
       blocks: Array[Array[Int]], ss: Int, se: Int, al: Int): Unit = {
     var eobrun = 0
@@ -2033,7 +2037,7 @@ object Multimodal {
         }
         k += 1
       }
-      if (run > 0) { eobrun += 1; if (eobrun == 32767) flushEob() }
+      if (run > 0) { eobrun += 1; if (eobrun == JpegProgMaxEobRun) flushEob() }
       b += 1
     }
     flushEob()
@@ -2073,7 +2077,7 @@ object Multimodal {
         eobrun += 1
         var k = ss
         while (k <= se) { if (temp(k) > 1) pending += (temp(k) & 1); k += 1 }
-        if (eobrun == 32767) flushEob()
+        if (eobrun == JpegProgMaxEobRun) flushEob()
       } else {
         flushEob()
         var cur = ss
@@ -2102,7 +2106,7 @@ object Multimodal {
           eobrun += 1
           var k = cur
           while (k <= se) { if (temp(k) > 1) pending += (temp(k) & 1); k += 1 }
-          if (eobrun == 32767) flushEob()
+          if (eobrun == JpegProgMaxEobRun) flushEob()
         }
       }
       b += 1
@@ -2324,28 +2328,8 @@ object Multimodal {
       require(u8(pos) == 0xFF, f"expected marker at $pos, got 0x${u8(pos)}%02X")
       val m = u8(pos + 1)
       m match {
-        case 0xDB =>
-          val len = u16(pos + 2)
-          var p = pos + 4
-          while (p < pos + 2 + len) {
-            val pqtq = u8(p)
-            require((pqtq >> 4) == 0, "only 8-bit quant tables supported")
-            quant(pqtq & 0x0F) = Array.tabulate(64)(k => u8(p + 1 + k))
-            p += 65
-          }
-          pos += 2 + len
-        case 0xC4 =>
-          val len = u16(pos + 2)
-          var p = pos + 4
-          while (p < pos + 2 + len) {
-            val tcth = u8(p)
-            val bits = Array.tabulate(16)(i => u8(p + 1 + i))
-            val nv = bits.sum
-            huff(tcth >> 4)(tcth & 0x0F) =
-              new JpegHuffTable(bits, Array.tabulate(nv)(i => u8(p + 17 + i)))
-            p += 17 + nv
-          }
-          pos += 2 + len
+        case 0xDB => pos = jpegParseDqt(bytes, pos, quant)
+        case 0xC4 => pos = jpegParseDht(bytes, pos, huff)
         case 0xC2 => // SOF2: progressive DCT
           require(u8(pos + 4) == 8, "only 8-bit precision supported")
           h = u16(pos + 5); w = u16(pos + 7)

@@ -287,17 +287,29 @@ final case class AsOfJoinExec(
   * thrashes indexes still in use by concurrent batches.
   */
 private object AsOfBroadcastIndex {
+  // lazy holder: the ConcurrentHashMap's per-bin computeIfAbsent only
+  // inserts the (cheap) holder, and the O(|R| log |R|) build runs under
+  // the HOLDER's own lock — concurrent tasks on the same key share one
+  // build, while builds and cache hits for OTHER keys (e.g. another
+  // micro-batch's broadcast) proceed without blocking on any global lock
+  private final class Holder(b: () => AnyRef) { lazy val value: AnyRef = b() }
   // keyed by (applicationId, broadcast id, join shape): broadcast ids
   // restart from 0 per SparkContext, so an id-only key could serve a
   // dead context's index to a new context in the same JVM
-  private val cache = new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean =
-      size > 8
-  }
-  def getOrBuild(key: String)(build: => AnyRef): AnyRef = cache.synchronized {
-    val hit = cache.get(key)
-    if (hit != null) hit
-    else { val v = build; cache.put(key, v); v }
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Holder]()
+  private val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def getOrBuild(key: String)(build: => AnyRef): AnyRef = {
+    val h = cache.computeIfAbsent(key, k => { order.add(k); new Holder(() => build) })
+    // bound the memo with eldest-first eviction (insertion order): a
+    // long streaming drain creating one broadcast per micro-batch evicts
+    // the OLDEST index only, never a still-live neighbor wholesale
+    while (cache.size > 8) {
+      val eldest = order.poll()
+      if (eldest == null) return h.value
+      if (eldest == key) order.add(key) // never evict the entry being served
+      else cache.remove(eldest)
+    }
+    h.value
   }
 }
 
@@ -547,18 +559,23 @@ object AsOfJoinNative {
     }
     // SAFETY RAIL for the broadcast tier: asOfBroadcast trusts the caller
     // that the right side is dimension-bounded, but a mis-called 100 TB
-    // right side would OOM every executor. Gate on the optimizer's size
+    // right side would OOM every executor. Gate on the plan's size
     // estimate (the same statistic Spark's own broadcast joins consult)
     // against spark.graft.asof.broadcastMaxBytes (default 512 MiB — an
     // explicit asOfBroadcast call is a hint, so the rail is a generous
     // OOM bound, not the 10 MB auto threshold) and silently fall back to
     // the shuffle-merge tier: semantics are identical across tiers, so
-    // the fallback only changes the physical plan.
+    // the fallback only changes the physical plan. A plan with NO real
+    // statistics (RDD-backed, localCheckpoint'ed — sizeInBytes defaults
+    // to Long.MaxValue) keeps the caller's explicit broadcast: the rail
+    // demotes only KNOWN-huge inputs, it doesn't punish unknown ones.
     val useBroadcast = broadcast && {
       val maxBytes = BigInt(spark.conf.getOption("spark.graft.asof.broadcastMaxBytes")
         .map(_.toLong).getOrElse(512L << 20))
-      org.apache.spark.sql.graft.GraftSqlBridge
-        .ofRows(spark, rPlan).queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
+      val est = org.apache.spark.sql.graft.GraftSqlBridge.withActive(spark) {
+        rPlan.stats.sizeInBytes
+      }
+      est <= maxBytes || est >= BigInt(Long.MaxValue)
     }
     val node = AsOfJoinNode(
       lPlan, rPlan,

@@ -1045,6 +1045,11 @@ object Events {
     if (touched.isEmpty) return touched
     val cur = Snapshot.currentVersion(snapRoot)
     val newV = cur + 1
+    // at-least-once recovery: a prior attempt at this version may have
+    // crashed after writing data/manifest but before the pointer swap —
+    // clear its (unreferenced, invisible) leftovers so the re-run's
+    // ErrorIfExists/CREATE_NEW guards don't wedge the sink
+    Snapshot.clearUncommitted(snapRoot, newV)
     val snap = Snapshot.readParts(ss, snapRoot, cur, touched).getOrElse {
       // every touched partition is currently empty (or brand-new):
       // merge against an empty snapshot in the serving schema

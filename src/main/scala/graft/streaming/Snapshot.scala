@@ -73,6 +73,89 @@ object Snapshot {
       java.nio.file.StandardOpenOption.CREATE_NEW)
   }
 
+  /** Remove any UNCOMMITTED leftovers of `version` — the data dirs and
+    * manifest a crashed attempt wrote before its pointer swap. Called by
+    * the writer before re-attempting a version so at-least-once
+    * redelivery is actually idempotent (the fresh attempt must not
+    * collide with the garbage's ErrorIfExists/CREATE_NEW guards).
+    * ONLY legal for versions above CURRENT: committed state is immutable.
+    */
+  def clearUncommitted(root: String, version: Int): Unit = {
+    require(version > currentVersion(root),
+      s"refusing to clear v$version: CURRENT is ${currentVersion(root)}")
+    def rm(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p)) {
+      val stream = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      } finally stream.close()
+    }
+    rm(java.nio.file.Paths.get(root, s"v$version"))
+    java.nio.file.Files.deleteIfExists(manifestPath(root, version))
+  }
+
+  /** Retention GC: keep the last `keepLast` committed versions (their
+    * manifests and every data directory any of them references — carry-
+    * forward means an old `v{K}` dir can serve a new manifest), delete
+    * everything else: expired manifests, their now-unreferenced data
+    * dirs, and any uncommitted garbage beyond CURRENT. Bounds the disk
+    * footprint of a long streaming drain at O(keepLast × churn).
+    */
+  def gc(root: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val cur = currentVersion(root)
+    val keepFrom = math.max(0, cur - keepLast + 1)
+    val retained = (keepFrom to cur)
+      .filter(v => java.nio.file.Files.exists(manifestPath(root, v)))
+    val referenced = retained.flatMap(v => readManifest(root, v).parts.values)
+      .filter(_ != EmptyDir).toSet
+    import scala.jdk.CollectionConverters._
+    // expired + uncommitted manifests
+    val all = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+    try {
+      all.iterator().asScala.toSeq.foreach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("manifest-v")) {
+          val v = name.stripPrefix("manifest-v").stripSuffix(".txt").toInt
+          if (v < keepFrom || v > cur) java.nio.file.Files.delete(p)
+        }
+      }
+    } finally all.close()
+    // data dirs no retained manifest references
+    val vs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+    try {
+      vs.iterator().asScala.toSeq
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.matches("v\\d+"))
+        .foreach { vDir =>
+          val parts = java.nio.file.Files.list(vDir)
+          try {
+            parts.iterator().asScala.toSeq.foreach { pd =>
+              val rel = s"${vDir.getFileName}/${pd.getFileName}"
+              if (pd.getFileName.toString.startsWith("__part=") && !referenced(rel)) {
+                val walk = java.nio.file.Files.walk(pd)
+                try walk.sorted(java.util.Comparator.reverseOrder())
+                  .iterator().asScala.foreach(java.nio.file.Files.delete)
+                finally walk.close()
+              }
+            }
+          } finally parts.close()
+          // a version dir with no referenced partitions left is garbage
+          // wholesale (incl. its _SUCCESS marker)
+          val rem = java.nio.file.Files.list(vDir)
+          val anyPart = try rem.iterator().asScala
+            .exists(_.getFileName.toString.startsWith("__part=")) finally rem.close()
+          if (!anyPart) {
+            val walk = java.nio.file.Files.walk(vDir)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(java.nio.file.Files.delete)
+            finally walk.close()
+          }
+        }
+    } finally vs.close()
+  }
+
   /** THE commit point: write the pointer beside CURRENT, then rename
     * onto it atomically. Readers resolve either the old or the new
     * version — never a partial state.
@@ -123,8 +206,20 @@ object Snapshot {
     val v = version.getOrElse(currentVersion(root))
     val dirs = readManifest(root, v).parts.toSeq.sortBy(_._1)
       .collect { case (_, d) if d != EmptyDir => s"$root/$d" }
-    require(dirs.nonEmpty, s"snapshot v$v of $root has no non-empty partitions")
-    spark.read.parquet(dirs: _*)
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    else {
+      // a fully-deleted table is a LEGAL committed state: serve an empty
+      // frame in the table's schema, recovered from the newest still-on-
+      // disk data directory of any earlier version (init always wrote one)
+      val donor = ((v - 1) to 0 by -1).iterator
+        .filter(pv => java.nio.file.Files.exists(manifestPath(root, pv)))
+        .flatMap(pv => readManifest(root, pv).parts.values
+          .find(_ != EmptyDir).map(d => s"$root/$d"))
+        .nextOption()
+      require(donor.nonEmpty, s"snapshot $root never held data: no schema to serve")
+      spark.read.parquet(donor.get)
+        .filter(org.apache.spark.sql.functions.lit(false))
+    }
   }
 
   /** Read ONLY the named partitions of a version — the touched-set read

@@ -10,6 +10,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * else of Spark's internals is touched here.
   */
 object GraftSqlBridge {
+  /** Run `body` with `spark` as the thread-active session — lazy plan
+    * statistics (`LogicalPlan.stats`) read SQLConf.get, which resolves
+    * through the ACTIVE session, not the plan's own.
+    */
+  def withActive[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].withActive(body)
+
   def ofRows(
       spark: org.apache.spark.sql.SparkSession,
       plan: LogicalPlan): org.apache.spark.sql.DataFrame =

@@ -1757,6 +1757,13 @@ class PipelineSuite extends AnyFunSuite {
       Multimodal.jpegProgressiveEncodeImage(blocks, 48, 8))
     for (b <- blocks.indices)
       assert(raw.blocks(b).toSeq == blocks(b).toSeq, s"crafted block $b")
+    // an EOB run LONGER than the table's largest EOBn (31 blocks) must
+    // split into legal symbols: 37 empty blocks + a dense tail block
+    val longRun = Array.fill(37)(blk(0 -> 1)) :+ blk(0 -> 2, 1 -> 1, 9 -> -3)
+    val gotLong = Multimodal.jpegProgressiveDecodeRaw(
+      Multimodal.jpegProgressiveEncodeImage(longRun, 38 * 8, 8))
+    for (b <- longRun.indices)
+      assert(gotLong.blocks(b).toSeq == longRun(b).toSeq, s"long-EOB block $b")
     // and a 200-grid randomized sweep: any (value in -7..7, density) mix
     // must round-trip — the codec has no lucky paths
     var seed = 987654321L

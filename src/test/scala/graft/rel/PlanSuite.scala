@@ -427,6 +427,13 @@ class PlanSuite extends AnyFunSuite {
       assert(df.orderBy("event_id").collect().toSeq ==
         merge.orderBy("event_id").collect().toSeq)
     } finally spark.conf.unset("spark.graft.asof.broadcastMaxBytes")
+    // a right side with NO real statistics (localCheckpoint → RDD-backed,
+    // sizeInBytes defaults to Long.MaxValue) must NOT be demoted: the
+    // rail catches known-huge inputs, it doesn't punish unknown ones
+    val unknown = errors.localCheckpoint()
+    val ep2 = execPlan(
+      graft.plans.AsOfJoinNative.asOfBroadcast(clicks, unknown, "user_id", "ts"))
+    assert(ep2.contains("GraftAsOfJoinBroadcast"), ep2)
   }
 
   test("equi-height histogram stats price a skewed range filter right where min/max can't") {

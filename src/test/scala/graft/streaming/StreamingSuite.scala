@@ -617,6 +617,49 @@ class StreamingSuite extends AnyFunSuite {
       .filter(pmod(col("o_orderkey"), lit(6)) === 2).count() == 0L)
     assert(Snapshot.read(spark, s"$root/snap", Some(1))
       .filter(pmod(col("o_orderkey"), lit(6)) === 2).count() == 6L)
+    // AT-LEAST-ONCE RETRY: plant a crashed attempt's garbage at the next
+    // version (data dir + manifest, no swap) — re-running a batch must
+    // clear it and commit, not wedge on ErrorIfExists/CREATE_NEW
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/snap/v3/__part=0"))
+    Snapshot.writeManifest(s"$root/snap", Snapshot.Manifest(3, Map(0 -> "v3/__part=0")))
+    val retry = Seq((0L, "U", Some(111L), Some("RETRY"), Some(1.0)))
+      .toDF("k", "op", "new_custkey", "new_status", "new_price")
+    assert(Events.mergeBatchIntoSnapshot(s"$root/snap", retry) == Seq(0))
+    assert(Snapshot.currentVersion(s"$root/snap") == 3)
+    assert(Snapshot.read(spark, s"$root/snap").filter(col("o_orderkey") === 0L)
+      .collect().map(_.getString(2)).toSeq == Seq("RETRY"))
+    // RETENTION GC keepLast=1: expired manifests go, carried-forward
+    // dirs the retained manifest references SURVIVE, superseded dirs go
+    Snapshot.gc(s"$root/snap", keepLast = 1)
+    for (v <- 0 to 2)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/snap/manifest-v$v.txt")), s"manifest v$v retained")
+    val man3 = Snapshot.readManifest(s"$root/snap", 3)
+    assert(man3.parts(1) == "v1/__part=1" && java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/snap/v1/__part=1")), "carried-forward dir was GC'd")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/snap/v0/__part=1")), "superseded dir survived GC")
+    assert(Snapshot.read(spark, s"$root/snap").count() ==
+      36L - 6L /* part2 killed */ - 1L /* key 7 deleted */)
+  }
+
+  test("snapshot serves a fully-deleted table as an empty frame in the table's schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-empty-").toString
+    Snapshot.init(s"$root/snap",
+      (0L until 6L).map(k => (k, k * 10, s"S$k", k * 1.5))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .withColumn("__part", pmod(col("o_orderkey"), lit(Events.MergeSnapParts)).cast("int")))
+    val killAll = (0L until 6L).map(k => (k, "D",
+      None: Option[Long], None: Option[String], None: Option[Double]))
+      .toDF("k", "op", "new_custkey", "new_status", "new_price")
+    Events.mergeBatchIntoSnapshot(s"$root/snap", killAll)
+    val served = Snapshot.read(spark, s"$root/snap")
+    assert(served.count() == 0L)
+    assert(served.columns.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
   }
 
   test("snapshot commit is atomic: a crash between data write and pointer swap is invisible") {

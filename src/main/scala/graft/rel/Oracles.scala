@@ -268,6 +268,28 @@ object Oracles {
         |        END, 4) + 0.0 AS v_interp
         |FROM bf ORDER BY user_id, h""".stripMargin,
 
+    // q178: the ANALYZE equi-height histogram — quantile_cont uses the
+    // same (n−1)·q positioning as Spark's exact percentile, and the
+    // integer column + /8 quantiles make every interpolated boundary an
+    // exact double in BOTH engines (integer·2⁻³), so boundaries, bin
+    // assignment (first bin with v <= hi), per-bin NDVs, and the height
+    // all hash-match bit-for-bit.
+    "q178_column_histogram" ->
+      """WITH b AS (SELECT quantile_cont(o_orderkey,
+        |    [0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]) AS qs,
+        |    count(o_orderkey) AS n FROM orders),
+        |bins AS (SELECT i AS bin, qs[i+1] AS lo, qs[i+2] AS hi
+        |         FROM b, (SELECT unnest(range(0, 8)) AS i)),
+        |asn AS (SELECT o.o_orderkey AS v,
+        |          coalesce((SELECT min(bin) FROM bins
+        |                    WHERE o.o_orderkey <= hi AND bin <= 6), 7) AS bin
+        |        FROM orders o),
+        |nd AS (SELECT bin, count(DISTINCT v) AS ndv FROM asn GROUP BY 1)
+        |SELECT bins.bin::INT AS bin, round(bins.lo, 4) AS lo, round(bins.hi, 4) AS hi,
+        |  coalesce(nd.ndv, 0)::BIGINT AS ndv, (b.n::DOUBLE / 8.0) AS height
+        |FROM bins LEFT JOIN nd USING (bin), b
+        |ORDER BY bin""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

@@ -702,6 +702,29 @@ object Queries {
       .orderBy(col("col_name"))
   }
 
+  /** Declared query (q178) — the ANALYZE equi-height HISTOGRAM as a
+    * query: [[Stats.equiHeightHistogram]] over `orders.o_orderkey`
+    * with 8 bins, emitted as one row per bin. INTEGER column + power-
+    * of-two bin count make the interpolated boundaries EXACT doubles
+    * (value*k/8 is integer·2⁻³, so Spark's (1−g)·lo + g·hi and
+    * DuckDB's lo + (hi−lo)·g compute the identical bits), which is
+    * what lets a percentile-interpolation query hash-gate at all. The
+    * oracle recomputes boundaries via quantile_cont and per-bin NDVs
+    * with the same first-bin-at-or-below assignment — this is the
+    * histogram that [[Stats.feedTableStats]] hands to CBO (PlanSuite
+    * pins the skew-estimate win), now oracle-gated end to end.
+    */
+  def q178ColumnHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val h = Stats.equiHeightHistogram(table(spark, dir, "orders"), "o_orderkey", 8)
+    import spark.implicits._
+    h.bins.zipWithIndex.map { case (b, i) =>
+      (i, b.lo, b.hi, b.ndv, h.height)
+    }.toSeq.toDF("bin", "lo", "hi", "ndv", "height")
+      .select(col("bin"), round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"),
+        col("ndv"), col("height"))
+      .orderBy(col("bin"))
+  }
+
   /** Event types pivoted to columns — `groupBy().pivot()` with an explicit
     * value list so the output schema is static (at scale an unlisted pivot
     * forces an extra distinct-values job first).
@@ -1166,6 +1189,7 @@ object Queries {
     "q169_asof_broadcast" -> (q169AsOfBroadcast _),
     "q172_resample_ffill" -> (q172ResampleFfill _),
     "q173_resample_interp" -> (q173ResampleInterp _),
+    "q178_column_histogram" -> (q178ColumnHistogram _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

@@ -70,6 +70,15 @@ object ScalingSmoke {
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _),
       "documents")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    stageSingleFile(
+      (0 until Factor).map { c =>
+        ev.select(
+          ((col("event_id") + lit(c * CopyOffset)).as("event_id") +:
+            (col("user_id") + lit(c * CopyOffset)).as("user_id") +:
+            ev.columns.filterNot(Set("event_id", "user_id")).map(col).toSeq): _*)
+      }.reduce(_ unionByName _),
+      "events")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     stageSingleFile(
       (0 until Factor).map { c =>
@@ -82,7 +91,7 @@ object ScalingSmoke {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val bigDir = args.lift(1).getOrElse("/tmp/graft_scale_10x")
+    val bigDir = args.lift(1).getOrElse("/tmp/graft_scale_10x_r15")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Sessions.local(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("ERROR")
@@ -100,10 +109,18 @@ object ScalingSmoke {
       // phrase index (corpus-scale postings, bounded probe)
       "q159_source_overlap_sketch" -> (graft.pipeline.Dedup.sourceOverlapSketch _),
       "q163_phrase_search" -> (graft.pipeline.Retrieval.phraseSearch _),
-      // r14: the JPEG decode pipeline — strictly per-doc bounded work
-      // (decode + 64-term IDCT per pixel), so its exponent should sit
-      // at ~1.0 (pure linear) with zero corpus-global stages
-      "q167_jpeg_decode" -> (graft.pipeline.Multimodal.jpegFeatures _))
+      // r14/r15: the decode pipelines — strictly per-doc bounded work
+      // (decode + 64-term IDCT per pixel), so their exponents should
+      // sit at ~1.0 (pure linear) with zero corpus-global stages
+      "q167_jpeg_decode" -> (graft.pipeline.Multimodal.jpegFeatures _),
+      "q174_jpeg_color_decode" -> (graft.pipeline.Multimodal.jpegColorFeatures _),
+      "q175_jpeg_progressive" -> (graft.pipeline.Multimodal.jpegProgressiveFeatures _),
+      "q170_y4m_decode" -> (graft.pipeline.Multimodal.y4mFeatures _),
+      // r15: the resample family — per-user grid generation + the native
+      // as-of merge; user count scales 10x, per-user span is identical
+      // by construction, so the exponent measures the join/grid path
+      "q172_resample_ffill" -> (graft.rel.Queries.q172ResampleFfill _),
+      "q173_resample_interp" -> (graft.rel.Queries.q173ResampleInterp _))
 
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

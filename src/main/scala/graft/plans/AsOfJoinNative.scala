@@ -566,16 +566,20 @@ object AsOfJoinNative {
     // OOM bound, not the 10 MB auto threshold) and silently fall back to
     // the shuffle-merge tier: semantics are identical across tiers, so
     // the fallback only changes the physical plan. A plan with NO real
-    // statistics (RDD-backed, localCheckpoint'ed — sizeInBytes defaults
-    // to Long.MaxValue) keeps the caller's explicit broadcast: the rail
-    // demotes only KNOWN-huge inputs, it doesn't punish unknown ones.
+    // statistics keeps the caller's explicit broadcast: the rail demotes
+    // only KNOWN-huge inputs, it doesn't punish unknown ones. Unknown-
+    // ness is STRUCTURAL — some leaf (RDD-backed, localCheckpoint'ed)
+    // reports the defaultSizeInBytes sentinel — not a threshold on the
+    // composed estimate, which projections scale below Long.MaxValue
+    // (false demotion) and joins multiply above it (false approval).
     val useBroadcast = broadcast && {
       val maxBytes = BigInt(spark.conf.getOption("spark.graft.asof.broadcastMaxBytes")
         .map(_.toLong).getOrElse(512L << 20))
-      val est = org.apache.spark.sql.graft.GraftSqlBridge.withActive(spark) {
-        rPlan.stats.sizeInBytes
+      org.apache.spark.sql.graft.GraftSqlBridge.withActive(spark) {
+        val sentinel = BigInt(org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes)
+        val unknown = rPlan.collectLeaves().exists(_.stats.sizeInBytes >= sentinel)
+        unknown || rPlan.stats.sizeInBytes <= maxBytes
       }
-      est <= maxBytes || est >= BigInt(Long.MaxValue)
     }
     val node = AsOfJoinNode(
       lPlan, rPlan,

@@ -601,12 +601,7 @@ object Events {
     * `Files.list` fix in ScalingSmoke addressed).
     */
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(x => java.nio.file.Files.deleteIfExists(x))
-      finally walk.close()
-    }
+    Snapshot.deleteRecursively(p)
 
   /** Writes `df` as exactly one parquet file at `dst` with the given mod
     * time. Spark's working directory (part files, _SUCCESS, .crc) is
@@ -1195,10 +1190,17 @@ object Events {
       .parquet(s"$root/feed")
     val q = stream.writeStream
       .option("checkpointLocation", s"$root/ckpt")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // per-batch dynamic-overwrite partition: an at-least-once REPLAY
+        // of a batch rewrites exactly its own __batch directory instead
+        // of appending duplicates (plain append is not replay-idempotent)
         graft.plans.AsOfJoinNative
           .asOfBroadcast(batch.toDF(), errors, key = "user_id", time = "ts")
-          .write.mode("append").parquet(s"$root/out")
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch")
+          .parquet(s"$root/out")
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1244,10 +1246,15 @@ object Events {
       .parquet(s"$root/feed")
     val q = stream.writeStream
       .option("checkpointLocation", s"$root/ckpt")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // same replay-idempotent per-batch overwrite as q171's sink
         graft.plans.AsOfJoinNative
           .asOfBroadcast(batch.toDF(), obs, key = "user_id", time = "ts")
-          .write.mode("append").parquet(s"$root/out")
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch")
+          .parquet(s"$root/out")
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -42,6 +42,18 @@ object Snapshot {
 
   final case class Manifest(version: Int, parts: Map[Int, String])
 
+  /** Race-tolerant recursive delete (deleteIfExists per entry) — the
+    * ONE copy of the walk/reverse-sort/delete idiom, shared with
+    * [[Events]].
+    */
+  private[streaming] def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => java.nio.file.Files.deleteIfExists(x))
+      finally walk.close()
+    }
+
   private def currentPath(root: String) =
     java.nio.file.Paths.get(root, "CURRENT")
   private def manifestPath(root: String, v: Int) =
@@ -83,24 +95,23 @@ object Snapshot {
   def clearUncommitted(root: String, version: Int): Unit = {
     require(version > currentVersion(root),
       s"refusing to clear v$version: CURRENT is ${currentVersion(root)}")
-    def rm(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p)) {
-      val stream = java.nio.file.Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        stream.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-      } finally stream.close()
-    }
-    rm(java.nio.file.Paths.get(root, s"v$version"))
+    deleteRecursively(java.nio.file.Paths.get(root, s"v$version"))
     java.nio.file.Files.deleteIfExists(manifestPath(root, version))
   }
 
   /** Retention GC: keep the last `keepLast` committed versions (their
     * manifests and every data directory any of them references — carry-
     * forward means an old `v{K}` dir can serve a new manifest), delete
-    * everything else: expired manifests, their now-unreferenced data
-    * dirs, and any uncommitted garbage beyond CURRENT. Bounds the disk
-    * footprint of a long streaming drain at O(keepLast × churn).
+    * the expired manifests and their now-unreferenced data dirs. Bounds
+    * the disk footprint of a long streaming drain at O(keepLast × churn).
+    *
+    * Versions ABOVE CURRENT are never touched: an in-flight commit may
+    * legitimately be mid-write there, and [[clearUncommitted]] (run by
+    * the writer itself, which knows no commit is racing) already covers
+    * crashed-attempt garbage. If every retained manifest maps every
+    * partition to the empty marker (a fully-deleted table), the newest
+    * on-disk data directory is retained as the SCHEMA DONOR so
+    * [[read]] can keep serving the typed empty frame.
     */
   def gc(root: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "must keep at least the current version")
@@ -111,49 +122,40 @@ object Snapshot {
     val referenced = retained.flatMap(v => readManifest(root, v).parts.values)
       .filter(_ != EmptyDir).toSet
     import scala.jdk.CollectionConverters._
-    // expired + uncommitted manifests
-    val all = java.nio.file.Files.list(java.nio.file.Paths.get(root))
-    try {
-      all.iterator().asScala.toSeq.foreach { p =>
-        val name = p.getFileName.toString
-        if (name.startsWith("manifest-v")) {
-          val v = name.stripPrefix("manifest-v").stripSuffix(".txt").toInt
-          if (v < keepFrom || v > cur) java.nio.file.Files.delete(p)
-        }
-      }
-    } finally all.close()
-    // data dirs no retained manifest references
-    val vs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
-    try {
-      vs.iterator().asScala.toSeq
+    def versionDirs(): Seq[(Int, java.nio.file.Path)] = {
+      val vs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try vs.iterator().asScala.toSeq
         .filter(p => java.nio.file.Files.isDirectory(p) &&
           p.getFileName.toString.matches("v\\d+"))
-        .foreach { vDir =>
-          val parts = java.nio.file.Files.list(vDir)
-          try {
-            parts.iterator().asScala.toSeq.foreach { pd =>
-              val rel = s"${vDir.getFileName}/${pd.getFileName}"
-              if (pd.getFileName.toString.startsWith("__part=") && !referenced(rel)) {
-                val walk = java.nio.file.Files.walk(pd)
-                try walk.sorted(java.util.Comparator.reverseOrder())
-                  .iterator().asScala.foreach(java.nio.file.Files.delete)
-                finally walk.close()
-              }
-            }
-          } finally parts.close()
-          // a version dir with no referenced partitions left is garbage
-          // wholesale (incl. its _SUCCESS marker)
-          val rem = java.nio.file.Files.list(vDir)
-          val anyPart = try rem.iterator().asScala
-            .exists(_.getFileName.toString.startsWith("__part=")) finally rem.close()
-          if (!anyPart) {
-            val walk = java.nio.file.Files.walk(vDir)
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.foreach(java.nio.file.Files.delete)
-            finally walk.close()
-          }
-        }
-    } finally vs.close()
+        .map(p => p.getFileName.toString.drop(1).toInt -> p)
+      finally vs.close()
+    }
+    def partDirs(vDir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val ps = java.nio.file.Files.list(vDir)
+      try ps.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("__part="))
+      finally ps.close()
+    }
+    // schema donor for an all-empty retention set: newest dir wins
+    val keep =
+      if (referenced.nonEmpty) referenced
+      else versionDirs().filter(_._1 <= cur).sortBy(-_._1).iterator
+        .flatMap { case (_, vDir) => partDirs(vDir).sortBy(_.getFileName.toString)
+          .map(pd => s"${vDir.getFileName}/${pd.getFileName}") }
+        .take(1).toSet
+    // expired manifests (never above CURRENT — writer race)
+    (0 until keepFrom).foreach(v =>
+      java.nio.file.Files.deleteIfExists(manifestPath(root, v)))
+    // data dirs (≤ CURRENT only) that no retained manifest references
+    versionDirs().filter(_._1 <= cur).foreach { case (_, vDir) =>
+      partDirs(vDir).foreach { pd =>
+        val rel = s"${vDir.getFileName}/${pd.getFileName}"
+        if (!keep(rel)) deleteRecursively(pd)
+      }
+      // a version dir with no partitions left is garbage wholesale
+      // (incl. its _SUCCESS marker)
+      if (partDirs(vDir).isEmpty) deleteRecursively(vDir)
+    }
   }
 
   /** THE commit point: write the pointer beside CURRENT, then rename
@@ -211,11 +213,31 @@ object Snapshot {
       // a fully-deleted table is a LEGAL committed state: serve an empty
       // frame in the table's schema, recovered from the newest still-on-
       // disk data directory of any earlier version (init always wrote one)
-      val donor = ((v - 1) to 0 by -1).iterator
+      val fromManifests = ((v - 1) to 0 by -1).iterator
         .filter(pv => java.nio.file.Files.exists(manifestPath(root, pv)))
         .flatMap(pv => readManifest(root, pv).parts.values
           .find(_ != EmptyDir).map(d => s"$root/$d"))
         .nextOption()
+      // after retention GC the older manifests are gone but gc retains
+      // the newest data dir as schema donor — find it on disk
+      def fromDisk: Option[String] = {
+        import scala.jdk.CollectionConverters._
+        val vs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+        try vs.iterator().asScala.toSeq
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.matches("v\\d+"))
+          .sortBy(-_.getFileName.toString.drop(1).toInt)
+          .iterator.flatMap { vDir =>
+            val ps = java.nio.file.Files.list(vDir)
+            try ps.iterator().asScala.toSeq
+              .filter(_.getFileName.toString.startsWith("__part="))
+              .sortBy(_.getFileName.toString)
+              .map(pd => s"$root/${vDir.getFileName}/${pd.getFileName}")
+            finally ps.close()
+          }.nextOption()
+        finally vs.close()
+      }
+      val donor = fromManifests.orElse(fromDisk)
       require(donor.nonEmpty, s"snapshot $root never held data: no schema to serve")
       spark.read.parquet(donor.get)
         .filter(org.apache.spark.sql.functions.lit(false))

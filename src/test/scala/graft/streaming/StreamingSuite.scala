@@ -660,6 +660,13 @@ class StreamingSuite extends AnyFunSuite {
     assert(served.count() == 0L)
     assert(served.columns.toSeq ==
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    // and gc on the all-empty state keeps ONE data dir as schema donor:
+    // the typed empty frame stays servable after retention
+    Snapshot.gc(s"$root/snap", keepLast = 1)
+    val afterGc = Snapshot.read(spark, s"$root/snap")
+    assert(afterGc.count() == 0L)
+    assert(afterGc.columns.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
   }
 
   test("snapshot commit is atomic: a crash between data write and pointer swap is invisible") {

@@ -2412,6 +2412,410 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ---- PROGRESSIVE COLOR JPEG (SOF2, 3 components) -----------------------
+
+  /** The last JPEG tier: PROGRESSIVE COLOR — what real web images
+    * mostly are. Composes the two hard layers the earlier tiers built
+    * separately: q174's multi-component geometry (sampling factors, MCU
+    * interleave, per-component tables and DC prediction) and q175's
+    * multi-scan reassembly (spectral selection, successive
+    * approximation, EOB runs, the G.7 refinement walk). The scan script
+    * is the spec's canonical color-progressive shape: ONE interleaved
+    * DC scan (all components, MCU order, per-component shifted-domain
+    * prediction), then per-component NON-INTERLEAVED AC scans — and
+    * non-interleaved scans walk the component's REDUCED grid
+    * (ceil(planeWidth/8) blocks per line, A.2.2), NOT the padded MCU
+    * grid the interleaved DC scan walks. The q179 dims include w=20 and
+    * h=18 precisely because they make padded > reduced under 2×
+    * sampling — a decoder that walks the wrong grid desyncs there and
+    * goes red.
+    */
+  def jpegProgColorWidth(docId: Long): Int = (docId % 4) match {
+    case 0 => 16
+    case 1 => 20 // 20 mod 16 = 4: Y padded grid (4 cols) > reduced (3)
+    case 2 => 13 // odd chroma ceil-crop
+    case _ => 32
+  }
+  def jpegProgColorHeight(docId: Long): Int =
+    if (docId % 2 == 0) 16 else 18 // 18 mod 16 = 2: padded rows > reduced
+
+  /** Per-component quantized coefficients, keyed on the PADDED-grid
+    * block index (the synthesis walks the same grid the encoder does).
+    * The (docId + comp + b/2) gate empties block PAIRS so per-component
+    * AC scans carry multi-block EOB runs.
+    */
+  def jpegProgColorDc(docId: Long, comp: Int, b: Int): Int =
+    ((docId * 17 + comp * 23 + b * 7) % 15 - 7).toInt
+  def jpegProgColorAc(docId: Long, comp: Int, b: Int, u: Int, v: Int): Int = {
+    if ((docId + comp + b / 2) % 3 == 0) 0
+    else {
+      val v0 = ((docId * 19 + comp * 31 + b * 13 + u * 7 + v * 11) % 13 - 6).toInt
+      if ((docId * 37 + comp * 43 + b * 29 + u * 5 + v * 17) % 89 < 11 && v0 != 0) v0 else 0
+    }
+  }
+
+  /** Component geometry for the progressive color codec: returns, per
+    * component, (paddedGridWidth, paddedGridHeight, reducedGridWidth,
+    * reducedGridHeight, planeWidth, planeHeight).
+    */
+  private def progColorGeometry(w: Int, h: Int, hy: Int, vy: Int)
+      : Array[(Int, Int, Int, Int, Int, Int)] = {
+    val mcuCols = (w + 8 * hy - 1) / (8 * hy)
+    val mcuRows = (h + 8 * vy - 1) / (8 * vy)
+    Array.tabulate(3) { ci =>
+      val (ch, cv) = if (ci == 0) (hy, vy) else (1, 1)
+      val pw = (w * ch + hy - 1) / hy
+      val ph = (h * cv + vy - 1) / vy
+      (mcuCols * ch, mcuRows * cv, (pw + 7) / 8, (ph + 7) / 8, pw, ph)
+    }
+  }
+
+  /** Row-major REDUCED-grid view of a component's padded-grid block
+    * array — the block sequence non-interleaved scans walk. The arrays
+    * are shared by reference, so scan decoders mutate in place.
+    */
+  private def reducedSeq(blocks: Array[Array[Int]], paddedW: Int,
+      reducedW: Int, reducedH: Int): Array[Array[Int]] =
+    Array.tabulate(reducedW * reducedH) { i =>
+      blocks((i / reducedW) * paddedW + (i % reducedW))
+    }
+
+  /** Encode the synthesized progressive-color image for `docId`: SOF2,
+    * eight scans (interleaved DC first; per-component AC firsts;
+    * interleaved DC refine; per-component AC refines), chroma on its
+    * own quant AND Huffman table ids.
+    */
+  private[pipeline] def jpegProgressiveColorEncode(docId: Long): Array[Byte] = {
+    val w = jpegProgColorWidth(docId); val h = jpegProgColorHeight(docId)
+    val (hy, vy) = jpegColorSampling(docId)
+    val geo = progColorGeometry(w, h, hy, vy)
+    val mcuCols = (w + 8 * hy - 1) / (8 * hy)
+    val mcuRows = (h + 8 * vy - 1) / (8 * vy)
+    val blocks = Array.tabulate(3) { ci =>
+      val (pgw, pgh, _, _, _, _) = geo(ci)
+      Array.tabulate(pgw * pgh) { b =>
+        val coefs = new Array[Int](64)
+        coefs(0) = jpegProgColorDc(docId, ci, b)
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            if (u != 0 || v != 0) coefs(v * 8 + u) = jpegProgColorAc(docId, ci, b, u, v)
+            u += 1
+          }
+          v += 1
+        }
+        coefs
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xFF); out.write(0xD8)
+    marker(out, 0xE0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = new java.io.ByteArrayOutputStream()
+    for ((tq, f) <- Seq((0, jpegQuant _), (1, jpegQuantChroma _))) {
+      dqt.write(tq)
+      var k = 0
+      while (k < 64) { val nat = JpegZigzag(k); dqt.write(f(nat % 8, nat / 8)); k += 1 }
+    }
+    marker(out, 0xDB, dqt.toByteArray)
+    marker(out, 0xC2, Array[Byte](
+      8, (h >> 8).toByte, (h & 0xFF).toByte, (w >> 8).toByte, (w & 0xFF).toByte,
+      3, 1, ((hy << 4) | vy).toByte, 0, 2, 0x11, 1, 3, 0x11, 1))
+    // DC tables 0 (Y) and 1 (chroma), AC tables 0 (Y) and 1 (chroma) —
+    // same content under distinct ids: selection stays load-bearing
+    val dht = new java.io.ByteArrayOutputStream()
+    for (tcth <- Seq(0x00, 0x01)) {
+      dht.write(tcth); JpegDcBits.foreach(dht.write); JpegDcVals.foreach(dht.write)
+    }
+    for (tcth <- Seq(0x10, 0x11)) {
+      dht.write(tcth); JpegProgAcBits.foreach(dht.write); JpegProgAcVals.foreach(dht.write)
+    }
+    marker(out, 0xC4, dht.toByteArray)
+    val dcCodes = huffAssign(JpegDcBits, JpegDcVals)
+    val acCodes = huffAssign(JpegProgAcBits, JpegProgAcVals)
+    // scan 1: interleaved DC first (Al=1) — MCU walk, per-component
+    // shifted-domain prediction, each component through ITS DC table id
+    marker(out, 0xDA, Array[Byte](3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01))
+    val bw1 = new JpegBitWriter(out)
+    val pred = new Array[Int](3)
+    var my = 0
+    while (my < mcuRows) {
+      var mx = 0
+      while (mx < mcuCols) {
+        var ci = 0
+        while (ci < 3) {
+          val (ch, cv) = if (ci == 0) (hy, vy) else (1, 1)
+          val pgw = geo(ci)._1
+          var by = 0
+          while (by < cv) {
+            var bx = 0
+            while (bx < ch) {
+              val b = (my * cv + by) * pgw + (mx * ch + bx)
+              val t = blocks(ci)(b)(0) >> 1
+              val diff = t - pred(ci); pred(ci) = t
+              val s = jpegCategory(diff)
+              val (c, l) = dcCodes(s); bw1.write(c, l)
+              if (s > 0) bw1.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bw1.finish()
+    // scans 2-4: per-component AC first over the REDUCED grid (A.2.2)
+    for (ci <- 0 until 3) {
+      val (pgw, _, rgw, rgh, _, _) = geo(ci)
+      val ta = if (ci == 0) 0x00 else 0x01
+      marker(out, 0xDA, Array[Byte](1, (ci + 1).toByte, ta.toByte, 1, 63, 0x01))
+      val bw = new JpegBitWriter(out)
+      progWriteAcFirst(bw, acCodes, reducedSeq(blocks(ci), pgw, rgw, rgh), 1, 63, 1)
+      bw.finish()
+    }
+    // scan 5: interleaved DC refine — one raw bit per block, MCU order
+    marker(out, 0xDA, Array[Byte](3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10))
+    val bw5 = new JpegBitWriter(out)
+    my = 0
+    while (my < mcuRows) {
+      var mx = 0
+      while (mx < mcuCols) {
+        var ci = 0
+        while (ci < 3) {
+          val (ch, cv) = if (ci == 0) (hy, vy) else (1, 1)
+          val pgw = geo(ci)._1
+          var by = 0
+          while (by < cv) {
+            var bx = 0
+            while (bx < ch) {
+              bw5.write(blocks(ci)((my * cv + by) * pgw + (mx * ch + bx))(0) & 1, 1)
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bw5.finish()
+    // scans 6-8: per-component AC refine over the same reduced grids
+    for (ci <- 0 until 3) {
+      val (pgw, _, rgw, rgh, _, _) = geo(ci)
+      val ta = if (ci == 0) 0x00 else 0x01
+      marker(out, 0xDA, Array[Byte](1, (ci + 1).toByte, ta.toByte, 1, 63, 0x10))
+      val bw = new JpegBitWriter(out)
+      progWriteAcRefine(bw, acCodes, reducedSeq(blocks(ci), pgw, rgw, rgh), 1, 63, 0)
+      bw.finish()
+    }
+    out.write(0xFF); out.write(0xD9)
+    out.toByteArray
+  }
+
+  /** REAL progressive-color decoder: SOF2 component/sampling parse,
+    * multi-SOS marker walk, interleaved DC scans over the MCU grid,
+    * non-interleaved AC scans over each component's REDUCED grid
+    * (delegating to the shared [[progDecodeScan]] walk), then the
+    * shared dequant + IDCT + per-plane crop.
+    */
+  private[pipeline] def jpegProgressiveColorDecode(bytes: Array[Byte]): JpegColorDecoded = {
+    def u8(i: Int): Int = { require(i < bytes.length, "truncated JPEG"); bytes(i) & 0xFF }
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    require(bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8, "not a JPEG: missing SOI")
+    var pos = 2
+    val quant = new Array[Array[Int]](4)
+    val huff = Array.fill(2, 4)(null: JpegHuffTable)
+    var w = -1; var h = -1
+    var compIds: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var geo: Array[(Int, Int, Int, Int, Int, Int)] = null
+    var blocks: Array[Array[Array[Int]]] = null
+    var mcuCols = -1; var mcuRows = -1
+    var done = false
+    while (!done) {
+      require(u8(pos) == 0xFF, f"expected marker at $pos")
+      val m = u8(pos + 1)
+      m match {
+        case 0xDB => pos = jpegParseDqt(bytes, pos, quant)
+        case 0xC4 => pos = jpegParseDht(bytes, pos, huff)
+        case 0xC2 =>
+          require(u8(pos + 4) == 8, "only 8-bit precision supported")
+          h = u16(pos + 5); w = u16(pos + 7)
+          val n = u8(pos + 9)
+          require(n == 3, "progressive color decode expects 3 components")
+          compIds = new Array[Int](n); compH = new Array[Int](n)
+          compV = new Array[Int](n); compQ = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            compIds(i) = u8(pos + 10 + 3 * i)
+            val hv = u8(pos + 11 + 3 * i)
+            compH(i) = hv >> 4; compV(i) = hv & 0x0F
+            require(compH(i) >= 1 && compH(i) <= 2 && compV(i) >= 1 && compV(i) <= 2,
+              "only sampling factors 1..2 supported")
+            compQ(i) = u8(pos + 12 + 3 * i)
+            i += 1
+          }
+          require(compH(1) == 1 && compV(1) == 1 && compH(2) == 1 && compV(2) == 1,
+            "chroma components must be 1x1")
+          geo = progColorGeometry(w, h, compH(0), compV(0))
+          mcuCols = (w + 8 * compH(0) - 1) / (8 * compH(0))
+          mcuRows = (h + 8 * compV(0) - 1) / (8 * compV(0))
+          blocks = Array.tabulate(3) { ci =>
+            Array.fill(geo(ci)._1 * geo(ci)._2)(new Array[Int](64))
+          }
+          pos += 2 + u16(pos + 2)
+        case 0xDA =>
+          require(blocks != null, "SOS before SOF2")
+          val ns = u8(pos + 4)
+          val hdrEnd = pos + 2 + u16(pos + 2)
+          if (ns > 1) {
+            // INTERLEAVED scan: progressive restricts these to DC
+            require(ns == 3, "interleaved scan must name all components")
+            val ss = u8(pos + 5 + 2 * ns); val se = u8(pos + 6 + 2 * ns)
+            val ahal = u8(pos + 7 + 2 * ns)
+            val ah = ahal >> 4; val al = ahal & 0x0F
+            require(ss == 0 && se == 0, "interleaved progressive scans are DC-only")
+            val dcTabs = Array.tabulate(ns) { i =>
+              require(u8(pos + 5 + 2 * i) == compIds(i), "SOS order must match SOF")
+              huff(0)(u8(pos + 6 + 2 * i) >> 4)
+            }
+            val br = new JpegBitReader(bytes, hdrEnd)
+            val pred = new Array[Int](3)
+            var my = 0
+            while (my < mcuRows) {
+              var mx = 0
+              while (mx < mcuCols) {
+                var ci = 0
+                while (ci < 3) {
+                  val pgw = geo(ci)._1
+                  var by = 0
+                  while (by < compV(ci)) {
+                    var bx = 0
+                    while (bx < compH(ci)) {
+                      val b = (my * compV(ci) + by) * pgw + (mx * compH(ci) + bx)
+                      if (ah == 0) {
+                        require(dcTabs(ci) != null, "missing DC table for scan")
+                        val s = dcTabs(ci).decode(br)
+                        pred(ci) += jpegExtend(br.receive(s), s)
+                        blocks(ci)(b)(0) = pred(ci) << al
+                      } else if (br.readBit() == 1) blocks(ci)(b)(0) |= (1 << al)
+                      bx += 1
+                    }
+                    by += 1
+                  }
+                  ci += 1
+                }
+                mx += 1
+              }
+              my += 1
+            }
+            pos = br.pos
+          } else {
+            // NON-INTERLEAVED scan: the component's REDUCED grid, walked
+            // by the same shared scan decoder as the grayscale tier
+            val cid = u8(pos + 5)
+            val ci = compIds.indexOf(cid)
+            require(ci >= 0, s"scan names unknown component $cid")
+            val tdta = u8(pos + 6)
+            val ss = u8(pos + 7); val se = u8(pos + 8)
+            val ah = u8(pos + 9) >> 4; val al = u8(pos + 9) & 0x0F
+            val (pgw, _, rgw, rgh, _, _) = geo(ci)
+            val br = new JpegBitReader(bytes, hdrEnd)
+            progDecodeScan(br, reducedSeq(blocks(ci), pgw, rgw, rgh),
+              ss, se, ah, al, huff(0)(tdta >> 4), huff(1)(tdta & 0x0F))
+            pos = br.pos
+          }
+        case x if (x >= 0xE0 && x <= 0xEF) || x == 0xFE => pos += 2 + u16(pos + 2)
+        case 0xD9 => done = true
+        case x => throw new IllegalArgumentException(f"unsupported marker 0x$x%02X")
+      }
+    }
+    require(w > 0 && h > 0, "missing SOF2")
+    def plane(ci: Int): (Int, Int, Array[Int]) = {
+      val (pgw, _, _, _, pw, ph) = geo(ci)
+      val qt = quant(compQ(ci))
+      require(qt != null, s"missing quant table ${compQ(ci)}")
+      val px = new Array[Int](pw * ph)
+      var b = 0
+      while (b < blocks(ci).length) {
+        val bx = b % pgw; val by = b / pgw
+        if (bx * 8 < pw && by * 8 < ph) {
+          val bp = jpegIdctBlock(blocks(ci)(b), qt)
+          var ly = 0
+          while (ly < 8) {
+            val y = by * 8 + ly
+            var lx = 0
+            while (lx < 8) {
+              val x = bx * 8 + lx
+              if (x < pw && y < ph) px(y * pw + x) = bp(ly * 8 + lx)
+              lx += 1
+            }
+            ly += 1
+          }
+        }
+        b += 1
+      }
+      (pw, ph, px)
+    }
+    val (_, _, yP) = plane(0)
+    val (cw, ch, cbP) = plane(1)
+    val (crW, crH, crP) = plane(2)
+    require(cw == crW && ch == crH, "Cb/Cr dims must match")
+    JpegColorDecoded(w, h, cw, ch, yP, cbP, crP)
+  }
+
+  /** The synthesized progressive-color corpus. */
+  def jpegProgressiveColorTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, jpegProgressiveColorEncode(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** Declared query (q179): decode the progressive-color corpus, q174's
+    * feature shape. Oracle: the q174 plane-CTE structure over the q179
+    * dims + coefficient formulas — every layer (interleaved DC scans,
+    * reduced-grid AC scans, per-component tables, successive
+    * approximation) must reassemble the exact coefficients.
+    */
+  def jpegProgressiveColorFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jpegProgressiveColorTable(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = jpegProgressiveColorDecode(bytes)
+        val cw = d.chromaWidth; val ch = d.chromaHeight
+        var ySum = 0L; var cbSum = 0L; var crSum = 0L; var yBot = 0L
+        var i = 0
+        while (i < d.yPlane.length) { ySum += d.yPlane(i); i += 1 }
+        i = 0
+        while (i < d.cbPlane.length) { cbSum += d.cbPlane(i); crSum += d.crPlane(i); i += 1 }
+        var x = 0
+        while (x < d.width) { yBot += d.yPlane((d.height - 1) * d.width + x); x += 1 }
+        (id, d.width, d.height,
+          ySum.toDouble / (d.width.toLong * d.height),
+          cbSum.toDouble / (cw.toLong * ch),
+          crSum.toDouble / (cw.toLong * ch),
+          yBot)
+      })
+      .toDF("doc_id", "width", "height", "mean_y_raw", "mean_cb_raw", "mean_cr_raw", "y_bot_row")
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        round(col("mean_y_raw"), 4).as("mean_y"),
+        round(col("mean_cb_raw"), 4).as("mean_cb"),
+        round(col("mean_cr_raw"), 4).as("mean_cr"),
+        col("y_bot_row"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- real VIDEO decode (YUV4MPEG2, planar 4:2:0) -----------------------
 
   /** Sixth real decoder and the first VIDEO one — YUV4MPEG2 (y4m), the

@@ -184,7 +184,8 @@ object PipelineQueries {
     "q174_jpeg_color_decode" -> (Multimodal.jpegColorFeatures _),
     "q175_jpeg_progressive" -> (Multimodal.jpegProgressiveFeatures _),
     "q176_stream_resample" -> (Events.streamResampleFfillFinal _),
-    "q177_snapshot_time_travel" -> (Events.snapshotTimeTravel _)
+    "q177_snapshot_time_travel" -> (Events.snapshotTimeTravel _),
+    "q179_jpeg_progressive_color" -> (Multimodal.jpegProgressiveColorFeatures _)
   )
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
@@ -1965,6 +1966,65 @@ object PipelineQueries {
          |  round(sum(lum)::DOUBLE / (w*h), 4) AS mean_lum,
          |  sum(CASE WHEN y = 0 THEN lum ELSE 0 END)::BIGINT AS top_row_lum,
          |  sum(CASE WHEN y = h - 1 THEN lum ELSE 0 END)::BIGINT AS bot_row_lum
+         |FROM pix GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // q179: PROGRESSIVE COLOR JPEG — the q174 plane-CTE structure over
+    // the q179 dims (incl. w=20/h=18, where the padded MCU grid exceeds
+    // the reduced grid non-interleaved scans walk) + the q179
+    // per-component coefficient formulas. The Spark side must
+    // reassemble coefficients across eight scans: interleaved DC
+    // (MCU order, per-component shifted-domain prediction), then
+    // per-component AC firsts and refines over the REDUCED grids.
+    "q179_jpeg_progressive_color" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 20
+         |                    WHEN 2 THEN 13 ELSE 32 END AS w,
+         |    CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 18 END AS h,
+         |    CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 2 END AS hy,
+         |    CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS vy
+         |  FROM documents),
+         |planes AS (
+         |  SELECT doc_id, w, h, 0 AS comp, w AS pw, h AS ph,
+         |    ((w + 8*hy - 1)//(8*hy))*hy AS bw FROM d
+         |  UNION ALL SELECT doc_id, w, h, 1, (w+hy-1)//hy, (h+vy-1)//vy,
+         |    (w + 8*hy - 1)//(8*hy) FROM d
+         |  UNION ALL SELECT doc_id, w, h, 2, (w+hy-1)//hy, (h+vy-1)//vy,
+         |    (w + 8*hy - 1)//(8*hy) FROM d),
+         |xs AS (SELECT doc_id, w, h, comp, pw, ph, bw, unnest(range(0, pw)) AS x FROM planes),
+         |px AS (SELECT doc_id, w, h, comp, pw, ph, bw, x, unnest(range(0, ph)) AS y FROM xs),
+         |pb AS (SELECT doc_id, w, h, comp, pw, ph, x, y,
+         |        (y // 8) * bw + (x // 8) AS b, x % 8 AS lx, y % 8 AS ly FROM px),
+         |uv AS (SELECT unnest(range(0, 8)) AS u),
+         |uvv AS (SELECT u, unnest(range(0, 8)) AS v FROM uv),
+         |kt AS (SELECT * FROM (VALUES ${Multimodal.jpegIdctKSqlValues}) t(i, j, kk)),
+         |term AS (
+         |  SELECT p.doc_id, p.w, p.h, p.comp, p.pw, p.ph, p.x, p.y,
+         |    (CASE WHEN c.u = 0 AND c.v = 0
+         |          THEN (p.doc_id*17 + p.comp*23 + p.b*7) % 15 - 7
+         |          WHEN (p.doc_id + p.comp + p.b // 2) % 3 = 0 THEN 0
+         |          WHEN (p.doc_id*37 + p.comp*43 + p.b*29 + c.u*5 + c.v*17) % 89 < 11
+         |               AND (p.doc_id*19 + p.comp*31 + p.b*13 + c.u*7 + c.v*11) % 13 - 6 <> 0
+         |          THEN (p.doc_id*19 + p.comp*31 + p.b*13 + c.u*7 + c.v*11) % 13 - 6
+         |          ELSE 0 END)
+         |    * (CASE WHEN p.comp = 0 THEN 1 + (c.u*3 + c.v*5) % 8
+         |            ELSE 1 + (c.u*5 + c.v*3) % 8 END)
+         |    * ku.kk * kv.kk AS t
+         |  FROM pb p CROSS JOIN uvv c
+         |  JOIN kt ku ON ku.i = c.u AND ku.j = p.lx
+         |  JOIN kt kv ON kv.i = c.v AND kv.j = p.ly),
+         |pix AS (
+         |  SELECT doc_id, w, h, comp, pw, ph, x, y,
+         |    least(255, greatest(0,
+         |      CAST(floor((sum(t) + 8388608) / 16777216.0) AS BIGINT) + 128)) AS lum
+         |  FROM term GROUP BY doc_id, w, h, comp, pw, ph, x, y)
+         |SELECT doc_id, w::INT AS width, h::INT AS height,
+         |  round(sum(CASE WHEN comp = 0 THEN lum ELSE 0 END)::DOUBLE
+         |        / max(CASE WHEN comp = 0 THEN pw * ph END), 4) AS mean_y,
+         |  round(sum(CASE WHEN comp = 1 THEN lum ELSE 0 END)::DOUBLE
+         |        / max(CASE WHEN comp = 1 THEN pw * ph END), 4) AS mean_cb,
+         |  round(sum(CASE WHEN comp = 2 THEN lum ELSE 0 END)::DOUBLE
+         |        / max(CASE WHEN comp = 2 THEN pw * ph END), 4) AS mean_cr,
+         |  sum(CASE WHEN comp = 0 AND y = ph - 1 THEN lum ELSE 0 END)::BIGINT AS y_bot_row
          |FROM pix GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     // q170: y4m video decode — the oracle regenerates dims, frame count,

@@ -1842,6 +1842,112 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("progressive COLOR JPEG: eight scans reconstruct every plane pixel across all samplings") {
+    def expectedPlane(docId: Long, comp: Int): (Int, Int, Array[Int]) = {
+      val w = Multimodal.jpegProgColorWidth(docId); val h = Multimodal.jpegProgColorHeight(docId)
+      val (hy, vy) = Multimodal.jpegColorSampling(docId)
+      val mcuCols = (w + 8 * hy - 1) / (8 * hy)
+      val (pw, ph, bw) =
+        if (comp == 0) (w, h, mcuCols * hy)
+        else ((w + hy - 1) / hy, (h + vy - 1) / vy, mcuCols)
+      val px = new Array[Int](pw * ph)
+      for (y <- 0 until ph; x <- 0 until pw) {
+        val b = (y / 8) * bw + (x / 8)
+        var sum = 0L
+        for (v <- 0 until 8; u <- 0 until 8) {
+          val coef =
+            if (u == 0 && v == 0) Multimodal.jpegProgColorDc(docId, comp, b)
+            else Multimodal.jpegProgColorAc(docId, comp, b, u, v)
+          val q = if (comp == 0) Multimodal.jpegQuant(u, v) else Multimodal.jpegQuantChroma(u, v)
+          sum += coef.toLong * q * Multimodal.JpegIdctK(u)(x % 8) * Multimodal.JpegIdctK(v)(y % 8)
+        }
+        val p = Math.floorDiv(sum + (1L << 23), 1L << 24) + 128
+        px(y * pw + x) = math.max(0L, math.min(255L, p)).toInt
+      }
+      (pw, ph, px)
+    }
+    // geometry sanity: doc 1 (w=20, h=18, 4:2:2) and doc 9 (w=20, h=18,
+    // 4:2:0) have PADDED grids strictly larger than the REDUCED grids
+    // the non-interleaved scans walk — the case that separates the two
+    for (docId <- Seq(1L, 9L)) {
+      val w = Multimodal.jpegProgColorWidth(docId)
+      val (hy, _) = Multimodal.jpegColorSampling(docId)
+      assert(((w + 8 * hy - 1) / (8 * hy)) * hy > (w + 7) / 8,
+        s"doc $docId does not exercise padded > reduced")
+    }
+    for (docId <- 0L to 23L) {
+      val d = Multimodal.jpegProgressiveColorDecode(
+        Multimodal.jpegProgressiveColorEncode(docId))
+      assert(d.width == Multimodal.jpegProgColorWidth(docId) &&
+        d.height == Multimodal.jpegProgColorHeight(docId))
+      val (cw, chh, ecb) = expectedPlane(docId, 1)
+      assert(d.chromaWidth == cw && d.chromaHeight == chh, s"chroma dims doc $docId")
+      val (_, _, ey) = expectedPlane(docId, 0)
+      val (_, _, ecr) = expectedPlane(docId, 2)
+      assert(d.yPlane.toSeq == ey.toSeq, s"Y plane doc $docId")
+      assert(d.cbPlane.toSeq == ecb.toSeq, s"Cb plane doc $docId")
+      assert(d.crPlane.toSeq == ecr.toSeq, s"Cr plane doc $docId")
+    }
+  }
+
+  test("progressive color JPEG reads the BYTES: scan framing and per-scan sensitivity") {
+    val docId = 9L // w=20 h=18 4:2:0: the maximal-geometry doc
+    val bytes = Multimodal.jpegProgressiveColorEncode(docId)
+    def markersOf(bs: Array[Byte]): Seq[(Int, Int)] = {
+      var pos = 2
+      val out = Seq.newBuilder[(Int, Int)]
+      var stop = false
+      while (!stop) {
+        val m = bs(pos + 1) & 0xFF
+        out += ((m, pos))
+        if (m == 0xD9) stop = true
+        else {
+          pos += 2 + (((bs(pos + 2) & 0xFF) << 8) | (bs(pos + 3) & 0xFF))
+          if (m == 0xDA) {
+            while (!((bs(pos) & 0xFF) == 0xFF && (bs(pos + 1) & 0xFF) != 0x00)) pos += 1
+          }
+        }
+      }
+      out.result()
+    }
+    val ms = markersOf(bytes)
+    assert(ms.count(_._1 == 0xC2) == 1 && ms.count(_._1 == 0xDA) == 8, ms)
+    // the grayscale progressive decoder must reject a 3-component frame
+    intercept[IllegalArgumentException](Multimodal.jpegProgressiveDecode(bytes))
+    // one byte flipped inside EACH of the eight scans' entropy data must
+    // change a plane or fail — every scan (incl. each per-component
+    // refine) is load-bearing
+    val clean = Multimodal.jpegProgressiveColorDecode(bytes)
+    for ((sosAt, idx) <- ms.filter(_._1 == 0xDA).map(_._2).zipWithIndex) {
+      val dataAt = sosAt + 2 + (((bytes(sosAt + 2) & 0xFF) << 8) | (bytes(sosAt + 3) & 0xFF))
+      val nextMarker = (dataAt until bytes.length - 1).find(i =>
+        (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) != 0x00).get
+      val at = dataAt + (nextMarker - dataAt) / 2
+      val patched = bytes.clone()
+      patched(at) = (patched(at) ^ 0x34).toByte
+      val r = scala.util.Try(Multimodal.jpegProgressiveColorDecode(patched))
+      assert(r.isFailure ||
+        r.get.yPlane.toSeq != clean.yPlane.toSeq ||
+        r.get.cbPlane.toSeq != clean.cbPlane.toSeq ||
+        r.get.crPlane.toSeq != clean.crPlane.toSeq,
+        s"corrupting scan $idx changed nothing")
+    }
+    // chroma quant patch: Y must stay byte-identical, chroma must move
+    def findSeg(m: Int): Int = {
+      var pos = 2
+      while ((bytes(pos + 1) & 0xFF) != m)
+        pos += 2 + (((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF))
+      pos
+    }
+    val dqtAt = findSeg(0xDB)
+    val qPatched = bytes.clone()
+    qPatched(dqtAt + 4 + 65 + 1) = (qPatched(dqtAt + 4 + 65 + 1) + 3).toByte
+    val gotQ = Multimodal.jpegProgressiveColorDecode(qPatched)
+    assert(gotQ.yPlane.toSeq == clean.yPlane.toSeq, "Y moved on a chroma-table patch")
+    assert(gotQ.cbPlane.toSeq != clean.cbPlane.toSeq &&
+      gotQ.crPlane.toSeq != clean.crPlane.toSeq, "chroma ignored its table")
+  }
+
   test("color JPEG restart markers: RSTn present, byte-aligned, and load-bearing") {
     // doc 1 (4:2:2, 28×16) has four 16×8 MCUs -> the first boundary
     // carries RST0

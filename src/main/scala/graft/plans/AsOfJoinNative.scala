@@ -565,20 +565,25 @@ object AsOfJoinNative {
     // explicit asOfBroadcast call is a hint, so the rail is a generous
     // OOM bound, not the 10 MB auto threshold) and silently fall back to
     // the shuffle-merge tier: semantics are identical across tiers, so
-    // the fallback only changes the physical plan. A plan with NO real
-    // statistics keeps the caller's explicit broadcast: the rail demotes
-    // only KNOWN-huge inputs, it doesn't punish unknown ones. Unknown-
-    // ness is STRUCTURAL — some leaf (RDD-backed, localCheckpoint'ed)
-    // reports the defaultSizeInBytes sentinel — not a threshold on the
-    // composed estimate, which projections scale below Long.MaxValue
-    // (false demotion) and joins multiply above it (false approval).
+    // the fallback only changes the physical plan. The gate sums the
+    // KNOWN leaf sizes: a leaf with no real statistics (RDD-backed,
+    // localCheckpoint'ed) reports EXACTLY the defaultSizeInBytes
+    // sentinel and is excluded — the rail demotes only KNOWN-huge
+    // inputs, it doesn't punish unknown ones, and a known-huge leaf
+    // UNDER a union with an unknown sibling still trips it. Leaf sums
+    // (not the composed estimate) also dodge the visitor's artifacts:
+    // projections scale the sentinel below Long.MaxValue (false
+    // demotion) and joins multiply estimates past it (false approval).
+    // A real leaf coincidentally equal to the sentinel reads as unknown
+    // — the conservative direction (broadcast honored), and vanishingly
+    // unlikely at the default sentinel of Long.MaxValue.
     val useBroadcast = broadcast && {
       val maxBytes = BigInt(spark.conf.getOption("spark.graft.asof.broadcastMaxBytes")
         .map(_.toLong).getOrElse(512L << 20))
       org.apache.spark.sql.graft.GraftSqlBridge.withActive(spark) {
         val sentinel = BigInt(org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes)
-        val unknown = rPlan.collectLeaves().exists(_.stats.sizeInBytes >= sentinel)
-        unknown || rPlan.stats.sizeInBytes <= maxBytes
+        rPlan.collectLeaves().map(_.stats.sizeInBytes)
+          .filter(_ != sentinel).sum <= maxBytes
       }
     }
     val node = AsOfJoinNode(

@@ -143,9 +143,19 @@ object Snapshot {
         .flatMap { case (_, vDir) => partDirs(vDir).sortBy(_.getFileName.toString)
           .map(pd => s"${vDir.getFileName}/${pd.getFileName}") }
         .take(1).toSet
-    // expired manifests (never above CURRENT — writer race)
-    (0 until keepFrom).foreach(v =>
-      java.nio.file.Files.deleteIfExists(manifestPath(root, v)))
+    // expired manifests (never above CURRENT — writer race). One
+    // directory listing, not a version-counter probe loop: gc after
+    // each commit must stay O(live files), not O(version number).
+    locally {
+      val all = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try all.iterator().asScala.toSeq.foreach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("manifest-v") && name.endsWith(".txt")) {
+          val v = name.stripPrefix("manifest-v").stripSuffix(".txt").toInt
+          if (v < keepFrom) java.nio.file.Files.deleteIfExists(p)
+        }
+      } finally all.close()
+    }
     // data dirs (≤ CURRENT only) that no retained manifest references
     versionDirs().filter(_._1 <= cur).foreach { case (_, vDir) =>
       partDirs(vDir).foreach { pd =>
@@ -219,13 +229,18 @@ object Snapshot {
           .find(_ != EmptyDir).map(d => s"$root/$d"))
         .nextOption()
       // after retention GC the older manifests are gone but gc retains
-      // the newest data dir as schema donor — find it on disk
+      // the newest data dir as schema donor — find it on disk. Bounded
+      // to dirs AT OR BELOW the version being read: an uncommitted
+      // in-flight dir above CURRENT may be half-written (no footers),
+      // and a dir newer than a time-travel target could carry an
+      // evolved schema.
       def fromDisk: Option[String] = {
         import scala.jdk.CollectionConverters._
         val vs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
         try vs.iterator().asScala.toSeq
           .filter(p => java.nio.file.Files.isDirectory(p) &&
-            p.getFileName.toString.matches("v\\d+"))
+            p.getFileName.toString.matches("v\\d+") &&
+            p.getFileName.toString.drop(1).toInt <= v)
           .sortBy(-_.getFileName.toString.drop(1).toInt)
           .iterator.flatMap { vDir =>
             val ps = java.nio.file.Files.list(vDir)

@@ -2009,7 +2009,8 @@ object Multimodal {
   private val JpegProgMaxEobRun = 31
 
   private def progWriteAcFirst(bw: JpegBitWriter, codes: Map[Int, (Int, Int)],
-      blocks: Array[Array[Int]], ss: Int, se: Int, al: Int): Unit = {
+      blocks: Array[Array[Int]], ss: Int, se: Int, al: Int,
+      restartEvery: Int = 0): Unit = {
     var eobrun = 0
     def flushEob(): Unit = if (eobrun > 0) {
       val r = 31 - Integer.numberOfLeadingZeros(eobrun)
@@ -2017,8 +2018,15 @@ object Multimodal {
       if (r > 0) bw.write(eobrun - (1 << r), r)
       eobrun = 0
     }
+    var rstM = 0
     var b = 0
     while (b < blocks.length) {
+      if (restartEvery > 0 && b > 0 && b % restartEvery == 0) {
+        // an EOB run may not span a restart boundary: flush, then the
+        // byte-aligned RSTn (in a non-interleaved scan, MCU = 1 block)
+        flushEob()
+        bw.restart(rstM); rstM = (rstM + 1) & 7
+      }
       val coefs = blocks(b)
       var run = 0
       var k = ss
@@ -2053,7 +2061,8 @@ object Multimodal {
     * trail the EOBn symbol block-by-block.
     */
   private def progWriteAcRefine(bw: JpegBitWriter, codes: Map[Int, (Int, Int)],
-      blocks: Array[Array[Int]], ss: Int, se: Int, al: Int): Unit = {
+      blocks: Array[Array[Int]], ss: Int, se: Int, al: Int,
+      restartEvery: Int = 0): Unit = {
     var eobrun = 0
     val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
     def flushEob(): Unit = {
@@ -2066,8 +2075,13 @@ object Multimodal {
       pending.foreach(bit => bw.write(bit, 1))
       pending.clear()
     }
+    var rstM = 0
     var b = 0
     while (b < blocks.length) {
+      if (restartEvery > 0 && b > 0 && b % restartEvery == 0) {
+        flushEob() // run + its buffered correction bits end at the boundary
+        bw.restart(rstM); rstM = (rstM + 1) & 7
+      }
       val coefs = blocks(b)
       def temp(k: Int): Int = math.abs(coefs(JpegZigzag(k))) >> al
       val newPos = (ss to se).filter(k => temp(k) == 1)
@@ -2120,7 +2134,8 @@ object Multimodal {
     * out so the suite can round-trip crafted grids through the codec.
     */
   private[pipeline] def jpegProgressiveEncodeImage(
-      blocks: Array[Array[Int]], w: Int, h: Int): Array[Byte] = {
+      blocks: Array[Array[Int]], w: Int, h: Int,
+      restartEvery: Int = 0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xFF); out.write(0xD8)
     marker(out, 0xE0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
@@ -2139,6 +2154,10 @@ object Multimodal {
     dht.write(0x00); JpegDcBits.foreach(dht.write); JpegDcVals.foreach(dht.write)
     dht.write(0x10); JpegProgAcBits.foreach(dht.write); JpegProgAcVals.foreach(dht.write)
     marker(out, 0xC4, dht.toByteArray)
+    // DRI: restart interval in MCUs — for this single-component frame
+    // every scan is non-interleaved, so one MCU = one block
+    if (restartEvery > 0)
+      marker(out, 0xDD, Array[Byte]((restartEvery >> 8).toByte, (restartEvery & 0xFF).toByte))
     val dcCodes = huffAssign(JpegDcBits, JpegDcVals)
     val acCodes = huffAssign(JpegProgAcBits, JpegProgAcVals)
     def sos(ss: Int, se: Int, ah: Int, al: Int)(body: JpegBitWriter => Unit): Unit = {
@@ -2151,8 +2170,12 @@ object Multimodal {
     // SHIFTED domain (arithmetic >> 1)
     sos(0, 0, 0, 1) { bw =>
       var pred = 0
+      var rstM = 0
       var b = 0
       while (b < blocks.length) {
+        if (restartEvery > 0 && b > 0 && b % restartEvery == 0) {
+          bw.restart(rstM); rstM = (rstM + 1) & 7; pred = 0
+        }
         val t = blocks(b)(0) >> 1
         val diff = t - pred; pred = t
         val s = jpegCategory(diff)
@@ -2162,21 +2185,33 @@ object Multimodal {
       }
     }
     // scans 2-3: AC first, two spectral bands
-    sos(1, 5, 0, 1)(bw => progWriteAcFirst(bw, acCodes, blocks, 1, 5, 1))
-    sos(6, 63, 0, 1)(bw => progWriteAcFirst(bw, acCodes, blocks, 6, 63, 1))
+    sos(1, 5, 0, 1)(bw => progWriteAcFirst(bw, acCodes, blocks, 1, 5, 1, restartEvery))
+    sos(6, 63, 0, 1)(bw => progWriteAcFirst(bw, acCodes, blocks, 6, 63, 1, restartEvery))
     // scan 4: DC refinement — one raw bit per block, no Huffman
     sos(0, 0, 1, 0) { bw =>
+      var rstM = 0
       var b = 0
-      while (b < blocks.length) { bw.write(blocks(b)(0) & 1, 1); b += 1 }
+      while (b < blocks.length) {
+        if (restartEvery > 0 && b > 0 && b % restartEvery == 0) {
+          bw.restart(rstM); rstM = (rstM + 1) & 7
+        }
+        bw.write(blocks(b)(0) & 1, 1); b += 1
+      }
     }
     // scans 5-6: AC refinement
-    sos(1, 5, 1, 0)(bw => progWriteAcRefine(bw, acCodes, blocks, 1, 5, 0))
-    sos(6, 63, 1, 0)(bw => progWriteAcRefine(bw, acCodes, blocks, 6, 63, 0))
+    sos(1, 5, 1, 0)(bw => progWriteAcRefine(bw, acCodes, blocks, 1, 5, 0, restartEvery))
+    sos(6, 63, 1, 0)(bw => progWriteAcRefine(bw, acCodes, blocks, 6, 63, 0, restartEvery))
     out.write(0xFF); out.write(0xD9)
     out.toByteArray
   }
 
-  /** Encode the synthesized progressive corpus image for `docId`. */
+  /** Encode the synthesized progressive corpus image for `docId` — odd
+    * docs carry DRI 3, so every scan type (DC first/refine, AC
+    * first/refine) crosses byte-aligned RSTn boundaries with their
+    * prediction/EOB-run resets; even docs stay restart-free. The
+    * coefficients are unchanged either way, so the q175 oracle needs no
+    * restart awareness.
+    */
   private[pipeline] def jpegProgressiveEncode(docId: Long): Array[Byte] = {
     val w = jpegProgWidth(docId); val h = jpegProgHeight(docId)
     val bw = (w + 7) / 8; val bh = (h + 7) / 8
@@ -2194,7 +2229,8 @@ object Multimodal {
       }
       coefs
     }
-    jpegProgressiveEncodeImage(blocks, w, h)
+    jpegProgressiveEncodeImage(blocks, w, h,
+      restartEvery = if (docId % 2 == 1) 3 else 0)
   }
 
   /** Decode ONE progressive scan into the accumulating coefficient
@@ -2204,7 +2240,17 @@ object Multimodal {
     */
   private def progDecodeScan(br: JpegBitReader, blocks: Array[Array[Int]],
       ss: Int, se: Int, ah: Int, al: Int,
-      dcTab: JpegHuffTable, acTab: JpegHuffTable): Unit = {
+      dcTab: JpegHuffTable, acTab: JpegHuffTable,
+      restartInterval: Int = 0): Unit = {
+    // restart bookkeeping shared by every branch: at each interval
+    // boundary the stream byte-aligns, carries the next RSTn of the
+    // cycle, and resets ALL entropy state (DC prediction, EOB run)
+    var rstM = 0
+    def atRestart(b: Int): Boolean =
+      restartInterval > 0 && b > 0 && b % restartInterval == 0
+    def consumeRestart(): Unit = {
+      br.expectRestart(rstM); rstM = (rstM + 1) & 7
+    }
     if (ss == 0) {
       require(se == 0, "a DC progressive scan must have Se = 0")
       if (ah == 0) {
@@ -2212,6 +2258,7 @@ object Multimodal {
         var pred = 0
         var b = 0
         while (b < blocks.length) {
+          if (atRestart(b)) { consumeRestart(); pred = 0 }
           val s = dcTab.decode(br)
           pred += jpegExtend(br.receive(s), s)
           blocks(b)(0) = pred << al
@@ -2220,6 +2267,7 @@ object Multimodal {
       } else {
         var b = 0
         while (b < blocks.length) {
+          if (atRestart(b)) consumeRestart()
           if (br.readBit() == 1) blocks(b)(0) |= (1 << al)
           b += 1
         }
@@ -2232,6 +2280,7 @@ object Multimodal {
         var eobrun = 0
         var b = 0
         while (b < blocks.length) {
+          if (atRestart(b)) { consumeRestart(); eobrun = 0 }
           if (eobrun > 0) eobrun -= 1
           else {
             val coefs = blocks(b)
@@ -2262,6 +2311,7 @@ object Multimodal {
         var eobrun = 0
         var b = 0
         while (b < blocks.length) {
+          if (atRestart(b)) { consumeRestart(); eobrun = 0 }
           val coefs = blocks(b)
           def refine(nat: Int): Unit =
             if (br.readBit() == 1 && (coefs(nat) & p1) == 0)
@@ -2323,6 +2373,7 @@ object Multimodal {
     val huff = Array.fill(2, 4)(null: JpegHuffTable)
     var w = -1; var h = -1; var compQuantId = -1
     var blocks: Array[Array[Int]] = null
+    var restartInterval = 0
     var done = false
     while (!done) {
       require(u8(pos) == 0xFF, f"expected marker at $pos, got 0x${u8(pos)}%02X")
@@ -2346,8 +2397,12 @@ object Multimodal {
           val ah = u8(pos + 9) >> 4; val al = u8(pos + 9) & 0x0F
           require(ss <= 63 && se <= 63 && ss <= se, s"bad spectral band [$ss, $se]")
           val br = new JpegBitReader(bytes, pos + 2 + u16(pos + 2))
-          progDecodeScan(br, blocks, ss, se, ah, al, huff(0)(dcId), huff(1)(acId))
+          progDecodeScan(br, blocks, ss, se, ah, al,
+            huff(0)(dcId), huff(1)(acId), restartInterval)
           pos = br.pos
+        case 0xDD =>
+          restartInterval = u16(pos + 4)
+          pos += 2 + u16(pos + 2)
         case x if (x >= 0xE0 && x <= 0xEF) || x == 0xFE =>
           pos += 2 + u16(pos + 2)
         case 0xD9 => done = true
@@ -2531,6 +2586,12 @@ object Multimodal {
       dht.write(tcth); JpegProgAcBits.foreach(dht.write); JpegProgAcVals.foreach(dht.write)
     }
     marker(out, 0xC4, dht.toByteArray)
+    // DRI: odd docs restart every 2 MCUs — in the interleaved DC scans
+    // an MCU is the full component cluster; in the non-interleaved AC
+    // scans an MCU is one block of that component's reduced grid
+    val restartEvery = if (docId % 2 == 1) 2 else 0
+    if (restartEvery > 0)
+      marker(out, 0xDD, Array[Byte](0, restartEvery.toByte))
     val dcCodes = huffAssign(JpegDcBits, JpegDcVals)
     val acCodes = huffAssign(JpegProgAcBits, JpegProgAcVals)
     // scan 1: interleaved DC first (Al=1) — MCU walk, per-component
@@ -2538,10 +2599,17 @@ object Multimodal {
     marker(out, 0xDA, Array[Byte](3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01))
     val bw1 = new JpegBitWriter(out)
     val pred = new Array[Int](3)
+    var rstM1 = 0
+    var mcuIdx1 = 0
     var my = 0
     while (my < mcuRows) {
       var mx = 0
       while (mx < mcuCols) {
+        if (restartEvery > 0 && mcuIdx1 > 0 && mcuIdx1 % restartEvery == 0) {
+          bw1.restart(rstM1); rstM1 = (rstM1 + 1) & 7
+          java.util.Arrays.fill(pred, 0)
+        }
+        mcuIdx1 += 1
         var ci = 0
         while (ci < 3) {
           val (ch, cv) = if (ci == 0) (hy, vy) else (1, 1)
@@ -2573,16 +2641,23 @@ object Multimodal {
       val ta = if (ci == 0) 0x00 else 0x01
       marker(out, 0xDA, Array[Byte](1, (ci + 1).toByte, ta.toByte, 1, 63, 0x01))
       val bw = new JpegBitWriter(out)
-      progWriteAcFirst(bw, acCodes, reducedSeq(blocks(ci), pgw, rgw, rgh), 1, 63, 1)
+      progWriteAcFirst(bw, acCodes, reducedSeq(blocks(ci), pgw, rgw, rgh),
+        1, 63, 1, restartEvery)
       bw.finish()
     }
     // scan 5: interleaved DC refine — one raw bit per block, MCU order
     marker(out, 0xDA, Array[Byte](3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10))
     val bw5 = new JpegBitWriter(out)
+    var rstM5 = 0
+    var mcuIdx5 = 0
     my = 0
     while (my < mcuRows) {
       var mx = 0
       while (mx < mcuCols) {
+        if (restartEvery > 0 && mcuIdx5 > 0 && mcuIdx5 % restartEvery == 0) {
+          bw5.restart(rstM5); rstM5 = (rstM5 + 1) & 7
+        }
+        mcuIdx5 += 1
         var ci = 0
         while (ci < 3) {
           val (ch, cv) = if (ci == 0) (hy, vy) else (1, 1)
@@ -2609,7 +2684,8 @@ object Multimodal {
       val ta = if (ci == 0) 0x00 else 0x01
       marker(out, 0xDA, Array[Byte](1, (ci + 1).toByte, ta.toByte, 1, 63, 0x10))
       val bw = new JpegBitWriter(out)
-      progWriteAcRefine(bw, acCodes, reducedSeq(blocks(ci), pgw, rgw, rgh), 1, 63, 0)
+      progWriteAcRefine(bw, acCodes, reducedSeq(blocks(ci), pgw, rgw, rgh),
+        1, 63, 0, restartEvery)
       bw.finish()
     }
     out.write(0xFF); out.write(0xD9)
@@ -2637,11 +2713,15 @@ object Multimodal {
     var geo: Array[(Int, Int, Int, Int, Int, Int)] = null
     var blocks: Array[Array[Array[Int]]] = null
     var mcuCols = -1; var mcuRows = -1
+    var restartInterval = 0
     var done = false
     while (!done) {
       require(u8(pos) == 0xFF, f"expected marker at $pos")
       val m = u8(pos + 1)
       m match {
+        case 0xDD =>
+          restartInterval = u16(pos + 4)
+          pos += 2 + u16(pos + 2)
         case 0xDB => pos = jpegParseDqt(bytes, pos, quant)
         case 0xC4 => pos = jpegParseDht(bytes, pos, huff)
         case 0xC2 =>
@@ -2687,10 +2767,17 @@ object Multimodal {
             }
             val br = new JpegBitReader(bytes, hdrEnd)
             val pred = new Array[Int](3)
+            var rstM = 0
+            var mcuIdx = 0
             var my = 0
             while (my < mcuRows) {
               var mx = 0
               while (mx < mcuCols) {
+                if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+                  br.expectRestart(rstM); rstM = (rstM + 1) & 7
+                  java.util.Arrays.fill(pred, 0)
+                }
+                mcuIdx += 1
                 var ci = 0
                 while (ci < 3) {
                   val pgw = geo(ci)._1
@@ -2728,7 +2815,8 @@ object Multimodal {
             val (pgw, _, rgw, rgh, _, _) = geo(ci)
             val br = new JpegBitReader(bytes, hdrEnd)
             progDecodeScan(br, reducedSeq(blocks(ci), pgw, rgw, rgh),
-              ss, se, ah, al, huff(0)(tdta >> 4), huff(1)(tdta & 0x0F))
+              ss, se, ah, al, huff(0)(tdta >> 4), huff(1)(tdta & 0x0F),
+              restartInterval)
             pos = br.pos
           }
         case x if (x >= 0xE0 && x <= 0xEF) || x == 0xFE => pos += 2 + u16(pos + 2)

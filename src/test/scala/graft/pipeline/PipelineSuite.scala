@@ -1802,8 +1802,9 @@ class PipelineSuite extends AnyFunSuite {
         if (m == 0xD9) stop = true
         else {
           pos += 2 + (((bs(pos + 2) & 0xFF) << 8) | (bs(pos + 3) & 0xFF))
-          if (m == 0xDA) { // skip entropy data to the next marker
-            while (!((bs(pos) & 0xFF) == 0xFF && (bs(pos + 1) & 0xFF) != 0x00)) pos += 1
+          if (m == 0xDA) { // skip entropy data (incl. stuffing and RSTn)
+            while (!((bs(pos) & 0xFF) == 0xFF && (bs(pos + 1) & 0xFF) != 0x00 &&
+              ((bs(pos + 1) & 0xFF) < 0xD0 || (bs(pos + 1) & 0xFF) > 0xD7))) pos += 1
           }
         }
       }
@@ -1831,7 +1832,8 @@ class PipelineSuite extends AnyFunSuite {
     for ((sosAt, idx) <- ms.filter(_._1 == 0xDA).map(_._2).zipWithIndex) {
       val dataAt = sosAt + 2 + (((bytes(sosAt + 2) & 0xFF) << 8) | (bytes(sosAt + 3) & 0xFF))
       val nextMarker = (dataAt until bytes.length - 1).find(i =>
-        (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) != 0x00).get
+        (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) != 0x00 &&
+          ((bytes(i + 1) & 0xFF) < 0xD0 || (bytes(i + 1) & 0xFF) > 0xD7)).get
       require(nextMarker > dataAt, s"scan $idx has no entropy bytes")
       val at = dataAt + (nextMarker - dataAt) / 2
       val patched = bytes.clone()
@@ -1840,6 +1842,37 @@ class PipelineSuite extends AnyFunSuite {
       assert(r.isFailure || r.get.pixels.toSeq != clean.pixels.toSeq,
         s"corrupting scan $idx changed nothing — that scan is not load-bearing")
     }
+  }
+
+  test("progressive JPEG restarts: odd docs carry RSTn in every scan; the cycle is enforced") {
+    def rstPositions(bs: Array[Byte]): Seq[Int] =
+      (2 until bs.length - 1).filter(i => (bs(i) & 0xFF) == 0xFF &&
+        (bs(i + 1) & 0xFF) >= 0xD0 && (bs(i + 1) & 0xFF) <= 0xD7)
+    // even doc: restart-free; odd doc: DRI present, restarts in the stream
+    assert(rstPositions(Multimodal.jpegProgressiveEncode(2L)).isEmpty)
+    val odd = Multimodal.jpegProgressiveEncode(3L) // 16x24 -> 6 blocks, DRI 3
+    val rsts = rstPositions(odd)
+    assert(rsts.nonEmpty, "odd doc carries no restart markers")
+    // the coefficient-exact reconstruction test already proves odd docs
+    // decode exactly; here pin that the MARKERS are load-bearing — a
+    // wrong RST id in the cycle must fail loudly
+    val bad = odd.clone()
+    bad(rsts.head + 1) = (((bad(rsts.head + 1) & 0xFF) - 0xD0 + 3) % 8 + 0xD0).toByte
+    intercept[IllegalArgumentException](Multimodal.jpegProgressiveDecode(bad))
+    // splicing a restart out desyncs the byte-aligned stream
+    val spliced = odd.take(rsts.head) ++ odd.drop(rsts.head + 2)
+    val clean = Multimodal.jpegProgressiveDecode(odd)
+    val r = scala.util.Try(Multimodal.jpegProgressiveDecode(spliced))
+    assert(r.isFailure || r.get.pixels.toSeq != clean.pixels.toSeq)
+    // color: odd docs restart in the INTERLEAVED DC scans and each
+    // per-component AC scan (reconstruction test pins exactness)
+    assert(rstPositions(Multimodal.jpegProgressiveColorEncode(8L)).isEmpty)
+    val oddC = Multimodal.jpegProgressiveColorEncode(9L)
+    assert(rstPositions(oddC).nonEmpty, "odd color doc carries no restarts")
+    val badC = oddC.clone()
+    val at = rstPositions(oddC).head
+    badC(at + 1) = (((badC(at + 1) & 0xFF) - 0xD0 + 5) % 8 + 0xD0).toByte
+    intercept[IllegalArgumentException](Multimodal.jpegProgressiveColorDecode(badC))
   }
 
   test("progressive COLOR JPEG: eight scans reconstruct every plane pixel across all samplings") {
@@ -1903,8 +1936,9 @@ class PipelineSuite extends AnyFunSuite {
         if (m == 0xD9) stop = true
         else {
           pos += 2 + (((bs(pos + 2) & 0xFF) << 8) | (bs(pos + 3) & 0xFF))
-          if (m == 0xDA) {
-            while (!((bs(pos) & 0xFF) == 0xFF && (bs(pos + 1) & 0xFF) != 0x00)) pos += 1
+          if (m == 0xDA) { // skip entropy data (incl. stuffing and RSTn)
+            while (!((bs(pos) & 0xFF) == 0xFF && (bs(pos + 1) & 0xFF) != 0x00 &&
+              ((bs(pos + 1) & 0xFF) < 0xD0 || (bs(pos + 1) & 0xFF) > 0xD7))) pos += 1
           }
         }
       }
@@ -1921,7 +1955,8 @@ class PipelineSuite extends AnyFunSuite {
     for ((sosAt, idx) <- ms.filter(_._1 == 0xDA).map(_._2).zipWithIndex) {
       val dataAt = sosAt + 2 + (((bytes(sosAt + 2) & 0xFF) << 8) | (bytes(sosAt + 3) & 0xFF))
       val nextMarker = (dataAt until bytes.length - 1).find(i =>
-        (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) != 0x00).get
+        (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) != 0x00 &&
+          ((bytes(i + 1) & 0xFF) < 0xD0 || (bytes(i + 1) & 0xFF) > 0xD7)).get
       val at = dataAt + (nextMarker - dataAt) / 2
       val patched = bytes.clone()
       patched(at) = (patched(at) ^ 0x34).toByte

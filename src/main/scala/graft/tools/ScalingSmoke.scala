@@ -115,6 +115,8 @@ object ScalingSmoke {
       "q167_jpeg_decode" -> (graft.pipeline.Multimodal.jpegFeatures _),
       "q174_jpeg_color_decode" -> (graft.pipeline.Multimodal.jpegColorFeatures _),
       "q175_jpeg_progressive" -> (graft.pipeline.Multimodal.jpegProgressiveFeatures _),
+      "q179_jpeg_progressive_color" ->
+        (graft.pipeline.Multimodal.jpegProgressiveColorFeatures _),
       "q170_y4m_decode" -> (graft.pipeline.Multimodal.y4mFeatures _),
       // r15: the resample family — per-user grid generation + the native
       // as-of merge; user count scales 10x, per-user span is identical

@@ -259,6 +259,38 @@ object KernelProperties extends Properties("Kernels") {
         raw.blocks.map(_.toSeq).toSeq == blocks.map(_.toSeq).toSeq
     }
 
+  property("progressive JPEG six-scan codec round-trips ARBITRARY grids under ANY restart interval") =
+    forAll(
+      Gen.choose(1, 20), Gen.choose(1, 18), Gen.choose(0, 5),
+      Gen.choose(0L, 1000000L)) { (w, h, dri, seed) =>
+      // arbitrary grids through the full progressive pipeline: spectral
+      // band split, successive-approximation bit split, cross-block EOB
+      // runs, the G.7 refinement walk — AND, for dri > 0, byte-aligned
+      // RSTn boundaries in every scan type with their prediction/EOB
+      // resets (dri = 1 restarts at every single block). The multi-scan
+      // reassembly must be bit-exact for every input, not just the
+      // corpus formulas.
+      var s = seed
+      def next(mod: Int): Int = {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33) % mod).toInt
+      }
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      val blocks = Array.fill(bw * bh) {
+        val c = new Array[Int](64)
+        c(0) = next(15) - 7
+        for (k <- 1 until 64 if next(100) < 15) {
+          val v = next(13) - 6
+          if (v != 0) c(k) = v
+        }
+        c
+      }
+      val raw = Multimodal.jpegProgressiveDecodeRaw(
+        Multimodal.jpegProgressiveEncodeImage(blocks, w, h, restartEvery = dri))
+      raw.width == w && raw.height == h &&
+        raw.blocks.map(_.toSeq).toSeq == blocks.map(_.toSeq).toSeq
+    }
+
   property("bottom-k jaccard from SIGNATURES == from full sets, even when one side saturates") =
     forAll(Gen.choose(4, 32), Gen.choose(0L, 1000000L)) { (k, seed) =>
       // the adversarial skew case: |A| >> k (signature saturated at the

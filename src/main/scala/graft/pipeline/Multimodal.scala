@@ -1048,9 +1048,9 @@ object Multimodal {
     * builds codes from this spec, the decoder rebuilds them from the
     * DHT bytes it reads.
     */
-  private val JpegDcBits: Array[Int] = { val a = new Array[Int](16); a(2) = 5; a }
-  private val JpegDcVals: Array[Int] = Array(0, 1, 2, 3, 4)
-  private val JpegAcBits: Array[Int] = { val a = new Array[Int](16); a(5) = 63; a }
+  private[pipeline] val JpegDcBits: Array[Int] = { val a = new Array[Int](16); a(2) = 5; a }
+  private[pipeline] val JpegDcVals: Array[Int] = Array(0, 1, 2, 3, 4)
+  private[pipeline] val JpegAcBits: Array[Int] = { val a = new Array[Int](16); a(5) = 63; a }
   /** AC symbol order chooses the CODES: canonical assignment gives the
     * first HUFFVAL the all-zeros code, so thirteen never-emitted dummy
     * symbols ((run 0, size 4..16) — legal but outside this corpus's
@@ -1062,13 +1062,13 @@ object Multimodal {
     * essentially never stuff, leaving the decoder's unstuffing path
     * untested).
     */
-  private val JpegAcVals: Array[Int] =
+  private[pipeline] val JpegAcVals: Array[Int] =
     ((4 to 15).toArray :+ 0x14) ++ // 13 dummies: (run 0, size 4..15), (run 1, size 4)
       (for (r <- 15 to 0 by -1; s <- 1 to 3) yield (r << 4) | s) ++
       Array(0xF0, 0x00) // ZRL, then EOB on the highest assigned code
 
   /** symbol -> (code, length) canonical assignment (C.2 of the spec). */
-  private def huffAssign(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+  private[pipeline] def huffAssign(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
     var code = 0
     var vi = 0
     val m = Map.newBuilder[Int, (Int, Int)]
@@ -1088,7 +1088,7 @@ object Multimodal {
   /** MSB-first entropy bit writer with 0xFF00 byte stuffing and 1-fill
     * final padding (F.1.2.3).
     */
-  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+  private[pipeline] final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
     private var acc = 0
     private var n = 0
     def write(code: Int, width: Int): Unit = {
@@ -1115,9 +1115,9 @@ object Multimodal {
   }
 
   /** Size category of a DC diff / AC value (CSIZE): bits of |v|. */
-  private def jpegCategory(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+  private[pipeline] def jpegCategory(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
 
-  private def marker(out: java.io.ByteArrayOutputStream, m: Int, payload: Array[Byte]): Unit = {
+  private[pipeline] def marker(out: java.io.ByteArrayOutputStream, m: Int, payload: Array[Byte]): Unit = {
     out.write(0xFF); out.write(m)
     val len = payload.length + 2
     out.write(len >> 8); out.write(len & 0xFF)
@@ -1135,7 +1135,7 @@ object Multimodal {
     * Shared by the grayscale and interleaved-color encoders so the
     * trickiest logic exists once.
     */
-  private def jpegWriteBlock(
+  private[pipeline] def jpegWriteBlock(
       bw2: JpegBitWriter,
       dcCodes: Map[Int, (Int, Int)], acCodes: Map[Int, (Int, Int)],
       coefs: Array[Int], pred: Int): Int = {
@@ -1165,7 +1165,7 @@ object Multimodal {
   /** Entropy-decode ONE block into natural-order coefficients; returns
     * (coefficients, new DC predictor). Shared by both decoders.
     */
-  private def jpegReadBlock(
+  private[pipeline] def jpegReadBlock(
       br: JpegBitReader, dcTab: JpegHuffTable, acTab: JpegHuffTable,
       pred: Int): (Array[Int], Int) = {
     val coefs = new Array[Int](64)
@@ -1192,7 +1192,7 @@ object Multimodal {
     * one block → 64 clamped pixels row-major. Shared by both pixel
     * decoders.
     */
-  private def jpegIdctBlock(coefs: Array[Int], quantZigzag: Array[Int]): Array[Int] = {
+  private[pipeline] def jpegIdctBlock(coefs: Array[Int], quantZigzag: Array[Int]): Array[Int] = {
     val deq = new Array[Long](64)
     var k = 0
     while (k < 64) {
@@ -1294,7 +1294,7 @@ object Multimodal {
   /** Canonical Huffman decode table rebuilt from DHT's (BITS, HUFFVAL)
     * via the spec's MINCODE/MAXCODE/VALPTR procedure (F.2.2.3).
     */
-  private final class JpegHuffTable(bits: Array[Int], vals: Array[Int]) {
+  private[pipeline] final class JpegHuffTable(bits: Array[Int], vals: Array[Int]) {
     private val minCode = new Array[Int](17)
     private val maxCode = Array.fill(17)(-1)
     private val valPtr = new Array[Int](17)
@@ -1327,7 +1327,7 @@ object Multimodal {
   }
 
   /** MSB-first entropy bit reader with 0xFF00 unstuffing. */
-  private final class JpegBitReader(bytes: Array[Byte], var pos: Int) {
+  private[pipeline] final class JpegBitReader(bytes: Array[Byte], var pos: Int) {
     private var acc = 0
     private var n = 0
     def readBit(): Int = {
@@ -1364,7 +1364,7 @@ object Multimodal {
   }
 
   /** EXTEND of F.2.2.1: recover the signed value from its `s` raw bits. */
-  private def jpegExtend(v: Int, s: Int): Int =
+  private[pipeline] def jpegExtend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
   /** Parse ONE DQT marker segment (possibly several tables) at `pos`
@@ -1388,7 +1388,7 @@ object Multimodal {
   /** Parse ONE DHT marker segment (possibly several tables) at `pos`
     * into `huff(tc)(th)`; returns the position after the segment.
     */
-  private def jpegParseDht(bytes: Array[Byte], pos: Int, huff: Array[Array[JpegHuffTable]]): Int = {
+  private[pipeline] def jpegParseDht(bytes: Array[Byte], pos: Int, huff: Array[Array[JpegHuffTable]]): Int = {
     def u8(i: Int): Int = { require(i < bytes.length, "truncated JPEG"); bytes(i) & 0xFF }
     val len = (u8(pos + 2) << 8) | u8(pos + 3)
     var p = pos + 4

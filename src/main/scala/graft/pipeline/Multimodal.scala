@@ -10,18 +10,24 @@ import graft.rel.Queries.table
   * feature-extract / frame-sample stages.
   *
   * Two decode tiers:
-  *  - REAL pure-JVM parsers for four formats — RIFF/WAVE PCM16
-  *    ([[wavDecode]]), uncompressed 24-bit BMP ([[bmpDecode]]),
-  *    zlib-compressed 8-bit RGB PNG ([[pngDecode]]: Inflater + all five
-  *    scanline filters), and GIF87a ([[gifDecode]]: a hand-written
-  *    variable-width LZW codec) — that read every field from the bytes
-  *    (magic/CRC checks, little-endian sample decode, stride arithmetic,
-  *    bottom-up row unflip, filter-chain reconstruction, dictionary
-  *    rebuild), gated by oracles that regenerate expected features from
-  *    the synthesis formulas and by patched-byte sensitivity tests;
-  *  - a byte-histogram stand-in ([[extractFeatures]]) for formats whose
-  *    codecs don't exist in this container (JPEG/H.264/...), kept as the
-  *    documented generic-payload path.
+  *  - REAL pure-JVM parsers — RIFF/WAVE PCM16 ([[wavDecode]]),
+  *    uncompressed 24-bit BMP ([[bmpDecode]]), zlib-compressed 8-bit RGB
+  *    PNG ([[pngDecode]]: Inflater + all five scanline filters), GIF87a
+  *    ([[gifDecode]]: a hand-written variable-width LZW codec), five
+  *    JPEG tiers (baseline + progressive, grayscale + color), the
+  *    YUV4MPEG2 video container ([[y4mDecode]]), and the entropy-coded
+  *    motion-compensated video codec ([[Video.gvcDecode]]) — that read
+  *    every field from the bytes (magic/CRC checks, little-endian sample
+  *    decode, stride arithmetic, bottom-up row unflip, filter-chain
+  *    reconstruction, dictionary rebuild, canonical Huffman rebuild,
+  *    motion compensation), gated by oracles that regenerate expected
+  *    features from the synthesis formulas and by patched-byte
+  *    sensitivity tests;
+  *  - a byte-histogram fallback ([[extractFeatures]]) kept as the
+  *    documented generic-payload path for FOREIGN formats this library
+  *    does not decode (H.264/AV1/... streams pass through as opaque
+  *    bytes); every modality — audio, image, video — has a real decode
+  *    path above it.
   * Either way the Spark shape is the production one: binary column +
   * metadata struct schema, `mapPartitions` batch processing with one
   * reusable buffer per partition (the Scala analog of `mapInPandas`

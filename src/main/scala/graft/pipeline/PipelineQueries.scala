@@ -185,8 +185,142 @@ object PipelineQueries {
     "q175_jpeg_progressive" -> (Multimodal.jpegProgressiveFeatures _),
     "q176_stream_resample" -> (Events.streamResampleFfillFinal _),
     "q177_snapshot_time_travel" -> (Events.snapshotTimeTravel _),
-    "q179_jpeg_progressive_color" -> (Multimodal.jpegProgressiveColorFeatures _)
+    "q179_jpeg_progressive_color" -> (Multimodal.jpegProgressiveColorFeatures _),
+    "q180_video_codec" -> (Video.gvcFeatures _)
   )
+
+  /** q180 oracle: the ENTIRE GVC codec replayed in SQL — an UNROLLED
+    * four-frame reconstruction chain. Frame 0 is the q174-style
+    * intra-IDCT replay; each P-frame CTE joins the previous frame's
+    * pixels at the motion-shifted coordinates (mode/MV formulas inline,
+    * chroma vectors halved), adds the clamped residual IDCT, and clips —
+    * so dequant, the 64-literal integer IDCT, motion compensation,
+    * skip-copy, residual add, and the frame recursion must ALL agree
+    * with the Spark side's real bitstream decode. Macroblock statistics
+    * (mode counts, Σ|MV|) replay the control-layer formulas separately.
+    * Coefficient support is 4×4 per block by synthesis, so the IDCT
+    * window is range(0, 4).
+    */
+  private lazy val GvcOracle: String = {
+    def term(f: Int) =
+      s"""t$f AS (
+         |  SELECT p.doc_id, p.comp, p.x, p.y, p.w, p.h, p.pw, p.ph,
+         |    p.mbw, p.mbh, p.mx, p.my,
+         |    sum((CASE WHEN c.u = 0 AND c.v = 0
+         |          THEN (p.doc_id*11 + $f*19 + p.comp*23 + p.b*5) % 15 - 7
+         |          WHEN (p.doc_id*29 + $f*13 + p.comp*37 + p.b*23 + c.u*11 + c.v*7) % 89 < 11
+         |          THEN (p.doc_id*13 + $f*17 + p.comp*7 + p.b*19 + c.u*19 + c.v*5) % 13 - 6
+         |          ELSE 0 END)
+         |      * (1 + (c.u*3 + c.v*5) % 8) * (1 + (p.doc_id + $f) % 2)
+         |      * ku.kk * kv.kk) AS ti,
+         |    sum((CASE WHEN (p.doc_id*17 + $f*23 + p.comp*13 + p.b*29 + c.u*7 + c.v*19) % 97 < 13
+         |          THEN (p.doc_id*7 + $f*29 + p.comp*11 + p.b*13 + c.u*5 + c.v*17) % 15 - 7
+         |          ELSE 0 END)
+         |      * (1 + (c.u*3 + c.v*5) % 8) * (1 + (p.doc_id + $f) % 2)
+         |      * ku.kk * kv.kk) AS tr
+         |  FROM pb p CROSS JOIN uvv c
+         |  JOIN kt ku ON ku.i = c.u AND ku.j = p.lx
+         |  JOIN kt kv ON kv.i = c.v AND kv.j = p.ly
+         |  GROUP BY p.doc_id, p.comp, p.x, p.y, p.w, p.h, p.pw, p.ph,
+         |    p.mbw, p.mbh, p.mx, p.my),""".stripMargin
+    def pframe(f: Int) =
+      s"""m$f AS (
+         |  SELECT *, (doc_id*7 + $f*11 + mx*13 + my*17) % 8 AS r,
+         |    least(255, greatest(0,
+         |      CAST(floor((ti + 8388608) / 16777216.0) AS BIGINT) + 128)) AS iv,
+         |    least(255, greatest(-256,
+         |      CAST(floor((tr + 8388608) / 16777216.0) AS BIGINT))) AS rv
+         |  FROM t$f),
+         |mm$f AS (
+         |  SELECT *,
+         |    CASE WHEN r < 2 AND mx < mbw - 1 THEN 0 WHEN r = 2 THEN 2 ELSE 1 END AS md
+         |  FROM m$f),
+         |mv$f AS (
+         |  SELECT *,
+         |    CASE WHEN md = 1 THEN greatest(-16*mx, least(16*(mbw-1-mx),
+         |      2*((doc_id*3 + $f*5 + (my*mbw+mx)*7) % 7 - 3))) ELSE 0 END AS vx,
+         |    CASE WHEN md = 1 THEN greatest(-16*my, least(16*(mbh-1-my),
+         |      2*((doc_id*5 + $f*7 + (my*mbw+mx)*11) % 7 - 3))) ELSE 0 END AS vy
+         |  FROM mm$f),
+         |pix$f AS (
+         |  SELECT m.doc_id, m.comp, m.x, m.y, m.w, m.h, m.pw, m.ph,
+         |    CASE WHEN m.md = 2 THEN m.iv
+         |         ELSE least(255, greatest(0,
+         |           r.v + CASE WHEN m.md = 1 THEN m.rv ELSE 0 END)) END AS v
+         |  FROM mv$f m JOIN pix${f - 1} r
+         |    ON r.doc_id = m.doc_id AND r.comp = m.comp
+         |   AND r.x = m.x + (CASE WHEN m.comp = 0 THEN m.vx ELSE m.vx // 2 END)
+         |   AND r.y = m.y + (CASE WHEN m.comp = 0 THEN m.vy ELSE m.vy // 2 END)),""".stripMargin
+    s"""WITH d AS (SELECT doc_id, 16*(1 + doc_id % 3) AS w, 16*(1 + doc_id % 2) AS h
+       |           FROM documents),
+       |planes AS (
+       |  SELECT doc_id, w, h, 0 AS comp, w AS pw, h AS ph FROM d
+       |  UNION ALL SELECT doc_id, w, h, 1, w//2, h//2 FROM d
+       |  UNION ALL SELECT doc_id, w, h, 2, w//2, h//2 FROM d),
+       |xs AS (SELECT doc_id, w, h, comp, pw, ph, unnest(range(0, pw)) AS x FROM planes),
+       |px AS (SELECT doc_id, w, h, comp, pw, ph, x, unnest(range(0, ph)) AS y FROM xs),
+       |pb AS (SELECT doc_id, w, h, comp, pw, ph, x, y, w//16 AS mbw, h//16 AS mbh,
+       |        CASE WHEN comp = 0 THEN (y//8)*(w//8) + (x//8)
+       |             ELSE (y//8)*(w//16) + (x//8) END AS b,
+       |        CASE WHEN comp = 0 THEN x//16 ELSE x//8 END AS mx,
+       |        CASE WHEN comp = 0 THEN y//16 ELSE y//8 END AS my,
+       |        x % 8 AS lx, y % 8 AS ly FROM px),
+       |uv AS (SELECT unnest(range(0, 4)) AS u),
+       |uvv AS (SELECT u, unnest(range(0, 4)) AS v FROM uv),
+       |kt AS (SELECT * FROM (VALUES ${Multimodal.jpegIdctKSqlValues}) t(i, j, kk)),
+       |${(0 to 3).map(term).mkString("\n")}
+       |pix0 AS (
+       |  SELECT doc_id, comp, x, y, w, h, pw, ph,
+       |    least(255, greatest(0,
+       |      CAST(floor((ti + 8388608) / 16777216.0) AS BIGINT) + 128)) AS v
+       |  FROM t0),
+       |${(1 to 3).map(pframe).mkString("\n")}
+       |mb0 AS (SELECT doc_id, w//16 AS mbw, h//16 AS mbh FROM d),
+       |mbx AS (SELECT doc_id, mbw, mbh, unnest(range(0, mbw)) AS mx FROM mb0),
+       |mbxy AS (SELECT doc_id, mbw, mbh, mx, unnest(range(0, mbh)) AS my FROM mbx),
+       |mbfr AS (SELECT doc_id, mbw, mbh, mx, my, unnest(range(1, 4)) AS f FROM mbxy),
+       |mbm AS (SELECT *,
+       |         CASE WHEN (doc_id*7 + f*11 + mx*13 + my*17) % 8 < 2 AND mx < mbw - 1 THEN 0
+       |              WHEN (doc_id*7 + f*11 + mx*13 + my*17) % 8 = 2 THEN 2
+       |              ELSE 1 END AS md
+       |        FROM mbfr),
+       |mbv AS (SELECT *,
+       |        CASE WHEN md = 1 THEN greatest(-16*mx, least(16*(mbw-1-mx),
+       |          2*((doc_id*3 + f*5 + (my*mbw+mx)*7) % 7 - 3))) ELSE 0 END AS vx,
+       |        CASE WHEN md = 1 THEN greatest(-16*my, least(16*(mbh-1-my),
+       |          2*((doc_id*5 + f*7 + (my*mbw+mx)*11) % 7 - 3))) ELSE 0 END AS vy
+       |        FROM mbm),
+       |cnt AS (SELECT doc_id,
+       |          max(mbw*mbh) + sum(CASE WHEN md = 2 THEN 1 ELSE 0 END) AS n_intra,
+       |          sum(CASE WHEN md = 1 THEN 1 ELSE 0 END) AS n_inter,
+       |          sum(CASE WHEN md = 0 THEN 1 ELSE 0 END) AS n_skip,
+       |          sum(CASE WHEN md = 1 THEN abs(vx) + abs(vy) ELSE 0 END) AS s_mv
+       |        FROM mbv GROUP BY doc_id),
+       |ap AS (
+       |  SELECT 0 AS f, doc_id, comp, x, y, w, h, pw, ph, v FROM pix0
+       |  UNION ALL SELECT 1, doc_id, comp, x, y, w, h, pw, ph, v FROM pix1
+       |  UNION ALL SELECT 2, doc_id, comp, x, y, w, h, pw, ph, v FROM pix2
+       |  UNION ALL SELECT 3, doc_id, comp, x, y, w, h, pw, ph, v FROM pix3),
+       |sums AS (
+       |  SELECT doc_id, max(w) AS w, max(h) AS h,
+       |    sum(CASE WHEN comp = 0 THEN v ELSE 0 END) AS ysum,
+       |    sum(CASE WHEN comp = 1 THEN v ELSE 0 END) AS cbsum,
+       |    sum(CASE WHEN comp = 0 AND f = 3 AND y = ph - 1 THEN v ELSE 0 END) AS bot
+       |  FROM ap GROUP BY doc_id),
+       |mot AS (
+       |  SELECT a.doc_id, sum(abs(a.v - b.v)) AS motion
+       |  FROM ap a JOIN ap b ON b.doc_id = a.doc_id AND a.comp = 0 AND b.comp = 0
+       |    AND b.f = a.f - 1 AND b.x = a.x AND b.y = a.y
+       |  WHERE a.f > 0 GROUP BY a.doc_id)
+       |SELECT s.doc_id, s.w::INT AS width, s.h::INT AS height, 4::INT AS n_frames,
+       |  c.n_intra::INT AS n_intra_mb, c.n_inter::INT AS n_inter_mb,
+       |  c.n_skip::INT AS n_skip_mb, c.s_mv::BIGINT AS sum_abs_mv,
+       |  round(s.ysum::DOUBLE / (s.w * s.h * 4), 4) AS mean_y,
+       |  round(s.cbsum::DOUBLE / ((s.w//2) * (s.h//2) * 4), 4) AS mean_cb,
+       |  m.motion::BIGINT AS motion, s.bot::BIGINT AS last_bot_luma
+       |FROM sums s JOIN cnt c ON c.doc_id = s.doc_id JOIN mot m ON m.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
   private val ShingleCte =
@@ -2133,6 +2267,12 @@ object PipelineQueries {
          |        AND c.source <> '${Dedup.BenchSource}')
          |SELECT vec_id, bench_id, round(cos, 4) AS max_bench_cos,
          |  cos >= ${Similarity.SemDecontCosine} AS is_contaminated
-         |FROM sc WHERE r = 1 ORDER BY vec_id""".stripMargin
+         |FROM sc WHERE r = 1 ORDER BY vec_id""".stripMargin,
+
+    // q180: motion-video decode — the full codec replay (see GvcOracle's
+    // Scaladoc). Any slip in the entropy layer, MV/DC prediction, CBP,
+    // motion compensation, residual clamp, or the frame recursion shifts
+    // pixels or counts and goes red.
+    "q180_video_codec" -> GvcOracle
   )
 }

@@ -291,6 +291,78 @@ object KernelProperties extends Properties("Kernels") {
         raw.blocks.map(_.toSeq).toSeq == blocks.map(_.toSeq).toSeq
     }
 
+  property("GVC codec round-trips ARBITRARY mode/MV/coefficient grids under ANY restart interval") =
+    forAll(
+      Gen.choose(1, 4), Gen.choose(1, 3), Gen.choose(1, 4), Gen.choose(0, 3),
+      Gen.choose(0L, 1000000L)) { (gw, gh, nf, dri, seed) =>
+      // arbitrary macroblock grids through the full codec: skip runs
+      // (with the segment-end coded rule enforced per the dri in play),
+      // intra/inter mixes, ODD motion vectors (chroma truncation), MV
+      // and DC prediction chains, CBP economy incl. all-zero inter
+      // blocks, full 8x8 coefficient support, and byte-aligned restarts
+      // resetting every predictor. The symbol-domain reassembly must be
+      // bit-exact for every input, not just the corpus formulas.
+      var s = seed
+      def next(mod: Int): Int = {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33) % mod).toInt
+      }
+      val w = 16 * gw; val h = 16 * gh
+      val mbw = gw; val mbh = gh; val bw0 = w / 8
+      def randBlock(sparsePct: Int): Array[Int] = {
+        val c = new Array[Int](64)
+        for (k <- 0 until 64 if next(100) < sparsePct) {
+          val v = next(15) - 7
+          if (v != 0) c(k) = v
+        }
+        c
+      }
+      def lastOfSegment(mx: Int, my: Int): Boolean = {
+        val segEndRow = if (dri == 0) mbh - 1
+          else math.min(((my / dri) + 1) * dri, mbh) - 1
+        my == segEndRow && mx == mbw - 1
+      }
+      val frames = (0 until nf).map { f =>
+        val modes = new Array[Int](mbw * mbh)
+        val mvs = Array.fill(mbw * mbh)((0, 0))
+        val coefs = Array(
+          Array.fill(bw0 * (h / 8))(new Array[Int](64)),
+          Array.fill(mbw * mbh)(new Array[Int](64)),
+          Array.fill(mbw * mbh)(new Array[Int](64)))
+        for (my <- 0 until mbh; mx <- 0 until mbw) {
+          val mbi = my * mbw + mx
+          val roll = next(10)
+          val mode =
+            if (f == 0) Video.ModeIntra
+            else if (roll < 3 && !lastOfSegment(mx, my)) Video.ModeSkip
+            else if (roll < 5) Video.ModeIntra
+            else Video.ModeInter
+          modes(mbi) = mode
+          if (mode == Video.ModeInter)
+            mvs(mbi) = (
+              math.max(-16 * mx, math.min(16 * (mbw - 1 - mx), next(15) - 7)),
+              math.max(-16 * my, math.min(16 * (mbh - 1 - my), next(15) - 7)))
+          if (mode != Video.ModeSkip) {
+            val sparse = if (next(4) == 0) 0 else 20 // some all-zero (CBP=0)
+            for (bi <- 0 until 4)
+              coefs(0)((my * 2 + bi / 2) * bw0 + (mx * 2 + bi % 2)) = randBlock(sparse)
+            coefs(1)(mbi) = randBlock(sparse)
+            coefs(2)(mbi) = randBlock(sparse)
+          }
+        }
+        Video.GvcFrameData(if (f == 0) 0 else 1, 1 + next(3), modes, mvs, coefs)
+      }
+      val raw = Video.gvcDecodeRaw(Video.gvcEncodeStream(w, h, frames, dri))
+      raw.width == w && raw.height == h && raw.frames.length == nf &&
+        (0 until nf).forall { f =>
+          raw.frames(f).qScale == frames(f).qScale &&
+          raw.frames(f).modes.toSeq == frames(f).modes.toSeq &&
+          raw.frames(f).mvs.toSeq == frames(f).mvs.toSeq &&
+          (0 to 2).forall(c =>
+            raw.frames(f).coefs(c).map(_.toSeq).toSeq == frames(f).coefs(c).map(_.toSeq).toSeq)
+        }
+    }
+
   property("bottom-k jaccard from SIGNATURES == from full sets, even when one side saturates") =
     forAll(Gen.choose(4, 32), Gen.choose(0L, 1000000L)) { (k, seed) =>
       // the adversarial skew case: |A| >> k (signature saturated at the

@@ -13,7 +13,7 @@ import graft.rel.Queries.table
   *  - REAL pure-JVM parsers — RIFF/WAVE PCM16 ([[wavDecode]]),
   *    uncompressed 24-bit BMP ([[bmpDecode]]), zlib-compressed 8-bit RGB
   *    PNG ([[pngDecode]]: Inflater + all five scanline filters), GIF87a
-  *    ([[gifDecode]]: a hand-written variable-width LZW codec), five
+  *    ([[gifDecode]]: a hand-written variable-width LZW codec), four
   *    JPEG tiers (baseline + progressive, grayscale + color), the
   *    YUV4MPEG2 video container ([[y4mDecode]]), and the entropy-coded
   *    motion-compensated video codec ([[Video.gvcDecode]]) — that read
@@ -2286,7 +2286,13 @@ object Multimodal {
         var eobrun = 0
         var b = 0
         while (b < blocks.length) {
-          if (atRestart(b)) { consumeRestart(); eobrun = 0 }
+          if (atRestart(b)) {
+            // G.1.2.x: an EOB run may not span a restart boundary — the
+            // encoder flushes it, so a nonzero count here is a corrupt
+            // stream and must fail loudly, not silently drop the tail
+            require(eobrun == 0, "EOB run crosses a restart boundary")
+            consumeRestart()
+          }
           if (eobrun > 0) eobrun -= 1
           else {
             val coefs = blocks(b)
@@ -2317,7 +2323,10 @@ object Multimodal {
         var eobrun = 0
         var b = 0
         while (b < blocks.length) {
-          if (atRestart(b)) { consumeRestart(); eobrun = 0 }
+          if (atRestart(b)) {
+            require(eobrun == 0, "EOB run crosses a restart boundary")
+            consumeRestart()
+          }
           val coefs = blocks(b)
           def refine(nat: Int): Unit =
             if (br.readBit() == 1 && (coefs(nat) & p1) == 0)

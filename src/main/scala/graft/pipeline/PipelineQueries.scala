@@ -223,6 +223,19 @@ object PipelineQueries {
          |  JOIN kt kv ON kv.i = c.v AND kv.j = p.ly
          |  GROUP BY p.doc_id, p.comp, p.x, p.y, p.w, p.h, p.pw, p.ph,
          |    p.mbw, p.mbh, p.mx, p.my),""".stripMargin
+    // frame-unit MV (full-pel frames: even values, 16-scale clamp;
+    // half-pel frames: any parity, 32-scale clamp)
+    def vExpr(fRef: String, axis: String) = {
+      val (c1, c2, c3, m1, m2) =
+        if (axis == "x") (3, 5, 7, "mx", "mbw") else (5, 7, 11, "my", "mbh")
+      s"""CASE WHEN md = 1 THEN
+         |      CASE WHEN (doc_id + $fRef) % 2 = 0
+         |        THEN greatest(-16*$m1, least(16*($m2-1-$m1),
+         |          2*((doc_id*$c1 + $fRef*$c2 + (my*mbw+mx)*$c3) % 7 - 3)))
+         |        ELSE greatest(-32*$m1, least(32*($m2-1-$m1),
+         |          (doc_id*$c1 + $fRef*$c2 + (my*mbw+mx)*$c3) % 13 - 6))
+         |      END ELSE 0 END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
+    }
     def pframe(f: Int) =
       s"""m$f AS (
          |  SELECT *, (doc_id*7 + $f*11 + mx*13 + my*17) % 8 AS r,
@@ -236,21 +249,51 @@ object PipelineQueries {
          |    CASE WHEN r < 2 AND mx < mbw - 1 THEN 0 WHEN r = 2 THEN 2 ELSE 1 END AS md
          |  FROM m$f),
          |mv$f AS (
-         |  SELECT *,
-         |    CASE WHEN md = 1 THEN greatest(-16*mx, least(16*(mbw-1-mx),
-         |      2*((doc_id*3 + $f*5 + (my*mbw+mx)*7) % 7 - 3))) ELSE 0 END AS vx,
-         |    CASE WHEN md = 1 THEN greatest(-16*my, least(16*(mbh-1-my),
-         |      2*((doc_id*5 + $f*7 + (my*mbw+mx)*11) % 7 - 3))) ELSE 0 END AS vy
+         |  SELECT *, ${vExpr(f.toString, "x")} AS vx, ${vExpr(f.toString, "y")} AS vy
          |  FROM mm$f),
+         |ev$f AS (
+         |  -- HALF-PEL units: full-pel frames double their vectors; the
+         |  -- chroma vector is the luma one halved with truncation toward
+         |  -- zero in the frame's own units, then scaled to half-pel.
+         |  -- Projection slims to exactly what the join chain needs — the
+         |  -- wide SELECT-* layers spilled DuckDB's temp at sf0.1.
+         |  SELECT doc_id, comp, x, y, w, h, pw, ph, md, iv, rv,
+         |    CASE WHEN comp = 0
+         |      THEN CASE WHEN (doc_id + $f) % 2 = 0 THEN 2*vx ELSE vx END
+         |      ELSE (CASE WHEN (doc_id + $f) % 2 = 0 THEN 2 ELSE 1 END)
+         |        * (CASE WHEN vx >= 0 THEN vx // 2 ELSE -((-vx) // 2) END) END AS exv,
+         |    CASE WHEN comp = 0
+         |      THEN CASE WHEN (doc_id + $f) % 2 = 0 THEN 2*vy ELSE vy END
+         |      ELSE (CASE WHEN (doc_id + $f) % 2 = 0 THEN 2 ELSE 1 END)
+         |        * (CASE WHEN vy >= 0 THEN vy // 2 ELSE -((-vy) // 2) END) END AS eyv
+         |  FROM mv$f),
+         |e$f AS (
+         |  SELECT doc_id, comp, x, y, w, h, pw, ph, md, iv, rv,
+         |    (2*x + exv) // 2 AS ix, (2*x + exv) % 2 AS fx,
+         |    (2*y + eyv) // 2 AS iy, (2*y + eyv) % 2 AS fy
+         |  FROM ev$f),
+         |tap$f AS (
+         |  -- each pixel fans out to its 1/2/4 interpolation taps: ONE
+         |  -- equi-join + GROUP BY instead of four wide hash joins
+         |  SELECT e.doc_id, e.comp, e.x, e.y, e.w, e.h, e.pw, e.ph,
+         |    e.md, e.iv, e.rv, e.fx, e.fy,
+         |    e.ix + o.dx AS tx, e.iy + o.dy AS ty
+         |  FROM e$f e JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) o(dx, dy)
+         |    ON o.dx <= e.fx AND o.dy <= e.fy),
          |pix$f AS (
-         |  SELECT m.doc_id, m.comp, m.x, m.y, m.w, m.h, m.pw, m.ph,
-         |    CASE WHEN m.md = 2 THEN m.iv
+         |  -- MC prediction: average the straddled neighbors, half
+         |  -- rounded away from zero ((sum + n/2) // n on non-negative
+         |  -- pixels), then residual add + clip
+         |  SELECT t.doc_id, t.comp, t.x, t.y, t.w, t.h, t.pw, t.ph,
+         |    CASE WHEN t.md = 2 THEN t.iv
          |         ELSE least(255, greatest(0,
-         |           r.v + CASE WHEN m.md = 1 THEN m.rv ELSE 0 END)) END AS v
-         |  FROM mv$f m JOIN pix${f - 1} r
-         |    ON r.doc_id = m.doc_id AND r.comp = m.comp
-         |   AND r.x = m.x + (CASE WHEN m.comp = 0 THEN m.vx ELSE m.vx // 2 END)
-         |   AND r.y = m.y + (CASE WHEN m.comp = 0 THEN m.vy ELSE m.vy // 2 END)),""".stripMargin
+         |           (sum(r.v) + ((1+t.fx)*(1+t.fy))//2) // ((1+t.fx)*(1+t.fy))
+         |           + CASE WHEN t.md = 1 THEN t.rv ELSE 0 END)) END AS v
+         |  FROM tap$f t JOIN pix${f - 1} r
+         |    ON r.doc_id = t.doc_id AND r.comp = t.comp
+         |   AND r.x = t.tx AND r.y = t.ty
+         |  GROUP BY t.doc_id, t.comp, t.x, t.y, t.w, t.h, t.pw, t.ph,
+         |    t.md, t.iv, t.rv, t.fx, t.fy),""".stripMargin
     s"""WITH d AS (SELECT doc_id, 16*(1 + doc_id % 3) AS w, 16*(1 + doc_id % 2) AS h
        |           FROM documents),
        |planes AS (
@@ -285,16 +328,17 @@ object PipelineQueries {
        |              ELSE 1 END AS md
        |        FROM mbfr),
        |mbv AS (SELECT *,
-       |        CASE WHEN md = 1 THEN greatest(-16*mx, least(16*(mbw-1-mx),
-       |          2*((doc_id*3 + f*5 + (my*mbw+mx)*7) % 7 - 3))) ELSE 0 END AS vx,
-       |        CASE WHEN md = 1 THEN greatest(-16*my, least(16*(mbh-1-my),
-       |          2*((doc_id*5 + f*7 + (my*mbw+mx)*11) % 7 - 3))) ELSE 0 END AS vy
+       |        ${vExpr("f", "x")} AS vx,
+       |        ${vExpr("f", "y")} AS vy
        |        FROM mbm),
        |cnt AS (SELECT doc_id,
        |          max(mbw*mbh) + sum(CASE WHEN md = 2 THEN 1 ELSE 0 END) AS n_intra,
        |          sum(CASE WHEN md = 1 THEN 1 ELSE 0 END) AS n_inter,
        |          sum(CASE WHEN md = 0 THEN 1 ELSE 0 END) AS n_skip,
-       |          sum(CASE WHEN md = 1 THEN abs(vx) + abs(vy) ELSE 0 END) AS s_mv
+       |          -- Σ|MV| in HALF-PEL units (full-pel frames doubled)
+       |          sum(CASE WHEN md = 1 THEN
+       |                (CASE WHEN (doc_id + f) % 2 = 0 THEN 2 ELSE 1 END)
+       |                * (abs(vx) + abs(vy)) ELSE 0 END) AS s_mv
        |        FROM mbv GROUP BY doc_id),
        |ap AS (
        |  SELECT 0 AS f, doc_id, comp, x, y, w, h, pw, ph, v FROM pix0

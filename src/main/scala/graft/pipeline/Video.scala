@@ -18,10 +18,12 @@ import graft.rel.Queries.table
   *  - I-frames: all-intra, DCT blocks with per-component DC prediction,
   *  - P-frames: per-macroblock SKIP runs (copy co-located), INTRA
   *    refresh blocks, and INTER blocks carrying a differentially-coded
-  *    full-pel forward motion vector (the spec's
-  *    `full_pel_forward_vector = 1` mode), a coded-block pattern, and
-  *    entropy-coded DCT residuals added onto the motion-compensated
-  *    prediction,
+  *    forward motion vector in EITHER of MPEG-1's two precisions — a
+  *    per-frame flag selects full-pel (`full_pel_forward_vector = 1`)
+  *    or HALF-PEL units (`= 0`, the spec's default), the latter
+  *    predicting through 2-/4-neighbor averaging with half rounded away
+  *    from zero — plus a coded-block pattern and entropy-coded DCT
+  *    residuals added onto the motion-compensated prediction,
   *  - slice-style resync: byte-aligned restart markers every
   *    `restartRows` macroblock rows, resetting DC predictors, the MV
   *    predictor, and the skip state — the parallel-decode entry points
@@ -36,7 +38,7 @@ import graft.rel.Queries.table
   * The ONE deliberate divergence from MPEG-1, chosen for verifiability:
   * the entropy layer uses IN-STREAM canonical Huffman tables (JPEG
   * DHT-style segments, decoded by the same canonical-rebuild machinery
-  * the five JPEG tiers already prove) instead of MPEG-1's fixed B-series
+  * the four JPEG tiers already prove) instead of MPEG-1's fixed B-series
   * VLC tables. Transcribing those ~250 fixed entries from memory with no
   * conformance streams in this container would risk a silent shared typo
   * between encoder and decoder that NO gate could catch; in-stream
@@ -101,6 +103,10 @@ object Video {
   val GvcRestartRows = 1
   /** Per-frame quantizer scale (sequence quant table × this). */
   def gvcQScale(docId: Long, f: Int): Int = (1 + (docId + f) % 2).toInt
+  /** Per-frame motion precision: alternates so every doc carries both
+    * MPEG-1 MV modes (full-pel and half-pel P-frames).
+    */
+  def gvcFullPel(docId: Long, f: Int): Boolean = (docId + f) % 2 == 0
   /** Base quant table at NATURAL position (u, v) — same family as the
     * JPEG corpora so the oracle's multiplier stays one expression.
     */
@@ -117,20 +123,31 @@ object Video {
     else ModeInter
   }
 
-  /** Raw (unclamped) even full-pel MV components for an INTER MB. */
-  private def gvcMvRaw(docId: Long, f: Int, mbi: Int): (Int, Int) = (
-    (2 * ((docId * 3 + f * 5 + mbi * 7) % 7 - 3)).toInt,
-    (2 * ((docId * 5 + f * 7 + mbi * 11) % 7 - 3)).toInt)
+  /** Raw (unclamped) MV components for an INTER MB, in the frame's
+    * vector units: even full-pel values for full-pel frames, any-parity
+    * half-pel values for half-pel frames (odd values exercise the
+    * interpolation).
+    */
+  private def gvcMvRaw(docId: Long, f: Int, mbi: Int): (Int, Int) =
+    if (gvcFullPel(docId, f))
+      ((2 * ((docId * 3 + f * 5 + mbi * 7) % 7 - 3)).toInt,
+        (2 * ((docId * 5 + f * 7 + mbi * 11) % 7 - 3)).toInt)
+    else
+      (((docId * 3 + f * 5 + mbi * 7) % 13 - 6).toInt,
+        ((docId * 5 + f * 7 + mbi * 11) % 13 - 6).toInt)
 
-  /** In-picture clamp: the 16×16 block shifted by the MV must stay
-    * inside the frame (MPEG-1 vectors never reference out-of-picture
-    * pels), so component x is clamped to [-16·mx, 16·(mbw-1-mx)].
+  /** In-picture clamp: the 16×16 block shifted by the MV (including the
+    * +1 interpolation neighbor for half-pel) must stay inside the frame
+    * (MPEG-1 vectors never reference out-of-picture pels). In half-pel
+    * units the legal range is [-32·mx, 32·(mbw-1-mx)]; full-pel frames
+    * use the same bound halved.
     */
   def gvcMv(docId: Long, f: Int, mx: Int, my: Int, mbw: Int, mbh: Int): (Int, Int) = {
     val mbi = my * mbw + mx
     val (rx, ry) = gvcMvRaw(docId, f, mbi)
-    (math.max(-16 * mx, math.min(16 * (mbw - 1 - mx), rx)),
-      math.max(-16 * my, math.min(16 * (mbh - 1 - my), ry)))
+    val s = if (gvcFullPel(docId, f)) 16 else 32
+    (math.max(-s * mx, math.min(s * (mbw - 1 - mx), rx)),
+      math.max(-s * my, math.min(s * (mbh - 1 - my), ry)))
   }
 
   /** Intra-block quantized coefficient at NATURAL (u, v); support is
@@ -245,12 +262,14 @@ object Video {
   /** One frame's content, in the codec's symbol domain — what the
     * encoder writes and the structural decode recovers bit-exactly.
     * `modes`/`mvs` are per-MB (raster); I-frames carry all-[[ModeIntra]]
-    * modes and zero MVs. `coefs(c)(b)` are natural-order 64-int arrays
-    * on component c's block grid: intra coefficients for intra blocks,
-    * residuals for inter (all-zero where CBP says uncoded / skipped).
+    * modes and zero MVs. `fullPel` selects the frame's MV precision
+    * (`mvs` are in those units). `coefs(c)(b)` are natural-order 64-int
+    * arrays on component c's block grid: intra coefficients for intra
+    * blocks, residuals for inter (all-zero where CBP says uncoded /
+    * skipped).
     */
   final case class GvcFrameData(
-      ftype: Int, qScale: Int,
+      ftype: Int, qScale: Int, fullPel: Boolean,
       modes: Array[Int], mvs: Array[(Int, Int)],
       coefs: Array[Array[Array[Int]]])
 
@@ -304,7 +323,8 @@ object Video {
       }
       my += 1
     }
-    GvcFrameData(if (f == 0) FrameI else FrameP, gvcQScale(docId, f), modes, mvs, coefs)
+    GvcFrameData(if (f == 0) FrameI else FrameP, gvcQScale(docId, f),
+      gvcFullPel(docId, f), modes, mvs, coefs)
   }
 
   /** Coded-block pattern of an inter MB: bit (5-i) set iff block i of
@@ -332,7 +352,8 @@ object Video {
   private[pipeline] def gvcEncodeStream(
       w: Int, h: Int, frames: Seq[GvcFrameData], restartRows: Int): Array[Byte] = {
     require(w % 16 == 0 && h % 16 == 0 && w > 0 && h > 0, "dims must be MB-aligned")
-    require(frames.nonEmpty && frames.length <= 255 && restartRows <= 255,
+    require(frames.nonEmpty && frames.length <= 255 &&
+      restartRows >= 0 && restartRows <= 255,
       "frame count / restart interval must fit a byte")
     val mbw = w / 16; val mbh = h / 16; val bw0 = w / 8
     val out = new java.io.ByteArrayOutputStream()
@@ -363,10 +384,14 @@ object Video {
     val acCodes = Multimodal.huffAssign(Multimodal.JpegAcBits, Multimodal.JpegAcVals)
 
     frames.zipWithIndex.foreach { case (fd, fIdx) =>
-      require(fd.modes.length == mbw * mbh && fd.coefs(0).length == bw0 * (h / 8),
+      require(fd.modes.length == mbw * mbh && fd.mvs.length == mbw * mbh &&
+        fd.coefs.length == 3 && fd.coefs(0).length == bw0 * (h / 8) &&
+        fd.coefs(1).length == mbw * mbh && fd.coefs(2).length == mbw * mbh &&
+        fd.coefs.forall(_.forall(_.length == 64)),
         "frame grid mismatch")
       require(if (fIdx == 0) fd.ftype == FrameI else true, "stream must open with an I-frame")
-      Multimodal.marker(out, MarkerFrame, Array(fd.ftype.toByte, fd.qScale.toByte))
+      Multimodal.marker(out, MarkerFrame,
+        Array(fd.ftype.toByte, fd.qScale.toByte, (if (fd.fullPel) 1 else 0).toByte))
       val bw = new Multimodal.JpegBitWriter(out)
       var rstM = 0
       val dcPred = new Array[Int](3)
@@ -418,8 +443,12 @@ object Video {
               } else {
                 java.util.Arrays.fill(dcPred, 0)
                 val (mvx, mvy) = fd.mvs(mbi)
-                require(mx * 16 + mvx >= 0 && mx * 16 + mvx <= w - 16 &&
-                  my * 16 + mvy >= 0 && my * 16 + mvy <= h - 16,
+                // half-pel-unit bound: the block span plus the +1
+                // interpolation neighbor must stay in picture
+                val evx = if (fd.fullPel) 2 * mvx else mvx
+                val evy = if (fd.fullPel) 2 * mvy else mvy
+                require(evx >= -32 * mx && evx <= 32 * (mbw - 1 - mx) &&
+                  evy >= -32 * my && evy <= 32 * (mbh - 1 - my),
                   "motion vector references out-of-picture pels")
                 def writeMvDiff(d: Int): Unit = {
                   val s = Multimodal.jpegCategory(d)
@@ -518,9 +547,12 @@ object Video {
         case MarkerFrame =>
           require(w > 0, "frame before sequence header")
           val ftype = u8(pos + 4); val qScale = u8(pos + 5)
+          val flags = u8(pos + 6)
           require(ftype == FrameI || ftype == FrameP, s"unknown frame type $ftype")
           require(seen > 0 || ftype == FrameI, "stream must open with an I-frame")
           require(qScale >= 1, "quantizer scale must be positive")
+          require((flags & ~1) == 0, s"unknown frame flags $flags")
+          val fullPel = (flags & 1) == 1
           val dcTab = huff(0)(TblDc); val mvTab = huff(0)(TblMv)
           val ctlTab = huff(0)(TblCtl); val acTab = huff(1)(0)
           require(dcTab != null && mvTab != null && ctlTab != null && acTab != null,
@@ -570,8 +602,10 @@ object Video {
               val mvx = mvPredX + readMvDiff()
               val mvy = mvPredY + readMvDiff()
               mvPredX = mvx; mvPredY = mvy
-              require(mx * 16 + mvx >= 0 && mx * 16 + mvx <= w - 16 &&
-                my * 16 + mvy >= 0 && my * 16 + mvy <= h - 16,
+              val evx = if (fullPel) 2 * mvx else mvx
+              val evy = if (fullPel) 2 * mvy else mvy
+              require(evx >= -32 * mx && evx <= 32 * (mbw - 1 - mx) &&
+                evy >= -32 * my && evy <= 32 * (mbh - 1 - my),
                 "motion vector references out-of-picture pels")
               mvs(mbi) = (mvx, mvy)
               val pat = br.receive(6)
@@ -636,7 +670,7 @@ object Video {
             my += 1
           }
           pos = br.pos
-          frames += GvcFrameData(ftype, qScale, modes, mvs, coefs)
+          frames += GvcFrameData(ftype, qScale, fullPel, modes, mvs, coefs)
           seen += 1
         case 0xD9 => done = true
         case x => throw new IllegalArgumentException(f"unsupported marker 0x$x%02X")
@@ -648,11 +682,41 @@ object Video {
     GvcRaw(w, h, restartRows, quantZ, fs)
   }
 
+  /** Half-pel motion-compensated prediction of one 8×8 block: for each
+    * destination pixel, average the 1/2/4 reference neighbors straddled
+    * by the half-pel position, half rounded away from zero (pixels are
+    * non-negative, so `(sum + n/2) / n`) — MPEG-1's `//` interpolation.
+    * `evx`/`evy` are in half-pel units; even vectors degrade to a plain
+    * shifted copy (the full-pel path shares this kernel with a doubled
+    * vector).
+    */
+  private def mcPredict8(src: Array[Int], stride: Int,
+      x0: Int, y0: Int, evx: Int, evy: Int, out: Array[Int]): Unit = {
+    var ly = 0
+    while (ly < 8) {
+      val t2y = 2 * (y0 + ly) + evy
+      val iy = t2y >> 1; val fy = t2y & 1
+      var lx = 0
+      while (lx < 8) {
+        val t2x = 2 * (x0 + lx) + evx
+        val ix = t2x >> 1; val fx = t2x & 1
+        val n = (1 + fx) * (1 + fy)
+        var sum = src(iy * stride + ix)
+        if (fx == 1) sum += src(iy * stride + ix + 1)
+        if (fy == 1) sum += src((iy + 1) * stride + ix)
+        if (fx == 1 && fy == 1) sum += src((iy + 1) * stride + ix + 1)
+        out(ly * 8 + lx) = (sum + n / 2) / n
+        lx += 1
+      }
+      ly += 1
+    }
+  }
+
   /** Reconstruct pixels from the symbol domain: dequant + exact integer
-    * IDCT for intra blocks, motion-compensated prediction + clamped
-    * residual + clip for inter, co-located copy for skip. Chroma MVs are
-    * the luma MV halved with truncation toward zero (exact for the
-    * even-MV corpus; the odd case is property-tested JVM-side).
+    * IDCT for intra blocks, motion-compensated prediction (full-pel or
+    * half-pel per the frame flag) + clamped residual + clip for inter,
+    * co-located copy for skip. Chroma vectors are the luma vector halved
+    * with truncation toward zero, in the frame's own units.
     */
   private[pipeline] def gvcDecode(bytes: Array[Byte]): GvcDecoded = {
     val raw = gvcDecodeRaw(bytes)
@@ -712,42 +776,43 @@ object Video {
               nInter += 1
               require(prev != null, "inter in the first frame")
               val (mvx, mvy) = fd.mvs(mbi)
-              sumAbsMv += math.abs(mvx) + math.abs(mvy)
-              // luma: recon = clip(ref(x + mvx, y + mvy) + residual)
+              // everything below runs in HALF-PEL units (full-pel
+              // frames double their vectors into the shared kernel);
+              // Σ|MV| is therefore unit-consistent across frame modes
+              val evx = if (fd.fullPel) 2 * mvx else mvx
+              val evy = if (fd.fullPel) 2 * mvy else mvy
+              sumAbsMv += math.abs(evx) + math.abs(evy)
+              // chroma vector: luma vector halved with truncation toward
+              // zero IN THE FRAME'S UNITS, then scaled to half-pel
+              val ecx = if (fd.fullPel) 2 * (mvx / 2) else mvx / 2
+              val ecy = if (fd.fullPel) 2 * (mvy / 2) else mvy / 2
+              val pred = new Array[Int](64)
               var bi = 0
               while (bi < 4) {
                 val b = (my * 2 + bi / 2) * bw0 + (mx * 2 + bi % 2)
                 val res = gvcIdctResidual(fd.coefs(0)(b), qz)
                 val x0 = (mx * 2 + bi % 2) * 8; val y0 = (my * 2 + bi / 2) * 8
-                var ly = 0
-                while (ly < 8) {
-                  var lx = 0
-                  while (lx < 8) {
-                    val p = prev._1((y0 + ly + mvy) * w + (x0 + lx + mvx)) + res(ly * 8 + lx)
-                    yP((y0 + ly) * w + (x0 + lx)) = math.max(0, math.min(255, p))
-                    lx += 1
-                  }
-                  ly += 1
+                mcPredict8(prev._1, w, x0, y0, evx, evy, pred)
+                var i = 0
+                while (i < 64) {
+                  val p = pred(i) + res(i)
+                  yP((y0 + i / 8) * w + (x0 + i % 8)) = math.max(0, math.min(255, p))
+                  i += 1
                 }
                 bi += 1
               }
-              // chroma: halved MV, truncation toward zero
-              val cmx = mvx / 2; val cmy = mvy / 2
               var c = 1
               while (c <= 2) {
                 val res = gvcIdctResidual(fd.coefs(c)(mbi), qz)
                 val src = if (c == 1) prev._2 else prev._3
                 val dst = if (c == 1) cbP else crP
                 val x0 = mx * 8; val y0 = my * 8
-                var ly = 0
-                while (ly < 8) {
-                  var lx = 0
-                  while (lx < 8) {
-                    val p = src((y0 + ly + cmy) * cw + (x0 + lx + cmx)) + res(ly * 8 + lx)
-                    dst((y0 + ly) * cw + (x0 + lx)) = math.max(0, math.min(255, p))
-                    lx += 1
-                  }
-                  ly += 1
+                mcPredict8(src, cw, x0, y0, ecx, ecy, pred)
+                var i = 0
+                while (i < 64) {
+                  val p = pred(i) + res(i)
+                  dst((y0 + i / 8) * cw + (x0 + i % 8)) = math.max(0, math.min(255, p))
+                  i += 1
                 }
                 c += 1
               }

@@ -297,11 +297,13 @@ object KernelProperties extends Properties("Kernels") {
       Gen.choose(0L, 1000000L)) { (gw, gh, nf, dri, seed) =>
       // arbitrary macroblock grids through the full codec: skip runs
       // (with the segment-end coded rule enforced per the dri in play),
-      // intra/inter mixes, ODD motion vectors (chroma truncation), MV
-      // and DC prediction chains, CBP economy incl. all-zero inter
-      // blocks, full 8x8 coefficient support, and byte-aligned restarts
-      // resetting every predictor. The symbol-domain reassembly must be
-      // bit-exact for every input, not just the corpus formulas.
+      // intra/inter mixes, BOTH MV precisions (random per-frame
+      // full-pel/half-pel flag), ODD motion vectors (chroma truncation
+      // + half-pel interpolation), MV and DC prediction chains, CBP
+      // economy incl. all-zero inter blocks, full 8x8 coefficient
+      // support, and byte-aligned restarts resetting every predictor.
+      // The symbol-domain reassembly must be bit-exact for every input,
+      // not just the corpus formulas.
       var s = seed
       def next(mod: Int): Int = {
         s = s * 6364136223846793005L + 1442695040888963407L
@@ -350,12 +352,14 @@ object KernelProperties extends Properties("Kernels") {
             coefs(2)(mbi) = randBlock(sparse)
           }
         }
-        Video.GvcFrameData(if (f == 0) 0 else 1, 1 + next(3), modes, mvs, coefs)
+        Video.GvcFrameData(if (f == 0) 0 else 1, 1 + next(3), next(2) == 1,
+          modes, mvs, coefs)
       }
       val raw = Video.gvcDecodeRaw(Video.gvcEncodeStream(w, h, frames, dri))
       raw.width == w && raw.height == h && raw.frames.length == nf &&
         (0 until nf).forall { f =>
           raw.frames(f).qScale == frames(f).qScale &&
+          raw.frames(f).fullPel == frames(f).fullPel &&
           raw.frames(f).modes.toSeq == frames(f).modes.toSeq &&
           raw.frames(f).mvs.toSeq == frames(f).mvs.toSeq &&
           (0 to 2).forall(c =>

@@ -19,7 +19,8 @@ class VideoSuite extends AnyFunSuite {
       for (f <- 0 until Video.GvcFrames) {
         val syn = Video.gvcSynthesize(id, f)
         val dec = raw.frames(f)
-        assert(dec.ftype == syn.ftype && dec.qScale == syn.qScale, s"header $id/$f")
+        assert(dec.ftype == syn.ftype && dec.qScale == syn.qScale &&
+          dec.fullPel == syn.fullPel, s"header $id/$f")
         assert(dec.modes.toSeq == syn.modes.toSeq, s"modes $id/$f")
         assert(dec.mvs.toSeq == syn.mvs.toSeq, s"mvs $id/$f")
         for (c <- 0 to 2)
@@ -76,6 +77,7 @@ class VideoSuite extends AnyFunSuite {
     val w = d.width
     val mbw = w / 16
     val fd = raw.frames(1)
+    assert(fd.fullPel, "doc 7 frame 1 should be the full-pel case")
     val qz = raw.quantZigzag.map(_ * fd.qScale)
     var checked = 0
     for (mbi <- fd.modes.indices if fd.modes(mbi) == Video.ModeInter) {
@@ -96,17 +98,78 @@ class VideoSuite extends AnyFunSuite {
     assert(checked > 0)
   }
 
+  test("half-pel frames reconstruct through neighbor averaging (round half away from zero)") {
+    // the independent mirror: straddled-neighbor average with (sum+n/2)/n
+    def avg(src: Array[Int], stride: Int, x: Int, y: Int, evx: Int, evy: Int): Int = {
+      val t2x = 2 * x + evx; val t2y = 2 * y + evy
+      val ix = t2x >> 1; val fx = t2x & 1
+      val iy = t2y >> 1; val fy = t2y & 1
+      val n = (1 + fx) * (1 + fy)
+      var s = src(iy * stride + ix)
+      if (fx == 1) s += src(iy * stride + ix + 1)
+      if (fy == 1) s += src((iy + 1) * stride + ix)
+      if (fx == 1 && fy == 1) s += src((iy + 1) * stride + ix + 1)
+      (s + n / 2) / n
+    }
+    // scan the corpus: verify EVERY half-pel inter MB of the first 24
+    // docs, and require that at least one carries an odd (interpolating)
+    // vector that survives the in-picture clamp
+    var checkedOdd = 0
+    var checkedMb = 0
+    for (id <- 0L until 24L) {
+      val bytes = Video.gvcEncode(id)
+      val d = Video.gvcDecode(bytes)
+      val raw = Video.gvcDecodeRaw(bytes)
+      val w = d.width
+      val mbw = w / 16
+      for (f <- 1 until Video.GvcFrames if !raw.frames(f).fullPel) {
+        val fd = raw.frames(f)
+        val qz = raw.quantZigzag.map(_ * fd.qScale)
+        for (mbi <- fd.modes.indices if fd.modes(mbi) == Video.ModeInter) {
+          val mx = mbi % mbw; val my = mbi / mbw
+          val (mvx, mvy) = fd.mvs(mbi) // half-pel units
+          if (mvx % 2 != 0 || mvy % 2 != 0) checkedOdd += 1
+          checkedMb += 1
+          for (bi <- 0 until 4) {
+            val b = (my * 2 + bi / 2) * (w / 8) + (mx * 2 + bi % 2)
+            val res = Video.gvcIdctResidual(fd.coefs(0)(b), qz)
+            for (ly <- 0 until 8; lx <- 0 until 8) {
+              val x = (mx * 2 + bi % 2) * 8 + lx; val y = (my * 2 + bi / 2) * 8 + ly
+              val expect = math.max(0, math.min(255,
+                avg(d.frames(f - 1)._1, w, x, y, mvx, mvy) + res(ly * 8 + lx)))
+              assert(d.frames(f)._1(y * w + x) == expect,
+                s"half-pel luma doc $id frame $f at ($x,$y)")
+            }
+          }
+          // chroma: vector halved with truncation toward zero, still half-pel
+          val res = Video.gvcIdctResidual(fd.coefs(1)(mbi), qz)
+          val cw = w / 2
+          for (ly <- 0 until 8; lx <- 0 until 8) {
+            val x = mx * 8 + lx; val y = my * 8 + ly
+            val expect = math.max(0, math.min(255,
+              avg(d.frames(f - 1)._2, cw, x, y, mvx / 2, mvy / 2) + res(ly * 8 + lx)))
+            assert(d.frames(f)._2(y * cw + x) == expect,
+              s"half-pel cb doc $id frame $f at ($x,$y)")
+          }
+        }
+      }
+    }
+    assert(checkedMb > 0, "no half-pel inter macroblock found")
+    assert(checkedOdd > 0, "no odd half-pel vector was exercised")
+  }
+
   test("chroma motion vectors halve with truncation toward zero (odd MV)") {
     // hand-built two-MB frame pair: I-frame, then a P-frame whose MB 1
     // carries the ODD vector (-3, 0) — chroma must shift by -1 (toward
     // zero), not -2 (floor). Doc 4 has the 32x16 grid.
     val w = 32; val h = 16
     val f0 = Video.gvcSynthesize(4L, 0)
-    val inter = Video.gvcSynthesize(4L, 1)
-    for (i <- inter.modes.indices) {
-      inter.modes(i) = Video.ModeInter
-      inter.mvs(i) = if (i == 1) (-3, 0) else (0, 0)
+    val base = Video.gvcSynthesize(4L, 1)
+    for (i <- base.modes.indices) {
+      base.modes(i) = Video.ModeInter
+      base.mvs(i) = if (i == 1) (-3, 0) else (0, 0)
     }
+    val inter = base.copy(fullPel = true)
     val bytes = Video.gvcEncodeStream(w, h, Seq(f0, inter), restartRows = 0)
     val d = Video.gvcDecode(bytes)
     val raw = Video.gvcDecodeRaw(bytes)
@@ -127,12 +190,12 @@ class VideoSuite extends AnyFunSuite {
     // coded MB of the row
     val w = 320; val h = 16
     val mbw = w / 16
-    val intra = Video.GvcFrameData(0, 1,
+    val intra = Video.GvcFrameData(0, 1, true,
       Array.fill(mbw)(Video.ModeIntra), Array.fill(mbw)((0, 0)),
       Array(Array.fill((w / 8) * (h / 8))(new Array[Int](64)),
         Array.fill(mbw)(new Array[Int](64)), Array.fill(mbw)(new Array[Int](64))))
     val modes = Array.tabulate(mbw)(i => if (i == 0 || i == mbw - 1) Video.ModeInter else Video.ModeSkip)
-    val p = Video.GvcFrameData(1, 1, modes, Array.fill(mbw)((0, 0)),
+    val p = Video.GvcFrameData(1, 1, true, modes, Array.fill(mbw)((0, 0)),
       Array(Array.fill((w / 8) * (h / 8))(new Array[Int](64)),
         Array.fill(mbw)(new Array[Int](64)), Array.fill(mbw)(new Array[Int](64))))
     val bytes = Video.gvcEncodeStream(w, h, Seq(intra, p), restartRows = 0)
@@ -142,10 +205,10 @@ class VideoSuite extends AnyFunSuite {
 
   test("the slice rule rejects a trailing skip run at encode time") {
     val w = 32; val h = 16
-    val mk = (modes: Array[Int]) => Video.GvcFrameData(1, 1, modes, Array.fill(2)((0, 0)),
+    val mk = (modes: Array[Int]) => Video.GvcFrameData(1, 1, true, modes, Array.fill(2)((0, 0)),
       Array(Array.fill(8)(new Array[Int](64)),
         Array.fill(2)(new Array[Int](64)), Array.fill(2)(new Array[Int](64))))
-    val i32 = Video.GvcFrameData(0, 1,
+    val i32 = Video.GvcFrameData(0, 1, true,
       Array.fill(2)(Video.ModeIntra), Array.fill(2)((0, 0)),
       Array(Array.fill(8)(new Array[Int](64)),
         Array.fill(2)(new Array[Int](64)), Array.fill(2)(new Array[Int](64))))
@@ -207,7 +270,8 @@ class VideoSuite extends AnyFunSuite {
           case _ =>
             nP += 1
             val (mvx, mvy) = Video.gvcMv(id, f, mx, my, mbw, mbh)
-            mvSum += math.abs(mvx) + math.abs(mvy)
+            val sc = if (Video.gvcFullPel(id, f)) 2 else 1 // half-pel units
+            mvSum += sc * (math.abs(mvx) + math.abs(mvy))
         }
       assert(d.nIntraMb == nI && d.nInterMb == nP && d.nSkipMb == nS, s"counts $id")
       assert(d.sumAbsMv == mvSum, s"mv sum $id")

@@ -186,114 +186,16 @@ object PipelineQueries {
     "q176_stream_resample" -> (Events.streamResampleFfillFinal _),
     "q177_snapshot_time_travel" -> (Events.snapshotTimeTravel _),
     "q179_jpeg_progressive_color" -> (Multimodal.jpegProgressiveColorFeatures _),
-    "q180_video_codec" -> (Video.gvcFeatures _)
+    "q180_video_codec" -> (Video.gvcFeatures _),
+    "q181_video_bframes" -> (Video.gvcBFeatures _)
   )
 
-  /** q180 oracle: the ENTIRE GVC codec replayed in SQL — an UNROLLED
-    * four-frame reconstruction chain. Frame 0 is the q174-style
-    * intra-IDCT replay; each P-frame CTE joins the previous frame's
-    * pixels at the motion-shifted coordinates (mode/MV formulas inline,
-    * chroma vectors halved), adds the clamped residual IDCT, and clips —
-    * so dequant, the 64-literal integer IDCT, motion compensation,
-    * skip-copy, residual add, and the frame recursion must ALL agree
-    * with the Spark side's real bitstream decode. Macroblock statistics
-    * (mode counts, Σ|MV|) replay the control-layer formulas separately.
-    * Coefficient support is 4×4 per block by synthesis, so the IDCT
-    * window is range(0, 4).
+  // ---- GVC oracle generators (shared by q180 and q181) -------------------
+
+  /** Geometry head: per-doc dims, the three planes, pixel→block/MB
+    * mapping, the 4×4 coefficient window, and the IDCT constant table.
     */
-  private lazy val GvcOracle: String = {
-    def term(f: Int) =
-      s"""t$f AS (
-         |  SELECT p.doc_id, p.comp, p.x, p.y, p.w, p.h, p.pw, p.ph,
-         |    p.mbw, p.mbh, p.mx, p.my,
-         |    sum((CASE WHEN c.u = 0 AND c.v = 0
-         |          THEN (p.doc_id*11 + $f*19 + p.comp*23 + p.b*5) % 15 - 7
-         |          WHEN (p.doc_id*29 + $f*13 + p.comp*37 + p.b*23 + c.u*11 + c.v*7) % 89 < 11
-         |          THEN (p.doc_id*13 + $f*17 + p.comp*7 + p.b*19 + c.u*19 + c.v*5) % 13 - 6
-         |          ELSE 0 END)
-         |      * (1 + (c.u*3 + c.v*5) % 8) * (1 + (p.doc_id + $f) % 2)
-         |      * ku.kk * kv.kk) AS ti,
-         |    sum((CASE WHEN (p.doc_id*17 + $f*23 + p.comp*13 + p.b*29 + c.u*7 + c.v*19) % 97 < 13
-         |          THEN (p.doc_id*7 + $f*29 + p.comp*11 + p.b*13 + c.u*5 + c.v*17) % 15 - 7
-         |          ELSE 0 END)
-         |      * (1 + (c.u*3 + c.v*5) % 8) * (1 + (p.doc_id + $f) % 2)
-         |      * ku.kk * kv.kk) AS tr
-         |  FROM pb p CROSS JOIN uvv c
-         |  JOIN kt ku ON ku.i = c.u AND ku.j = p.lx
-         |  JOIN kt kv ON kv.i = c.v AND kv.j = p.ly
-         |  GROUP BY p.doc_id, p.comp, p.x, p.y, p.w, p.h, p.pw, p.ph,
-         |    p.mbw, p.mbh, p.mx, p.my),""".stripMargin
-    // frame-unit MV (full-pel frames: even values, 16-scale clamp;
-    // half-pel frames: any parity, 32-scale clamp)
-    def vExpr(fRef: String, axis: String) = {
-      val (c1, c2, c3, m1, m2) =
-        if (axis == "x") (3, 5, 7, "mx", "mbw") else (5, 7, 11, "my", "mbh")
-      s"""CASE WHEN md = 1 THEN
-         |      CASE WHEN (doc_id + $fRef) % 2 = 0
-         |        THEN greatest(-16*$m1, least(16*($m2-1-$m1),
-         |          2*((doc_id*$c1 + $fRef*$c2 + (my*mbw+mx)*$c3) % 7 - 3)))
-         |        ELSE greatest(-32*$m1, least(32*($m2-1-$m1),
-         |          (doc_id*$c1 + $fRef*$c2 + (my*mbw+mx)*$c3) % 13 - 6))
-         |      END ELSE 0 END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
-    }
-    def pframe(f: Int) =
-      s"""m$f AS (
-         |  SELECT *, (doc_id*7 + $f*11 + mx*13 + my*17) % 8 AS r,
-         |    least(255, greatest(0,
-         |      CAST(floor((ti + 8388608) / 16777216.0) AS BIGINT) + 128)) AS iv,
-         |    least(255, greatest(-256,
-         |      CAST(floor((tr + 8388608) / 16777216.0) AS BIGINT))) AS rv
-         |  FROM t$f),
-         |mm$f AS (
-         |  SELECT *,
-         |    CASE WHEN r < 2 AND mx < mbw - 1 THEN 0 WHEN r = 2 THEN 2 ELSE 1 END AS md
-         |  FROM m$f),
-         |mv$f AS (
-         |  SELECT *, ${vExpr(f.toString, "x")} AS vx, ${vExpr(f.toString, "y")} AS vy
-         |  FROM mm$f),
-         |ev$f AS (
-         |  -- HALF-PEL units: full-pel frames double their vectors; the
-         |  -- chroma vector is the luma one halved with truncation toward
-         |  -- zero in the frame's own units, then scaled to half-pel.
-         |  -- Projection slims to exactly what the join chain needs — the
-         |  -- wide SELECT-* layers spilled DuckDB's temp at sf0.1.
-         |  SELECT doc_id, comp, x, y, w, h, pw, ph, md, iv, rv,
-         |    CASE WHEN comp = 0
-         |      THEN CASE WHEN (doc_id + $f) % 2 = 0 THEN 2*vx ELSE vx END
-         |      ELSE (CASE WHEN (doc_id + $f) % 2 = 0 THEN 2 ELSE 1 END)
-         |        * (CASE WHEN vx >= 0 THEN vx // 2 ELSE -((-vx) // 2) END) END AS exv,
-         |    CASE WHEN comp = 0
-         |      THEN CASE WHEN (doc_id + $f) % 2 = 0 THEN 2*vy ELSE vy END
-         |      ELSE (CASE WHEN (doc_id + $f) % 2 = 0 THEN 2 ELSE 1 END)
-         |        * (CASE WHEN vy >= 0 THEN vy // 2 ELSE -((-vy) // 2) END) END AS eyv
-         |  FROM mv$f),
-         |e$f AS (
-         |  SELECT doc_id, comp, x, y, w, h, pw, ph, md, iv, rv,
-         |    (2*x + exv) // 2 AS ix, (2*x + exv) % 2 AS fx,
-         |    (2*y + eyv) // 2 AS iy, (2*y + eyv) % 2 AS fy
-         |  FROM ev$f),
-         |tap$f AS (
-         |  -- each pixel fans out to its 1/2/4 interpolation taps: ONE
-         |  -- equi-join + GROUP BY instead of four wide hash joins
-         |  SELECT e.doc_id, e.comp, e.x, e.y, e.w, e.h, e.pw, e.ph,
-         |    e.md, e.iv, e.rv, e.fx, e.fy,
-         |    e.ix + o.dx AS tx, e.iy + o.dy AS ty
-         |  FROM e$f e JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) o(dx, dy)
-         |    ON o.dx <= e.fx AND o.dy <= e.fy),
-         |pix$f AS (
-         |  -- MC prediction: average the straddled neighbors, half
-         |  -- rounded away from zero ((sum + n/2) // n on non-negative
-         |  -- pixels), then residual add + clip
-         |  SELECT t.doc_id, t.comp, t.x, t.y, t.w, t.h, t.pw, t.ph,
-         |    CASE WHEN t.md = 2 THEN t.iv
-         |         ELSE least(255, greatest(0,
-         |           (sum(r.v) + ((1+t.fx)*(1+t.fy))//2) // ((1+t.fx)*(1+t.fy))
-         |           + CASE WHEN t.md = 1 THEN t.rv ELSE 0 END)) END AS v
-         |  FROM tap$f t JOIN pix${f - 1} r
-         |    ON r.doc_id = t.doc_id AND r.comp = t.comp
-         |   AND r.x = t.tx AND r.y = t.ty
-         |  GROUP BY t.doc_id, t.comp, t.x, t.y, t.w, t.h, t.pw, t.ph,
-         |    t.md, t.iv, t.rv, t.fx, t.fy),""".stripMargin
+  private lazy val GvcHead: String =
     s"""WITH d AS (SELECT doc_id, 16*(1 + doc_id % 3) AS w, 16*(1 + doc_id % 2) AS h
        |           FROM documents),
        |planes AS (
@@ -310,14 +212,223 @@ object PipelineQueries {
        |        x % 8 AS lx, y % 8 AS ly FROM px),
        |uv AS (SELECT unnest(range(0, 4)) AS u),
        |uvv AS (SELECT u, unnest(range(0, 4)) AS v FROM uv),
-       |kt AS (SELECT * FROM (VALUES ${Multimodal.jpegIdctKSqlValues}) t(i, j, kk)),
-       |${(0 to 3).map(term).mkString("\n")}
-       |pix0 AS (
-       |  SELECT doc_id, comp, x, y, w, h, pw, ph,
+       |kt AS (SELECT * FROM (VALUES ${Multimodal.jpegIdctKSqlValues}) t(i, j, kk)),""".stripMargin
+
+  /** Per-pixel IDCT term sums for frame `f`: `ti` from the intra
+    * coefficient formulas, `tr` from the residual ones (dequant
+    * multiplier = quant(u,v) × per-frame qscale folded in).
+    */
+  private def gvcTerm(f: Int): String =
+    s"""t$f AS (
+       |  SELECT p.doc_id, p.comp, p.x, p.y, p.w, p.h, p.pw, p.ph,
+       |    p.mbw, p.mbh, p.mx, p.my,
+       |    sum((CASE WHEN c.u = 0 AND c.v = 0
+       |          THEN (p.doc_id*11 + $f*19 + p.comp*23 + p.b*5) % 15 - 7
+       |          WHEN (p.doc_id*29 + $f*13 + p.comp*37 + p.b*23 + c.u*11 + c.v*7) % 89 < 11
+       |          THEN (p.doc_id*13 + $f*17 + p.comp*7 + p.b*19 + c.u*19 + c.v*5) % 13 - 6
+       |          ELSE 0 END)
+       |      * (1 + (c.u*3 + c.v*5) % 8) * (1 + (p.doc_id + $f) % 2)
+       |      * ku.kk * kv.kk) AS ti,
+       |    sum((CASE WHEN (p.doc_id*17 + $f*23 + p.comp*13 + p.b*29 + c.u*7 + c.v*19) % 97 < 13
+       |          THEN (p.doc_id*7 + $f*29 + p.comp*11 + p.b*13 + c.u*5 + c.v*17) % 15 - 7
+       |          ELSE 0 END)
+       |      * (1 + (c.u*3 + c.v*5) % 8) * (1 + (p.doc_id + $f) % 2)
+       |      * ku.kk * kv.kk) AS tr
+       |  FROM pb p CROSS JOIN uvv c
+       |  JOIN kt ku ON ku.i = c.u AND ku.j = p.lx
+       |  JOIN kt kv ON kv.i = c.v AND kv.j = p.ly
+       |  GROUP BY p.doc_id, p.comp, p.x, p.y, p.w, p.h, p.pw, p.ph,
+       |    p.mbw, p.mbh, p.mx, p.my),""".stripMargin
+
+  /** The I-frame reconstruction CTE (pix0 from t0). */
+  private val GvcPix0: String =
+    """pix0 AS (
+      |  SELECT doc_id, comp, x, y, w, h, pw, ph,
+      |    least(255, greatest(0,
+      |      CAST(floor((ti + 8388608) / 16777216.0) AS BIGINT) + 128)) AS v
+      |  FROM t0),""".stripMargin
+
+  /** Frame-unit MV expression under condition `cond`, from the raw
+    * formula `raw7` (÷7 full-pel form) / `raw13` (÷13 half-pel form):
+    * full-pel frames get even values with the 16-scale clamp, half-pel
+    * any parity with the 32-scale clamp.
+    */
+  private def gvcVExpr(
+      fRef: String, axis: String, cond: String, raw: String): String = {
+    val (m1, m2) = if (axis == "x") ("mx", "mbw") else ("my", "mbh")
+    s"""CASE WHEN $cond THEN
+       |      CASE WHEN (doc_id + $fRef) % 2 = 0
+       |        THEN greatest(-16*$m1, least(16*($m2-1-$m1), 2*(($raw) % 7 - 3)))
+       |        ELSE greatest(-32*$m1, least(32*($m2-1-$m1), ($raw) % 13 - 6))
+       |      END ELSE 0 END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
+  }
+
+  /** P-frame forward-MV raw formulas (the [[Video.gvcMv]] family). */
+  private def gvcFwdRaw(fRef: String, axis: String): String =
+    if (axis == "x") s"doc_id*3 + $fRef*5 + (my*mbw+mx)*7"
+    else s"doc_id*5 + $fRef*7 + (my*mbw+mx)*11"
+
+  /** B-frame backward-MV raw formulas ([[Video.gvcBMvBwd]]). */
+  private def gvcBwdRaw(axis: String): String =
+    if (axis == "x") "doc_id*7 + (my*mbw+mx)*5 + 11"
+    else "doc_id*11 + (my*mbw+mx)*3 + 13"
+
+  /** Half-pel-unit conversion of a frame-unit vector column `vcol`:
+    * comp 0 uses the vector itself (doubled on full-pel frames); chroma
+    * halves with truncation toward zero in frame units first.
+    */
+  private def gvcHalfPel(fRef: String, vcol: String): String =
+    s"""CASE WHEN comp = 0
+       |  THEN CASE WHEN (doc_id + $fRef) % 2 = 0 THEN 2*$vcol ELSE $vcol END
+       |  ELSE (CASE WHEN (doc_id + $fRef) % 2 = 0 THEN 2 ELSE 1 END)
+       |    * (CASE WHEN $vcol >= 0 THEN $vcol // 2 ELSE -((-$vcol) // 2) END)
+       |END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
+
+  /** One motion-compensated P-frame: md/MV formulas, half-pel tap
+    * fan-out (1/2/4 interpolation neighbors, ONE equi-join + GROUP BY —
+    * four wide joins spilled DuckDB's temp at sf0.1), prediction with
+    * (sum+n/2)//n rounding, residual add, clip. `refPix` names the
+    * reference frame's CTE; emits `pix$f`.
+    */
+  private def gvcPFrame(f: Int, refPix: String): String =
+    s"""m$f AS (
+       |  SELECT *, (doc_id*7 + $f*11 + mx*13 + my*17) % 8 AS r,
        |    least(255, greatest(0,
-       |      CAST(floor((ti + 8388608) / 16777216.0) AS BIGINT) + 128)) AS v
-       |  FROM t0),
-       |${(1 to 3).map(pframe).mkString("\n")}
+       |      CAST(floor((ti + 8388608) / 16777216.0) AS BIGINT) + 128)) AS iv,
+       |    least(255, greatest(-256,
+       |      CAST(floor((tr + 8388608) / 16777216.0) AS BIGINT))) AS rv
+       |  FROM t$f),
+       |mm$f AS (
+       |  SELECT *,
+       |    CASE WHEN r < 2 AND mx < mbw - 1 THEN 0 WHEN r = 2 THEN 2 ELSE 1 END AS md
+       |  FROM m$f),
+       |mv$f AS (
+       |  SELECT *,
+       |    ${gvcVExpr(f.toString, "x", "md = 1", gvcFwdRaw(f.toString, "x"))} AS vx,
+       |    ${gvcVExpr(f.toString, "y", "md = 1", gvcFwdRaw(f.toString, "y"))} AS vy
+       |  FROM mm$f),
+       |ev$f AS (
+       |  SELECT doc_id, comp, x, y, w, h, pw, ph, md, iv, rv,
+       |    ${gvcHalfPel(f.toString, "vx")} AS exv,
+       |    ${gvcHalfPel(f.toString, "vy")} AS eyv
+       |  FROM mv$f),
+       |e$f AS (
+       |  SELECT doc_id, comp, x, y, w, h, pw, ph, md, iv, rv,
+       |    (2*x + exv) // 2 AS ix, (2*x + exv) % 2 AS fx,
+       |    (2*y + eyv) // 2 AS iy, (2*y + eyv) % 2 AS fy
+       |  FROM ev$f),
+       |tap$f AS (
+       |  SELECT e.doc_id, e.comp, e.x, e.y, e.w, e.h, e.pw, e.ph,
+       |    e.md, e.iv, e.rv, e.fx, e.fy,
+       |    e.ix + o.dx AS tx, e.iy + o.dy AS ty
+       |  FROM e$f e JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) o(dx, dy)
+       |    ON o.dx <= e.fx AND o.dy <= e.fy),
+       |pix$f AS (
+       |  SELECT t.doc_id, t.comp, t.x, t.y, t.w, t.h, t.pw, t.ph,
+       |    CASE WHEN t.md = 2 THEN t.iv
+       |         ELSE least(255, greatest(0,
+       |           (sum(r.v) + ((1+t.fx)*(1+t.fy))//2) // ((1+t.fx)*(1+t.fy))
+       |           + CASE WHEN t.md = 1 THEN t.rv ELSE 0 END)) END AS v
+       |  FROM tap$f t JOIN $refPix r
+       |    ON r.doc_id = t.doc_id AND r.comp = t.comp
+       |   AND r.x = t.tx AND r.y = t.ty
+       |  GROUP BY t.doc_id, t.comp, t.x, t.y, t.w, t.h, t.pw, t.ph,
+       |    t.md, t.iv, t.rv, t.fx, t.fy),""".stripMargin
+
+  /** The B-frame mode expression (3 fwd / 4 bwd / 5 interp / 2 intra). */
+  private val GvcBMd: String =
+    """CASE WHEN (doc_id*23 + mx*29 + my*31) % 9 < 3 THEN 3
+      |     WHEN (doc_id*23 + mx*29 + my*31) % 9 < 6 THEN 4
+      |     WHEN (doc_id*23 + mx*29 + my*31) % 9 < 8 THEN 5
+      |     ELSE 2 END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
+
+  /** The bidirectional B frame (display 1 of the q181 GOP, formulas at
+    * f = 1): TWO tap chains — forward against `fwdPix`, backward against
+    * `bwdPix` — then the per-mode combine (interpolated = the two
+    * predictions averaged with half away from zero). Emits `pixB`.
+    */
+  private def gvcBFrame(fwdPix: String, bwdPix: String): String =
+    s"""mB AS (
+       |  SELECT *, $GvcBMd AS md,
+       |    least(255, greatest(0,
+       |      CAST(floor((ti + 8388608) / 16777216.0) AS BIGINT) + 128)) AS iv,
+       |    least(255, greatest(-256,
+       |      CAST(floor((tr + 8388608) / 16777216.0) AS BIGINT))) AS rv
+       |  FROM t1),
+       |mvB AS (
+       |  SELECT *,
+       |    ${gvcVExpr("1", "x", "md IN (3, 5)", gvcFwdRaw("1", "x"))} AS vxf,
+       |    ${gvcVExpr("1", "y", "md IN (3, 5)", gvcFwdRaw("1", "y"))} AS vyf,
+       |    ${gvcVExpr("1", "x", "md IN (4, 5)", gvcBwdRaw("x"))} AS vxb,
+       |    ${gvcVExpr("1", "y", "md IN (4, 5)", gvcBwdRaw("y"))} AS vyb
+       |  FROM mB),
+       |evB AS (
+       |  SELECT doc_id, comp, x, y, w, h, pw, ph, md, iv, rv,
+       |    ${gvcHalfPel("1", "vxf")} AS exf, ${gvcHalfPel("1", "vyf")} AS eyf,
+       |    ${gvcHalfPel("1", "vxb")} AS exb, ${gvcHalfPel("1", "vyb")} AS eyb
+       |  FROM mvB),
+       |eB AS (
+       |  SELECT doc_id, comp, x, y, w, h, pw, ph, md, iv, rv,
+       |    (2*x + exf) // 2 AS ixf, (2*x + exf) % 2 AS fxf,
+       |    (2*y + eyf) // 2 AS iyf, (2*y + eyf) % 2 AS fyf,
+       |    (2*x + exb) // 2 AS ixb, (2*x + exb) % 2 AS fxb,
+       |    (2*y + eyb) // 2 AS iyb, (2*y + eyb) % 2 AS fyb
+       |  FROM evB),
+       |tapBf AS (
+       |  SELECT e.doc_id, e.comp, e.x, e.y, e.w, e.h, e.pw, e.ph,
+       |    e.md, e.iv, e.rv, e.fxf, e.fyf,
+       |    e.ixf + o.dx AS tx, e.iyf + o.dy AS ty
+       |  FROM eB e JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) o(dx, dy)
+       |    ON o.dx <= e.fxf AND o.dy <= e.fyf),
+       |predBf AS (
+       |  SELECT t.doc_id, t.comp, t.x, t.y, t.w, t.h, t.pw, t.ph,
+       |    t.md, t.iv, t.rv,
+       |    (sum(r.v) + ((1+t.fxf)*(1+t.fyf))//2) // ((1+t.fxf)*(1+t.fyf)) AS pv
+       |  FROM tapBf t JOIN $fwdPix r
+       |    ON r.doc_id = t.doc_id AND r.comp = t.comp
+       |   AND r.x = t.tx AND r.y = t.ty
+       |  GROUP BY t.doc_id, t.comp, t.x, t.y, t.w, t.h, t.pw, t.ph,
+       |    t.md, t.iv, t.rv, t.fxf, t.fyf),
+       |tapBb AS (
+       |  SELECT e.doc_id, e.comp, e.x, e.y, e.fxb, e.fyb,
+       |    e.ixb + o.dx AS tx, e.iyb + o.dy AS ty
+       |  FROM eB e JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) o(dx, dy)
+       |    ON o.dx <= e.fxb AND o.dy <= e.fyb),
+       |predBb AS (
+       |  SELECT t.doc_id, t.comp, t.x, t.y,
+       |    (sum(r.v) + ((1+t.fxb)*(1+t.fyb))//2) // ((1+t.fxb)*(1+t.fyb)) AS pv
+       |  FROM tapBb t JOIN $bwdPix r
+       |    ON r.doc_id = t.doc_id AND r.comp = t.comp
+       |   AND r.x = t.tx AND r.y = t.ty
+       |  GROUP BY t.doc_id, t.comp, t.x, t.y, t.fxb, t.fyb),
+       |pixB AS (
+       |  SELECT pf.doc_id, pf.comp, pf.x, pf.y, pf.w, pf.h, pf.pw, pf.ph,
+       |    CASE WHEN pf.md = 2 THEN pf.iv
+       |         WHEN pf.md = 3 THEN least(255, greatest(0, pf.pv + pf.rv))
+       |         WHEN pf.md = 4 THEN least(255, greatest(0, pb.pv + pf.rv))
+       |         ELSE least(255, greatest(0, (pf.pv + pb.pv + 1) // 2 + pf.rv))
+       |    END AS v
+       |  FROM predBf pf JOIN predBb pb
+       |    ON pb.doc_id = pf.doc_id AND pb.comp = pf.comp
+       |   AND pb.x = pf.x AND pb.y = pf.y),""".stripMargin
+
+  /** q180 oracle: the ENTIRE GVC codec replayed in SQL — an UNROLLED
+    * four-frame reconstruction chain (I + three P). Frame 0 is the
+    * q174-style intra-IDCT replay; each P-frame CTE joins the previous
+    * frame's pixels at the motion-shifted half-pel taps, adds the
+    * clamped residual IDCT, and clips — so dequant, the 64-literal
+    * integer IDCT, both MV precisions, skip-copy, residual add, and the
+    * frame recursion must ALL agree with the Spark side's real
+    * bitstream decode. Macroblock statistics (mode counts, Σ|MV| in
+    * half-pel units) replay the control-layer formulas separately.
+    * Coefficient support is 4×4 per block by synthesis, so the IDCT
+    * window is range(0, 4).
+    */
+  private lazy val GvcOracle: String =
+    s"""$GvcHead
+       |${(0 to 3).map(gvcTerm).mkString("\n")}
+       |$GvcPix0
+       |${(1 to 3).map(f => gvcPFrame(f, s"pix${f - 1}")).mkString("\n")}
        |mb0 AS (SELECT doc_id, w//16 AS mbw, h//16 AS mbh FROM d),
        |mbx AS (SELECT doc_id, mbw, mbh, unnest(range(0, mbw)) AS mx FROM mb0),
        |mbxy AS (SELECT doc_id, mbw, mbh, mx, unnest(range(0, mbh)) AS my FROM mbx),
@@ -328,14 +439,14 @@ object PipelineQueries {
        |              ELSE 1 END AS md
        |        FROM mbfr),
        |mbv AS (SELECT *,
-       |        ${vExpr("f", "x")} AS vx,
-       |        ${vExpr("f", "y")} AS vy
+       |        ${gvcVExpr("f", "x", "md = 1", gvcFwdRaw("f", "x"))} AS vx,
+       |        ${gvcVExpr("f", "y", "md = 1", gvcFwdRaw("f", "y"))} AS vy
        |        FROM mbm),
        |cnt AS (SELECT doc_id,
        |          max(mbw*mbh) + sum(CASE WHEN md = 2 THEN 1 ELSE 0 END) AS n_intra,
        |          sum(CASE WHEN md = 1 THEN 1 ELSE 0 END) AS n_inter,
        |          sum(CASE WHEN md = 0 THEN 1 ELSE 0 END) AS n_skip,
-       |          -- Σ|MV| in HALF-PEL units (full-pel frames doubled)
+       |          -- S|MV| in HALF-PEL units (full-pel frames doubled)
        |          sum(CASE WHEN md = 1 THEN
        |                (CASE WHEN (doc_id + f) % 2 = 0 THEN 2 ELSE 1 END)
        |                * (abs(vx) + abs(vy)) ELSE 0 END) AS s_mv
@@ -364,7 +475,84 @@ object PipelineQueries {
        |  m.motion::BIGINT AS motion, s.bot::BIGINT AS last_bot_luma
        |FROM sums s JOIN cnt c ON c.doc_id = s.doc_id JOIN mot m ON m.doc_id = s.doc_id
        |ORDER BY s.doc_id""".stripMargin
-  }
+
+  /** q181 oracle: the B-frame GOP in display order — pix0 (I), pixB
+    * (bidirectional, joining BOTH anchors), pix2 (P from the I), pix3
+    * (P from pix2, NOT from the B — anchors chain over anchors). The
+    * macroblock statistics add the B's fwd/bwd/interp split and fold
+    * every coded direction into the half-pel Σ|MV|.
+    */
+  private lazy val GvcBOracle: String =
+    s"""$GvcHead
+       |${Seq(0, 1, 2, 3).map(gvcTerm).mkString("\n")}
+       |$GvcPix0
+       |${gvcPFrame(2, "pix0")}
+       |${gvcPFrame(3, "pix2")}
+       |${gvcBFrame("pix0", "pix2")}
+       |mb0 AS (SELECT doc_id, w//16 AS mbw, h//16 AS mbh FROM d),
+       |mbx AS (SELECT doc_id, mbw, mbh, unnest(range(0, mbw)) AS mx FROM mb0),
+       |mbxy AS (SELECT doc_id, mbw, mbh, mx, unnest(range(0, mbh)) AS my FROM mbx),
+       |bmb AS (SELECT *, $GvcBMd AS md FROM mbxy),
+       |bmv AS (SELECT *,
+       |        ${gvcVExpr("1", "x", "md IN (3, 5)", gvcFwdRaw("1", "x"))} AS vxf,
+       |        ${gvcVExpr("1", "y", "md IN (3, 5)", gvcFwdRaw("1", "y"))} AS vyf,
+       |        ${gvcVExpr("1", "x", "md IN (4, 5)", gvcBwdRaw("x"))} AS vxb,
+       |        ${gvcVExpr("1", "y", "md IN (4, 5)", gvcBwdRaw("y"))} AS vyb
+       |        FROM bmb),
+       |bcnt AS (SELECT doc_id,
+       |          sum(CASE WHEN md = 3 THEN 1 ELSE 0 END) AS n_fwd,
+       |          sum(CASE WHEN md = 4 THEN 1 ELSE 0 END) AS n_bwd,
+       |          sum(CASE WHEN md = 5 THEN 1 ELSE 0 END) AS n_interp,
+       |          sum(CASE WHEN md = 2 THEN 1 ELSE 0 END) AS n_intra_b,
+       |          sum((CASE WHEN (doc_id + 1) % 2 = 0 THEN 2 ELSE 1 END)
+       |              * (CASE WHEN md IN (3, 5) THEN abs(vxf) + abs(vyf) ELSE 0 END
+       |                 + CASE WHEN md IN (4, 5) THEN abs(vxb) + abs(vyb) ELSE 0 END)
+       |             ) AS s_mv_b
+       |         FROM bmv GROUP BY doc_id),
+       |mbfr AS (SELECT doc_id, mbw, mbh, mx, my, unnest([2, 3]) AS f FROM mbxy),
+       |mbm AS (SELECT *,
+       |         CASE WHEN (doc_id*7 + f*11 + mx*13 + my*17) % 8 < 2 AND mx < mbw - 1 THEN 0
+       |              WHEN (doc_id*7 + f*11 + mx*13 + my*17) % 8 = 2 THEN 2
+       |              ELSE 1 END AS md
+       |        FROM mbfr),
+       |mbv AS (SELECT *,
+       |        ${gvcVExpr("f", "x", "md = 1", gvcFwdRaw("f", "x"))} AS vx,
+       |        ${gvcVExpr("f", "y", "md = 1", gvcFwdRaw("f", "y"))} AS vy
+       |        FROM mbm),
+       |pcnt AS (SELECT doc_id,
+       |          sum(CASE WHEN md = 2 THEN 1 ELSE 0 END) AS n_intra_p,
+       |          sum(CASE WHEN md = 1 THEN
+       |                (CASE WHEN (doc_id + f) % 2 = 0 THEN 2 ELSE 1 END)
+       |                * (abs(vx) + abs(vy)) ELSE 0 END) AS s_mv_p
+       |         FROM mbv GROUP BY doc_id),
+       |ap AS (
+       |  SELECT 0 AS f, doc_id, comp, x, y, w, h, pw, ph, v FROM pix0
+       |  UNION ALL SELECT 1, doc_id, comp, x, y, w, h, pw, ph, v FROM pixB
+       |  UNION ALL SELECT 2, doc_id, comp, x, y, w, h, pw, ph, v FROM pix2
+       |  UNION ALL SELECT 3, doc_id, comp, x, y, w, h, pw, ph, v FROM pix3),
+       |sums AS (
+       |  SELECT doc_id, max(w) AS w, max(h) AS h,
+       |    sum(CASE WHEN comp = 0 THEN v ELSE 0 END) AS ysum,
+       |    sum(CASE WHEN comp = 1 THEN v ELSE 0 END) AS cbsum,
+       |    sum(CASE WHEN comp = 0 AND f = 3 AND y = ph - 1 THEN v ELSE 0 END) AS bot
+       |  FROM ap GROUP BY doc_id),
+       |mot AS (
+       |  SELECT a.doc_id, sum(abs(a.v - b.v)) AS motion
+       |  FROM ap a JOIN ap b ON b.doc_id = a.doc_id AND a.comp = 0 AND b.comp = 0
+       |    AND b.f = a.f - 1 AND b.x = a.x AND b.y = a.y
+       |  WHERE a.f > 0 GROUP BY a.doc_id)
+       |SELECT s.doc_id, s.w::INT AS width, s.h::INT AS height, 4::INT AS n_frames,
+       |  bc.n_fwd::INT AS n_fwd_mb, bc.n_bwd::INT AS n_bwd_mb,
+       |  bc.n_interp::INT AS n_interp_mb,
+       |  ((s.w//16)*(s.h//16) + bc.n_intra_b + pc.n_intra_p)::INT AS n_intra_mb,
+       |  (bc.s_mv_b + pc.s_mv_p)::BIGINT AS sum_abs_mv,
+       |  round(s.ysum::DOUBLE / (s.w * s.h * 4), 4) AS mean_y,
+       |  round(s.cbsum::DOUBLE / ((s.w//2) * (s.h//2) * 4), 4) AS mean_cb,
+       |  m.motion::BIGINT AS motion, s.bot::BIGINT AS last_bot_luma
+       |FROM sums s JOIN bcnt bc ON bc.doc_id = s.doc_id
+       |JOIN pcnt pc ON pc.doc_id = s.doc_id
+       |JOIN mot m ON m.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
 
   /** DuckDB shingle CTE shared by q16/q25: distinct word 3-grams. */
   private val ShingleCte =
@@ -2317,6 +2505,11 @@ object PipelineQueries {
     // Scaladoc). Any slip in the entropy layer, MV/DC prediction, CBP,
     // motion compensation, residual clamp, or the frame recursion shifts
     // pixels or counts and goes red.
-    "q180_video_codec" -> GvcOracle
+    "q180_video_codec" -> GvcOracle,
+
+    // q181: the B-frame GOP — adds frame reordering, bidirectional
+    // prediction, and the interpolated-mode average on top of q180's
+    // gates (see GvcBOracle's Scaladoc).
+    "q181_video_bframes" -> GvcBOracle
   )
 }

@@ -68,21 +68,29 @@ object Video {
 
   private val FrameI = 0
   private val FrameP = 1
+  private val FrameB = 2
 
   /** Macroblock modes (symbol-domain representation). */
   private[pipeline] val ModeSkip = 0
   private[pipeline] val ModeInter = 1
   private[pipeline] val ModeIntra = 2
+  private[pipeline] val ModeFwd = 3 // B: forward prediction only
+  private[pipeline] val ModeBwd = 4 // B: backward prediction only
+  private[pipeline] val ModeInterp = 5 // B: (fwd + bwd + 1) >> 1
 
   /** Control-table symbols: 0..14 = direct skip-run terminal, 15 =
-    * escape (adds 15 + the next 8 raw bits, repeatable), then the two
-    * mode symbols. All 18 at code length 5 (canonical assignment).
+    * escape (adds 15 + the next 8 raw bits, repeatable), then the mode
+    * symbols (P: inter/intra; B: intra/fwd/bwd/interpolated). All 21 at
+    * code length 5 (canonical assignment).
     */
   private val CtlEscape = 15
   private val CtlInter = 16
   private val CtlIntra = 17
-  private val CtlBits: Array[Int] = { val a = new Array[Int](16); a(4) = 18; a }
-  private val CtlVals: Array[Int] = (0 to 17).toArray
+  private val CtlFwd = 18
+  private val CtlBwd = 19
+  private val CtlInterp = 20
+  private val CtlBits: Array[Int] = { val a = new Array[Int](16); a(4) = 21; a }
+  private val CtlVals: Array[Int] = (0 to 20).toArray
 
   /** DHT table ids within the stream: class 0 (size-category style) id
     * 0 = intra DC diffs, id 1 = MV diffs, id 2 = control; class 1 id
@@ -170,6 +178,41 @@ object Video {
     else if ((docId * 17 + f * 23 + c * 13 + b * 29 + u * 7 + v * 19) % 97 < 13)
       ((docId * 7 + f * 29 + c * 11 + b * 13 + u * 5 + v * 17) % 15 - 7).toInt
     else 0
+
+  // ---- q181 (B-frame) corpus formulas -------------------------------------
+
+  /** The B corpus's fixed GOP: display [I, B, P, P] — the B at display 1
+    * references the I (forward) and the display-2 P (backward); frames
+    * travel in coding order [I, P(2), B(1), P(3)].
+    */
+  val GvcBDisplayOfCoding: Array[Int] = Array(0, 2, 1, 3)
+
+  /** B-macroblock mode at MB (mx, my) — forward / backward /
+    * interpolated / intra refresh (B-frames carry no skips in this
+    * corpus; see the encoder's B divergence note).
+    */
+  def gvcBMode(docId: Long, mx: Int, my: Int): Int = {
+    val r = (docId * 23 + mx * 29 + my * 31) % 9
+    if (r < 3) ModeFwd else if (r < 6) ModeBwd else if (r < 8) ModeInterp
+    else ModeIntra
+  }
+
+  /** Raw backward MV for the B frame, in its (display-1) frame units. */
+  private def gvcBMvBwdRaw(docId: Long, mbi: Int): (Int, Int) =
+    if (gvcFullPel(docId, 1))
+      ((2 * ((docId * 7 + mbi * 5 + 11) % 7 - 3)).toInt,
+        (2 * ((docId * 11 + mbi * 3 + 13) % 7 - 3)).toInt)
+    else
+      (((docId * 7 + mbi * 5 + 11) % 13 - 6).toInt,
+        ((docId * 11 + mbi * 3 + 13) % 13 - 6).toInt)
+
+  /** Clamped backward MV (same in-picture bound as [[gvcMv]]). */
+  def gvcBMvBwd(docId: Long, mx: Int, my: Int, mbw: Int, mbh: Int): (Int, Int) = {
+    val (rx, ry) = gvcBMvBwdRaw(docId, my * mbw + mx)
+    val s = if (gvcFullPel(docId, 1)) 16 else 32
+    (math.max(-s * mx, math.min(s * (mbw - 1 - mx), rx)),
+      math.max(-s * my, math.min(s * (mbh - 1 - my), ry)))
+  }
 
   // ---- shared small pieces ------------------------------------------------
 
@@ -271,7 +314,15 @@ object Video {
   final case class GvcFrameData(
       ftype: Int, qScale: Int, fullPel: Boolean,
       modes: Array[Int], mvs: Array[(Int, Int)],
-      coefs: Array[Array[Array[Int]]])
+      coefs: Array[Array[Array[Int]]],
+      /** Display position (frames travel in CODING order; -1 = use the
+        * coding position — anchors-only streams need no reorder).
+        */
+      temporalRef: Int = -1,
+      /** B-frame backward vectors (`mvs` carry the forward ones); null
+        * for anchor frames.
+        */
+      bmvs: Array[(Int, Int)] = null)
 
   /** Synthesize frame data for `docId`, frame `f`, from the formulas. */
   private[pipeline] def gvcSynthesize(docId: Long, f: Int): GvcFrameData = {
@@ -383,6 +434,12 @@ object Video {
     val ctlCodes = Multimodal.huffAssign(CtlBits, CtlVals)
     val acCodes = Multimodal.huffAssign(Multimodal.JpegAcBits, Multimodal.JpegAcVals)
 
+    val trefs = frames.zipWithIndex.map { case (fd, i) =>
+      if (fd.temporalRef >= 0) fd.temporalRef else i
+    }
+    require(trefs.sorted == frames.indices.toList.map(identity),
+      "temporal references must be a permutation of 0..n-1")
+
     frames.zipWithIndex.foreach { case (fd, fIdx) =>
       require(fd.modes.length == mbw * mbh && fd.mvs.length == mbw * mbh &&
         fd.coefs.length == 3 && fd.coefs(0).length == bw0 * (h / 8) &&
@@ -390,13 +447,49 @@ object Video {
         fd.coefs.forall(_.forall(_.length == 64)),
         "frame grid mismatch")
       require(if (fIdx == 0) fd.ftype == FrameI else true, "stream must open with an I-frame")
+      require(fd.ftype != FrameB || fd.bmvs != null, "B-frame needs backward vectors")
       Multimodal.marker(out, MarkerFrame,
-        Array(fd.ftype.toByte, fd.qScale.toByte, (if (fd.fullPel) 1 else 0).toByte))
+        Array(fd.ftype.toByte, fd.qScale.toByte, (if (fd.fullPel) 1 else 0).toByte,
+          trefs(fIdx).toByte))
       val bw = new Multimodal.JpegBitWriter(out)
       var rstM = 0
       val dcPred = new Array[Int](3)
-      var mvPredX = 0; var mvPredY = 0
+      var mvPredX = 0; var mvPredY = 0 // P inter / B forward predictor
+      var bwdPredX = 0; var bwdPredY = 0 // B backward predictor
       var pendingSkip = 0
+
+      def writeMvDiff(d: Int): Unit = {
+        val s = Multimodal.jpegCategory(d)
+        require(s <= 4, s"MV diff $d exceeds the table's categories")
+        val (c0, l0) = dcCodes(s); bw.write(c0, l0)
+        if (s > 0) bw.write(if (d < 0) d + (1 << s) - 1 else d, s)
+      }
+
+      def requireInPicture(mvx: Int, mvy: Int, mx: Int, my: Int): Unit = {
+        // half-pel-unit bound: the block span plus the +1 interpolation
+        // neighbor must stay in picture
+        val evx = if (fd.fullPel) 2 * mvx else mvx
+        val evy = if (fd.fullPel) 2 * mvy else mvy
+        require(evx >= -32 * mx && evx <= 32 * (mbw - 1 - mx) &&
+          evy >= -32 * my && evy <= 32 * (mbh - 1 - my),
+          "motion vector references out-of-picture pels")
+      }
+
+      def writeResiduals(mbi: Int, mx: Int, my: Int): Unit = {
+        val pat = cbpOf(fd, mbi, mx, my, bw0)
+        bw.write(pat, 6)
+        var bi = 0
+        while (bi < 4) {
+          val b = (my * 2 + bi / 2) * bw0 + (mx * 2 + bi % 2)
+          if ((pat & (1 << (5 - bi))) != 0) gvcWriteResidual(bw, acCodes, fd.coefs(0)(b))
+          bi += 1
+        }
+        var c = 1
+        while (c <= 2) {
+          if ((pat & (1 << (2 - c))) != 0) gvcWriteResidual(bw, acCodes, fd.coefs(c)(mbi))
+          c += 1
+        }
+      }
 
       def writeIntraBlocks(mx: Int, my: Int, mbi: Int): Unit = {
         var bi = 0
@@ -418,14 +511,48 @@ object Video {
         while (mx < mbw) {
           val mbi = my * mbw + mx
           val mode = fd.modes(mbi)
-          require(fd.ftype == FrameP || mode == ModeIntra, "I-frames are all-intra")
-          if (fd.ftype == FrameI) writeIntraBlocks(mx, my, mbi)
-          else mode match {
+          if (fd.ftype == FrameI) {
+            require(mode == ModeIntra, "I-frames are all-intra")
+            writeIntraBlocks(mx, my, mbi)
+          } else if (fd.ftype == FrameB) {
+            // B macroblock: bare mode symbol (no skip-run field — B-skip
+            // would reuse the previous MB's prediction; this codec
+            // rejects it rather than approximate, see gvcDecodeRaw)
+            mode match {
+              case ModeIntra =>
+                val (mc, ml) = ctlCodes(CtlIntra); bw.write(mc, ml)
+                mvPredX = 0; mvPredY = 0; bwdPredX = 0; bwdPredY = 0
+                writeIntraBlocks(mx, my, mbi)
+              case ModeFwd | ModeBwd | ModeInterp =>
+                val (mc, ml) = ctlCodes(mode match {
+                  case ModeFwd => CtlFwd
+                  case ModeBwd => CtlBwd
+                  case _ => CtlInterp
+                })
+                bw.write(mc, ml)
+                java.util.Arrays.fill(dcPred, 0)
+                if (mode != ModeBwd) {
+                  val (mvx, mvy) = fd.mvs(mbi)
+                  requireInPicture(mvx, mvy, mx, my)
+                  writeMvDiff(mvx - mvPredX); writeMvDiff(mvy - mvPredY)
+                  mvPredX = mvx; mvPredY = mvy
+                }
+                if (mode != ModeFwd) {
+                  val (bx, by) = fd.bmvs(mbi)
+                  requireInPicture(bx, by, mx, my)
+                  writeMvDiff(bx - bwdPredX); writeMvDiff(by - bwdPredY)
+                  bwdPredX = bx; bwdPredY = by
+                }
+                writeResiduals(mbi, mx, my)
+              case m =>
+                throw new IllegalArgumentException(s"mode $m not valid in a B-frame")
+            }
+          } else mode match {
             case ModeSkip =>
               pendingSkip += 1
               mvPredX = 0; mvPredY = 0 // skip resets the MV predictor
               java.util.Arrays.fill(dcPred, 0) // non-intra MB resets DC preds
-            case _ =>
+            case ModeInter | ModeIntra =>
               // skip run (escapes then a direct terminal), then the mode
               var run = pendingSkip
               pendingSkip = 0
@@ -443,35 +570,13 @@ object Video {
               } else {
                 java.util.Arrays.fill(dcPred, 0)
                 val (mvx, mvy) = fd.mvs(mbi)
-                // half-pel-unit bound: the block span plus the +1
-                // interpolation neighbor must stay in picture
-                val evx = if (fd.fullPel) 2 * mvx else mvx
-                val evy = if (fd.fullPel) 2 * mvy else mvy
-                require(evx >= -32 * mx && evx <= 32 * (mbw - 1 - mx) &&
-                  evy >= -32 * my && evy <= 32 * (mbh - 1 - my),
-                  "motion vector references out-of-picture pels")
-                def writeMvDiff(d: Int): Unit = {
-                  val s = Multimodal.jpegCategory(d)
-                  require(s <= 4, s"MV diff $d exceeds the table's categories")
-                  val (c0, l0) = dcCodes(s); bw.write(c0, l0)
-                  if (s > 0) bw.write(if (d < 0) d + (1 << s) - 1 else d, s)
-                }
+                requireInPicture(mvx, mvy, mx, my)
                 writeMvDiff(mvx - mvPredX); writeMvDiff(mvy - mvPredY)
                 mvPredX = mvx; mvPredY = mvy
-                val pat = cbpOf(fd, mbi, mx, my, bw0)
-                bw.write(pat, 6)
-                var bi = 0
-                while (bi < 4) {
-                  val b = (my * 2 + bi / 2) * bw0 + (mx * 2 + bi % 2)
-                  if ((pat & (1 << (5 - bi))) != 0) gvcWriteResidual(bw, acCodes, fd.coefs(0)(b))
-                  bi += 1
-                }
-                var c = 1
-                while (c <= 2) {
-                  if ((pat & (1 << (2 - c))) != 0) gvcWriteResidual(bw, acCodes, fd.coefs(c)(mbi))
-                  c += 1
-                }
+                writeResiduals(mbi, mx, my)
               }
+            case m =>
+              throw new IllegalArgumentException(s"mode $m not valid in a P-frame")
           }
           mx += 1
         }
@@ -484,6 +589,7 @@ object Video {
           bw.restart(rstM); rstM = (rstM + 1) & 7
           java.util.Arrays.fill(dcPred, 0)
           mvPredX = 0; mvPredY = 0
+          bwdPredX = 0; bwdPredY = 0
         }
         my += 1
       }
@@ -498,6 +604,78 @@ object Video {
     gvcEncodeStream(gvcWidth(docId), gvcHeight(docId),
       (0 until GvcFrames).map(f => gvcSynthesize(docId, f)), GvcRestartRows)
 
+  /** Synthesize the B frame (display position 1) of the q181 corpus:
+    * fwd/bwd/interpolated/intra macroblocks, forward vectors from the
+    * [[gvcMv]] family, backward vectors from [[gvcBMvBwd]], residuals /
+    * intra coefficients from the shared formulas at f = 1.
+    */
+  private[pipeline] def gvcSynthesizeB(docId: Long): GvcFrameData = {
+    val w = gvcWidth(docId); val h = gvcHeight(docId)
+    val mbw = w / 16; val mbh = h / 16
+    val bw0 = w / 8
+    val nMb = mbw * mbh
+    val modes = new Array[Int](nMb)
+    val mvs = Array.fill(nMb)((0, 0))
+    val bmvs = Array.fill(nMb)((0, 0))
+    val coefs = Array(
+      Array.fill(bw0 * (h / 8))(new Array[Int](64)),
+      Array.fill(nMb)(new Array[Int](64)),
+      Array.fill(nMb)(new Array[Int](64)))
+    var my = 0
+    while (my < mbh) {
+      var mx = 0
+      while (mx < mbw) {
+        val mbi = my * mbw + mx
+        val mode = gvcBMode(docId, mx, my)
+        modes(mbi) = mode
+        if (mode == ModeFwd || mode == ModeInterp)
+          mvs(mbi) = gvcMv(docId, 1, mx, my, mbw, mbh)
+        if (mode == ModeBwd || mode == ModeInterp)
+          bmvs(mbi) = gvcBMvBwd(docId, mx, my, mbw, mbh)
+        val fill: (Int, Int, Int, Int) => Int =
+          if (mode == ModeIntra) gvcIntraCoef(docId, 1, _, _, _, _)
+          else gvcResCoef(docId, 1, _, _, _, _)
+        var bi = 0
+        while (bi < 4) {
+          val b = (my * 2 + bi / 2) * bw0 + (mx * 2 + bi % 2)
+          var v = 0
+          while (v < 4) {
+            var u = 0
+            while (u < 4) { coefs(0)(b)(v * 8 + u) = fill(0, b, u, v); u += 1 }
+            v += 1
+          }
+          bi += 1
+        }
+        var c = 1
+        while (c <= 2) {
+          var v = 0
+          while (v < 4) {
+            var u = 0
+            while (u < 4) { coefs(c)(mbi)(v * 8 + u) = fill(c, mbi, u, v); u += 1 }
+            v += 1
+          }
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    GvcFrameData(FrameB, gvcQScale(docId, 1), gvcFullPel(docId, 1),
+      modes, mvs, coefs, temporalRef = 1, bmvs = bmvs)
+  }
+
+  /** Encode the q181 B-frame clip: coding order [I, P(2), B(1), P(3)]
+    * with explicit temporal references driving the display reorder.
+    */
+  private[pipeline] def gvcBEncode(docId: Long): Array[Byte] =
+    gvcEncodeStream(gvcWidth(docId), gvcHeight(docId),
+      Seq(
+        gvcSynthesize(docId, 0).copy(temporalRef = 0),
+        gvcSynthesize(docId, 2).copy(temporalRef = 2),
+        gvcSynthesizeB(docId),
+        gvcSynthesize(docId, 3).copy(temporalRef = 3)),
+      GvcRestartRows)
+
   // ---- decoder ------------------------------------------------------------
 
   /** Structurally decoded stream (pre-reconstruction): dims, quant, and
@@ -507,10 +685,13 @@ object Video {
   final case class GvcRaw(width: Int, height: Int, restartRows: Int,
       quantZigzag: Array[Int], frames: IndexedSeq[GvcFrameData])
 
-  /** Fully reconstructed clip + stream-level macroblock statistics. */
+  /** Fully reconstructed clip (DISPLAY order) + stream-level macroblock
+    * statistics (Σ|MV| in half-pel units across all coded directions).
+    */
   final case class GvcDecoded(width: Int, height: Int,
       frames: IndexedSeq[(Array[Int], Array[Int], Array[Int])],
-      nIntraMb: Int, nInterMb: Int, nSkipMb: Int, sumAbsMv: Long)
+      nIntraMb: Int, nInterMb: Int, nSkipMb: Int, sumAbsMv: Long,
+      nFwdMb: Int = 0, nBwdMb: Int = 0, nInterpMb: Int = 0)
 
   /** REAL parser: marker walk, sequence/frame headers, DHT canonical
     * rebuild, entropy decode of every macroblock (skip runs, modes, MV
@@ -547,11 +728,13 @@ object Video {
         case MarkerFrame =>
           require(w > 0, "frame before sequence header")
           val ftype = u8(pos + 4); val qScale = u8(pos + 5)
-          val flags = u8(pos + 6)
-          require(ftype == FrameI || ftype == FrameP, s"unknown frame type $ftype")
+          val flags = u8(pos + 6); val tref = u8(pos + 7)
+          require(ftype == FrameI || ftype == FrameP || ftype == FrameB,
+            s"unknown frame type $ftype")
           require(seen > 0 || ftype == FrameI, "stream must open with an I-frame")
           require(qScale >= 1, "quantizer scale must be positive")
           require((flags & ~1) == 0, s"unknown frame flags $flags")
+          require(tref < nFrames, s"temporal reference $tref out of range")
           val fullPel = (flags & 1) == 1
           val dcTab = huff(0)(TblDc); val mvTab = huff(0)(TblMv)
           val ctlTab = huff(0)(TblCtl); val acTab = huff(1)(0)
@@ -560,6 +743,7 @@ object Video {
           val mbw = w / 16; val mbh = h / 16; val bw0 = w / 8
           val modes = new Array[Int](mbw * mbh)
           val mvs = Array.fill(mbw * mbh)((0, 0))
+          val bmvs = if (ftype == FrameB) Array.fill(mbw * mbh)((0, 0)) else null
           val coefs = Array(
             Array.fill(bw0 * (h / 8))(new Array[Int](64)),
             Array.fill(mbw * mbh)(new Array[Int](64)),
@@ -567,7 +751,8 @@ object Video {
           val br = new Multimodal.JpegBitReader(bytes, pos + 2 + u16(pos + 2))
           var rstM = 0
           val dcPred = new Array[Int](3)
-          var mvPredX = 0; var mvPredY = 0
+          var mvPredX = 0; var mvPredY = 0 // P inter / B forward predictor
+          var bwdPredX = 0; var bwdPredY = 0 // B backward predictor
           var skipLeft = 0
           var pendingMode = -1 // mode symbol read, owed to the MB after the skips
 
@@ -587,40 +772,86 @@ object Video {
             }
           }
 
+          def readMvDiff(): Int = {
+            val s = mvTab.decode(br)
+            Multimodal.jpegExtend(br.receive(s), s)
+          }
+
+          def checkInPicture(mvx: Int, mvy: Int, mx: Int, my: Int): Unit = {
+            val evx = if (fullPel) 2 * mvx else mvx
+            val evy = if (fullPel) 2 * mvy else mvy
+            require(evx >= -32 * mx && evx <= 32 * (mbw - 1 - mx) &&
+              evy >= -32 * my && evy <= 32 * (mbh - 1 - my),
+              "motion vector references out-of-picture pels")
+          }
+
+          def readResiduals(mx: Int, my: Int, mbi: Int): Unit = {
+            val pat = br.receive(6)
+            var bi = 0
+            while (bi < 4) {
+              val b = (my * 2 + bi / 2) * bw0 + (mx * 2 + bi % 2)
+              if ((pat & (1 << (5 - bi))) != 0) coefs(0)(b) = gvcReadResidual(br, acTab)
+              bi += 1
+            }
+            var c = 1
+            while (c <= 2) {
+              if ((pat & (1 << (2 - c))) != 0) coefs(c)(mbi) = gvcReadResidual(br, acTab)
+              c += 1
+            }
+          }
+
           def decodeCoded(sym: Int, mx: Int, my: Int, mbi: Int): Unit =
             if (sym == CtlIntra) {
               modes(mbi) = ModeIntra
-              mvPredX = 0; mvPredY = 0
+              mvPredX = 0; mvPredY = 0; bwdPredX = 0; bwdPredY = 0
               readIntraBlocks(mx, my, mbi)
             } else {
               modes(mbi) = ModeInter
               java.util.Arrays.fill(dcPred, 0)
-              def readMvDiff(): Int = {
-                val s = mvTab.decode(br)
-                Multimodal.jpegExtend(br.receive(s), s)
-              }
               val mvx = mvPredX + readMvDiff()
               val mvy = mvPredY + readMvDiff()
               mvPredX = mvx; mvPredY = mvy
-              val evx = if (fullPel) 2 * mvx else mvx
-              val evy = if (fullPel) 2 * mvy else mvy
-              require(evx >= -32 * mx && evx <= 32 * (mbw - 1 - mx) &&
-                evy >= -32 * my && evy <= 32 * (mbh - 1 - my),
-                "motion vector references out-of-picture pels")
+              checkInPicture(mvx, mvy, mx, my)
               mvs(mbi) = (mvx, mvy)
-              val pat = br.receive(6)
-              var bi = 0
-              while (bi < 4) {
-                val b = (my * 2 + bi / 2) * bw0 + (mx * 2 + bi % 2)
-                if ((pat & (1 << (5 - bi))) != 0) coefs(0)(b) = gvcReadResidual(br, acTab)
-                bi += 1
-              }
-              var c = 1
-              while (c <= 2) {
-                if ((pat & (1 << (2 - c))) != 0) coefs(c)(mbi) = gvcReadResidual(br, acTab)
-                c += 1
-              }
+              readResiduals(mx, my, mbi)
             }
+
+          def decodeBMb(mx: Int, my: Int, mbi: Int): Unit = {
+            // B macroblock: a bare mode symbol — no skip-run field.
+            // MPEG-1's B-skip reuses the PREVIOUS macroblock's
+            // prediction; this codec rejects the symbol shape rather
+            // than approximate that semantics silently.
+            val sym = ctlTab.decode(br)
+            require(sym == CtlIntra || sym == CtlFwd || sym == CtlBwd || sym == CtlInterp,
+              s"control symbol $sym not valid in a B-frame")
+            if (sym == CtlIntra) {
+              modes(mbi) = ModeIntra
+              mvPredX = 0; mvPredY = 0; bwdPredX = 0; bwdPredY = 0
+              readIntraBlocks(mx, my, mbi)
+            } else {
+              modes(mbi) = sym match {
+                case CtlFwd => ModeFwd
+                case CtlBwd => ModeBwd
+                case _ => ModeInterp
+              }
+              java.util.Arrays.fill(dcPred, 0)
+              if (sym != CtlBwd) {
+                val mvx = mvPredX + readMvDiff()
+                val mvy = mvPredY + readMvDiff()
+                mvPredX = mvx; mvPredY = mvy
+                checkInPicture(mvx, mvy, mx, my)
+                mvs(mbi) = (mvx, mvy)
+              }
+              if (sym != CtlFwd) {
+                val bx = bwdPredX + readMvDiff()
+                val by = bwdPredY + readMvDiff()
+                bwdPredX = bx; bwdPredY = by
+                checkInPicture(bx, by, mx, my)
+                bmvs(mbi) = (bx, by)
+              }
+              readResiduals(mx, my, mbi)
+            }
+          }
 
           var my = 0
           while (my < mbh) {
@@ -628,6 +859,7 @@ object Video {
             while (mx < mbw) {
               val mbi = my * mbw + mx
               if (ftype == FrameI) { modes(mbi) = ModeIntra; readIntraBlocks(mx, my, mbi) }
+              else if (ftype == FrameB) decodeBMb(mx, my, mbi)
               else if (skipLeft > 0) {
                 modes(mbi) = ModeSkip; skipLeft -= 1
                 mvPredX = 0; mvPredY = 0
@@ -666,11 +898,13 @@ object Video {
               br.expectRestart(rstM); rstM = (rstM + 1) & 7
               java.util.Arrays.fill(dcPred, 0)
               mvPredX = 0; mvPredY = 0
+              bwdPredX = 0; bwdPredY = 0
             }
             my += 1
           }
           pos = br.pos
-          frames += GvcFrameData(ftype, qScale, fullPel, modes, mvs, coefs)
+          frames += GvcFrameData(ftype, qScale, fullPel, modes, mvs, coefs,
+            temporalRef = tref, bmvs = bmvs)
           seen += 1
         case 0xD9 => done = true
         case x => throw new IllegalArgumentException(f"unsupported marker 0x$x%02X")
@@ -679,6 +913,8 @@ object Video {
     require(w > 0, "missing sequence header")
     val fs = frames.result()
     require(fs.length == nFrames, s"frame count mismatch: header $nFrames, stream ${fs.length}")
+    require(fs.map(_.temporalRef).sorted == fs.indices.toList.map(identity),
+      "temporal references must be a permutation of 0..n-1")
     GvcRaw(w, h, restartRows, quantZ, fs)
   }
 
@@ -724,13 +960,30 @@ object Video {
     val mbw = w / 16; val mbh = h / 16; val bw0 = w / 8
     val cw = w / 2
     var nIntra = 0; var nInter = 0; var nSkip = 0; var sumAbsMv = 0L
-    var prev: (Array[Int], Array[Int], Array[Int]) = null
-    val out = IndexedSeq.newBuilder[(Array[Int], Array[Int], Array[Int])]
+    var nFwd = 0; var nBwd = 0; var nInterp = 0
+    // two-slot anchor tracking (the standard decoder structure): frames
+    // arrive in CODING order; an anchor (I/P) rotates the slots, a B
+    // predicts from both without becoming a reference itself
+    var refA: (Array[Int], Array[Int], Array[Int]) = null // older anchor
+    var refB: (Array[Int], Array[Int], Array[Int]) = null // newer anchor
+    var refATref = -1; var refBTref = -1
+    val display = new Array[(Array[Int], Array[Int], Array[Int])](raw.frames.length)
+
     raw.frames.foreach { fd =>
       val qz = raw.quantZigzag.map(_ * fd.qScale)
       val yP = new Array[Int](w * h)
       val cbP = new Array[Int](cw * (h / 2))
       val crP = new Array[Int](cw * (h / 2))
+      val isB = fd.ftype == FrameB
+      // P-frames and skips reference the most recent anchor; B-frames
+      // reference both, and must sit between them in display time
+      val fwdRef = if (isB) refA else refB
+      val bwdRef = refB
+      if (isB) {
+        require(refA != null && refB != null, "B-frame before both anchors")
+        require(refATref < fd.temporalRef && fd.temporalRef < refBTref,
+          "B-frame must sit between its anchors in display order")
+      }
       def blit(dst: Array[Int], stride: Int, px: Array[Int], bx: Int, by: Int): Unit = {
         var ly = 0
         while (ly < 8) {
@@ -738,12 +991,24 @@ object Video {
           ly += 1
         }
       }
+      /** Half-pel-unit vectors for the MB's coded direction(s). */
+      def halfPelVec(v: (Int, Int)): (Int, Int, Int, Int) = {
+        val (mvx, mvy) = v
+        val evx = if (fd.fullPel) 2 * mvx else mvx
+        val evy = if (fd.fullPel) 2 * mvy else mvy
+        // chroma vector: luma vector halved with truncation toward zero
+        // IN THE FRAME'S UNITS, then scaled to half-pel
+        val ecx = if (fd.fullPel) 2 * (mvx / 2) else mvx / 2
+        val ecy = if (fd.fullPel) 2 * (mvy / 2) else mvy / 2
+        (evx, evy, ecx, ecy)
+      }
       var my = 0
       while (my < mbh) {
         var mx = 0
         while (mx < mbw) {
           val mbi = my * mbw + mx
-          fd.modes(mbi) match {
+          val mode = fd.modes(mbi)
+          mode match {
             case ModeIntra =>
               nIntra += 1
               var bi = 0
@@ -757,63 +1022,81 @@ object Video {
               blit(crP, cw, Multimodal.jpegIdctBlock(fd.coefs(2)(mbi), qz), mx, my)
             case ModeSkip =>
               nSkip += 1
-              require(prev != null, "skip in the first frame")
+              require(bwdRef != null, "skip in the first frame")
               var ly = 0
               while (ly < 16) {
-                System.arraycopy(prev._1, (my * 16 + ly) * w + mx * 16,
+                System.arraycopy(bwdRef._1, (my * 16 + ly) * w + mx * 16,
                   yP, (my * 16 + ly) * w + mx * 16, 16)
                 ly += 1
               }
               ly = 0
               while (ly < 8) {
-                System.arraycopy(prev._2, (my * 8 + ly) * cw + mx * 8,
+                System.arraycopy(bwdRef._2, (my * 8 + ly) * cw + mx * 8,
                   cbP, (my * 8 + ly) * cw + mx * 8, 8)
-                System.arraycopy(prev._3, (my * 8 + ly) * cw + mx * 8,
+                System.arraycopy(bwdRef._3, (my * 8 + ly) * cw + mx * 8,
                   crP, (my * 8 + ly) * cw + mx * 8, 8)
                 ly += 1
               }
-            case ModeInter =>
-              nInter += 1
-              require(prev != null, "inter in the first frame")
-              val (mvx, mvy) = fd.mvs(mbi)
-              // everything below runs in HALF-PEL units (full-pel
-              // frames double their vectors into the shared kernel);
-              // Σ|MV| is therefore unit-consistent across frame modes
-              val evx = if (fd.fullPel) 2 * mvx else mvx
-              val evy = if (fd.fullPel) 2 * mvy else mvy
-              sumAbsMv += math.abs(evx) + math.abs(evy)
-              // chroma vector: luma vector halved with truncation toward
-              // zero IN THE FRAME'S UNITS, then scaled to half-pel
-              val ecx = if (fd.fullPel) 2 * (mvx / 2) else mvx / 2
-              val ecy = if (fd.fullPel) 2 * (mvy / 2) else mvy / 2
-              val pred = new Array[Int](64)
+            case _ =>
+              // motion-compensated: P inter, or B fwd/bwd/interpolated
+              mode match {
+                case ModeInter => nInter += 1
+                case ModeFwd => nFwd += 1
+                case ModeBwd => nBwd += 1
+                case ModeInterp => nInterp += 1
+                case m => throw new IllegalArgumentException(s"bad mode $m")
+              }
+              require(mode == ModeInter || isB, "B modes outside a B-frame")
+              val useFwd = mode == ModeInter || mode == ModeFwd || mode == ModeInterp
+              val useBwd = mode == ModeBwd || mode == ModeInterp
+              val fRef = if (mode == ModeInter) bwdRef else fwdRef
+              require(!useFwd || fRef != null, "prediction before its reference")
+              require(!useBwd || bwdRef != null, "prediction before its reference")
+              val (fevx, fevy, fecx, fecy) =
+                if (useFwd) halfPelVec(fd.mvs(mbi)) else (0, 0, 0, 0)
+              val (bevx, bevy, becx, becy) =
+                if (useBwd) halfPelVec(fd.bmvs(mbi)) else (0, 0, 0, 0)
+              if (useFwd) sumAbsMv += math.abs(fevx) + math.abs(fevy)
+              if (useBwd) sumAbsMv += math.abs(bevx) + math.abs(bevy)
+              val predF = new Array[Int](64)
+              val predB = new Array[Int](64)
+              def reconBlocks(
+                  srcF: Array[Int], srcB: Array[Int], dst: Array[Int],
+                  stride: Int, x0: Int, y0: Int, res: Array[Int],
+                  vxF: Int, vyF: Int, vxB: Int, vyB: Int): Unit = {
+                if (useFwd) mcPredict8(srcF, stride, x0, y0, vxF, vyF, predF)
+                if (useBwd) mcPredict8(srcB, stride, x0, y0, vxB, vyB, predB)
+                var i = 0
+                while (i < 64) {
+                  // interpolated mode: average the two predictions,
+                  // half rounded away from zero (non-negative inputs)
+                  val base =
+                    if (useFwd && useBwd) (predF(i) + predB(i) + 1) >> 1
+                    else if (useFwd) predF(i)
+                    else predB(i)
+                  val p = base + res(i)
+                  dst((y0 + i / 8) * stride + (x0 + i % 8)) = math.max(0, math.min(255, p))
+                  i += 1
+                }
+              }
               var bi = 0
               while (bi < 4) {
                 val b = (my * 2 + bi / 2) * bw0 + (mx * 2 + bi % 2)
                 val res = gvcIdctResidual(fd.coefs(0)(b), qz)
                 val x0 = (mx * 2 + bi % 2) * 8; val y0 = (my * 2 + bi / 2) * 8
-                mcPredict8(prev._1, w, x0, y0, evx, evy, pred)
-                var i = 0
-                while (i < 64) {
-                  val p = pred(i) + res(i)
-                  yP((y0 + i / 8) * w + (x0 + i % 8)) = math.max(0, math.min(255, p))
-                  i += 1
-                }
+                reconBlocks(if (fRef != null) fRef._1 else null,
+                  if (bwdRef != null) bwdRef._1 else null,
+                  yP, w, x0, y0, res, fevx, fevy, bevx, bevy)
                 bi += 1
               }
               var c = 1
               while (c <= 2) {
                 val res = gvcIdctResidual(fd.coefs(c)(mbi), qz)
-                val src = if (c == 1) prev._2 else prev._3
+                val sF = if (fRef == null) null else if (c == 1) fRef._2 else fRef._3
+                val sB = if (bwdRef == null) null else if (c == 1) bwdRef._2 else bwdRef._3
                 val dst = if (c == 1) cbP else crP
-                val x0 = mx * 8; val y0 = my * 8
-                mcPredict8(src, cw, x0, y0, ecx, ecy, pred)
-                var i = 0
-                while (i < 64) {
-                  val p = pred(i) + res(i)
-                  dst((y0 + i / 8) * cw + (x0 + i % 8)) = math.max(0, math.min(255, p))
-                  i += 1
-                }
+                reconBlocks(sF, sB, dst, cw, mx * 8, my * 8, res,
+                  fecx, fecy, becx, becy)
                 c += 1
               }
           }
@@ -821,10 +1104,16 @@ object Video {
         }
         my += 1
       }
-      prev = (yP, cbP, crP)
-      out += prev
+      val recon = (yP, cbP, crP)
+      require(display(fd.temporalRef) == null, "duplicate temporal reference")
+      display(fd.temporalRef) = recon
+      if (!isB) {
+        refA = refB; refATref = refBTref
+        refB = recon; refBTref = fd.temporalRef
+      }
     }
-    GvcDecoded(w, h, out.result(), nIntra, nInter, nSkip, sumAbsMv)
+    GvcDecoded(w, h, display.toIndexedSeq, nIntra, nInter, nSkip, sumAbsMv,
+      nFwd, nBwd, nInterp)
   }
 
   // ---- declared query -----------------------------------------------------
@@ -852,12 +1141,10 @@ object Video {
     * cumulative drift). The oracle replays ALL of it from the synthesis
     * formulas in SQL — an unrolled four-frame reconstruction chain.
     */
-  /** Per-clip feature tuple from the bytes (the kernel body; also the
-    * sensitivity tests' comparison unit).
+  /** Display-order plane statistics shared by the q180/q181 features:
+    * (mean Y, mean Cb, inter-frame motion, last frame's bottom-row luma).
     */
-  private[pipeline] def gvcFeaturesOf(bytes: Array[Byte]): (Int, Int, Int, Int, Int, Int,
-      Long, Double, Double, Long, Long) = {
-    val d = gvcDecode(bytes)
+  private def planeStats(d: GvcDecoded): (Double, Double, Long, Long) = {
     val n = d.frames.length
     var ySum = 0L; var cbSum = 0L; var motion = 0L; var lastBot = 0L
     var f = 0
@@ -879,8 +1166,29 @@ object Video {
     while (x < d.width) { lastBot += lastY((d.height - 1) * d.width + x); x += 1 }
     val yPix = d.width.toLong * d.height * n
     val cPix = (d.width / 2).toLong * (d.height / 2) * n
-    (d.width, d.height, n, d.nIntraMb, d.nInterMb, d.nSkipMb, d.sumAbsMv,
-      ySum.toDouble / yPix, cbSum.toDouble / cPix, motion, lastBot)
+    (ySum.toDouble / yPix, cbSum.toDouble / cPix, motion, lastBot)
+  }
+
+  /** Per-clip feature tuple from the bytes (the kernel body; also the
+    * sensitivity tests' comparison unit).
+    */
+  private[pipeline] def gvcFeaturesOf(bytes: Array[Byte]): (Int, Int, Int, Int, Int, Int,
+      Long, Double, Double, Long, Long) = {
+    val d = gvcDecode(bytes)
+    val (meanY, meanCb, motion, lastBot) = planeStats(d)
+    (d.width, d.height, d.frames.length, d.nIntraMb, d.nInterMb, d.nSkipMb, d.sumAbsMv,
+      meanY, meanCb, motion, lastBot)
+  }
+
+  /** q181's feature tuple: B-mode macroblock counts instead of the P
+    * skip/inter split.
+    */
+  private[pipeline] def gvcBFeaturesOf(bytes: Array[Byte]): (Int, Int, Int, Int, Int, Int,
+      Int, Long, Double, Double, Long, Long) = {
+    val d = gvcDecode(bytes)
+    val (meanY, meanCb, motion, lastBot) = planeStats(d)
+    (d.width, d.height, d.frames.length, d.nFwdMb, d.nBwdMb, d.nInterpMb,
+      d.nIntraMb, d.sumAbsMv, meanY, meanCb, motion, lastBot)
   }
 
   def gvcFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -896,6 +1204,48 @@ object Video {
       .select(
         col("doc_id"), col("width"), col("height"), col("n_frames"),
         col("n_intra_mb"), col("n_inter_mb"), col("n_skip_mb"), col("sum_abs_mv"),
+        round(col("mean_y_raw"), 4).as("mean_y"),
+        round(col("mean_cb_raw"), 4).as("mean_cb"),
+        col("motion"), col("last_bot_luma"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q181 corpus: every clip carries the full GOP triad — an
+    * I-frame, a bidirectional B (display position 1, coded AFTER its
+    * backward anchor), and two P anchors.
+    */
+  def gvcBTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, gvcBEncode(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** Declared query (q181): decode the B-frame corpus. On top of q180's
+    * layers this gates frame REORDERING (coding order ≠ display order;
+    * the temporal-reference walk and two-slot anchor tracking),
+    * bidirectional prediction (independent fwd/bwd vector predictors),
+    * and the interpolated mode's two-prediction average — the oracle
+    * replays display-order reconstruction where the B frame's CTE joins
+    * BOTH anchors.
+    */
+  def gvcBFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gvcBTable(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val f = gvcBFeaturesOf(bytes)
+        (id, f._1, f._2, f._3, f._4, f._5, f._6, f._7, f._8, f._9, f._10, f._11, f._12)
+      })
+      .toDF("doc_id", "width", "height", "n_frames", "n_fwd_mb", "n_bwd_mb",
+        "n_interp_mb", "n_intra_mb", "sum_abs_mv", "mean_y_raw", "mean_cb_raw",
+        "motion", "last_bot_luma")
+      .select(
+        col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("n_fwd_mb"), col("n_bwd_mb"), col("n_interp_mb"), col("n_intra_mb"),
+        col("sum_abs_mv"),
         round(col("mean_y_raw"), 4).as("mean_y"),
         round(col("mean_cb_raw"), 4).as("mean_cb"),
         col("motion"), col("last_bot_luma"))

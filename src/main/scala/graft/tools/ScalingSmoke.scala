@@ -119,6 +119,7 @@ object ScalingSmoke {
         (graft.pipeline.Multimodal.jpegProgressiveColorFeatures _),
       "q170_y4m_decode" -> (graft.pipeline.Multimodal.y4mFeatures _),
       "q180_video_codec" -> (graft.pipeline.Video.gvcFeatures _),
+      "q181_video_bframes" -> (graft.pipeline.Video.gvcBFeatures _),
       // r15: the resample family — per-user grid generation + the native
       // as-of merge; user count scales 10x, per-user span is identical
       // by construction, so the exponent measures the join/grid path

@@ -218,6 +218,120 @@ class VideoSuite extends AnyFunSuite {
     }
   }
 
+  test("B-frame GOP round-trips: coding order, temporal refs, both MV sets") {
+    for (id <- 0L until 24L) {
+      val raw = Video.gvcDecodeRaw(Video.gvcBEncode(id))
+      assert(raw.frames.map(_.temporalRef).toSeq == Seq(0, 2, 1, 3), s"coding order $id")
+      val synth = Seq(
+        Video.gvcSynthesize(id, 0).copy(temporalRef = 0),
+        Video.gvcSynthesize(id, 2).copy(temporalRef = 2),
+        Video.gvcSynthesizeB(id),
+        Video.gvcSynthesize(id, 3).copy(temporalRef = 3))
+      for ((dec, syn) <- raw.frames.zip(synth)) {
+        assert(dec.ftype == syn.ftype && dec.qScale == syn.qScale &&
+          dec.fullPel == syn.fullPel, s"header $id")
+        assert(dec.modes.toSeq == syn.modes.toSeq, s"modes $id")
+        assert(dec.mvs.toSeq == syn.mvs.toSeq, s"fwd mvs $id")
+        if (syn.ftype == 2)
+          assert(dec.bmvs.toSeq == syn.bmvs.toSeq, s"bwd mvs $id")
+        for (c <- 0 to 2)
+          assert(dec.coefs(c).map(_.toSeq).toSeq == syn.coefs(c).map(_.toSeq).toSeq,
+            s"coefs $id")
+      }
+    }
+  }
+
+  test("B-frames reconstruct bidirectionally; P anchors chain over anchors, not the B") {
+    def avg(src: Array[Int], stride: Int, x: Int, y: Int, evx: Int, evy: Int): Int = {
+      val t2x = 2 * x + evx; val t2y = 2 * y + evy
+      val ix = t2x >> 1; val fx = t2x & 1
+      val iy = t2y >> 1; val fy = t2y & 1
+      val n = (1 + fx) * (1 + fy)
+      var s = src(iy * stride + ix)
+      if (fx == 1) s += src(iy * stride + ix + 1)
+      if (fy == 1) s += src((iy + 1) * stride + ix)
+      if (fx == 1 && fy == 1) s += src((iy + 1) * stride + ix + 1)
+      (s + n / 2) / n
+    }
+    var sawFwd = 0; var sawBwd = 0; var sawInterp = 0
+    for (id <- 0L until 12L) {
+      val bytes = Video.gvcBEncode(id)
+      val d = Video.gvcDecode(bytes)
+      val raw = Video.gvcDecodeRaw(bytes)
+      val w = d.width
+      val mbw = w / 16
+      val b = raw.frames(2) // the B frame (coding position 2, display 1)
+      val qz = raw.quantZigzag.map(_ * b.qScale)
+      def ev(v: Int) = if (b.fullPel) 2 * v else v
+      for (mbi <- b.modes.indices if b.modes(mbi) != Video.ModeIntra) {
+        val mx = mbi % mbw; val my = mbi / mbw
+        val mode = b.modes(mbi)
+        mode match {
+          case Video.ModeFwd => sawFwd += 1
+          case Video.ModeBwd => sawBwd += 1
+          case Video.ModeInterp => sawInterp += 1
+          case m => fail(s"unexpected B mode $m")
+        }
+        val (fx0, fy0) = b.mvs(mbi); val (bx0, by0) = b.bmvs(mbi)
+        for (bi <- 0 until 4) {
+          val blk = (my * 2 + bi / 2) * (w / 8) + (mx * 2 + bi % 2)
+          val res = Video.gvcIdctResidual(b.coefs(0)(blk), qz)
+          for (ly <- 0 until 8; lx <- 0 until 8) {
+            val x = (mx * 2 + bi % 2) * 8 + lx; val y = (my * 2 + bi / 2) * 8 + ly
+            val pf = avg(d.frames(0)._1, w, x, y, ev(fx0), ev(fy0))
+            val pb = avg(d.frames(2)._1, w, x, y, ev(bx0), ev(by0))
+            val base = mode match {
+              case Video.ModeFwd => pf
+              case Video.ModeBwd => pb
+              case _ => (pf + pb + 1) >> 1
+            }
+            val expect = math.max(0, math.min(255, base + res(ly * 8 + lx)))
+            assert(d.frames(1)._1(y * w + x) == expect, s"B luma doc $id at ($x,$y)")
+          }
+        }
+      }
+      // the display-3 P predicts from display-2 (the anchor), NOT the B
+      val p3 = raw.frames(3)
+      val qz3 = raw.quantZigzag.map(_ * p3.qScale)
+      def ev3(v: Int) = if (p3.fullPel) 2 * v else v
+      for (mbi <- p3.modes.indices if p3.modes(mbi) == Video.ModeInter) {
+        val mx = mbi % mbw; val my = mbi / mbw
+        val (mvx, mvy) = p3.mvs(mbi)
+        val blk = (my * 2) * (w / 8) + (mx * 2)
+        val res = Video.gvcIdctResidual(p3.coefs(0)(blk), qz3)
+        val x = mx * 16; val y = my * 16
+        val expect = math.max(0, math.min(255,
+          avg(d.frames(2)._1, w, x, y, ev3(mvx), ev3(mvy)) + res(0)))
+        assert(d.frames(3)._1(y * w + x) == expect, s"P3 anchor chain doc $id")
+      }
+      // skips in P frames copy the ANCHOR, exercised by the q180 suite
+    }
+    assert(sawFwd > 0 && sawBwd > 0 && sawInterp > 0,
+      s"B mode coverage: fwd=$sawFwd bwd=$sawBwd interp=$sawInterp")
+  }
+
+  test("B-frame ordering rules are enforced") {
+    val id = 4L // 32x16
+    val i0 = Video.gvcSynthesize(id, 0).copy(temporalRef = 0)
+    val b = Video.gvcSynthesizeB(id)
+    // B before its backward anchor exists (coding [I, B]) must be
+    // rejected at reconstruction
+    val early = Video.gvcEncodeStream(32, 16, Seq(i0, b.copy(temporalRef = 1)),
+      Video.GvcRestartRows)
+    intercept[IllegalArgumentException](Video.gvcDecode(early))
+    // a B outside its anchors (coding [I(0), P(1), B(2)]) violates the
+    // straddle rule
+    val p1 = Video.gvcSynthesize(id, 2).copy(temporalRef = 1)
+    val late = Video.gvcEncodeStream(32, 16, Seq(i0, p1, b.copy(temporalRef = 2)),
+      Video.GvcRestartRows)
+    intercept[IllegalArgumentException](Video.gvcDecode(late))
+    // duplicate temporal references are rejected at encode
+    intercept[IllegalArgumentException] {
+      Video.gvcEncodeStream(32, 16,
+        Seq(i0, Video.gvcSynthesize(id, 2).copy(temporalRef = 0)), Video.GvcRestartRows)
+    }
+  }
+
   test("GVC reads the BYTES: header, marker, entropy, and restart sensitivity") {
     val id = 1L // 32x32: two MB rows, so restart markers actually fire
     val bytes = Video.gvcEncode(id)

@@ -303,7 +303,7 @@ class PlanSuite extends AnyFunSuite {
     assert(!p130.contains("Window"), p130)
   }
 
-  test("q136/q138/q139/q180: media decode queries are single narrow kernel passes") {
+  test("q136/q138/q139/q180/q181: media decode queries are single narrow kernel passes") {
     // synthesize → decode → feature-extract never shuffles: the only
     // exchange in any of the four is the output sort's range partitioning
     // (q180 adds the motion-video codec — same per-doc kernel shape)
@@ -311,7 +311,8 @@ class PlanSuite extends AnyFunSuite {
         graft.pipeline.Multimodal.wavFeatures(spark, dir),
         graft.pipeline.Multimodal.bmpFeatures(spark, dir),
         graft.pipeline.Multimodal.wavFrameFeatures(spark, dir),
-        graft.pipeline.Video.gvcFeatures(spark, dir))) {
+        graft.pipeline.Video.gvcFeatures(spark, dir),
+        graft.pipeline.Video.gvcBFeatures(spark, dir))) {
       val ep = execPlan(df)
       assert(!ep.contains("Exchange hashpartitioning"), ep)
       assert(!ep.contains("Window"), ep)

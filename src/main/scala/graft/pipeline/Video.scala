@@ -669,11 +669,10 @@ object Video {
     */
   private[pipeline] def gvcBEncode(docId: Long): Array[Byte] =
     gvcEncodeStream(gvcWidth(docId), gvcHeight(docId),
-      Seq(
-        gvcSynthesize(docId, 0).copy(temporalRef = 0),
-        gvcSynthesize(docId, 2).copy(temporalRef = 2),
-        gvcSynthesizeB(docId),
-        gvcSynthesize(docId, 3).copy(temporalRef = 3)),
+      GvcBDisplayOfCoding.toSeq.map {
+        case 1 => gvcSynthesizeB(docId)
+        case t => gvcSynthesize(docId, t).copy(temporalRef = t)
+      },
       GvcRestartRows)
 
   // ---- decoder ------------------------------------------------------------
@@ -727,6 +726,9 @@ object Video {
         case 0xC4 => pos = Multimodal.jpegParseDht(bytes, pos, huff)
         case MarkerFrame =>
           require(w > 0, "frame before sequence header")
+          // 4-byte payload (+2 length bytes): reject short/long headers
+          // rather than alias entropy bytes into header fields
+          require(u16(pos + 2) == 6, "frame header must carry exactly 4 bytes")
           val ftype = u8(pos + 4); val qScale = u8(pos + 5)
           val flags = u8(pos + 6); val tref = u8(pos + 7)
           require(ftype == FrameI || ftype == FrameP || ftype == FrameB,
@@ -1105,7 +1107,7 @@ object Video {
         my += 1
       }
       val recon = (yP, cbP, crP)
-      require(display(fd.temporalRef) == null, "duplicate temporal reference")
+      // gvcDecodeRaw already proved the trefs are a permutation
       display(fd.temporalRef) = recon
       if (!isB) {
         refA = refB; refATref = refBTref

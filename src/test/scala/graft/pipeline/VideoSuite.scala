@@ -221,7 +221,8 @@ class VideoSuite extends AnyFunSuite {
   test("B-frame GOP round-trips: coding order, temporal refs, both MV sets") {
     for (id <- 0L until 24L) {
       val raw = Video.gvcDecodeRaw(Video.gvcBEncode(id))
-      assert(raw.frames.map(_.temporalRef).toSeq == Seq(0, 2, 1, 3), s"coding order $id")
+      assert(raw.frames.map(_.temporalRef).toSeq == Video.GvcBDisplayOfCoding.toSeq,
+        s"coding order $id")
       val synth = Seq(
         Video.gvcSynthesize(id, 0).copy(temporalRef = 0),
         Video.gvcSynthesize(id, 2).copy(temporalRef = 2),

@@ -305,8 +305,9 @@ class PlanSuite extends AnyFunSuite {
 
   test("q136/q138/q139/q180/q181: media decode queries are single narrow kernel passes") {
     // synthesize → decode → feature-extract never shuffles: the only
-    // exchange in any of the four is the output sort's range partitioning
-    // (q180 adds the motion-video codec — same per-doc kernel shape)
+    // exchange in any of these decode queries is the output sort's range
+    // partitioning (q180/q181 add the motion-video codec + B-frame GOP —
+    // same per-doc kernel shape)
     for (df <- Seq(
         graft.pipeline.Multimodal.wavFeatures(spark, dir),
         graft.pipeline.Multimodal.bmpFeatures(spark, dir),

@@ -3159,6 +3159,238 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  // ---- real COMPRESSED audio decode (IMA ADPCM / DVI4) -------------------
+
+  /** The compressed-audio twin of the JPEG (image) and GVC (video)
+    * codecs: a real IMA/DVI ADPCM decoder, the 4-bit differential codec
+    * carried by WAVE format tag 0x0011 (and RTP's DVI4). 4:1 compression
+    * vs PCM16 — the classic lossy audio codec whose entire decode is an
+    * integer state machine, so it is bit-exact reproducible:
+    *
+    *  - each block opens with a 4-byte header (initial predictor as a
+    *    little-endian int16 — which IS sample 0 — plus the initial
+    *    step-table index) followed by packed 4-bit nibbles, two per
+    *    byte, LOW nibble first;
+    *  - each nibble advances the decoder: `diff = step>>3 (+ step if
+    *    bit2) (+ step>>1 if bit1) (+ step>>2 if bit0)`, predictor
+    *    ± diff (bit3 = sign) clamped to int16, then the step index
+    *    moves by the 8-entry adjustment table, clamped to [0, 88];
+    *  - the 89-entry step table is the published IMA spec table.
+    *
+    * The corpus synthesizes in the NIBBLE domain (the q167/q180
+    * precedent: synthesis lives in the coded domain so decode is exactly
+    * predictable), packs spec-compliant WAVE(0x0011) containers — fmt
+    * extension with samples-per-block, fact chunk, block-aligned data —
+    * and [[adpcmDecode]] is a REAL parser: generic RIFF chunk walk (fmt
+    * / fact / data located by iterating chunks, not fixed offsets),
+    * format-tag and geometry validation, then the state machine over
+    * every block. The DuckDB oracle replays the SAME state machine as a
+    * recursive CTE (step table inlined as a list literal), so a wrong
+    * shift, a missed clamp, a swapped nibble order, or a mis-read block
+    * header goes red on the per-doc sample SUM.
+    */
+  val AdpcmBlockAlign = 12 // 4-byte header + 8 nibble bytes
+  val AdpcmSamplesPerBlock = 1 + (AdpcmBlockAlign - 4) * 2 // 17
+
+  /** IMA ADPCM step-size table (89 entries, published spec). */
+  val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 38, 42, 46,
+    51, 56, 62, 69, 76, 84, 94, 103, 113, 125,
+    138, 151, 166, 182, 200, 220, 242, 266, 294, 322,
+    358, 394, 434, 478, 526, 580, 638, 702, 772, 850,
+    936, 1030, 1134, 1248, 1372, 1510, 1662, 1828, 2012, 2212,
+    2435, 2680, 2950, 3246, 3572, 3930, 4326, 4760, 5240, 5766,
+    6344, 6978, 7680, 8452, 9302, 10238, 11264, 12396, 13640, 15016,
+    16524, 18188, 20032, 22048, 24268, 26722, 29422, 32378, 32767)
+
+  /** IMA index-adjustment table, indexed by the nibble's low 3 bits. */
+  val AdpcmIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Blocks per doc: 1–3, so the block walk is load-bearing. */
+  def adpcmNumBlocks(docId: Long): Int = (1 + docId % 3).toInt
+
+  /** Block b's header predictor (= sample 0 of the block). */
+  def adpcmPred0(docId: Long, b: Int): Int =
+    (((docId * 7919L + b.toLong * 4721L) % 65536L) - 32768L).toInt
+
+  /** Block b's initial step index (spans the whole table over the corpus). */
+  def adpcmIdx0(docId: Long, b: Int): Int = ((docId * 13L + b.toLong * 7L) % 89L).toInt
+
+  /** Nibble j (0-based) of block b — drives sample j+1. All 16 codes occur. */
+  def adpcmNibble(docId: Long, b: Int, j: Int): Int =
+    ((docId * 11L + b.toLong * 5L + j.toLong * 3L) % 16L).toInt
+
+  /** Encode one spec-compliant WAVE(0x0011) IMA ADPCM container. */
+  private[pipeline] def adpcmEncode(docId: Long): Array[Byte] = {
+    val nb = adpcmNumBlocks(docId)
+    val dataSize = nb * AdpcmBlockAlign
+    val sr = wavSampleRate(docId)
+    // chunks: fmt (8+20), fact (8+4), data (8+dataSize)
+    val riffSize = 4 + 28 + 12 + 8 + dataSize
+    val bb = java.nio.ByteBuffer
+      .allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)); bb.putInt(riffSize)
+    bb.put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)); bb.putInt(20)
+    bb.putShort(0x0011) // wFormatTag: IMA ADPCM
+    bb.putShort(1) // mono
+    bb.putInt(sr)
+    bb.putInt(sr * AdpcmBlockAlign / AdpcmSamplesPerBlock) // avg bytes/sec
+    bb.putShort(AdpcmBlockAlign.toShort)
+    bb.putShort(4) // bits per (coded) sample
+    bb.putShort(2) // cbSize
+    bb.putShort(AdpcmSamplesPerBlock.toShort) // wSamplesPerBlock
+    bb.put("fact".getBytes(ascii)); bb.putInt(4)
+    bb.putInt(nb * AdpcmSamplesPerBlock)
+    bb.put("data".getBytes(ascii)); bb.putInt(dataSize)
+    var b = 0
+    while (b < nb) {
+      bb.putShort(adpcmPred0(docId, b).toShort)
+      bb.put(adpcmIdx0(docId, b).toByte)
+      bb.put(0.toByte) // reserved
+      var k = 0
+      while (k < AdpcmBlockAlign - 4) {
+        val lo = adpcmNibble(docId, b, 2 * k)
+        val hi = adpcmNibble(docId, b, 2 * k + 1)
+        bb.put(((hi << 4) | lo).toByte)
+        k += 1
+      }
+      b += 1
+    }
+    bb.array()
+  }
+
+  /** Parsed header + fully decoded PCM of a mono IMA ADPCM WAVE. */
+  final case class AdpcmDecoded(
+      sampleRate: Int, blockAlign: Int, samplesPerBlock: Int,
+      samples: Array[Int])
+
+  /** Advance the IMA state machine by one nibble; returns (pred', idx'). */
+  @inline private[pipeline] def adpcmStep(pred: Int, idx: Int, nib: Int): (Int, Int) = {
+    val step = AdpcmStepTable(idx)
+    var diff = step >> 3
+    if ((nib & 1) != 0) diff += step >> 2
+    if ((nib & 2) != 0) diff += step >> 1
+    if ((nib & 4) != 0) diff += step
+    val p0 = if ((nib & 8) != 0) pred - diff else pred + diff
+    val p = if (p0 > 32767) 32767 else if (p0 < -32768) -32768 else p0
+    val i0 = idx + AdpcmIndexTable(nib & 7)
+    val i = if (i0 > 88) 88 else if (i0 < 0) 0 else i0
+    (p, i)
+  }
+
+  /** REAL WAVE(0x0011) parse + IMA ADPCM decode: generic RIFF chunk walk
+    * (fmt/fact/data found by iteration), geometry checks, then the
+    * per-block state machine. Decodes any spec-compliant mono stream.
+    */
+  private[pipeline] def adpcmDecode(bytes: Array[Byte]): AdpcmDecoded = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def fourcc(off: Int): String = new String(bytes, off, 4, ascii)
+    require(fourcc(0) == "RIFF" && fourcc(8) == "WAVE", "not a RIFF/WAVE stream")
+    val riffEnd = math.min(bytes.length, 8 + bb.getInt(4))
+    var fmtOff = -1; var dataOff = -1; var dataLen = -1; var factSamples = -1
+    var off = 12
+    while (off + 8 <= riffEnd) {
+      val id = fourcc(off)
+      val len = bb.getInt(off + 4)
+      require(len >= 0 && off + 8 + len <= riffEnd, s"chunk '$id' overruns RIFF")
+      id match {
+        case "fmt " => fmtOff = off + 8
+        case "fact" => factSamples = bb.getInt(off + 8)
+        case "data" => dataOff = off + 8; dataLen = len
+        case _ => // skip foreign chunks (LIST/INFO/...)
+      }
+      off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    require(fmtOff >= 0 && dataOff >= 0, "missing fmt or data chunk")
+    val tag = bb.getShort(fmtOff) & 0xFFFF
+    require(tag == 0x0011, f"not IMA ADPCM: format tag 0x$tag%04x")
+    val channels = bb.getShort(fmtOff + 2).toInt
+    require(channels == 1, s"unsupported channel count $channels")
+    val sampleRate = bb.getInt(fmtOff + 4)
+    val blockAlign = bb.getShort(fmtOff + 12).toInt
+    val bits = bb.getShort(fmtOff + 14).toInt
+    require(bits == 4, s"unsupported ADPCM bit depth $bits")
+    val samplesPerBlock = bb.getShort(fmtOff + 18).toInt
+    require(samplesPerBlock == 1 + (blockAlign - 4) * 2,
+      s"samples-per-block $samplesPerBlock inconsistent with block align $blockAlign")
+    require(dataLen % blockAlign == 0, "data chunk is not block-aligned")
+    val nBlocks = dataLen / blockAlign
+    val total =
+      if (factSamples >= 0) {
+        require(factSamples <= nBlocks * samplesPerBlock, "fact count exceeds data")
+        factSamples
+      } else nBlocks * samplesPerBlock
+    val out = new Array[Int](total)
+    var w = 0
+    var b = 0
+    while (b < nBlocks && w < total) {
+      val base = dataOff + b * blockAlign
+      var pred = bb.getShort(base).toInt
+      var idx = bytes(base + 2) & 0xFF
+      require(idx <= 88, s"block $b: step index $idx out of range")
+      out(w) = pred; w += 1
+      var k = 0
+      while (k < blockAlign - 4 && w < total) {
+        val byte = bytes(base + 4 + k) & 0xFF
+        var half = 0
+        while (half < 2 && w < total) {
+          val nib = if (half == 0) byte & 0x0F else byte >>> 4
+          val (p, i) = adpcmStep(pred, idx, nib)
+          pred = p; idx = i
+          out(w) = pred; w += 1
+          half += 1
+        }
+        k += 1
+      }
+      b += 1
+    }
+    AdpcmDecoded(sampleRate, blockAlign, samplesPerBlock, out)
+  }
+
+  /** The synthesized ADPCM corpus: (doc_id, media) with real 0x0011 payloads. */
+  def adpcmTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, adpcmEncode(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** Declared query (q182): decode the compressed-audio corpus and emit
+    * per-doc features — container fields (sample_rate, n_samples) plus
+    * statistics over every DECODED sample (sum, peak, final predictor).
+    * `sum_samples` makes each of the ~40 state-machine transitions per
+    * doc load-bearing: one wrong shift, clamp, or nibble order shifts
+    * the sum. One kernel pass, no shuffle before the output sort.
+    */
+  def adpcmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    adpcmTable(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = adpcmDecode(bytes)
+        var sum = 0L
+        var peak = 0
+        var i = 0
+        while (i < d.samples.length) {
+          val s = d.samples(i)
+          sum += s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 1
+        }
+        (id, d.sampleRate, d.samples.length, sum, peak, d.samples(d.samples.length - 1))
+      })
+      .toDF("doc_id", "sample_rate", "n_samples", "sum_samples", "peak", "last_pred")
+      .orderBy(col("doc_id"))
+  }
+
   /** Declared query: per-doc media features with the histogram rounded.
     * Oracle-gated: with [[HistBins]] = 16 the bin index is each byte's
     * high nibble, so DuckDB reproduces the histogram exactly from

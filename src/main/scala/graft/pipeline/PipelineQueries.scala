@@ -187,7 +187,8 @@ object PipelineQueries {
     "q177_snapshot_time_travel" -> (Events.snapshotTimeTravel _),
     "q179_jpeg_progressive_color" -> (Multimodal.jpegProgressiveColorFeatures _),
     "q180_video_codec" -> (Video.gvcFeatures _),
-    "q181_video_bframes" -> (Video.gvcBFeatures _)
+    "q181_video_bframes" -> (Video.gvcBFeatures _),
+    "q182_adpcm_decode" -> (Multimodal.adpcmFeatures _)
   )
 
   // ---- GVC oracle generators (shared by q180 and q181) -------------------
@@ -2510,6 +2511,54 @@ object PipelineQueries {
     // q181: the B-frame GOP — adds frame reordering, bidirectional
     // prediction, and the interpolated-mode average on top of q180's
     // gates (see GvcBOracle's Scaladoc).
-    "q181_video_bframes" -> GvcBOracle
+    "q181_video_bframes" -> GvcBOracle,
+
+    // q182: IMA ADPCM audio decode — the oracle replays the ENTIRE
+    // decoder state machine as a recursive CTE from the nibble-domain
+    // synthesis formulas: per (doc, block), row j holds sample j and the
+    // step index to be used for nibble j; the recursive step applies the
+    // published diff expansion (step>>3 + conditional step, step>>1,
+    // step>>2), the sign bit, the int16 predictor clamp, and the [0,88]
+    // index clamp, with the 89-entry step table inlined as a DuckDB list
+    // literal. sum_samples aggregates every decoded sample, so any slip
+    // in the Spark-side parse (chunk walk, block header, nibble order)
+    // or state machine goes red. All arithmetic is exact integer.
+    "q182_adpcm_decode" -> {
+      val stepList = Multimodal.AdpcmStepTable.mkString("[", ",", "]")
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, (1 + doc_id % 3)::INT AS nb FROM documents),
+         |blk AS (SELECT doc_id, nb, unnest(range(0, nb))::INT AS b FROM d),
+         |st AS (
+         |  SELECT doc_id, nb, b, 0 AS j,
+         |    (((doc_id * 7919 + b * 4721) % 65536) - 32768)::INT AS pred,
+         |    ((doc_id * 13 + b * 7) % 89)::INT AS idx
+         |  FROM blk
+         |  UNION ALL
+         |  SELECT doc_id, nb, b, j + 1,
+         |    greatest(-32768, least(32767,
+         |      pred + CASE WHEN (nib // 8) % 2 = 1 THEN -diff ELSE diff END))::INT,
+         |    greatest(0, least(88, idx +
+         |      CASE (nib % 8) WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+         |                     WHEN 7 THEN 8 ELSE -1 END))::INT
+         |  FROM (
+         |    SELECT doc_id, nb, b, j, pred, idx, nib,
+         |      (stp // 8) + CASE WHEN (nib // 4) % 2 = 1 THEN stp ELSE 0 END
+         |                 + CASE WHEN (nib // 2) % 2 = 1 THEN stp // 2 ELSE 0 END
+         |                 + CASE WHEN nib % 2 = 1 THEN stp // 4 ELSE 0 END AS diff
+         |    FROM (
+         |      SELECT doc_id, nb, b, j, pred, idx,
+         |        ((doc_id * 11 + b * 5 + j * 3) % 16)::INT AS nib,
+         |        ${stepList}[idx + 1] AS stp
+         |      FROM st WHERE j < ${Multimodal.AdpcmSamplesPerBlock - 1})))
+         |SELECT doc_id,
+         |  (8000 + (doc_id % 3) * 4000)::INT AS sample_rate,
+         |  count(*)::INT AS n_samples,
+         |  sum(pred)::BIGINT AS sum_samples,
+         |  max(abs(pred))::INT AS peak,
+         |  sum(CASE WHEN b = nb - 1
+         |             AND j = ${Multimodal.AdpcmSamplesPerBlock - 1}
+         |           THEN pred ELSE 0 END)::INT AS last_pred
+         |FROM st GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -388,4 +388,47 @@ object KernelProperties extends Properties("Kernels") {
       val fromFull = Dedup.bottomKJaccard(big, small.distinct, k)
       fromSigs == fromFull && sig(big).size == k && sig(small.distinct).size < k
     }
+
+  property("IMA ADPCM decode == spec reference for ARBITRARY nibble streams and initial state") =
+    forAll(
+      Gen.choose(-32768, 32767), Gen.choose(0, 88),
+      Gen.listOf(Gen.choose(0, 15))) { (pred0, idx0, nibbles0) =>
+      // pad to an even count so the stream packs into whole bytes; the
+      // reference is an independent fold (division-based diff, explicit
+      // clamps) vs the decoder's shift-based state machine over a
+      // hand-built single-block container sized for this stream.
+      val nibbles = if (nibbles0.size % 2 == 0) nibbles0 else nibbles0 :+ 0
+      val blockAlign = 4 + nibbles.size / 2
+      val spb = 1 + nibbles.size
+      val bb = java.nio.ByteBuffer
+        .allocate(8 + 4 + 28 + 8 + blockAlign)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      bb.put("RIFF".getBytes(ascii)); bb.putInt(4 + 28 + 8 + blockAlign)
+      bb.put("WAVE".getBytes(ascii))
+      bb.put("fmt ".getBytes(ascii)); bb.putInt(20)
+      bb.putShort(0x0011); bb.putShort(1); bb.putInt(8000)
+      bb.putInt(8000 * blockAlign / spb)
+      bb.putShort(blockAlign.toShort); bb.putShort(4)
+      bb.putShort(2); bb.putShort(spb.toShort)
+      bb.put("data".getBytes(ascii)); bb.putInt(blockAlign)
+      bb.putShort(pred0.toShort); bb.put(idx0.toByte); bb.put(0.toByte)
+      nibbles.indices.by(2).foreach { i =>
+        bb.put(((nibbles(i + 1) << 4) | nibbles(i)).toByte)
+      }
+      val got = Multimodal.adpcmDecode(bb.array()).samples.toSeq
+      val steps = Multimodal.AdpcmStepTable
+      val adj = Multimodal.AdpcmIndexTable
+      val want = nibbles
+        .scanLeft((pred0, idx0)) { case ((p, i), nib) =>
+          val st = steps(i)
+          val diff = st / 8 + (if ((nib & 1) != 0) st / 4 else 0) +
+            (if ((nib & 2) != 0) st / 2 else 0) + (if ((nib & 4) != 0) st else 0)
+          val s = if ((nib & 8) != 0) p - diff else p + diff
+          (math.max(-32768, math.min(32767, s)),
+            math.max(0, math.min(88, i + adj(nib & 7))))
+        }
+        .map(_._1)
+      got == want
+    }
 }

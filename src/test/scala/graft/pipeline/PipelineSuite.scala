@@ -1270,6 +1270,127 @@ class PipelineSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.wavDecode(bad))
   }
 
+  /** Independent IMA reference: a functional fold with explicit clamps,
+    * no shared code with [[Multimodal.adpcmStep]]'s shift formulation.
+    */
+  private def imaReference(pred0: Int, idx0: Int, nibbles: Seq[Int]): Seq[Int] = {
+    val steps = Multimodal.AdpcmStepTable
+    val adj = Multimodal.AdpcmIndexTable
+    nibbles
+      .scanLeft((pred0, idx0)) { case ((pred, idx), nib) =>
+        val step = steps(idx)
+        // diff = floor(step * (1 + 2*b0 + 4*b1 + 8*b2) / 8) computed the
+        // spec's shift-by-shift way but via integer division here
+        val diff = step / 8 + (if ((nib & 1) != 0) step / 4 else 0) +
+          (if ((nib & 2) != 0) step / 2 else 0) +
+          (if ((nib & 4) != 0) step else 0)
+        val signed = if ((nib & 8) != 0) pred - diff else pred + diff
+        (math.max(-32768, math.min(32767, signed)),
+          math.max(0, math.min(88, idx + adj(nib & 7))))
+      }
+      .map(_._1)
+  }
+
+  test("ADPCM codec: decode replays the IMA state machine over every block") {
+    for (docId <- Seq(0L, 1L, 2L, 7L, 88L, 123L, 457L)) {
+      val bytes = Multimodal.adpcmEncode(docId)
+      val d = Multimodal.adpcmDecode(bytes)
+      assert(d.sampleRate == Multimodal.wavSampleRate(docId))
+      assert(d.blockAlign == Multimodal.AdpcmBlockAlign)
+      assert(d.samplesPerBlock == Multimodal.AdpcmSamplesPerBlock)
+      val nb = Multimodal.adpcmNumBlocks(docId)
+      assert(d.samples.length == nb * Multimodal.AdpcmSamplesPerBlock)
+      val want = (0 until nb).flatMap { b =>
+        imaReference(
+          Multimodal.adpcmPred0(docId, b),
+          Multimodal.adpcmIdx0(docId, b),
+          (0 until Multimodal.AdpcmSamplesPerBlock - 1)
+            .map(Multimodal.adpcmNibble(docId, b, _)))
+      }
+      assert(d.samples.toSeq == want, s"doc $docId")
+      // container bookkeeping: RIFF size field + 8 == file length
+      val riffSize = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(4)
+      assert(riffSize + 8 == bytes.length)
+    }
+    // the corpus exercises the machine's full surface: all 16 nibble
+    // codes occur, and both predictor clamps fire somewhere
+    val allSamples = (0L until 500L).flatMap { id =>
+      Multimodal.adpcmDecode(Multimodal.adpcmEncode(id)).samples
+    }
+    val nibs = (for {
+      id <- 0L until 500L; b <- 0 until Multimodal.adpcmNumBlocks(id)
+      j <- 0 until Multimodal.AdpcmSamplesPerBlock - 1
+    } yield Multimodal.adpcmNibble(id, b, j)).toSet
+    assert(nibs == (0 until 16).toSet, "nibble coverage")
+    assert(allSamples.contains(32767) && allSamples.contains(-32768),
+      "predictor clamp coverage")
+  }
+
+  test("ADPCM decode reads the BYTES, not the synthesis formula") {
+    val docId = 42L
+    val bytes = Multimodal.adpcmEncode(docId)
+    val orig = Multimodal.adpcmDecode(bytes).samples
+    val spb = Multimodal.AdpcmSamplesPerBlock
+    // find the data chunk by the same walk a reader would do
+    val dataOff = {
+      var off = 12; var found = -1
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      while (found < 0) {
+        if (new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII) == "data")
+          found = off + 8
+        else off += 8 + bb.getInt(off + 4)
+      }
+      found
+    }
+    // flip one nibble byte in block 0 — the state machine must propagate:
+    // the patched sample AND the block's suffix change, block 1+ untouched
+    val patched = bytes.clone()
+    patched(dataOff + 4 + 3) = (patched(dataOff + 4 + 3) ^ 0x0F).toByte
+    val got = Multimodal.adpcmDecode(patched).samples
+    assert(got.take(7).toSeq == orig.take(7).toSeq, "samples before the patch moved")
+    assert(got(7) != orig(7), "the patched nibble's sample did not move")
+    assert(got.drop(spb).toSeq == orig.drop(spb).toSeq, "later blocks moved")
+    // a foreign chunk before data must be SKIPPED by the walk, not break it
+    val extra = java.nio.ByteBuffer.allocate(bytes.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(bytes, 0, dataOff - 8)
+    extra.put("LIST".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    extra.putInt(4)
+    extra.put("INFO".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    extra.put(bytes, dataOff - 8, bytes.length - (dataOff - 8))
+    val withForeign = extra.array()
+    java.nio.ByteBuffer.wrap(withForeign).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, withForeign.length - 8)
+    assert(Multimodal.adpcmDecode(withForeign).samples.toSeq == orig.toSeq,
+      "foreign-chunk walk")
+    // the fact chunk's sample count must be honored (truncation)
+    val factPatched = bytes.clone()
+    val factOff = {
+      var off = 12; var found = -1
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      while (found < 0) {
+        if (new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII) == "fact")
+          found = off + 8
+        else off += 8 + bb.getInt(off + 4)
+      }
+      found
+    }
+    java.nio.ByteBuffer.wrap(factPatched).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(factOff, orig.length - 5)
+    assert(Multimodal.adpcmDecode(factPatched).samples.toSeq ==
+      orig.dropRight(5).toSeq, "fact truncation")
+    // a wrong format tag or inconsistent geometry must be rejected
+    val wrongTag = bytes.clone()
+    java.nio.ByteBuffer.wrap(wrongTag).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(20, 1) // plain PCM tag in an ADPCM container
+    intercept[IllegalArgumentException](Multimodal.adpcmDecode(wrongTag))
+    val wrongSpb = bytes.clone()
+    java.nio.ByteBuffer.wrap(wrongSpb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(38, (spb + 1).toShort)
+    intercept[IllegalArgumentException](Multimodal.adpcmDecode(wrongSpb))
+  }
+
   test("BMP codec: decode round-trips every pixel across padded and unpadded strides") {
     // doc_ids spanning every width 8..12 — strides 24/28/32/36/24, so both
     // the padded and unpadded row-stride paths are exercised

@@ -188,7 +188,8 @@ object PipelineQueries {
     "q179_jpeg_progressive_color" -> (Multimodal.jpegProgressiveColorFeatures _),
     "q180_video_codec" -> (Video.gvcFeatures _),
     "q181_video_bframes" -> (Video.gvcBFeatures _),
-    "q182_adpcm_decode" -> (Multimodal.adpcmFeatures _)
+    "q182_adpcm_decode" -> (Multimodal.adpcmFeatures _),
+    "q183_snapshot_compaction" -> (Events.snapshotCompaction _)
   )
 
   // ---- GVC oracle generators (shared by q180 and q181) -------------------
@@ -1568,6 +1569,10 @@ object PipelineQueries {
     // q176: the streamed per-batch resample must reproduce the one-shot
     // grid+ffill exactly (per-left-row independence) — q172's oracle.
     "q176_stream_resample" -> graft.rel.Oracles.all("q172_resample_ffill"),
+    // q183: the compacted serving table must hold EXACTLY the drained
+    // MERGE's content — q93's oracle again: compaction changes layout
+    // (file counts, asserted in StreamingSuite), never data.
+    "q183_snapshot_compaction" -> graft.rel.Oracles.all("q93_merge_upsert"),
     // q177: the snapshot AS OF version N−1 (manifest time travel) must
     // equal base MERGE'd with only the first two key-split batches —
     // q93's oracle with the change feed restricted to k % 3 <> 2.

@@ -1150,6 +1150,24 @@ object Events {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Declared query (q183) — SNAPSHOT FILE COMPACTION: run the q156
+    * drain (which leaves each touched partition holding one small file
+    * per writer task per micro-batch), then bin-pack every over-target
+    * partition via [[Snapshot.compact]] and read CURRENT. The result
+    * must be IDENTICAL to q156's — same DuckDB oracle — proving
+    * compaction is content-neutral layout maintenance behind the same
+    * atomic manifest-swap commit (StreamingSuite additionally asserts
+    * the file counts actually drop, carried partitions stay
+    * byte-identical, and the pre-compaction version still time-travels).
+    */
+  def snapshotCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val snapRoot = runMergeSinkDrain(spark, dir)
+    Snapshot.compact(spark, snapRoot)
+    Snapshot.read(spark, snapRoot)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Declared query (q171) — STREAMING AS-OF ENRICHMENT: the click
     * stream arrives file-per-micro-batch and each batch is enriched via
     * the BROADCAST native as-of join

@@ -168,6 +168,73 @@ object Snapshot {
     }
   }
 
+  /** Result of a [[compact]] pass: live data-file counts before/after
+    * and which partitions were rewritten.
+    */
+  final case class CompactStats(
+      filesBefore: Int, filesAfter: Int, rewritten: Seq[Int])
+
+  /** Bin-packing FILE COMPACTION — the OPTIMIZE / rewrite-data-files
+    * table-maintenance op every incrementally-written table needs: a
+    * long MERGE drain leaves each partition's directory holding one
+    * small file per writer task per batch, and scan cost degrades with
+    * file count (per-file open + footer read + scheduling), not bytes.
+    *
+    * For each live partition, the bin-packed target is
+    * `ceil(bytes / targetBytes)` files; partitions already at or under
+    * target are CARRIED FORWARD BY REFERENCE (a no-op costs metadata
+    * only — an all-compact table commits nothing at all). Each
+    * over-target partition is rewritten by an ordinary distributed
+    * read→coalesce→write into a fresh `v{N}/__part={p}` directory;
+    * partitions rewrite independently, so at warehouse scale the
+    * rewrites run as parallel jobs and total cost is O(bytes in
+    * over-target partitions), never O(|table|). The commit is the same
+    * manifest + pointer-swap protocol as the MERGE: readers concurrent
+    * with compaction resolve the old or new version atomically, content
+    * is IDENTICAL either way (only layout changes), a crash before the
+    * swap leaves CURRENT untouched, and superseded versions stay
+    * time-travel readable until retention GC.
+    */
+  def compact(
+      spark: SparkSession, root: String,
+      targetBytes: Long = 128L << 20): CompactStats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import scala.jdk.CollectionConverters._
+    val cur = currentVersion(root)
+    val man = readManifest(root, cur)
+    def dataFiles(dir: String): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root, dir))
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val plan = man.parts.toSeq.sortBy(_._1)
+      .filter(_._2 != EmptyDir)
+      .map { case (p, d) =>
+        val fs = dataFiles(d)
+        val bytes = fs.map(java.nio.file.Files.size(_)).sum
+        val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        (p, d, fs.size, target)
+      }
+    val before = plan.map(_._3).sum
+    val candidates = plan.filter { case (_, _, n, t) => n > t }
+    if (candidates.isEmpty) return CompactStats(before, before, Nil)
+    val newV = cur + 1
+    clearUncommitted(root, newV)
+    candidates.foreach { case (p, d, _, t) =>
+      spark.read.parquet(s"$root/$d").coalesce(t)
+        .write.parquet(s"$root/v$newV/__part=$p")
+    }
+    writeManifest(root, Manifest(newV, man.parts ++ listPartDirs(root, newV)))
+    swapCurrent(root, newV)
+    val rewrittenAfter = candidates
+      .map { case (p, _, _, _) => dataFiles(s"v$newV/__part=$p").size }.sum
+    val carriedAfter = plan.collect {
+      case (p, _, n, _) if !candidates.exists(_._1 == p) => n
+    }.sum
+    CompactStats(before, rewrittenAfter + carriedAfter, candidates.map(_._1))
+  }
+
   /** THE commit point: write the pointer beside CURRENT, then rename
     * onto it atomically. Readers resolve either the old or the new
     * version — never a partial state.

@@ -669,6 +669,76 @@ class StreamingSuite extends AnyFunSuite {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
   }
 
+  test("q183 compaction: bin-packs small files, keeps content byte-for-byte, commits atomically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-compact-").toString
+    // force multi-file partitions: a 4-task frame partitionBy-written
+    // leaves each of the 6 partitions holding up to 4 small files
+    val base = (0L until 48L).map(k => (k, k * 10, s"S$k", k * 1.5))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .repartition(4)
+      .withColumn("__part", pmod(col("o_orderkey"), lit(Events.MergeSnapParts)).cast("int"))
+    Snapshot.init(s"$root/snap", base)
+    def fileHashes(): Map[String, String] = {
+      val rootPath = java.nio.file.Paths.get(s"$root/snap")
+      val stream = java.nio.file.Files.walk(rootPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map { p =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            rootPath.relativize(p).toString ->
+              md.digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString
+          }.toMap
+      } finally stream.close()
+    }
+    val content = Snapshot.read(spark, s"$root/snap")
+      .collect().map(_.toString).sorted.toSeq
+    val v0Files = fileHashes()
+    assert(v0Files.size > Events.MergeSnapParts, "fixture failed to produce small files")
+    // 128 MB bin target at toy scale → every partition packs to ONE file
+    val stats = Snapshot.compact(spark, s"$root/snap")
+    assert(stats.rewritten == (0 until Events.MergeSnapParts).toSeq, stats)
+    assert(stats.filesBefore == v0Files.size)
+    assert(stats.filesAfter == Events.MergeSnapParts, stats)
+    assert(Snapshot.currentVersion(s"$root/snap") == 1)
+    // content identical; v0 files untouched (append-and-swap); v0 still time-travels
+    assert(Snapshot.read(spark, s"$root/snap")
+      .collect().map(_.toString).sorted.toSeq == content)
+    val after = fileHashes()
+    assert(v0Files.forall { case (f, h) => after.get(f).contains(h) },
+      "compaction rewrote or deleted a committed file")
+    assert(Snapshot.read(spark, s"$root/snap", Some(0))
+      .collect().map(_.toString).sorted.toSeq == content)
+    // an all-compact table is a metadata-only NO-OP: no new version at all
+    val noop = Snapshot.compact(spark, s"$root/snap")
+    assert(noop.rewritten.isEmpty && noop.filesBefore == noop.filesAfter)
+    assert(Snapshot.currentVersion(s"$root/snap") == 1)
+    // a MERGE re-fragments ONE partition; recompaction rewrites ONLY it
+    // and carries the other five partitions forward by reference
+    val batch = Seq((1L, "U", Some(999L), Some("UPD"), Some(42.0)))
+      .toDF("k", "op", "new_custkey", "new_status", "new_price")
+    assert(Events.mergeBatchIntoSnapshot(s"$root/snap", batch) == Seq(1))
+    val fragmented = fileHashes().keys.count(_.startsWith("v2/__part=1/"))
+    val stats2 = Snapshot.compact(spark, s"$root/snap")
+    if (fragmented > 1) {
+      assert(stats2.rewritten == Seq(1), stats2)
+      val man = Snapshot.readManifest(s"$root/snap", 3)
+      assert(man.parts(1) == "v3/__part=1")
+      for (p <- 0 until Events.MergeSnapParts if p != 1)
+        assert(man.parts(p) == s"v1/__part=$p", man.parts)
+    } else assert(stats2.rewritten.isEmpty, stats2)
+    // final content == base MERGE'd with the batch, regardless of layout
+    val want = content.map { s =>
+      if (s.startsWith("[1,")) "[1,999,UPD,42.0]" else s
+    }.sorted
+    assert(Snapshot.read(spark, s"$root/snap")
+      .collect().map(_.toString).sorted.toSeq == want)
+  }
+
   test("snapshot commit is atomic: a crash between data write and pointer swap is invisible") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}

@@ -23,8 +23,16 @@ object GraftFunctions {
     DotF64(args.head, args(1))
   }
 
+  private val zorderInfo = new ExpressionInfo(classOf[ZOrder2].getName, "zorder2")
+
+  private def zorderBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"zorder2 expects 2 arguments, got ${args.length}")
+    ZOrder2(args.head, args(1))
+  }
+
   def registerAll(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("dot_f64"), dotInfo, dotBuilder _))
+    ext.injectFunction((FunctionIdentifier("zorder2"), zorderInfo, zorderBuilder _))
     ext.injectOptimizerRule(_ => FuseSelfDot)
     // whole-operator tier: the native as-of join's planner strategy
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -33,6 +41,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("dot_f64"), dotInfo, dotBuilder _)
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier("zorder2"), zorderInfo, zorderBuilder _)
     // imperative twin of injectOptimizerRule — idempotent, like the
     // function registration above
     if (!spark.experimental.extraOptimizations.contains(FuseSelfDot)) {
@@ -48,6 +58,10 @@ object GraftFunctions {
     */
   def dotF64(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("dot_f64", a, b)
+
+  /** Column-API face of `zorder2` (requires [[register]] on the session). */
+  def zorder2(x: Column, y: Column): Column =
+    org.apache.spark.sql.functions.call_function("zorder2", x, y)
 }
 
 /** `spark.sql.extensions`-style entry point:

@@ -290,6 +290,32 @@ object Oracles {
         |FROM bins LEFT JOIN nd USING (bin), b
         |ORDER BY bin""".stripMargin,
 
+    // q184: the z-order data-skipping read — the box is recomputed from
+    // the RAW table (so a file the Spark side wrongly pruned loses rows
+    // and goes red) and the Morton value is replayed bit-for-bit: the
+    // five spread/mask steps per dimension as chained CTEs (masks are
+    // the 0x0000FFFF0000FFFF / 00FF00FF / 0F0F0F0F / 33333333 / 55555555
+    // constants in decimal), then ex | (ey << 1).
+    "q184_zorder_skipping" ->
+      s"""WITH f AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         |  FROM lineitem
+         |  WHERE l_partkey BETWEEN ${Queries.ZOrderBoxX1} AND ${Queries.ZOrderBoxX2}
+         |    AND l_suppkey BETWEEN ${Queries.ZOrderBoxY1} AND ${Queries.ZOrderBoxY2}),
+         |s1 AS (SELECT *, (l_partkey::BIGINT | (l_partkey::BIGINT << 16)) & 281470681808895 AS ax,
+         |               (l_suppkey::BIGINT | (l_suppkey::BIGINT << 16)) & 281470681808895 AS ay FROM f),
+         |s2 AS (SELECT *, (ax | (ax << 8)) & 71777214294589695 AS bx,
+         |               (ay | (ay << 8)) & 71777214294589695 AS by FROM s1),
+         |s3 AS (SELECT *, (bx | (bx << 4)) & 1085102592571150095 AS cx,
+         |               (by | (by << 4)) & 1085102592571150095 AS cy FROM s2),
+         |s4 AS (SELECT *, (cx | (cx << 2)) & 3689348814741910323 AS dx,
+         |               (cy | (cy << 2)) & 3689348814741910323 AS dy FROM s3),
+         |s5 AS (SELECT *, (dx | (dx << 1)) & 6148914691236517205 AS ex,
+         |               (dy | (dy << 1)) & 6148914691236517205 AS ey FROM s4)
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+         |  (ex | (ey << 1))::BIGINT AS zval
+         |FROM s5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

@@ -1164,6 +1164,44 @@ object Queries {
       .orderBy(col("o_custkey"))
   }
 
+  /** q184 box-predicate constants — valid at every sf (sf0.001's key
+    * space is partkey 0–199, suppkey 0–9).
+    */
+  val ZOrderBoxX1 = 10L; val ZOrderBoxX2 = 40L
+  val ZOrderBoxY1 = 1L; val ZOrderBoxY2 = 8L
+
+  /** Z-order cluster file target for q184. */
+  val ZOrderFiles = 16
+
+  /** Declared query (q184) — Z-ORDER CLUSTERING + DATA-SKIPPING READ:
+    * rewrite lineitem clustered by the Morton interleave of
+    * (l_partkey, l_suppkey) ([[graft.functions.ZOrder2]], native
+    * codegen'd expression) into [[ZOrderFiles]] z-sorted files with a
+    * per-file min/max stats manifest, then answer a 2-D box predicate
+    * by opening ONLY the files whose rectangles intersect the box
+    * ([[ZOrder.prunedRead]]). The output carries the z-value itself, so
+    * the DuckDB oracle replays the five spread/mask interleave steps in
+    * SQL — gating the expression bit-for-bit — and recomputes the box
+    * from the raw table — gating the SKIPPING decision: a file wrongly
+    * pruned loses rows and goes red. ZOrderSuite pins the layout
+    * asymmetry (a y-only box prunes under z-order, cannot under an
+    * x-sort) and that the scan's file index holds only surviving files.
+    */
+  def q184ZOrderSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+    val stats = ZOrder.cluster(li, "l_partkey", "l_suppkey", s"$tmp/li", ZOrderFiles)
+    ZOrder.prunedRead(spark, stats, "l_partkey", "l_suppkey",
+      ZOrderBoxX1, ZOrderBoxX2, ZOrderBoxY1, ZOrderBoxY2)
+      .withColumn("zval",
+        graft.functions.GraftFunctions.zorder2(col("l_partkey"), col("l_suppkey")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("zval"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1190,6 +1228,7 @@ object Queries {
     "q172_resample_ffill" -> (q172ResampleFfill _),
     "q173_resample_interp" -> (q173ResampleInterp _),
     "q178_column_histogram" -> (q178ColumnHistogram _),
+    "q184_zorder_skipping" -> (q184ZOrderSkipping _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

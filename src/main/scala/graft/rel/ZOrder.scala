@@ -1,0 +1,89 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Z-ORDER CLUSTERING + FILE-LEVEL MIN/MAX DATA SKIPPING — the layout
+  * half of what makes a 100 TB scan cheap: a one-time clustered rewrite
+  * (Delta's OPTIMIZE ZORDER BY / Iceberg sort orders) so that every
+  * data file covers a TIGHT rectangle of the (x, y) key space, plus a
+  * stats manifest (one row of min/max per file — KBs for thousands of
+  * files) that lets a box predicate resolve which files can possibly
+  * hold matches BEFORE any file is opened.
+  *
+  * Why the interleave and not a plain sort: sorting by x alone makes
+  * x-ranges tight but leaves every file spanning ALL of y, so a
+  * predicate on y prunes nothing. Sorting by the Morton value
+  * ([[graft.functions.ZOrder2]], codegen'd) makes both dimensions'
+  * per-file ranges shrink like √(1/files), so boxes on x, on y, or on
+  * both all skip — [[graft.rel.ZOrderSuite]] pins exactly this
+  * asymmetry against a single-column layout.
+  *
+  * Scale shape: the clustered write is one range-shuffle by z-value
+  * (`repartitionByRange` samples boundaries; each task writes one
+  * file), the stats pass is one distributed `groupBy(input_file_name)`
+  * aggregation, and the manifest is O(files) driver state — the same
+  * bounded-collect discipline as the snapshot manifests. The pruned
+  * read lists ONLY surviving files (the skipped ones never reach the
+  * scan's file index) and re-applies the predicate as the residual
+  * filter, so pruning is a pure optimization: the DuckDB oracle gates
+  * that no overlapping file was wrongly skipped (missing rows go red).
+  */
+object ZOrder {
+
+  final case class FileStats(
+      file: String, minX: Long, maxX: Long, minY: Long, maxY: Long)
+
+  /** Rewrite `df` clustered by the Morton value of (`xCol`, `yCol`) into
+    * `numFiles` range-partitioned, z-sorted parquet files at `dir`, and
+    * return the per-file min/max stats manifest (computed by one
+    * distributed pass over the written files).
+    */
+  def cluster(
+      df: DataFrame, xCol: String, yCol: String,
+      dir: String, numFiles: Int): Seq[FileStats] = {
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    df.withColumn("__z", GraftFunctions.zorder2(col(xCol).cast("long"), col(yCol).cast("long")))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        min(col(xCol)).cast("long").as("min_x"), max(col(xCol)).cast("long").as("max_x"),
+        min(col(yCol)).cast("long").as("min_y"), max(col(yCol)).cast("long").as("max_y"))
+      .collect()
+      .map(r => FileStats(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(_.file)
+  }
+
+  /** The files of `stats` whose min/max rectangle intersects the box —
+    * the skipping decision, file opens cost zero.
+    */
+  def overlapping(
+      stats: Seq[FileStats],
+      x1: Long, x2: Long, y1: Long, y2: Long): Seq[String] =
+    stats.filter(s => s.maxX >= x1 && s.minX <= x2 && s.maxY >= y1 && s.minY <= y2)
+      .map(_.file)
+
+  /** Box read over a clustered table: open ONLY the overlapping files,
+    * then apply the full predicate as the residual filter.
+    */
+  def prunedRead(
+      spark: SparkSession, stats: Seq[FileStats],
+      xCol: String, yCol: String,
+      x1: Long, x2: Long, y1: Long, y2: Long): DataFrame = {
+    require(stats.nonEmpty, "empty stats manifest: table was never clustered")
+    val files = overlapping(stats, x1, x2, y1, y2)
+    // a box outside every file's rectangle is a LEGAL empty result:
+    // serve the typed empty frame from one file's schema, zero row reads
+    if (files.isEmpty)
+      spark.read.parquet(stats.head.file).filter(lit(false))
+    else spark.read.parquet(files: _*)
+      .filter(col(xCol).between(x1, x2) && col(yCol).between(y1, y2))
+  }
+}

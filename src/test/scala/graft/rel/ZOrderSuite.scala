@@ -1,0 +1,168 @@
+package graft.rel
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.{GraftFunctions, ZOrder2}
+
+/** Pins for the z-order clustering + data-skipping layer:
+  * expression bit-exactness (interpreted == codegen'd == a hand-rolled
+  * per-bit reference), the layout asymmetry that justifies the Morton
+  * interleave over a single-column sort (a y-only box prunes files under
+  * z-order but cannot under an x-sort), and the read-path contract that
+  * skipped files never reach the scan's file index while the surviving
+  * rows exactly equal the unpruned filter.
+  */
+class ZOrderSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ---- expression -------------------------------------------------------
+
+  /** Per-bit reference: bit i of x → 2i, bit i of y → 2i+1. */
+  private def slowInterleave(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 31) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("interleave: known bit patterns and per-bit reference agreement") {
+    assert(ZOrder2.interleave(0L, 0L) == 0L)
+    assert(ZOrder2.interleave(1L, 0L) == 1L) // x bit 0 → output bit 0
+    assert(ZOrder2.interleave(0L, 1L) == 2L) // y bit 0 → output bit 1
+    assert(ZOrder2.interleave(3L, 3L) == 15L)
+    assert(ZOrder2.interleave(0xFFFFL, 0L) == 0x55555555L)
+    assert(ZOrder2.interleave(0L, 0xFFFFL) == 0xAAAAAAAAL)
+    assert(ZOrder2.interleave(Int.MaxValue.toLong, Int.MaxValue.toLong) ==
+      0x3FFFFFFFFFFFFFFFL) // 62 bits set: result stays non-negative
+    // pseudo-random sweep against the per-bit reference
+    var seed = 0x9E3779B97F4A7C15L
+    (1 to 200).foreach { _ =>
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      val x = (seed >>> 33) & Int.MaxValue.toLong
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      val y = (seed >>> 33) & Int.MaxValue.toLong
+      assert(ZOrder2.interleave(x, y) == slowInterleave(x, y), s"($x, $y)")
+    }
+  }
+
+  test("interleave is order-compatible per dimension (monotone when the other is fixed)") {
+    val probe = Seq(0L, 1L, 2L, 5L, 100L, 65535L, 65536L, 1000000L)
+    for (fixed <- Seq(0L, 7L, 12345L); w <- probe.sliding(2)) {
+      assert(ZOrder2.interleave(w(0), fixed) < ZOrder2.interleave(w(1), fixed))
+      assert(ZOrder2.interleave(fixed, w(0)) < ZOrder2.interleave(fixed, w(1)))
+    }
+  }
+
+  test("out-of-range inputs throw (interpreted and codegen'd) instead of folding") {
+    intercept[IllegalArgumentException](ZOrder2.interleave(-1L, 0L))
+    intercept[IllegalArgumentException](ZOrder2.interleave(0L, 1L << 31))
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val bad = Seq((-1L, 2L)).toDF("x", "y")
+      .select(GraftFunctions.zorder2(col("x"), col("y")))
+    val e = intercept[Exception](bad.collect())
+    // wrapped by Spark's task failure machinery; the root message survives
+    assert(e.getMessage != null || e.getCause != null)
+  }
+
+  test("codegen'd column result == interpreted interleave over a sweep") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = for (x <- 0L to 40L; y <- 0L to 40L) yield (x * 77L, y * 991L)
+    val got = rows.toDF("x", "y")
+      .select(col("x"), col("y"), GraftFunctions.zorder2(col("x"), col("y")).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == ZOrder2.interleave(r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  // ---- clustering + skipping --------------------------------------------
+
+  /** 64×64 uniform grid, 4096 rows — every (x, y) cell once. */
+  private def grid() = {
+    import spark.implicits._
+    (0 until 4096).map(i => (i.toLong % 64, i.toLong / 64, i.toLong))
+      .toDF("x", "y", "id")
+  }
+
+  test("layout asymmetry: a y-only box prunes under z-order, cannot under an x-sort") {
+    val dir = Files.createTempDirectory("zorder-suite-").toString
+    val df = grid()
+    val zStats = ZOrder.cluster(df, "x", "y", s"$dir/z", 16)
+    // the single-column layout: same file count, sorted by x alone
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$dir/x")
+    val xStats = spark.read.parquet(s"$dir/x")
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("x")).cast("long").as("min_x"), max(col("x")).cast("long").as("max_x"),
+        min(col("y")).cast("long").as("min_y"), max(col("y")).cast("long").as("max_y"))
+      .collect()
+      .map(r => ZOrder.FileStats(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+
+    assert(zStats.length == 16 && xStats.length == 16)
+    // y-only box: 1/8 of the y range, all of x
+    val zSurvivors = ZOrder.overlapping(zStats, 0L, 63L, 0L, 7L)
+    val xSurvivors = ZOrder.overlapping(xStats, 0L, 63L, 0L, 7L)
+    assert(zSurvivors.length < zStats.length,
+      s"z-order layout must prune a y-only box: ${zSurvivors.length}/${zStats.length}")
+    assert(xSurvivors.length == xStats.length,
+      "an x-sorted layout cannot prune a y-only box: every file spans all of y")
+    // x-only box prunes under BOTH layouts
+    assert(ZOrder.overlapping(zStats, 0L, 7L, 0L, 63L).length < zStats.length)
+    assert(ZOrder.overlapping(xStats, 0L, 7L, 0L, 63L).length < xStats.length)
+  }
+
+  test("prunedRead: scan's file index holds only surviving files; rows == unpruned filter") {
+    val dir = Files.createTempDirectory("zorder-suite-").toString
+    val df = grid()
+    val stats = ZOrder.cluster(df, "x", "y", s"$dir/t", 16)
+    val (x1, x2, y1, y2) = (10L, 20L, 5L, 30L)
+    val pruned = ZOrder.prunedRead(spark, stats, "x", "y", x1, x2, y1, y2)
+
+    val survivors = ZOrder.overlapping(stats, x1, x2, y1, y2).toSet
+    assert(survivors.nonEmpty && survivors.size < stats.length,
+      s"box should survive some but not all files: ${survivors.size}/${stats.length}")
+    val scanned = pruned.inputFiles.toSet
+    assert(scanned == survivors,
+      s"scan must list exactly the surviving files: scanned=${scanned.size}, survivors=${survivors.size}")
+
+    val expected = spark.read.parquet(s"$dir/t")
+      .filter(col("x").between(x1, x2) && col("y").between(y1, y2))
+      .select("x", "y", "id").collect().map(_.toSeq).toSet
+    val got = pruned.select("x", "y", "id").collect().map(_.toSeq).toSet
+    assert(got == expected, "pruning is a pure optimization: result must equal the full-scan filter")
+  }
+
+  test("box outside every rectangle: typed empty result, zero surviving files") {
+    val dir = Files.createTempDirectory("zorder-suite-").toString
+    val stats = ZOrder.cluster(grid(), "x", "y", s"$dir/t", 8)
+    assert(ZOrder.overlapping(stats, 100L, 200L, 100L, 200L).isEmpty)
+    val empty = ZOrder.prunedRead(spark, stats, "x", "y", 100L, 200L, 100L, 200L)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("x", "y", "id"))
+  }
+
+  test("manifest rectangles cover the data: every row's keys inside its file's min/max") {
+    val dir = Files.createTempDirectory("zorder-suite-").toString
+    val stats = ZOrder.cluster(grid(), "x", "y", s"$dir/t", 8)
+    val byFile = stats.map(s => s.file -> s).toMap
+    spark.read.parquet(s"$dir/t")
+      .withColumn("__f", input_file_name())
+      .collect()
+      .foreach { r =>
+        val s = byFile(r.getAs[String]("__f"))
+        val (x, y) = (r.getAs[Long]("x"), r.getAs[Long]("y"))
+        assert(x >= s.minX && x <= s.maxX && y >= s.minY && y <= s.maxY)
+      }
+  }
+}

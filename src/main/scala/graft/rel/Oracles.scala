@@ -316,6 +316,17 @@ object Oracles {
          |  (ex | (ey << 1))::BIGINT AS zval
          |FROM s5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // q185: the bloom-skipped point lookup — recomputed from the RAW
+    // table, so the gate is on the SKIPPING decision: a file whose
+    // bloom was wrongly negative (or wrongly dropped from the manifest)
+    // loses its rows here and goes red; bloom false positives are
+    // invisible (the residual filter removes them on the Spark side).
+    "q185_bloom_skipping" ->
+      s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, l_extendedprice
+         |FROM lineitem
+         |WHERE l_orderkey IN (${Queries.BloomProbeKeys.mkString(", ")})
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

@@ -1202,6 +1202,45 @@ object Queries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q185 probe constants — orderkeys are dense 0..N−1 at every sf
+    * (sf0.001 has 1500 orders), so these exist at every scale.
+    */
+  val BloomProbeKeys: Seq[Long] = Seq(7L, 123L, 1011L)
+
+  /** q185 layout: files hash-clustered by a DIFFERENT column than the
+    * probe key, so min/max stats on l_orderkey span ~the whole domain
+    * in every file and only content (the bloom) can prune.
+    */
+  val BloomFiles = 32
+
+  /** Declared query (q185) — BLOOM-FILTER FILE SKIPPING: rewrite
+    * lineitem hash-clustered by l_suppkey into [[BloomFiles]] files (so
+    * each file holds a random ~1/[[BloomFiles]] sample of orderkeys and
+    * l_orderkey min/max stats prune NOTHING), build a per-file bloom
+    * manifest over l_orderkey ([[BloomSkip.buildManifest]], one
+    * distributed mapPartitions fold + O(files) merge shuffle), then
+    * answer an IN-list point lookup by opening ONLY the bloom-positive
+    * files. The DuckDB oracle recomputes the lookup from the raw table,
+    * so a wrongly-skipped file loses rows and goes red; false positives
+    * are absorbed by the residual filter. BloomSkipSuite pins that the
+    * scan's file index holds strictly fewer than [[BloomFiles]] files
+    * and that a min/max manifest over the same layout prunes zero.
+    */
+  def q185BloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom-").toString
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      .repartition(BloomFiles, col("l_suppkey"))
+      .write.parquet(s"$tmp/li")
+    val rowsPerFile = math.max(spark.read.parquet(s"$tmp/li").count() / BloomFiles, 64L)
+    val manifest = BloomSkip.buildManifest(spark, s"$tmp/li", "l_orderkey", rowsPerFile, 0.01)
+    BloomSkip.prunedRead(spark, manifest, "l_orderkey", BloomProbeKeys)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1229,6 +1268,7 @@ object Queries {
     "q173_resample_interp" -> (q173ResampleInterp _),
     "q178_column_histogram" -> (q178ColumnHistogram _),
     "q184_zorder_skipping" -> (q184ZOrderSkipping _),
+    "q185_bloom_skipping" -> (q185BloomSkipping _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

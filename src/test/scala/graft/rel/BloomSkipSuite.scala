@@ -1,0 +1,109 @@
+package graft.rel
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins for the per-file bloom-skipping layer: the no-false-negative
+  * contract (every key actually present in a file is admitted by that
+  * file's bloom — the property correctness rides on), the pruning win on
+  * a hash-scattered layout where min/max stats provably prune nothing,
+  * the partial-merge path when one file spans several input partitions,
+  * and the read-path contract (scan lists exactly the bloom-positive
+  * files; rows equal the unpruned filter).
+  */
+class BloomSkipSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** keys 0..999 hash-scattered into `files` files — each file holds a
+    * random subset of the key space, so key min/max per file spans ~all
+    * of it (the layout bloom skipping exists for).
+    */
+  private def writeScattered(dir: String, files: Int): Unit = {
+    import spark.implicits._
+    (0L until 1000L).map(k => (k, k % 17, s"v$k")).toDF("key", "salt", "payload")
+      .repartition(files, col("salt"))
+      .write.parquet(dir)
+  }
+
+  test("no false negatives: every file's bloom admits every key the file holds") {
+    val dir = Files.createTempDirectory("bloom-suite-").toString + "/t"
+    writeScattered(dir, 8)
+    val manifest = BloomSkip.buildManifest(spark, dir, "key", 200L, 0.01)
+    assert(manifest.length == 8)
+    manifest.foreach { fb =>
+      val keys = spark.read.parquet(fb.file).select("key").collect().map(_.getLong(0))
+      assert(keys.nonEmpty)
+      val missed = keys.filterNot(k => BloomSkip.candidates(Seq(fb), Seq(k)).nonEmpty)
+      assert(missed.isEmpty, s"bloom false negative for keys ${missed.take(5).toSeq} in ${fb.file}")
+    }
+  }
+
+  test("partial merge: blooms built across partition boundaries equal single-pass blooms") {
+    val dir = Files.createTempDirectory("bloom-suite-").toString + "/t"
+    writeScattered(dir, 4)
+    val whole = BloomSkip.buildManifest(spark, dir, "key", 300L, 0.01)
+    val conf = "spark.sql.files.maxPartitionBytes"
+    val saved = spark.conf.get(conf)
+    val split = try {
+      // force each parquet file to split into many input partitions so
+      // buildManifest's reduceGroups merge path actually runs
+      spark.conf.set(conf, "2048")
+      BloomSkip.buildManifest(spark, dir, "key", 300L, 0.01)
+    } finally spark.conf.set(conf, saved)
+    assert(split.map(_.file) == whole.map(_.file))
+    // identical geometry + same keys folded in → identical bit arrays
+    split.zip(whole).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.bloom, b.bloom),
+        s"merged bloom differs from single-pass bloom for ${a.file}")
+    }
+  }
+
+  test("pruning wins where min/max cannot: scattered layout, point probes") {
+    val dir = Files.createTempDirectory("bloom-suite-").toString + "/t"
+    writeScattered(dir, 16)
+    val manifest = BloomSkip.buildManifest(spark, dir, "key", 80L, 0.01)
+    // min/max manifest over the same files: every file spans ~the whole
+    // key domain, so a point probe's [k, k] box overlaps every file
+    val mm = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("key").as("min_k"), max("key").as("max_k"))
+      .collect()
+    val probe = 123L
+    val mmSurvivors = mm.count(r => r.getLong(1) <= probe && r.getLong(2) >= probe)
+    assert(mmSurvivors == mm.length,
+      "hash-scattered layout: min/max stats must fail to prune a point probe")
+    val bloomSurvivors = BloomSkip.candidates(manifest, Seq(probe))
+    assert(bloomSurvivors.length < manifest.length,
+      s"bloom must prune: ${bloomSurvivors.length}/${manifest.length} files survive")
+    // and the one file that really holds key 123 is among the survivors
+    val truly = spark.read.parquet(dir).filter(col("key") === probe)
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    assert(truly.subsetOf(bloomSurvivors.toSet))
+  }
+
+  test("prunedRead: scan lists exactly the bloom-positive files; rows == unpruned filter") {
+    val dir = Files.createTempDirectory("bloom-suite-").toString + "/t"
+    writeScattered(dir, 16)
+    val manifest = BloomSkip.buildManifest(spark, dir, "key", 80L, 0.01)
+    val keys = Seq(7L, 123L, 999L)
+    val pruned = BloomSkip.prunedRead(spark, manifest, "key", keys)
+    val survivors = BloomSkip.candidates(manifest, keys).toSet
+    assert(pruned.inputFiles.toSet == survivors)
+    val expected = spark.read.parquet(dir).filter(col("key").isin(keys: _*))
+      .collect().map(_.toSeq).toSet
+    assert(pruned.collect().map(_.toSeq).toSet == expected)
+  }
+
+  test("probe outside the key space: typed empty result (bloom may pass stray files, filter absorbs)") {
+    val dir = Files.createTempDirectory("bloom-suite-").toString + "/t"
+    writeScattered(dir, 8)
+    val manifest = BloomSkip.buildManifest(spark, dir, "key", 200L, 0.01)
+    val out = BloomSkip.prunedRead(spark, manifest, "key", Seq(424242L))
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq == Seq("key", "salt", "payload"))
+  }
+}

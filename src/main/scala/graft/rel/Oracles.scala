@@ -327,6 +327,24 @@ object Oracles {
          |WHERE l_orderkey IN (${Queries.BloomProbeKeys.mkString(", ")})
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // q186: the SCD2 equivalence gate — the oracle builds the type-2
+    // history from the FULL change log in one window pass, while the
+    // Spark side builds base-before-cutoff then applies the tail
+    // incrementally; any seam error (wrongly carried open row, missed
+    // no-op collapse, dropped new user) diverges here.
+    "q186_scd2_incremental" ->
+      s"""WITH chg AS (
+         |  SELECT user_id, event_type, ts, event_id,
+         |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |keep AS (
+         |  SELECT user_id, event_type, ts, event_id FROM chg
+         |  WHERE prev IS NULL OR event_type <> prev)
+         |SELECT user_id, event_type AS seg, ts AS valid_from,
+         |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         |       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+         |FROM keep ORDER BY user_id, valid_from""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

@@ -1241,6 +1241,32 @@ object Queries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q186 cutoff: base = events before it (~77% of the month), delta =
+    * the appended tail. Constant so the oracle can replay the FULL log.
+    */
+  val Scd2Cutoff = "2024-01-24 00:00:00"
+
+  /** Declared query (q186) — SCD2 INCREMENTAL MAINTENANCE: build the
+    * type-2 history ([[Scd2.fromChangeLog]]) from the events BEFORE
+    * [[Scd2Cutoff]], then apply the tail as a delta
+    * ([[Scd2.applyDelta]]: untouched users and closed rows carry
+    * verbatim via anti/semi joins; only each touched user's open row
+    * re-enters the change chain). The oracle replays the FULL log in
+    * one SQL window pass — so the gate is the incremental == batch
+    * equivalence itself: a wrongly-carried open row, a missed no-op
+    * collapse at the seam, or a dropped new-in-delta user all go red.
+    * Scd2Suite additionally pins the seam cases (delta head repeating
+    * the current value, same-timestamp ties, empty delta) and the
+    * carry path's plan shape.
+    */
+  def q186Scd2Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val cut = to_timestamp(lit(Scd2Cutoff))
+    val base = Scd2.fromChangeLog(ev.filter(col("ts") < cut))
+    Scd2.applyDelta(base, ev.filter(col("ts") >= cut))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1269,6 +1295,7 @@ object Queries {
     "q178_column_histogram" -> (q178ColumnHistogram _),
     "q184_zorder_skipping" -> (q184ZOrderSkipping _),
     "q185_bloom_skipping" -> (q185BloomSkipping _),
+    "q186_scd2_incremental" -> (q186Scd2Incremental _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

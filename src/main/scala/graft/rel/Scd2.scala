@@ -1,0 +1,77 @@
+package graft.rel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SLOWLY-CHANGING-DIMENSION TYPE 2 — versioned history with validity
+  * intervals, the standard warehouse shape for "what was this entity's
+  * attribute AT time t": one row per (entity, value, [valid_from,
+  * valid_to)), open-ended row flagged `is_current`. Two faces:
+  *
+  *  - [[fromChangeLog]] — the batch bootstrap: de-noop the change log
+  *    (consecutive equal values collapse to the first), then one window
+  *    pass assigns each surviving change its interval. Two windows over
+  *    the same (user, time) partitioning → ONE shuffle (Catalyst reuses
+  *    the sort).
+  *
+  *  - [[applyDelta]] — the operator that matters at 100 TB: a day's
+  *    delta must NOT rebuild the full history. Closed rows are immutable
+  *    by construction (a later event can only ever close the OPEN row),
+  *    so the untouched users' rows and the touched users' closed rows
+  *    carry through verbatim (anti/semi joins — with the history
+  *    partitioned by entity, partition-pruned; the delta side is a day's
+  *    data, broadcast-able). Only each touched user's single open row
+  *    re-enters the chain: it is re-seeded as a pseudo-change (tie-broken
+  *    FIRST via event_id −1) ahead of the delta's changes, so the
+  *    de-noop correctly swallows a delta event that repeats the current
+  *    value. The q186 oracle replays the FULL log in SQL, gating that
+  *    incremental == batch.
+  */
+object Scd2 {
+
+  /** Change log (`user_id, event_type, ts, event_id`) → SCD2 history
+    * (`user_id, seg, valid_from, valid_to, is_current`). `event_id`
+    * breaks same-timestamp ties deterministically on both the de-noop
+    * and the interval window.
+    */
+  def fromChangeLog(log: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    log
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .select(
+        col("user_id"),
+        col("event_type").as("seg"),
+        col("ts").as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Apply `delta` (a later slice of the change log) to an existing SCD2
+    * `base`: untouched users and closed rows carry verbatim; each
+    * touched user's open row re-enters the change chain as a seed
+    * pseudo-change ordered before every delta row of that user.
+    *
+    * Precondition (the log-append contract): every delta event is at or
+    * after its user's open-row `valid_from` — deltas are appends, not
+    * retro-corrections.
+    */
+  def applyDelta(base: DataFrame, delta: DataFrame): DataFrame = {
+    val touched = delta.select("user_id").distinct()
+    val carry = base.join(touched, Seq("user_id"), "left_anti")
+    val touchedBase = base.join(touched, Seq("user_id"), "left_semi")
+    val closed = touchedBase.filter(!col("is_current"))
+    // the open row as a pseudo-change: event_id −1 sorts before any real
+    // event at the same timestamp, so the seed is always the chain head
+    val seed = touchedBase.filter(col("is_current"))
+      .select(col("user_id"), col("seg").as("event_type"),
+        col("valid_from").as("ts"), lit(-1L).as("event_id"))
+    val chain = seed.unionByName(
+      delta.select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id").cast("long")))
+    carry.unionByName(closed).unionByName(fromChangeLog(chain))
+  }
+}

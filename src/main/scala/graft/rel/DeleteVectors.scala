@@ -1,0 +1,75 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MERGE-ON-READ ROW-LEVEL DELETES (deletion vectors) — the lakehouse
+  * answer to "DELETE 0.1% of rows from a 100 TB table" without the
+  * copy-on-write rewrite of every touched file: a delete marks rows as
+  * dead in a tiny sidecar keyed by (data file, row position) and leaves
+  * every data byte in place; readers subtract the sidecar on the fly;
+  * a later compaction ([[vacuum]]) folds the vectors into a physical
+  * rewrite when the dead fraction justifies it. Delta's deletion
+  * vectors and Iceberg's position-delete files are exactly this shape.
+  *
+  * Row identity comes from Spark's file-source metadata columns
+  * (`_metadata.file_path`, `_metadata.row_index`) — stable positions
+  * the scan produces for free, no synthetic key column needed.
+  *
+  * Scale shape: [[markDeletes]] is one predicate scan emitting only the
+  * matched positions (O(deleted) sidecar bytes, appended — batches
+  * compose by union and re-deleting a dead row is a no-op under the
+  * anti-join). [[read]] BROADCASTS the vectors and anti-joins on
+  * position, so the data side keeps ZERO Exchange — the plan is scan →
+  * BroadcastHashJoin(LeftAnti), pinned in DeleteVectorsSuite. That
+  * holds while vectors are delete-sized (MBs–GBs per batch); once the
+  * dead fraction is large enough that broadcasting hurts, the right
+  * move is not a shuffle join but [[vacuum]] — which is also the
+  * existing compaction discipline (q183) applied here.
+  */
+object DeleteVectors {
+
+  /** Append one delete batch: positions of rows in `dir` matching
+    * `predicate` are written to the `dvDir` sidecar. The data files are
+    * NOT touched (byte-identity pinned in the suite).
+    */
+  def markDeletes(
+      spark: SparkSession, dir: String, predicate: Column, dvDir: String): Long = {
+    val marked = spark.read.parquet(dir)
+      .filter(predicate)
+      .select(
+        col("_metadata.file_path").as("__dv_file"),
+        col("_metadata.row_index").as("__dv_pos"))
+    marked.write.mode("append").parquet(dvDir)
+    spark.read.parquet(dvDir).count()
+  }
+
+  /** Merge-on-read scan: the table minus every position any delete
+    * batch has marked. The vectors broadcast; the data side plans with
+    * no Exchange.
+    */
+  def read(spark: SparkSession, dir: String, dvDir: String): DataFrame = {
+    val data = spark.read.parquet(dir)
+    if (!new java.io.File(dvDir).exists()) data
+    else {
+      val dv = spark.read.parquet(dvDir).distinct()
+      val cols = data.columns.map(col).toSeq
+      data
+        .withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(broadcast(dv), Seq("__dv_file", "__dv_pos"), "left_anti")
+        .select(cols: _*)
+    }
+  }
+
+  /** Fold the vectors into a physical rewrite at `outDir` (the
+    * copy-on-write moment, deferred until the dead fraction earns it)
+    * and return the fresh table — read back with no sidecar.
+    */
+  def vacuum(
+      spark: SparkSession, dir: String, dvDir: String, outDir: String,
+      numFiles: Int): DataFrame = {
+    read(spark, dir, dvDir).repartition(numFiles).write.parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+}

@@ -345,6 +345,21 @@ object Oracles {
          |       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
          |FROM keep ORDER BY user_id, valid_from""".stripMargin,
 
+    // q187: the merge-on-read delete gate — the oracle aggregates the
+    // RAW table under the NEGATED delete predicates, so a row the
+    // reader failed to subtract (or wrongly subtracted) flips a
+    // count/sum and goes red; positions never appear in the output, so
+    // the check is purely semantic.
+    "q187_delete_vectors" ->
+      """SELECT l_returnflag, l_linestatus,
+        | count(*) AS cnt,
+        | round(sum(l_extendedprice), 2) AS sum_price,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity > 45.0)
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

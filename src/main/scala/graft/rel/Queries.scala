@@ -1267,6 +1267,38 @@ object Queries {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** Declared query (q187) — MERGE-ON-READ ROW-LEVEL DELETES: copy
+    * lineitem into a multi-file table, mark two delete batches in a
+    * position sidecar ([[DeleteVectors.markDeletes]]: returned rows,
+    * then oversize quantities — the batches overlap, exercising the
+    * union/no-op composition) WITHOUT touching a data byte, then
+    * aggregate over the merge-on-read scan ([[DeleteVectors.read]]:
+    * broadcast anti-join on (file, row_index), zero Exchange on the
+    * data side). The oracle recomputes the aggregate under the negated
+    * predicates from the raw table — a row the reader failed to
+    * subtract, or one it wrongly subtracted, flips a count/sum and
+    * goes red. DeleteVectorsSuite pins data-file byte-identity across
+    * markDeletes, batch composition + re-delete idempotence, the plan
+    * shape, and vacuum == merge-on-read.
+    */
+  def q187DeleteVectors(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dv-").toString
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity"), col("l_extendedprice"))
+      .repartition(8)
+      .write.parquet(s"$tmp/li")
+    DeleteVectors.markDeletes(spark, s"$tmp/li", col("l_returnflag") === "R", s"$tmp/dv")
+    DeleteVectors.markDeletes(spark, s"$tmp/li", col("l_quantity") > 45.0, s"$tmp/dv")
+    DeleteVectors.read(spark, s"$tmp/li", s"$tmp/dv")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1296,6 +1328,7 @@ object Queries {
     "q184_zorder_skipping" -> (q184ZOrderSkipping _),
     "q185_bloom_skipping" -> (q185BloomSkipping _),
     "q186_scd2_incremental" -> (q186Scd2Incremental _),
+    "q187_delete_vectors" -> (q187DeleteVectors _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

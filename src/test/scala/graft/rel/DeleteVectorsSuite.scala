@@ -1,0 +1,89 @@
+package graft.rel
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins for merge-on-read deletes: data-file byte-identity across
+  * markDeletes (the whole point — no copy-on-write), reader equality
+  * with the filtered full scan, delete-batch composition (overlapping
+  * predicates, re-deleting dead rows is a no-op), the zero-Exchange
+  * broadcast anti-join plan on the data side, and vacuum folding the
+  * vectors into a physical rewrite that reads back identical.
+  */
+class DeleteVectorsSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeTable(dir: String): Unit = {
+    import spark.implicits._
+    (0L until 2000L).map(i => (i, i % 7, s"p$i")).toDF("id", "bucket", "payload")
+      .repartition(6)
+      .write.parquet(dir)
+  }
+
+  private def fileChecksums(dir: String): Map[String, (Long, Long)] =
+    Files.list(Paths.get(dir)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val bytes = Files.readAllBytes(p)
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes)
+        p.getFileName.toString -> (bytes.length.toLong, crc.getValue)
+      }.toMap
+
+  test("markDeletes leaves every data byte in place; reader subtracts exactly the marked rows") {
+    val root = Files.createTempDirectory("dv-suite-").toString
+    writeTable(s"$root/t")
+    val before = fileChecksums(s"$root/t")
+    DeleteVectors.markDeletes(spark, s"$root/t", col("bucket") === 3, s"$root/dv")
+    assert(fileChecksums(s"$root/t") == before,
+      "merge-on-read: a delete must not rewrite any data file")
+    val got = DeleteVectors.read(spark, s"$root/t", s"$root/dv")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expected = (0L until 2000L).filterNot(_ % 7 == 3).toSet
+    assert(got == expected)
+  }
+
+  test("batches compose; overlapping and repeated deletes are no-ops") {
+    val root = Files.createTempDirectory("dv-suite-").toString
+    writeTable(s"$root/t")
+    DeleteVectors.markDeletes(spark, s"$root/t", col("bucket") === 3, s"$root/dv")
+    DeleteVectors.markDeletes(spark, s"$root/t", col("id") < 100L, s"$root/dv") // overlaps bucket 3
+    DeleteVectors.markDeletes(spark, s"$root/t", col("bucket") === 3, s"$root/dv") // pure repeat
+    val got = DeleteVectors.read(spark, s"$root/t", s"$root/dv")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expected = (100L until 2000L).filterNot(_ % 7 == 3).toSet
+    assert(got == expected)
+  }
+
+  test("no sidecar yet: read is the plain table") {
+    val root = Files.createTempDirectory("dv-suite-").toString
+    writeTable(s"$root/t")
+    assert(DeleteVectors.read(spark, s"$root/t", s"$root/dv-nonexistent").count() == 2000L)
+  }
+
+  test("plan shape: broadcast anti-join, zero Exchange on the data side") {
+    val root = Files.createTempDirectory("dv-suite-").toString
+    writeTable(s"$root/t")
+    DeleteVectors.markDeletes(spark, s"$root/t", col("bucket") === 0, s"$root/dv")
+    val plan = DeleteVectors.read(spark, s"$root/t", s"$root/dv")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("ShuffleExchange"),
+      s"data side must not shuffle for a merge-on-read scan:\n$plan")
+  }
+
+  test("vacuum: physical rewrite == merge-on-read; fresh table needs no sidecar") {
+    val root = Files.createTempDirectory("dv-suite-").toString
+    writeTable(s"$root/t")
+    DeleteVectors.markDeletes(spark, s"$root/t", col("bucket") === 5, s"$root/dv")
+    val mor = DeleteVectors.read(spark, s"$root/t", s"$root/dv")
+      .collect().map(_.toSeq).toSet
+    val compacted = DeleteVectors.vacuum(spark, s"$root/t", s"$root/dv", s"$root/t2", 3)
+    assert(compacted.collect().map(_.toSeq).toSet == mor)
+    assert(compacted.inputFiles.length == 3)
+  }
+}

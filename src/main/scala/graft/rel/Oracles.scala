@@ -360,6 +360,23 @@ object Oracles {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    // q188: point-in-time enrichment — DuckDB's native ASOF JOIN over
+    // the SQL-built SCD2 dimension gates BOTH composed layers (the
+    // history build and the native as-of lookup) in one shot.
+    "q188_scd2_asof_enrich" ->
+      """WITH chg AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |dim AS (
+        |  SELECT user_id, event_type AS seg, ts AS valid_from FROM chg
+        |  WHERE prev IS NULL OR event_type <> prev)
+        |SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value,
+        |       d.seg, d.valid_from AS seg_since
+        |FROM events e
+        |ASOF JOIN dim d ON e.user_id = d.user_id AND e.ts >= d.valid_from
+        |ORDER BY e.event_id""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

@@ -1299,6 +1299,32 @@ object Queries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Declared query (q188) — POINT-IN-TIME DIMENSION ENRICHMENT: the
+    * classic warehouse pattern "join each fact to the dimension version
+    * that was valid AT the fact's time", composed from two of this
+    * engine's operators: the SCD2 history ([[Scd2.fromChangeLog]],
+    * q186) as the versioned dimension and the NATIVE broadcast as-of
+    * join ([[graft.plans.AsOfJoinNative.asOfBroadcast]]) as the
+    * temporal lookup — the dimension is entity-bounded so the fact side
+    * keeps its scan partitioning with ZERO Exchange, the exact shape a
+    * 100 TB fact enrichment needs. Every event matches (its own change
+    * chain is ≤ its ts), and (user, ts) pairs are unique in the data, so
+    * the backward as-of is tie-free. The oracle is DuckDB's own ASOF
+    * JOIN over the SQL-built SCD2 — gating both layers at once.
+    */
+  def q188Scd2AsOfEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val dim = Scd2.fromChangeLog(ev)
+      .select(col("user_id"), col("valid_from").as("t"), col("seg"))
+    val facts = ev.select(col("event_id"), col("user_id"), col("ts").as("t"),
+      col("event_type"), col("value"))
+    graft.plans.AsOfJoinNative.asOfBroadcast(facts, dim, "user_id", "t")
+      .select(col("event_id"), col("user_id"), col("t").as("ts"),
+        col("event_type"), col("value"), col("seg"),
+        col("__asof_time").as("seg_since"))
+      .orderBy(col("event_id"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1329,6 +1355,7 @@ object Queries {
     "q185_bloom_skipping" -> (q185BloomSkipping _),
     "q186_scd2_incremental" -> (q186Scd2Incremental _),
     "q187_delete_vectors" -> (q187DeleteVectors _),
+    "q188_scd2_asof_enrich" -> (q188Scd2AsOfEnrich _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

@@ -94,6 +94,32 @@ class Scd2Suite extends AnyFunSuite {
     assert(collectSet(out) == collectSet(base))
   }
 
+  test("point-in-time enrichment (q188 shape): every fact matches, fact side has no shuffle") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val out = Queries.q188Scd2AsOfEnrich(spark, dir)
+    assert(out.filter(col("seg").isNull).count() == 0L,
+      "every event's own change chain is <= its ts, so every fact must match")
+    // a change event's at-time segment is itself
+    val sample = out.filter(col("ts") === col("seg_since")).limit(50).collect()
+    sample.foreach(r => assert(r.getAs[String]("seg") == r.getAs[String]("event_type")))
+    // broadcast tier: the fact side must keep its scan partitioning —
+    // the only Exchange in the whole plan is the BroadcastExchange (the
+    // final orderBy adds a range Exchange, so pin the pre-sort child)
+    val dim = Scd2.fromChangeLog(ev)
+      .select(col("user_id"), col("valid_from").as("t"), col("seg"))
+    val facts = ev.select(col("event_id"), col("user_id"), col("ts").as("t"))
+    val plan = graft.plans.AsOfJoinNative.asOfBroadcast(facts, dim, "user_id", "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("ShuffleExchange") || {
+      // any shuffle present must sit under the DIM subtree (the SCD2
+      // window build), never on the fact scan path
+      val factSide = plan.substring(plan.indexOf("AsOfJoinBroadcast"))
+      !factSide.split("BroadcastExchange").head.contains("ShuffleExchange")
+    }, s"fact side must not shuffle:\n$plan")
+  }
+
   test("events table: incremental at an arbitrary cutoff == full-log batch") {
     val dir = "/root/testdata/sf0.001"
     val ev = spark.read.parquet(s"$dir/events.parquet")

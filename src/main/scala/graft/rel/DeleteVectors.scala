@@ -72,4 +72,52 @@ object DeleteVectors {
     read(spark, dir, dvDir).repartition(numFiles).write.parquet(outDir)
     spark.read.parquet(outDir)
   }
+
+  /** Key-addressed delete batch: mark every row of `dir` whose key
+    * tuple appears in `keys` (broadcast semi-join — the key set is a
+    * batch, the table is the 100 TB side; zero Exchange on the data
+    * scan). Shares [[read]]'s sidecar format — positions are absolute
+    * file paths, so one `dvDir` can cover several data regions.
+    */
+  def markDeletesByKeys(
+      spark: SparkSession, dir: String, keys: DataFrame, dvDir: String): Unit = {
+    val keyCols = keys.columns.toSeq
+    spark.read.parquet(dir)
+      .withColumn("__dv_file", col("_metadata.file_path"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+      .join(broadcast(keys.distinct()), keyCols, "left_semi")
+      .select(col("__dv_file"), col("__dv_pos"))
+      .write.mode("append").parquet(dvDir)
+  }
+
+  /** MERGE-ON-READ UPSERT — latest-wins by key, no data rewrite: rows of
+    * `updates` whose key exists anywhere (base OR an earlier upsert's
+    * appends) get the existing version tombstoned by position, then the
+    * batch lands as new append files. Inserts are the same path with
+    * nothing to tombstone. Base files are immutable forever; append
+    * files are immutable once written (a LATER batch tombstones their
+    * rows positionally, never rewrites them) — so every batch costs
+    * O(|batch|) new bytes + O(matched) sidecar rows, the Delta/Iceberg
+    * MoR upsert cost model.
+    */
+  def upsert(
+      spark: SparkSession, baseDir: String, appendsDir: String, dvDir: String,
+      updates: DataFrame, keyCols: Seq[String]): Unit = {
+    val keys = updates.select(keyCols.map(col): _*)
+    markDeletesByKeys(spark, baseDir, keys, dvDir)
+    if (new java.io.File(appendsDir).exists())
+      markDeletesByKeys(spark, appendsDir, keys, dvDir)
+    updates.write.mode("append").parquet(appendsDir)
+  }
+
+  /** Merge-on-read scan of an upserted table: live base rows ∪ live
+    * append rows (one shared sidecar masks both regions).
+    */
+  def readMor(
+      spark: SparkSession, baseDir: String, appendsDir: String,
+      dvDir: String): DataFrame = {
+    val base = read(spark, baseDir, dvDir)
+    if (!new java.io.File(appendsDir).exists()) base
+    else base.unionByName(read(spark, appendsDir, dvDir))
+  }
 }

@@ -377,6 +377,24 @@ object Oracles {
         |ASOF JOIN dim d ON e.user_id = d.user_id AND e.ts >= d.valid_from
         |ORDER BY e.event_id""".stripMargin,
 
+    // q189: the MoR upsert gate — final state reconstructed from the
+    // raw table; the CASE branch order encodes latest-wins (batch 2's
+    // %97 update shadows batch 1's 'P' repricing where both hit).
+    // No per-row round(): the arithmetic is order-free so both engines
+    // produce bit-identical doubles, while round() itself diverges on
+    // half-way products (Spark HALF_UP vs DuckDB double rounding).
+    "q189_mor_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_custkey % 97 = 0 THEN o_totalprice + 5000.0
+        |      WHEN o_orderstatus = 'P' THEN o_totalprice * 1.10
+        |      ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, 'N' AS o_orderstatus,
+        | o_totalprice
+        |FROM orders WHERE o_custkey % 101 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

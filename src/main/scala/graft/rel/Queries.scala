@@ -1325,6 +1325,46 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Declared query (q189) — MERGE-ON-READ UPSERT: latest-wins updates
+    * and inserts over an immutable base ([[DeleteVectors.upsert]]:
+    * existing versions tombstoned by position into the shared sidecar,
+    * the batch appended as new files; no data file is ever rewritten).
+    * Batch 1 reprices the 'P' orders; batch 2 mixes UPDATEs that
+    * overlap batch 1 (so it must tombstone rows inside the APPEND
+    * region, not just the base) with brand-new INSERT keys. The oracle
+    * reconstructs the final state from the raw table with a CASE whose
+    * branch order encodes latest-wins — a stale surviving version, a
+    * lost insert, or a double-applied update all go red row-by-row.
+    */
+  def q189MorUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-upsert-").toString
+    val raw = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    raw.repartition(8).write.parquet(s"$tmp/base")
+    val upd1 = raw.filter(col("o_orderstatus") === "P")
+      .withColumn("o_totalprice", col("o_totalprice") * 1.10)
+    DeleteVectors.upsert(spark, s"$tmp/base", s"$tmp/appends", s"$tmp/dv",
+      upd1, Seq("o_orderkey"))
+    val upd2 = raw.filter(col("o_custkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5000.0)
+    val ins = raw.filter(col("o_custkey") % 101 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_custkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    DeleteVectors.upsert(spark, s"$tmp/base", s"$tmp/appends", s"$tmp/dv",
+      upd2.unionByName(ins), Seq("o_orderkey"))
+    // NO per-row round(): the arithmetic is order-free, so Spark and the
+    // oracle produce bit-identical IEEE doubles — while round() itself
+    // DIVERGES between engines on half-way products (Spark HALF_UP via
+    // BigDecimal vs DuckDB's double rounding; 3 knife-edge rows at
+    // sf0.01). Rounding is for aggregates, where accumulation order
+    // varies; here it would only inject disagreement.
+    DeleteVectors.readMor(spark, s"$tmp/base", s"$tmp/appends", s"$tmp/dv")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1356,6 +1396,7 @@ object Queries {
     "q186_scd2_incremental" -> (q186Scd2Incremental _),
     "q187_delete_vectors" -> (q187DeleteVectors _),
     "q188_scd2_asof_enrich" -> (q188Scd2AsOfEnrich _),
+    "q189_mor_upsert" -> (q189MorUpsert _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

@@ -76,6 +76,49 @@ class DeleteVectorsSuite extends AnyFunSuite {
       s"data side must not shuffle for a merge-on-read scan:\n$plan")
   }
 
+  test("upsert: latest-wins across three batches, including tombstones inside the append region") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dv-suite-").toString
+    (0L until 500L).map(i => (i, s"v0-$i")).toDF("id", "v")
+      .repartition(4).write.parquet(s"$root/base")
+    val baseBytes = fileChecksums(s"$root/base")
+    // batch 1: update ids 0..99
+    DeleteVectors.upsert(spark, s"$root/base", s"$root/app", s"$root/dv",
+      (0L until 100L).map(i => (i, s"v1-$i")).toDF("id", "v"), Seq("id"))
+    // batch 2: update ids 50..149 (50..99 live in the APPEND region) + insert 1000..1009
+    DeleteVectors.upsert(spark, s"$root/base", s"$root/app", s"$root/dv",
+      ((50L until 150L) ++ (1000L until 1010L)).map(i => (i, s"v2-$i")).toDF("id", "v"),
+      Seq("id"))
+    // batch 3: re-update one id from each region + one brand-new insert
+    DeleteVectors.upsert(spark, s"$root/base", s"$root/app", s"$root/dv",
+      Seq((75L, "v3-75"), (300L, "v3-300"), (2000L, "v3-2000")).toDF("id", "v"), Seq("id"))
+    assert(fileChecksums(s"$root/base") == baseBytes,
+      "upserts must never rewrite a base data file")
+    val got = DeleteVectors.readMor(spark, s"$root/base", s"$root/app", s"$root/dv")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (
+      (0L until 500L).map(i => i -> s"v0-$i") ++
+      (0L until 100L).map(i => i -> s"v1-$i") ++
+      ((50L until 150L) ++ (1000L until 1010L)).map(i => i -> s"v2-$i") ++
+      Seq(75L -> "v3-75", 300L -> "v3-300", 2000L -> "v3-2000")).toMap // later wins
+    assert(got == expected)
+    // exactly one live version per key
+    assert(got.size == expected.size)
+  }
+
+  test("upsert into an empty appends region is a pure insert; readMor without appends is the base") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dv-suite-").toString
+    (0L until 50L).map(i => (i, s"b$i")).toDF("id", "v")
+      .repartition(2).write.parquet(s"$root/base")
+    assert(DeleteVectors.readMor(spark, s"$root/base", s"$root/app", s"$root/dv").count() == 50L)
+    DeleteVectors.upsert(spark, s"$root/base", s"$root/app", s"$root/dv",
+      Seq((100L, "new")).toDF("id", "v"), Seq("id"))
+    val got = DeleteVectors.readMor(spark, s"$root/base", s"$root/app", s"$root/dv")
+    assert(got.count() == 51L)
+    assert(got.filter(col("id") === 100L).collect().head.getString(1) == "new")
+  }
+
   test("vacuum: physical rewrite == merge-on-read; fresh table needs no sidecar") {
     val root = Files.createTempDirectory("dv-suite-").toString
     writeTable(s"$root/t")

@@ -90,6 +90,33 @@ object BloomSkip {
       .filter(col(keyCol).isin(keys: _*))
   }
 
+  /** DYNAMIC FILE PRUNING JOIN — the manifest driving a JOIN instead of
+    * a literal IN-list: when the dim side is selective, collect its
+    * join keys at runtime (cap-guarded), skip every fact file whose
+    * bloom admits none of them, and broadcast-join only the survivors.
+    * This is the lakehouse "DFP" pattern: the fact scan cost tracks the
+    * DIM's selectivity, not the fact's size. Above `maxKeys` the
+    * operator falls back to the plain broadcast join over all files —
+    * pruning is a pure optimization, never a semantics change (the
+    * suite pins fallback == pruned == plain).
+    */
+  def dfpJoin(
+      spark: SparkSession, factDir: String, manifest: Seq[FileBloom],
+      factKeyCol: String, dim: DataFrame, dimKeyCol: String,
+      maxKeys: Int = 4096): DataFrame = {
+    val keyRows = dim.select(col(dimKeyCol).cast("long")).distinct()
+      .limit(maxKeys + 1).collect()
+    val fact =
+      if (keyRows.length > maxKeys) spark.read.parquet(factDir) // dim too big: no DFP
+      else {
+        val keys = keyRows.map(_.getLong(0)).toSeq
+        val files = candidates(manifest, keys)
+        if (files.isEmpty) spark.read.parquet(manifest.head.file).filter(lit(false))
+        else spark.read.parquet(files: _*)
+      }
+    fact.join(broadcast(dim), fact(factKeyCol) === dim(dimKeyCol))
+  }
+
   private def serialize(b: BloomFilter): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     b.writeTo(out)

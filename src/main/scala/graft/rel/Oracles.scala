@@ -395,6 +395,14 @@ object Oracles {
         |FROM orders WHERE o_custkey % 101 = 0
         |ORDER BY o_orderkey""".stripMargin,
 
+    // q190: the DFP gate is the plain join itself — a fact file the
+    // bloom wrongly skipped loses its join rows here and goes red.
+    "q190_dfp_join" ->
+      s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, o_totalprice
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_totalprice > ${Queries.DfpPriceFloor}
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

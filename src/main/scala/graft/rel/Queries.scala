@@ -1365,6 +1365,41 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q190 dim filter: > this price keeps 2 / 11 / 142 orders at
+    * sf0.001/0.01/0.1 — selective enough that the runtime-collected key
+    * set drives real file skipping at verify scale.
+    */
+  val DfpPriceFloor = 499500.0
+
+  /** Declared query (q190) — DYNAMIC FILE PRUNING JOIN: the q185 bloom
+    * manifest driving a JOIN instead of a literal IN-list
+    * ([[BloomSkip.dfpJoin]]): the selective dim side's join keys are
+    * collected at runtime (cap-guarded with a plain-join fallback), fact
+    * files whose bloom admits none of them are never opened, and the
+    * survivors broadcast-join the dim — fact scan cost tracks the DIM's
+    * selectivity, not the fact's size. The oracle is the plain SQL
+    * join, so a wrongly-skipped fact file loses join rows and goes red;
+    * bloom false positives just read an extra file. BloomSkipSuite pins
+    * pruned == plain == over-cap-fallback and the survivor accounting.
+    */
+  def q190DfpJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dfp-").toString
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity"))
+      .repartition(BloomFiles, col("l_suppkey"))
+      .write.parquet(s"$tmp/li")
+    val rowsPerFile = math.max(spark.read.parquet(s"$tmp/li").count() / BloomFiles, 64L)
+    val manifest = BloomSkip.buildManifest(spark, s"$tmp/li", "l_orderkey", rowsPerFile, 0.01)
+    val dim = table(spark, dir, "orders")
+      .filter(col("o_totalprice") > DfpPriceFloor)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    BloomSkip.dfpJoin(spark, s"$tmp/li", manifest, "l_orderkey", dim, "o_orderkey")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity"), col("o_totalprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1397,6 +1432,7 @@ object Queries {
     "q187_delete_vectors" -> (q187DeleteVectors _),
     "q188_scd2_asof_enrich" -> (q188Scd2AsOfEnrich _),
     "q189_mor_upsert" -> (q189MorUpsert _),
+    "q190_dfp_join" -> (q190DfpJoin _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

@@ -98,6 +98,35 @@ class BloomSkipSuite extends AnyFunSuite {
     assert(pruned.collect().map(_.toSeq).toSet == expected)
   }
 
+  test("dfpJoin: pruned == plain == over-cap fallback; dim selectivity drives the skipping") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bloom-suite-").toString + "/t"
+    writeScattered(dir, 16)
+    val manifest = BloomSkip.buildManifest(spark, dir, "key", 80L, 0.01)
+    val dim = Seq((7L, "a"), (123L, "b"), (999L, "c")).toDF("dim_key", "dim_val")
+    val pruned = BloomSkip.dfpJoin(spark, dir, manifest, "key", dim, "dim_key")
+    val plain = spark.read.parquet(dir).join(dim, col("key") === col("dim_key"))
+    assert(collectNorm(pruned) == collectNorm(plain))
+    // some hash partitions come out empty: the writer can emit zero-row
+    // files (absent from the manifest — correctly never scanned) and
+    // fewer than the requested 16, so count what's actually on disk
+    val nFiles = spark.read.parquet(dir).inputFiles.length
+    assert(pruned.inputFiles.count(_.contains("/t/")) < nFiles,
+      "a 3-key dim must skip fact files")
+    // over the cap: semantics identical, all files read
+    val fallback = BloomSkip.dfpJoin(spark, dir, manifest, "key", dim, "dim_key", maxKeys = 2)
+    assert(collectNorm(fallback) == collectNorm(plain))
+    assert(fallback.inputFiles.count(_.contains("/t/")) == nFiles)
+    // empty dim: typed empty result, zero fact rows read
+    val none = BloomSkip.dfpJoin(spark, dir, manifest, "key",
+      dim.filter(lit(false)), "dim_key")
+    assert(none.count() == 0L)
+  }
+
+  private def collectNorm(df: org.apache.spark.sql.DataFrame) =
+    df.select("key", "salt", "payload", "dim_key", "dim_val")
+      .collect().map(_.toSeq).toSet
+
   test("probe outside the key space: typed empty result (bloom may pass stray files, filter absorbs)") {
     val dir = Files.createTempDirectory("bloom-suite-").toString + "/t"
     writeScattered(dir, 8)

@@ -104,7 +104,12 @@ object BloomSkip {
       spark: SparkSession, factDir: String, manifest: Seq[FileBloom],
       factKeyCol: String, dim: DataFrame, dimKeyCol: String,
       maxKeys: Int = 4096): DataFrame = {
-    val keyRows = dim.select(col(dimKeyCol).cast("long")).distinct()
+    require(manifest.nonEmpty, "empty bloom manifest: table was never indexed")
+    // null dim keys can never match the equi-join — drop them before the
+    // collect (a null would NPE the primitive unbox, and admitting it to
+    // candidates() would be meaningless)
+    val keyRows = dim.select(col(dimKeyCol).cast("long"))
+      .filter(col(dimKeyCol).isNotNull).distinct()
       .limit(maxKeys + 1).collect()
     val fact =
       if (keyRows.length > maxKeys) spark.read.parquet(factDir) // dim too big: no DFP

@@ -34,14 +34,21 @@ object DeleteVectors {
     * NOT touched (byte-identity pinned in the suite).
     */
   def markDeletes(
-      spark: SparkSession, dir: String, predicate: Column, dvDir: String): Long = {
-    val marked = spark.read.parquet(dir)
+      spark: SparkSession, dir: String, predicate: Column, dvDir: String): Unit =
+    spark.read.parquet(dir)
       .filter(predicate)
       .select(
         col("_metadata.file_path").as("__dv_file"),
         col("_metadata.row_index").as("__dv_pos"))
-    marked.write.mode("append").parquet(dvDir)
-    spark.read.parquet(dvDir).count()
+      .write.mode("append").parquet(dvDir)
+
+  /** Path existence through the Hadoop FileSystem of the PATH (not
+    * java.io.File, which silently answers false for hdfs://, s3a://, …
+    * and would resurface every tombstoned row on a non-local store).
+    */
+  private def pathExists(spark: SparkSession, dvDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dvDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Merge-on-read scan: the table minus every position any delete
@@ -50,7 +57,7 @@ object DeleteVectors {
     */
   def read(spark: SparkSession, dir: String, dvDir: String): DataFrame = {
     val data = spark.read.parquet(dir)
-    if (!new java.io.File(dvDir).exists()) data
+    if (!pathExists(spark, dvDir)) data
     else {
       val dv = spark.read.parquet(dvDir).distinct()
       val cols = data.columns.map(col).toSeq
@@ -105,7 +112,7 @@ object DeleteVectors {
       updates: DataFrame, keyCols: Seq[String]): Unit = {
     val keys = updates.select(keyCols.map(col): _*)
     markDeletesByKeys(spark, baseDir, keys, dvDir)
-    if (new java.io.File(appendsDir).exists())
+    if (pathExists(spark, appendsDir))
       markDeletesByKeys(spark, appendsDir, keys, dvDir)
     updates.write.mode("append").parquet(appendsDir)
   }
@@ -117,7 +124,7 @@ object DeleteVectors {
       spark: SparkSession, baseDir: String, appendsDir: String,
       dvDir: String): DataFrame = {
     val base = read(spark, baseDir, dvDir)
-    if (!new java.io.File(appendsDir).exists()) base
+    if (!pathExists(spark, appendsDir)) base
     else base.unionByName(read(spark, appendsDir, dvDir))
   }
 }

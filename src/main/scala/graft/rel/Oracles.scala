@@ -390,8 +390,8 @@ object Oracles {
         |      ELSE o_totalprice END AS o_totalprice
         |FROM orders
         |UNION ALL
-        |SELECT o_orderkey + 10000000, o_custkey, 'N' AS o_orderstatus,
-        | o_totalprice
+        |SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+        | o_custkey, 'N' AS o_orderstatus, o_totalprice
         |FROM orders WHERE o_custkey % 101 = 0
         |ORDER BY o_orderkey""".stripMargin,
 

@@ -1226,15 +1226,32 @@ object Queries {
     * scan's file index holds strictly fewer than [[BloomFiles]] files
     * and that a min/max manifest over the same layout prunes zero.
     */
-  def q185BloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared q185/q190 layout: lineitem hash-clustered by l_suppkey (so
+    * l_orderkey scatters across files and min/max can't prune) + a
+    * per-file bloom manifest over l_orderkey. Bloom geometry is sized
+    * by the ACTUAL written file count — hash skew leaves many of the
+    * requested [[BloomFiles]] partitions empty at small scale, and
+    * sizing by the requested count would overload the real files'
+    * filters and balloon the false-positive rate.
+    */
+  private def bloomLineitemLayout(
+      spark: SparkSession, dir: String,
+      cols: Seq[String]): (String, Seq[BloomSkip.FileBloom]) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bloom-").toString
     table(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
-        col("l_quantity"), col("l_extendedprice"))
+      .select(cols.map(col): _*)
       .repartition(BloomFiles, col("l_suppkey"))
       .write.parquet(s"$tmp/li")
-    val rowsPerFile = math.max(spark.read.parquet(s"$tmp/li").count() / BloomFiles, 64L)
-    val manifest = BloomSkip.buildManifest(spark, s"$tmp/li", "l_orderkey", rowsPerFile, 0.01)
+    val li = spark.read.parquet(s"$tmp/li")
+    val nFiles = math.max(li.inputFiles.length, 1)
+    val rowsPerFile = math.max(li.count() / nFiles, 64L)
+    (s"$tmp/li",
+      BloomSkip.buildManifest(spark, s"$tmp/li", "l_orderkey", rowsPerFile, 0.01))
+  }
+
+  def q185BloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val (_, manifest) = bloomLineitemLayout(spark, dir,
+      Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "l_extendedprice"))
     BloomSkip.prunedRead(spark, manifest, "l_orderkey", BloomProbeKeys)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
         col("l_quantity"), col("l_extendedprice"))
@@ -1260,7 +1277,7 @@ object Queries {
     * carry path's plan shape.
     */
   def q186Scd2Incremental(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events")
+    val ev = events(spark, dir)
     val cut = to_timestamp(lit(Scd2Cutoff))
     val base = Scd2.fromChangeLog(ev.filter(col("ts") < cut))
     Scd2.applyDelta(base, ev.filter(col("ts") >= cut))
@@ -1313,7 +1330,7 @@ object Queries {
     * JOIN over the SQL-built SCD2 — gating both layers at once.
     */
   def q188Scd2AsOfEnrich(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events")
+    val ev = events(spark, dir)
     val dim = Scd2.fromChangeLog(ev)
       .select(col("user_id"), col("valid_from").as("t"), col("seg"))
     val facts = ev.select(col("event_id"), col("user_id"), col("ts").as("t"),
@@ -1348,8 +1365,12 @@ object Queries {
       upd1, Seq("o_orderkey"))
     val upd2 = raw.filter(col("o_custkey") % 97 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + 5000.0)
+    // insert keys offset past the REAL key space (derived, not a magic
+    // constant — a fixed +10M would collide with genuine orderkeys once
+    // the table grows past 10M rows and silently tombstone them)
+    val keyCeil = raw.agg(max(col("o_orderkey"))).collect()(0).getLong(0) + 1L
     val ins = raw.filter(col("o_custkey") % 101 === 0)
-      .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_custkey"),
+      .select((col("o_orderkey") + keyCeil).as("o_orderkey"), col("o_custkey"),
         lit("N").as("o_orderstatus"), col("o_totalprice"))
     DeleteVectors.upsert(spark, s"$tmp/base", s"$tmp/appends", s"$tmp/dv",
       upd2.unionByName(ins), Seq("o_orderkey"))
@@ -1383,18 +1404,12 @@ object Queries {
     * pruned == plain == over-cap-fallback and the survivor accounting.
     */
   def q190DfpJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-dfp-").toString
-    table(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
-        col("l_quantity"))
-      .repartition(BloomFiles, col("l_suppkey"))
-      .write.parquet(s"$tmp/li")
-    val rowsPerFile = math.max(spark.read.parquet(s"$tmp/li").count() / BloomFiles, 64L)
-    val manifest = BloomSkip.buildManifest(spark, s"$tmp/li", "l_orderkey", rowsPerFile, 0.01)
+    val (factDir, manifest) = bloomLineitemLayout(spark, dir,
+      Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"))
     val dim = table(spark, dir, "orders")
       .filter(col("o_totalprice") > DfpPriceFloor)
       .select(col("o_orderkey"), col("o_totalprice"))
-    BloomSkip.dfpJoin(spark, s"$tmp/li", manifest, "l_orderkey", dim, "o_orderkey")
+    BloomSkip.dfpJoin(spark, factDir, manifest, "l_orderkey", dim, "o_orderkey")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
         col("l_quantity"), col("o_totalprice"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))

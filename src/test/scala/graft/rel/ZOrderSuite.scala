@@ -69,8 +69,13 @@ class ZOrderSuite extends AnyFunSuite {
     val bad = Seq((-1L, 2L)).toDF("x", "y")
       .select(GraftFunctions.zorder2(col("x"), col("y")))
     val e = intercept[Exception](bad.collect())
-    // wrapped by Spark's task failure machinery; the root message survives
-    assert(e.getMessage != null || e.getCause != null)
+    // wrapped by Spark's task failure machinery — walk the cause chain
+    // and require the range guard's own message, so deleting the codegen
+    // check can't slip past on an unrelated failure
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("zorder2 input out of")),
+      s"expected the zorder2 range-guard message in the cause chain, got: $messages")
   }
 
   test("codegen'd column result == interpreted interleave over a sweep") {

@@ -17,29 +17,53 @@ import org.apache.spark.sql.functions._
   * the scan produces for free, no synthetic key column needed.
   *
   * Scale shape: [[markDeletes]] is one predicate scan emitting only the
-  * matched positions (O(deleted) sidecar bytes, appended — batches
-  * compose by union and re-deleting a dead row is a no-op under the
-  * anti-join). [[read]] BROADCASTS the vectors and anti-joins on
-  * position, so the data side keeps ZERO Exchange — the plan is scan →
-  * BroadcastHashJoin(LeftAnti), pinned in DeleteVectorsSuite. That
+  * matched positions (O(deleted) sidecar bytes, appended). Marking
+  * always runs over the LIVE view, so a position is tombstoned at most
+  * once ever — the invariant [[changes]] needs to reconstruct exact
+  * per-batch pre-images. [[read]] BROADCASTS the vectors and anti-joins
+  * on position, so the data side keeps ZERO Exchange — the plan is scan
+  * → BroadcastHashJoin(LeftAnti), pinned in DeleteVectorsSuite. That
   * holds while vectors are delete-sized (MBs–GBs per batch); once the
   * dead fraction is large enough that broadcasting hurts, the right
   * move is not a shuffle join but [[vacuum]] — which is also the
   * existing compaction discipline (q183) applied here.
+  *
+  * Every mutation carries a `batchId`, which buys the CHANGE DATA FEED
+  * for free: [[changes]] replays any batch's exact row-level effect
+  * (insert / update_pre / update_post / delete) from the batch's own
+  * sidecar rows + append files in O(|batch|) — pre-images are read by
+  * opening ONLY the files the batch's tombstones name, never by
+  * diffing table states.
   */
 object DeleteVectors {
 
-  /** Append one delete batch: positions of rows in `dir` matching
-    * `predicate` are written to the `dvDir` sidecar. The data files are
-    * NOT touched (byte-identity pinned in the suite).
+  /** The live view of one data region WITH its position columns — the
+    * shared kernel: data minus sidecar via broadcast anti-join.
+    */
+  private def liveWithPositions(
+      spark: SparkSession, dir: String, dvDir: String): DataFrame = {
+    val data = spark.read.parquet(dir)
+      .withColumn("__dv_file", col("_metadata.file_path"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    if (!pathExists(spark, dvDir)) data
+    else data.join(
+      broadcast(spark.read.parquet(dvDir).select("__dv_file", "__dv_pos").distinct()),
+      Seq("__dv_file", "__dv_pos"), "left_anti")
+  }
+
+  /** Append one delete batch: positions of LIVE rows in `dir` matching
+    * `predicate` are written to the `dvDir` sidecar tagged with
+    * `batchId`. The data files are NOT touched (byte-identity pinned in
+    * the suite); marking the live view (not the raw files) keeps the
+    * tombstoned-at-most-once invariant, so re-deleting a dead row is a
+    * true no-op even at the sidecar level.
     */
   def markDeletes(
-      spark: SparkSession, dir: String, predicate: Column, dvDir: String): Unit =
-    spark.read.parquet(dir)
+      spark: SparkSession, dir: String, predicate: Column, dvDir: String,
+      batchId: Long = 0L): Unit =
+    liveWithPositions(spark, dir, dvDir)
       .filter(predicate)
-      .select(
-        col("_metadata.file_path").as("__dv_file"),
-        col("_metadata.row_index").as("__dv_pos"))
+      .select(col("__dv_file"), col("__dv_pos"), lit(batchId).as("__dv_batch"))
       .write.mode("append").parquet(dvDir)
 
   /** Path existence through the Hadoop FileSystem of the PATH (not
@@ -56,17 +80,8 @@ object DeleteVectors {
     * no Exchange.
     */
   def read(spark: SparkSession, dir: String, dvDir: String): DataFrame = {
-    val data = spark.read.parquet(dir)
-    if (!pathExists(spark, dvDir)) data
-    else {
-      val dv = spark.read.parquet(dvDir).distinct()
-      val cols = data.columns.map(col).toSeq
-      data
-        .withColumn("__dv_file", col("_metadata.file_path"))
-        .withColumn("__dv_pos", col("_metadata.row_index"))
-        .join(broadcast(dv), Seq("__dv_file", "__dv_pos"), "left_anti")
-        .select(cols: _*)
-    }
+    val cols = spark.read.parquet(dir).columns.map(col).toSeq
+    liveWithPositions(spark, dir, dvDir).select(cols: _*)
   }
 
   /** Fold the vectors into a physical rewrite at `outDir` (the
@@ -80,41 +95,41 @@ object DeleteVectors {
     spark.read.parquet(outDir)
   }
 
-  /** Key-addressed delete batch: mark every row of `dir` whose key
+  /** Key-addressed delete batch: mark every LIVE row of `dir` whose key
     * tuple appears in `keys` (broadcast semi-join — the key set is a
     * batch, the table is the 100 TB side; zero Exchange on the data
     * scan). Shares [[read]]'s sidecar format — positions are absolute
     * file paths, so one `dvDir` can cover several data regions.
     */
   def markDeletesByKeys(
-      spark: SparkSession, dir: String, keys: DataFrame, dvDir: String): Unit = {
+      spark: SparkSession, dir: String, keys: DataFrame, dvDir: String,
+      batchId: Long = 0L): Unit = {
     val keyCols = keys.columns.toSeq
-    spark.read.parquet(dir)
-      .withColumn("__dv_file", col("_metadata.file_path"))
-      .withColumn("__dv_pos", col("_metadata.row_index"))
+    liveWithPositions(spark, dir, dvDir)
       .join(broadcast(keys.distinct()), keyCols, "left_semi")
-      .select(col("__dv_file"), col("__dv_pos"))
+      .select(col("__dv_file"), col("__dv_pos"), lit(batchId).as("__dv_batch"))
       .write.mode("append").parquet(dvDir)
   }
 
   /** MERGE-ON-READ UPSERT — latest-wins by key, no data rewrite: rows of
     * `updates` whose key exists anywhere (base OR an earlier upsert's
-    * appends) get the existing version tombstoned by position, then the
-    * batch lands as new append files. Inserts are the same path with
-    * nothing to tombstone. Base files are immutable forever; append
-    * files are immutable once written (a LATER batch tombstones their
-    * rows positionally, never rewrites them) — so every batch costs
-    * O(|batch|) new bytes + O(matched) sidecar rows, the Delta/Iceberg
-    * MoR upsert cost model.
+    * appends) get the LIVE version tombstoned by position, then the
+    * batch lands as new append files tagged `__batch = batchId`. Inserts
+    * are the same path with nothing to tombstone. Base files are
+    * immutable forever; append files are immutable once written (a
+    * LATER batch tombstones their rows positionally, never rewrites
+    * them) — so every batch costs O(|batch|) new bytes + O(matched)
+    * sidecar rows, the Delta/Iceberg MoR upsert cost model.
     */
   def upsert(
       spark: SparkSession, baseDir: String, appendsDir: String, dvDir: String,
-      updates: DataFrame, keyCols: Seq[String]): Unit = {
+      updates: DataFrame, keyCols: Seq[String], batchId: Long = 0L): Unit = {
     val keys = updates.select(keyCols.map(col): _*)
-    markDeletesByKeys(spark, baseDir, keys, dvDir)
+    markDeletesByKeys(spark, baseDir, keys, dvDir, batchId)
     if (pathExists(spark, appendsDir))
-      markDeletesByKeys(spark, appendsDir, keys, dvDir)
-    updates.write.mode("append").parquet(appendsDir)
+      markDeletesByKeys(spark, appendsDir, keys, dvDir, batchId)
+    updates.withColumn("__batch", lit(batchId))
+      .write.mode("append").parquet(appendsDir)
   }
 
   /** Merge-on-read scan of an upserted table: live base rows ∪ live
@@ -125,6 +140,78 @@ object DeleteVectors {
       dvDir: String): DataFrame = {
     val base = read(spark, baseDir, dvDir)
     if (!pathExists(spark, appendsDir)) base
-    else base.unionByName(read(spark, appendsDir, dvDir))
+    else base.unionByName(
+      read(spark, appendsDir, dvDir).drop("__batch"))
+  }
+
+  /** CHANGE DATA FEED for one batch — the row-level effect of
+    * `batchId`, reconstructed in O(|batch|) from the batch's own
+    * artifacts, never by diffing table states:
+    *
+    *  - post-images = the batch's append rows (`__batch = batchId`);
+    *  - pre-images = the rows at the positions the batch tombstoned —
+    *    read by opening ONLY the data files those tombstones NAME (the
+    *    file list is collected from the batch's sidecar rows, bounded
+    *    by the batch size), then position-joined against the broadcast
+    *    tombstone set;
+    *  - ops: a pre-image whose key reappears in the post-images is
+    *    `update_pre` (paired with `update_post`), otherwise `delete`;
+    *    a post-image with no matching pre-image key is `insert`.
+    *
+    * Output = `op` ++ the table columns.
+    */
+  def changes(
+      spark: SparkSession, baseDir: String, appendsDir: String, dvDir: String,
+      batchId: Long, keyCols: Seq[String]): DataFrame = {
+    val post =
+      if (!pathExists(spark, appendsDir)) None
+      else Some(spark.read.parquet(appendsDir)
+        .filter(col("__batch") === batchId).drop("__batch"))
+    val tomb =
+      if (!pathExists(spark, dvDir)) None
+      else Some(spark.read.parquet(dvDir)
+        .filter(col("__dv_batch") === batchId)
+        .select("__dv_file", "__dv_pos"))
+    val pre = tomb.map { t =>
+      // file pruning: only the files the batch's tombstones name are
+      // opened for pre-images — O(|batch|) driver state and scan cost
+      val files = t.select("__dv_file").distinct().collect().map(_.getString(0))
+      if (files.isEmpty) None
+      // mergeSchema: the tombstoned files can span BOTH regions (base
+      // files lack __batch, append files carry it) — without the merge
+      // the union schema would depend on which file Spark sampled
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(files.toIndexedSeq: _*)
+        .withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(broadcast(t), Seq("__dv_file", "__dv_pos"), "left_semi")
+        .drop("__dv_file", "__dv_pos")
+        .drop("__batch")) // present when the pre-image came from appends
+    }.flatten
+    val keyCmp = keyCols.map(col)
+    (pre, post) match {
+      case (None, None) =>
+        throw new IllegalArgumentException(s"batch $batchId left no artifacts")
+      case (Some(p), None) =>
+        p.select(lit("delete").as("op") +: p.columns.map(col): _*)
+      case (None, Some(q)) =>
+        q.select(lit("insert").as("op") +: q.columns.map(col): _*)
+      case (Some(p), Some(q)) =>
+        val postKeys = q.select(keyCmp: _*).distinct()
+        val preKeys = p.select(keyCmp: _*).distinct()
+        val preOps = p
+          .join(broadcast(postKeys), keyCols, "left_semi")
+          .select(lit("update_pre").as("op") +: p.columns.map(col): _*)
+          .unionByName(p
+            .join(broadcast(postKeys), keyCols, "left_anti")
+            .select(lit("delete").as("op") +: p.columns.map(col): _*))
+        val postOps = q
+          .join(broadcast(preKeys), keyCols, "left_semi")
+          .select(lit("update_post").as("op") +: q.columns.map(col): _*)
+          .unionByName(q
+            .join(broadcast(preKeys), keyCols, "left_anti")
+            .select(lit("insert").as("op") +: q.columns.map(col): _*))
+        preOps.unionByName(postOps)
+    }
   }
 }

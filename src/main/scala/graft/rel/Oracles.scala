@@ -403,6 +403,25 @@ object Oracles {
          |WHERE o_totalprice > ${Queries.DfpPriceFloor}
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // q191: the CDF gate — batch 2's exact row-level effect rebuilt
+    // from the raw table. update_pre must show the state AFTER batch 1
+    // (the 'P' repricing), update_post batch 2's values, insert the
+    // offset new keys; no rounding (order-free per-row arithmetic).
+    "q191_change_data_feed" ->
+      """SELECT 'update_pre' AS op, o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.10
+        |      ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_custkey % 97 = 0
+        |UNION ALL
+        |SELECT 'update_post', o_orderkey, o_custkey, o_orderstatus,
+        | o_totalprice + 5000.0
+        |FROM orders WHERE o_custkey % 97 = 0
+        |UNION ALL
+        |SELECT 'insert', o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+        | o_custkey, 'N', o_totalprice
+        |FROM orders WHERE o_custkey % 101 = 0
+        |ORDER BY o_orderkey, op""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

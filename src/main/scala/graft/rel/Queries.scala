@@ -1353,7 +1353,15 @@ object Queries {
     * branch order encodes latest-wins — a stale surviving version, a
     * lost insert, or a double-applied update all go red row-by-row.
     */
-  def q189MorUpsert(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared q189/q191 state: orders copied to a MoR base, then batch 1
+    * (reprice the 'P' orders) and batch 2 (update the %97 custkeys —
+    * overlapping batch 1 — plus brand-new insert keys offset past the
+    * REAL key space: max+1, derived, because a fixed constant would
+    * collide with genuine orderkeys once the table outgrows it and
+    * silently tombstone them). Returns (baseDir, appendsDir, dvDir).
+    */
+  private def morUpsertState(
+      spark: SparkSession, dir: String): (String, String, String) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-upsert-").toString
     val raw = table(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -1362,28 +1370,50 @@ object Queries {
     val upd1 = raw.filter(col("o_orderstatus") === "P")
       .withColumn("o_totalprice", col("o_totalprice") * 1.10)
     DeleteVectors.upsert(spark, s"$tmp/base", s"$tmp/appends", s"$tmp/dv",
-      upd1, Seq("o_orderkey"))
+      upd1, Seq("o_orderkey"), batchId = 1L)
     val upd2 = raw.filter(col("o_custkey") % 97 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + 5000.0)
-    // insert keys offset past the REAL key space (derived, not a magic
-    // constant — a fixed +10M would collide with genuine orderkeys once
-    // the table grows past 10M rows and silently tombstone them)
     val keyCeil = raw.agg(max(col("o_orderkey"))).collect()(0).getLong(0) + 1L
     val ins = raw.filter(col("o_custkey") % 101 === 0)
       .select((col("o_orderkey") + keyCeil).as("o_orderkey"), col("o_custkey"),
         lit("N").as("o_orderstatus"), col("o_totalprice"))
     DeleteVectors.upsert(spark, s"$tmp/base", s"$tmp/appends", s"$tmp/dv",
-      upd2.unionByName(ins), Seq("o_orderkey"))
+      upd2.unionByName(ins), Seq("o_orderkey"), batchId = 2L)
+    (s"$tmp/base", s"$tmp/appends", s"$tmp/dv")
+  }
+
+  def q189MorUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val (base, appends, dv) = morUpsertState(spark, dir)
     // NO per-row round(): the arithmetic is order-free, so Spark and the
     // oracle produce bit-identical IEEE doubles — while round() itself
     // DIVERGES between engines on half-way products (Spark HALF_UP via
     // BigDecimal vs DuckDB's double rounding; 3 knife-edge rows at
     // sf0.01). Rounding is for aggregates, where accumulation order
     // varies; here it would only inject disagreement.
-    DeleteVectors.readMor(spark, s"$tmp/base", s"$tmp/appends", s"$tmp/dv")
+    DeleteVectors.readMor(spark, base, appends, dv)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** Declared query (q191) — CHANGE DATA FEED: the row-level effect of
+    * q189's second upsert batch, reconstructed from the batch's own
+    * artifacts ([[DeleteVectors.changes]]): post-images are the batch's
+    * append rows, pre-images are read by opening ONLY the data files
+    * the batch's tombstones name (O(|batch|), never a table diff), and
+    * ops pair up by key (update_pre/update_post where the key persists,
+    * insert where it is new). The oracle reconstructs the same feed
+    * from the raw table: a pre-image must reflect the state AFTER
+    * batch 1 (the 'P' repricing) — so a stale pre-image, a tombstone
+    * attributed to the wrong batch, or a double-marked position (the
+    * live-view marking invariant) all go red.
+    */
+  def q191ChangeDataFeed(spark: SparkSession, dir: String): DataFrame = {
+    val (base, appends, dv) = morUpsertState(spark, dir)
+    DeleteVectors.changes(spark, base, appends, dv, batchId = 2L, Seq("o_orderkey"))
+      .select(col("op"), col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"), col("op"))
   }
 
   /** q190 dim filter: > this price keeps 2 / 11 / 142 orders at
@@ -1448,6 +1478,7 @@ object Queries {
     "q188_scd2_asof_enrich" -> (q188Scd2AsOfEnrich _),
     "q189_mor_upsert" -> (q189MorUpsert _),
     "q190_dfp_join" -> (q190DfpJoin _),
+    "q191_change_data_feed" -> (q191ChangeDataFeed _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

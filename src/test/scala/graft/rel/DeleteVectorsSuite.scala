@@ -119,6 +119,65 @@ class DeleteVectorsSuite extends AnyFunSuite {
     assert(got.filter(col("id") === 100L).collect().head.getString(1) == "new")
   }
 
+  test("changes: per-batch CDF with update pairs, inserts, deletes; pre-images file-pruned") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dv-suite-").toString
+    (0L until 400L).map(i => (i, s"v0-$i")).toDF("id", "v")
+      .repartition(4).write.parquet(s"$root/base")
+    DeleteVectors.upsert(spark, s"$root/base", s"$root/app", s"$root/dv",
+      (0L until 50L).map(i => (i, s"v1-$i")).toDF("id", "v"), Seq("id"), batchId = 1L)
+    // batch 2: update 25..74 (25..49 pre-images live in the APPEND
+    // region as v1), insert 900..904
+    DeleteVectors.upsert(spark, s"$root/base", s"$root/app", s"$root/dv",
+      ((25L until 75L) ++ (900L until 905L)).map(i => (i, s"v2-$i")).toDF("id", "v"),
+      Seq("id"), batchId = 2L)
+    val cdf = DeleteVectors.changes(spark, s"$root/base", s"$root/app", s"$root/dv",
+      batchId = 2L, Seq("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val expected: Set[(String, Long, String)] =
+      ((25L until 50L).map(i => ("update_pre", i, s"v1-$i")) ++   // batch-1 versions
+        (50L until 75L).map(i => ("update_pre", i, s"v0-$i")) ++  // untouched-by-1 versions
+        (25L until 75L).map(i => ("update_post", i, s"v2-$i")) ++
+        (900L until 905L).map(i => ("insert", i, s"v2-$i"))).toSet
+    assert(cdf == expected)
+    // batch 1's own feed is unchanged by batch 2 (feeds are per-batch)
+    val cdf1 = DeleteVectors.changes(spark, s"$root/base", s"$root/app", s"$root/dv",
+      batchId = 1L, Seq("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(cdf1 == ((0L until 50L).map(i => ("update_pre", i, s"v0-$i")) ++
+      (0L until 50L).map(i => ("update_post", i, s"v1-$i"))).toSet)
+    // pure-delete batch → delete ops with the tombstoned images
+    DeleteVectors.markDeletesByKeys(spark, s"$root/base",
+      Seq(200L, 201L).toDF("id"), s"$root/dv", batchId = 3L)
+    val cdf3 = DeleteVectors.changes(spark, s"$root/base", s"$root/app", s"$root/dv",
+      batchId = 3L, Seq("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(cdf3 == Set(("delete", 200L, "v0-200"), ("delete", 201L, "v0-201")))
+  }
+
+  test("live-view marking: re-updating a key tombstones only the LIVE version, never twice") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dv-suite-").toString
+    (0L until 100L).map(i => (i, s"v0-$i")).toDF("id", "v")
+      .repartition(2).write.parquet(s"$root/base")
+    DeleteVectors.upsert(spark, s"$root/base", s"$root/app", s"$root/dv",
+      Seq((7L, "v1-7")).toDF("id", "v"), Seq("id"), batchId = 1L)
+    DeleteVectors.upsert(spark, s"$root/base", s"$root/app", s"$root/dv",
+      Seq((7L, "v2-7")).toDF("id", "v"), Seq("id"), batchId = 2L)
+    // the base position for id=7 must be tombstoned exactly once (by
+    // batch 1); batch 2 tombstones only the batch-1 append row
+    val dv = spark.read.parquet(s"$root/dv")
+    assert(dv.count() == 2L)
+    assert(dv.groupBy("__dv_file", "__dv_pos").count()
+      .filter(col("count") > 1L).count() == 0L,
+      "a position must never be tombstoned twice")
+    // and batch 2's pre-image is therefore exactly the batch-1 version
+    val cdf2 = DeleteVectors.changes(spark, s"$root/base", s"$root/app", s"$root/dv",
+      batchId = 2L, Seq("id")).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(cdf2 == Set(("update_pre", "v1-7"), ("update_post", "v2-7")))
+  }
+
   test("vacuum: physical rewrite == merge-on-read; fresh table needs no sidecar") {
     val root = Files.createTempDirectory("dv-suite-").toString
     writeTable(s"$root/t")

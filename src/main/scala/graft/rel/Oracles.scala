@@ -422,6 +422,22 @@ object Oracles {
         |FROM orders WHERE o_custkey % 101 = 0
         |ORDER BY o_orderkey, op""".stripMargin,
 
+    // q192/q193: the hidden-partitioning gates are the plain data
+    // predicates — a wrongly-derived day bound or a probe routed to the
+    // wrong bucket loses rows and goes red.
+    "q192_hidden_partition_day" ->
+      s"""SELECT event_id, ts, user_id, event_type, value
+         |FROM events
+         |WHERE ts >= TIMESTAMP '${Queries.HiddenPartLo}'
+         |  AND ts < TIMESTAMP '${Queries.HiddenPartHi}'
+         |ORDER BY event_id""".stripMargin,
+
+    "q193_hidden_partition_bucket" ->
+      s"""SELECT event_id, ts, user_id, event_type, value
+         |FROM events
+         |WHERE user_id = ${Queries.HiddenPartUser}
+         |ORDER BY event_id""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

@@ -1445,6 +1445,53 @@ object Queries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q192 ts range (UTC) — 3 of the 30 event days. */
+  val HiddenPartLo = "2024-01-10 00:00:00"
+  val HiddenPartHi = "2024-01-13 00:00:00"
+
+  /** q193 probe user + bucket count. */
+  val HiddenPartUser = 7L
+  val HiddenPartBuckets = 8
+
+  /** Declared query (q192) — HIDDEN PARTITIONING, day transform: events
+    * laid out day-partitioned ([[HiddenPartitioning.writeDayPartitioned]])
+    * and range-read on the RAW timestamp — the reader DERIVES the
+    * day-partition predicate from the ts bounds (monotone transform) so
+    * only 3 of 30 day directories are ever listed, then re-applies the
+    * exact ts predicate as the residual. Oracle: the plain ts-range SQL
+    * over events — a wrongly-derived day bound loses rows and goes red.
+    * HiddenPartitioningSuite pins PartitionFilters in the plan and the
+    * scanned-directory set.
+    */
+  def q192HiddenPartitionDay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hp-").toString
+    HiddenPartitioning.writeDayPartitioned(events(spark, dir), "ts", s"$tmp/ev")
+    HiddenPartitioning.readTsRange(spark, s"$tmp/ev", "ts", HiddenPartLo, HiddenPartHi)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Declared query (q193) — HIDDEN PARTITIONING, bucket transform: the
+    * same layout idea for point lookups ([[HiddenPartitioning
+    * .writeBucketed]]): events bucket-partitioned by murmur3(user_id)
+    * mod [[HiddenPartBuckets]]; an equality probe computes the probe's
+    * bucket by EVALUATING the writer's own hash expression (no
+    * reimplementation to drift) and lists ONLY that directory. Oracle:
+    * the plain equality SQL — a probe routed to the wrong bucket
+    * returns zero rows and goes red.
+    */
+  def q193HiddenPartitionBucket(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hp-").toString
+    HiddenPartitioning.writeBucketed(events(spark, dir), "user_id",
+      HiddenPartBuckets, s"$tmp/ev")
+    HiddenPartitioning.readKeyEquals(spark, s"$tmp/ev", "user_id",
+      HiddenPartUser, HiddenPartBuckets)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1479,6 +1526,8 @@ object Queries {
     "q189_mor_upsert" -> (q189MorUpsert _),
     "q190_dfp_join" -> (q190DfpJoin _),
     "q191_change_data_feed" -> (q191ChangeDataFeed _),
+    "q192_hidden_partition_day" -> (q192HiddenPartitionDay _),
+    "q193_hidden_partition_bucket" -> (q193HiddenPartitionBucket _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

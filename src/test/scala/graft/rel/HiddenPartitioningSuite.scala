@@ -1,0 +1,105 @@
+package graft.rel
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins for hidden partitioning: the derived partition predicate really
+  * reaches the scan (PartitionFilters in the plan text, scanned files
+  * confined to the derived directories), the derivations are sound
+  * (result equality with the unpartitioned filter, including rows at
+  * the day boundaries), and the bucket probe uses the writer's own hash
+  * (round-trip: every key's rows land in the bucket the reader derives).
+  */
+class HiddenPartitioningSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** The files the scan will ACTUALLY read after partition pruning —
+    * df.inputFiles ignores partition filters (it lists the relation),
+    * so ask the scan node's FileIndex with the scan's own filters.
+    */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val scan = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+  }
+
+  private def sample() = {
+    import spark.implicits._
+    // 20 days × 50 rows, including rows exactly at midnight boundaries
+    (0 until 1000).map { i =>
+      val day = i / 50
+      val sec = (i % 50) * 1727 % 86400
+      (i.toLong, Timestamp.valueOf(f"2024-02-${day + 1}%02d " +
+        f"${sec / 3600}%02d:${sec / 60 % 60}%02d:${sec % 60}%02d"), i.toLong % 37)
+    }.toDF("id", "ts", "key")
+  }
+
+  test("day transform: derived partition filter prunes directories; rows == plain filter") {
+    val dir = Files.createTempDirectory("hp-suite-").toString + "/t"
+    val df = sample()
+    HiddenPartitioning.writeDayPartitioned(df, "ts", dir)
+    val (lo, hi) = ("2024-02-05 00:00:00", "2024-02-08 00:00:00")
+    val out = HiddenPartitioning.readTsRange(spark, dir, "ts", lo, hi)
+    // only the 4 derived day directories are ever touched (Feb 5,6,7 +
+    // the hi boundary day 8, which the residual then empties)
+    val days = scannedFiles(out).map(f =>
+      f.split("__p_day=")(1).split("/")(0)).toSet
+    assert(days.subsetOf(Set("2024-02-05", "2024-02-06", "2024-02-07", "2024-02-08")),
+      s"scanned days: $days")
+    assert(days.contains("2024-02-05") && days.contains("2024-02-07"))
+    val expected = df.filter(col("ts") >= ts(lo) && col("ts") < ts(hi))
+      .collect().map(_.toSeq).toSet
+    assert(out.select("id", "ts", "key").collect()
+      .map(_.toSeq).toSet == expected)
+    // the partition predicate is a PartitionFilter, not a post-scan one
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(HiddenPartitioning.DayCol), plan)
+  }
+
+  test("day transform: midnight boundary rows are kept (lo) and excluded (hi) correctly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("hp-suite-").toString + "/t"
+    val df = Seq(
+      (1L, ts("2024-02-05 00:00:00"), 0L), // exactly lo → in
+      (2L, ts("2024-02-08 00:00:00"), 0L), // exactly hi → out
+      (3L, ts("2024-02-07 23:59:59"), 0L)  // last second → in
+    ).toDF("id", "ts", "key")
+    HiddenPartitioning.writeDayPartitioned(df, "ts", dir)
+    val got = HiddenPartitioning.readTsRange(spark, dir, "ts",
+      "2024-02-05 00:00:00", "2024-02-08 00:00:00")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("bucket transform: probe lists exactly one bucket directory; rows == plain filter") {
+    val dir = Files.createTempDirectory("hp-suite-").toString + "/t"
+    val df = sample()
+    HiddenPartitioning.writeBucketed(df, "key", 8, dir)
+    (0L until 37L by 5L).foreach { k =>
+      val out = HiddenPartitioning.readKeyEquals(spark, dir, "key", k, 8)
+      val buckets = scannedFiles(out).map(f =>
+        f.split("__p_bucket=")(1).split("/")(0)).toSet
+      assert(buckets.size <= 1, s"probe k=$k must touch one bucket, got $buckets")
+      val expected = df.filter(col("key") === k).collect()
+        .map(_.toSeq).toSet
+      assert(out.select("id", "ts", "key").collect()
+        .map(_.toSeq).toSet == expected, s"k=$k")
+    }
+  }
+
+  test("bucket probe of an absent key: empty result, still at most one directory listed") {
+    val dir = Files.createTempDirectory("hp-suite-").toString + "/t"
+    HiddenPartitioning.writeBucketed(sample(), "key", 8, dir)
+    val out = HiddenPartitioning.readKeyEquals(spark, dir, "key", 424242L, 8)
+    assert(out.count() == 0L)
+  }
+}

@@ -438,6 +438,27 @@ object Oracles {
          |WHERE user_id = ${Queries.HiddenPartUser}
          |ORDER BY event_id""".stripMargin,
 
+    // q194: time-in-state — the SCD2 intervals rebuilt in SQL, open
+    // rows capped at max(ts); all sums in integral microseconds so the
+    // gate is FP-free.
+    "q194_scd2_time_in_state" ->
+      """WITH chg AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |keep AS (
+        |  SELECT user_id, event_type, ts, event_id FROM chg
+        |  WHERE prev IS NULL OR event_type <> prev),
+        |iv AS (
+        |  SELECT user_id, event_type AS seg, ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM keep)
+        |SELECT seg, count(*) AS n_versions,
+        |       count(DISTINCT user_id) AS n_users,
+        |       sum(epoch_us(coalesce(valid_to, (SELECT max(ts) FROM events)))
+        |           - epoch_us(valid_from)) AS total_us
+        |FROM iv GROUP BY seg ORDER BY seg""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

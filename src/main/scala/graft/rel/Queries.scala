@@ -1492,6 +1492,30 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Declared query (q194) — TIME-IN-STATE over the SCD2 history: the
+    * duration-weighted analytics layer on q186's versioned dimension —
+    * per segment, how much wall-clock time users collectively spent in
+    * it (open intervals capped at the log's max event time), version
+    * and distinct-user counts. All arithmetic is in integral
+    * MICROSECONDS (unix_micros / epoch_us), so the FP-free sums
+    * hash-gate bit-for-bit. One extra agg over the q186 plan — the
+    * history's (user, time) partitioning is reused.
+    */
+  def q194Scd2TimeInState(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val cap = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    Scd2.fromChangeLog(ev)
+      .withColumn("dur_us",
+        unix_micros(coalesce(col("valid_to"), lit(cap))) -
+          unix_micros(col("valid_from")))
+      .groupBy(col("seg"))
+      .agg(
+        count(lit(1)).as("n_versions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("dur_us")).as("total_us"))
+      .orderBy(col("seg"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1528,6 +1552,7 @@ object Queries {
     "q191_change_data_feed" -> (q191ChangeDataFeed _),
     "q192_hidden_partition_day" -> (q192HiddenPartitionDay _),
     "q193_hidden_partition_bucket" -> (q193HiddenPartitionBucket _),
+    "q194_scd2_time_in_state" -> (q194Scd2TimeInState _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

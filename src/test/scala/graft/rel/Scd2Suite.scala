@@ -120,6 +120,23 @@ class Scd2Suite extends AnyFunSuite {
     }, s"fact side must not shuffle:\n$plan")
   }
 
+  test("time-in-state conserves time: per-user durations sum to cap − first change") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val cap = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val perUser = Scd2.fromChangeLog(ev)
+      .withColumn("dur_us",
+        unix_micros(coalesce(col("valid_to"), lit(cap))) - unix_micros(col("valid_from")))
+      .groupBy("user_id")
+      .agg(sum("dur_us").as("total"), min(unix_micros(col("valid_from"))).as("first_us"))
+      .collect()
+    val capUs = cap.getTime * 1000L + (cap.getNanos / 1000L) % 1000L
+    perUser.foreach { r =>
+      assert(r.getAs[Long]("total") == capUs - r.getAs[Long]("first_us"),
+        s"user ${r.get(0)}: intervals must tile [first change, cap] exactly")
+    }
+  }
+
   test("events table: incremental at an arbitrary cutoff == full-log batch") {
     val dir = "/root/testdata/sf0.001"
     val ev = spark.read.parquet(s"$dir/events.parquet")

@@ -86,6 +86,25 @@ object ScalingSmoke {
           col("embedding"), col("label"))
       }.reduce(_ unionByName _),
       "embeddings")
+    // r15 layout family inputs: lineitem/orders with offset order keys
+    // (part/supp keys unchanged, so q184's box matches Factor× rows and
+    // the per-file key-density assumptions are preserved per copy)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    stageSingleFile(
+      (0 until Factor).map { c =>
+        li.select(
+          ((col("l_orderkey") + lit(c * CopyOffset)).as("l_orderkey") +:
+            li.columns.filterNot(_ == "l_orderkey").map(col).toSeq): _*)
+      }.reduce(_ unionByName _),
+      "lineitem")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    stageSingleFile(
+      (0 until Factor).map { c =>
+        ord.select(
+          ((col("o_orderkey") + lit(c * CopyOffset)).as("o_orderkey") +:
+            ord.columns.filterNot(_ == "o_orderkey").map(col).toSeq): _*)
+      }.reduce(_ unionByName _),
+      "orders")
     java.nio.file.Files.createFile(root.resolve("_OK"))
   }
 
@@ -124,7 +143,17 @@ object ScalingSmoke {
       // as-of merge; user count scales 10x, per-user span is identical
       // by construction, so the exponent measures the join/grid path
       "q172_resample_ffill" -> (graft.rel.Queries.q172ResampleFfill _),
-      "q173_resample_interp" -> (graft.rel.Queries.q173ResampleInterp _))
+      "q173_resample_interp" -> (graft.rel.Queries.q173ResampleInterp _),
+      // r15 layout/maintenance family: every stage is a bounded number
+      // of linear passes (clustered write, manifest fold, semi-join
+      // marks, windowed history), so exponents should sit at ~1.0 —
+      // a super-linear one would expose an accidental all-pairs or
+      // corpus-global collect
+      "q184_zorder_skipping" -> (graft.rel.Queries.q184ZOrderSkipping _),
+      "q185_bloom_skipping" -> (graft.rel.Queries.q185BloomSkipping _),
+      "q186_scd2_incremental" -> (graft.rel.Queries.q186Scd2Incremental _),
+      "q189_mor_upsert" -> (graft.rel.Queries.q189MorUpsert _),
+      "q192_hidden_partition_day" -> (graft.rel.Queries.q192HiddenPartitionDay _))
 
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

@@ -184,6 +184,7 @@ object PipelineQueries {
     "q174_jpeg_color_decode" -> (Multimodal.jpegColorFeatures _),
     "q175_jpeg_progressive" -> (Multimodal.jpegProgressiveFeatures _),
     "q176_stream_resample" -> (Events.streamResampleFfillFinal _),
+    "q195_stream_mor_upsert" -> (Events.streamMorUpsertFinal _),
     "q177_snapshot_time_travel" -> (Events.snapshotTimeTravel _),
     "q179_jpeg_progressive_color" -> (Multimodal.jpegProgressiveColorFeatures _),
     "q180_video_codec" -> (Video.gvcFeatures _),
@@ -1569,6 +1570,17 @@ object PipelineQueries {
     // q176: the streamed per-batch resample must reproduce the one-shot
     // grid+ffill exactly (per-left-row independence) — q172's oracle.
     "q176_stream_resample" -> graft.rel.Oracles.all("q172_resample_ffill"),
+    // q195: the drained streaming MoR-upsert table must equal the
+    // one-shot argmax over the whole log — latest event per user;
+    // ts-sliced batches make unconditional latest-wins exact.
+    "q195_stream_mor_upsert" ->
+      """SELECT user_id, ts, event_type, value FROM (
+        |  SELECT user_id, ts, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
     // q183: the compacted serving table must hold EXACTLY the drained
     // MERGE's content — q93's oracle again: compaction changes layout
     // (file counts, asserted in StreamingSuite), never data.

@@ -1285,6 +1285,81 @@ object Events {
       .orderBy(col("user_id"), col("h"))
   }
 
+  /** Declared query (q195) — STREAMING MoR UPSERT SINK: the CDC-ingest
+    * shape on the deletion-vector table
+    * ([[graft.rel.DeleteVectors]]): each micro-batch reduces to its
+    * per-user LATEST event (max (ts, event_id) struct argmax) and
+    * upserts that state keyed by user_id, tagged with the micro-batch's
+    * own id — so after the drain the table IS "current state per user",
+    * base files were never rewritten, and every batch's row-level
+    * effect stays replayable through the q191 change feed. Slices are
+    * staged in EVENT-TIME order (mod-time-ordered single files), so a
+    * later batch can only carry later events for any user and
+    * unconditional latest-wins is exact — out-of-order ingest would
+    * need a compare-on-merge condition instead (documented, not
+    * needed for a time-sliced drain). The oracle is the one-shot SQL
+    * argmax over the whole log: a stale surviving version, a lost
+    * batch, or a cross-region tombstone miss all flip rows.
+    */
+  def streamMorUpsertFinal(spark: SparkSession, dir: String): DataFrame = {
+    val root = runMorUpsertDrain(spark, dir)
+    graft.rel.DeleteVectors.readMor(spark, s"$root/base", s"$root/app", s"$root/dv")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The q195 drain body — returns the sink root so the suite can
+    * inspect the sidecar/append batch tags and base byte-identity.
+    */
+  private[graft] def runMorUpsertDrain(spark: SparkSession, dir: String): String = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val root = java.nio.file.Files.createTempDirectory("graft-mor-sink-").toString
+    val ev = graft.rel.Queries.events(ss, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    // empty base: the whole state arrives through the stream (inserts
+    // first time a user appears, updates after); coalesce(1) forces one
+    // writer task so a schema-bearing (zero-row) part file exists —
+    // limit(0) alone can emit no part files and break schema inference
+    ev.limit(0).coalesce(1).write.parquet(s"$root/base")
+    val bounds = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+      .map(s => lit(s).cast("timestamp"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/feed"))
+    Seq(
+      ev.filter(col("ts") < bounds(0)),
+      ev.filter(col("ts") >= bounds(0) && col("ts") < bounds(1)),
+      ev.filter(col("ts") >= bounds(1))
+    ).zipWithIndex.foreach { case (s, i) =>
+      writeSingleParquet(s, java.nio.file.Paths.get(s"$root/feed/s$i.parquet"),
+        1700000000000L + i * 60000L)
+    }
+    val schema = ss.read.parquet(s"$root/feed/s0.parquet").schema
+    val q = ss.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/feed")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val latest = batch.toDF()
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+            col("value"))).as("m"))
+          .select(col("m.event_id").as("event_id"), col("m.ts").as("ts"),
+            col("user_id"), col("m.event_type").as("event_type"),
+            col("m.value").as("value"))
+        graft.rel.DeleteVectors.upsert(batch.sparkSession,
+          s"$root/base", s"$root/app", s"$root/dv",
+          latest, Seq("user_id"), batchId = batchId + 1L)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    root
+  }
+
   /** File-based stream source over an events parquet directory — the
     * production `readStream` shape (one file = one micro-batch at test
     * scale; schema comes from the batch table).

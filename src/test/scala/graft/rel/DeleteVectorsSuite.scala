@@ -178,6 +178,33 @@ class DeleteVectorsSuite extends AnyFunSuite {
     assert(cdf2 == Set(("update_pre", "v1-7"), ("update_post", "v2-7")))
   }
 
+  test("streaming MoR upsert drain (q195 shape): multiple real batches, base never rewritten") {
+    val dir = "/root/testdata/sf0.001"
+    val root = graft.streaming.Events.runMorUpsertDrain(spark, dir)
+    val baseBytes = fileChecksums(s"$root/base")
+    // the drain produced three distinct upsert batches
+    val appTags = spark.read.parquet(s"$root/app")
+      .select("__batch").distinct().collect().map(_.getLong(0)).toSet
+    assert(appTags.size == 3, s"expected 3 staged micro-batches, got $appTags")
+    val dvTags = spark.read.parquet(s"$root/dv")
+      .select("__dv_batch").distinct().collect().map(_.getLong(0)).toSet
+    assert(dvTags.nonEmpty && dvTags.subsetOf(appTags),
+      "tombstones must be attributed to real batches (batch 1 inserts into an empty base, so it marks nothing)")
+    // state == one-shot argmax over the log
+    val got = graft.rel.DeleteVectors.readMor(spark, s"$root/base", s"$root/app", s"$root/dv")
+      .select("user_id", "event_type").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.expressions.Window
+    val expected = ev
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected)
+    assert(fileChecksums(s"$root/base") == baseBytes,
+      "the streaming sink must never rewrite a base file")
+  }
+
   test("vacuum: physical rewrite == merge-on-read; fresh table needs no sidecar") {
     val root = Files.createTempDirectory("dv-suite-").toString
     writeTable(s"$root/t")

@@ -95,6 +95,21 @@ object DeleteVectors {
     spark.read.parquet(outDir)
   }
 
+  /** Compact the WHOLE MoR table — live base rows ∪ live append rows —
+    * into a fresh single-region table at `outDir` (no sidecar needed to
+    * read it). The copy-on-write moment for an upserted table: run it
+    * when accumulated tombstones/appends make the broadcast-subtract
+    * read tax no longer worth deferring. Content-neutral by contract —
+    * q196 gates it against the same oracle as the merge-on-read state.
+    */
+  def compactAll(
+      spark: SparkSession, baseDir: String, appendsDir: String, dvDir: String,
+      outDir: String, numFiles: Int): DataFrame = {
+    readMor(spark, baseDir, appendsDir, dvDir)
+      .repartition(numFiles).write.parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
   /** Key-addressed delete batch: mark every LIVE row of `dir` whose key
     * tuple appears in `keys` (broadcast semi-join — the key set is a
     * batch, the table is the 100 TB side; zero Exchange on the data

@@ -459,6 +459,20 @@ object Oracles {
         |           - epoch_us(valid_from)) AS total_us
         |FROM iv GROUP BY seg ORDER BY seg""".stripMargin,
 
+    // q196: compaction is content-neutral layout maintenance — exactly
+    // q189's oracle; any dropped/duplicated/resurrected row goes red.
+    "q196_mor_compaction" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_custkey % 97 = 0 THEN o_totalprice + 5000.0
+        |      WHEN o_orderstatus = 'P' THEN o_totalprice * 1.10
+        |      ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+        | o_custkey, 'N' AS o_orderstatus, o_totalprice
+        |FROM orders WHERE o_custkey % 101 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

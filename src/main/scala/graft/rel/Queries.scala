@@ -1516,6 +1516,24 @@ object Queries {
       .orderBy(col("seg"))
   }
 
+  /** Declared query (q196) — MoR TABLE COMPACTION: fold q189's upserted
+    * state (base + two append batches + sidecar) into a fresh
+    * single-region table ([[DeleteVectors.compactAll]]) and read THAT —
+    * the copy-on-write moment, deferred until the read tax earns it.
+    * Content-neutral by contract: the oracle is exactly q189's, so any
+    * row the rewrite drops, duplicates, or resurrects goes red.
+    * DeleteVectorsSuite pins the file-count drop and that the fresh
+    * table needs no sidecar.
+    */
+  def q196MorCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val (base, appends, dv) = morUpsertState(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+    DeleteVectors.compactAll(spark, base, appends, dv, s"$out/t", 8)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1553,6 +1571,7 @@ object Queries {
     "q192_hidden_partition_day" -> (q192HiddenPartitionDay _),
     "q193_hidden_partition_bucket" -> (q193HiddenPartitionBucket _),
     "q194_scd2_time_in_state" -> (q194Scd2TimeInState _),
+    "q196_mor_compaction" -> (q196MorCompaction _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

@@ -205,6 +205,25 @@ class DeleteVectorsSuite extends AnyFunSuite {
       "the streaming sink must never rewrite a base file")
   }
 
+  test("compactAll: fresh single-region table == readMor; file count drops; no sidecar needed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dv-suite-").toString
+    (0L until 600L).map(i => (i, s"v0-$i")).toDF("id", "v")
+      .repartition(6).write.parquet(s"$root/base")
+    (1 to 4).foreach { b =>
+      DeleteVectors.upsert(spark, s"$root/base", s"$root/app", s"$root/dv",
+        (0L until 60L).map(i => (i, s"v$b-$i")).toDF("id", "v"), Seq("id"), batchId = b.toLong)
+    }
+    val mor = DeleteVectors.readMor(spark, s"$root/base", s"$root/app", s"$root/dv")
+    val regionFiles = mor.inputFiles.length
+    val fresh = DeleteVectors.compactAll(spark, s"$root/base", s"$root/app", s"$root/dv",
+      s"$root/fresh", 3)
+    assert(fresh.collect().map(_.toSeq).toSet == mor.collect().map(_.toSeq).toSet)
+    assert(fresh.inputFiles.length == 3 && fresh.inputFiles.length < regionFiles)
+    // readable with no sidecar at all
+    assert(DeleteVectors.read(spark, s"$root/fresh", s"$root/no-dv").count() == 600L)
+  }
+
   test("vacuum: physical rewrite == merge-on-read; fresh table needs no sidecar") {
     val root = Files.createTempDirectory("dv-suite-").toString
     writeTable(s"$root/t")

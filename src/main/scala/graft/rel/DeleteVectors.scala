@@ -135,16 +135,33 @@ object DeleteVectors {
     * LATER batch tombstones their rows positionally, never rewrites
     * them) — so every batch costs O(|batch|) new bytes + O(matched)
     * sidecar rows, the Delta/Iceberg MoR upsert cost model.
+    *
+    * `batchId` IDENTIFIES the batch (no default on purpose): re-invoking
+    * with an already-applied id is a silent no-op — that is the replay
+    * guard, not an error — so two DIFFERENT batches must carry two
+    * different ids.
     */
   def upsert(
       spark: SparkSession, baseDir: String, appendsDir: String, dvDir: String,
-      updates: DataFrame, keyCols: Seq[String], batchId: Long = 0L): Unit = {
+      updates: DataFrame, keyCols: Seq[String], batchId: Long): Unit = {
+    // replay guard (streaming foreachBatch is at-least-once): if this
+    // batchId already landed its append files, the batch committed —
+    // re-running it would tombstone its own first attempt's rows and
+    // corrupt that batch's change feed. Tombstones-without-appends (a
+    // crash between the two writes) replays safely: the live-view mark
+    // finds the old versions already dead and marks nothing new.
+    if (pathExists(spark, appendsDir) &&
+      !spark.read.parquet(appendsDir)
+        .filter(col("__batch") === batchId).isEmpty) return
     val keys = updates.select(keyCols.map(col): _*)
     markDeletesByKeys(spark, baseDir, keys, dvDir, batchId)
     if (pathExists(spark, appendsDir))
       markDeletesByKeys(spark, appendsDir, keys, dvDir, batchId)
+    // appends are PARTITIONED by batch: changes() and the replay guard
+    // filter on __batch, so directory pruning keeps both O(|batch|)
+    // regardless of how many batches the table has accumulated
     updates.withColumn("__batch", lit(batchId))
-      .write.mode("append").parquet(appendsDir)
+      .write.mode("append").partitionBy("__batch").parquet(appendsDir)
   }
 
   /** Merge-on-read scan of an upserted table: live base rows ∪ live
@@ -181,7 +198,8 @@ object DeleteVectors {
     val post =
       if (!pathExists(spark, appendsDir)) None
       else Some(spark.read.parquet(appendsDir)
-        .filter(col("__batch") === batchId).drop("__batch"))
+        .filter(col("__batch") === batchId).drop("__batch")) // partition-pruned
+      .filterNot(_.isEmpty)
     val tomb =
       if (!pathExists(spark, dvDir)) None
       else Some(spark.read.parquet(dvDir)
@@ -192,9 +210,9 @@ object DeleteVectors {
       // opened for pre-images — O(|batch|) driver state and scan cost
       val files = t.select("__dv_file").distinct().collect().map(_.getString(0))
       if (files.isEmpty) None
-      // mergeSchema: the tombstoned files can span BOTH regions (base
-      // files lack __batch, append files carry it) — without the merge
-      // the union schema would depend on which file Spark sampled
+      // __batch lives in the append DIRECTORY layout, not in the files,
+      // so by-path reads of both regions share one schema; mergeSchema
+      // stays as a guard for any schema-evolved append batch
       else Some(spark.read.option("mergeSchema", "true")
         .parquet(files.toIndexedSeq: _*)
         .withColumn("__dv_file", col("_metadata.file_path"))

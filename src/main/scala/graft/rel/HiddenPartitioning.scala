@@ -55,10 +55,13 @@ object HiddenPartitioning {
 
   /** Lay `df` out bucket-partitioned by `bucket(n, keyCol)` — Spark's
     * own murmur3 `hash` mod n, the same expression the reader derives
-    * with.
+    * with. The key is canonicalized to LONG on BOTH sides: murmur3
+    * hashes Int and Long differently, so without the cast an
+    * IntegerType key column would silently route every probe to the
+    * wrong bucket (zero rows, no error).
     */
   def writeBucketed(df: DataFrame, keyCol: String, n: Int, dir: String): Unit =
-    df.withColumn(BucketCol, pmod(hash(col(keyCol)), lit(n)))
+    df.withColumn(BucketCol, pmod(hash(col(keyCol).cast("long")), lit(n)))
       .write.partitionBy(BucketCol).parquet(dir)
 
   /** Equality probe on the RAW key — the probe's bucket is computed by
@@ -71,7 +74,7 @@ object HiddenPartitioning {
       spark: SparkSession, dir: String, keyCol: String, key: Long,
       n: Int): DataFrame = {
     val bucket = spark.range(1)
-      .select(pmod(hash(lit(key)), lit(n)).as("b")).head().getInt(0)
+      .select(pmod(hash(lit(key).cast("long")), lit(n)).as("b")).head().getInt(0)
     spark.read.parquet(dir)
       .filter(col(BucketCol) === bucket)
       .filter(col(keyCol) === key)

@@ -1342,17 +1342,6 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
-  /** Declared query (q189) — MERGE-ON-READ UPSERT: latest-wins updates
-    * and inserts over an immutable base ([[DeleteVectors.upsert]]:
-    * existing versions tombstoned by position into the shared sidecar,
-    * the batch appended as new files; no data file is ever rewritten).
-    * Batch 1 reprices the 'P' orders; batch 2 mixes UPDATEs that
-    * overlap batch 1 (so it must tombstone rows inside the APPEND
-    * region, not just the base) with brand-new INSERT keys. The oracle
-    * reconstructs the final state from the raw table with a CASE whose
-    * branch order encodes latest-wins — a stale surviving version, a
-    * lost insert, or a double-applied update all go red row-by-row.
-    */
   /** Shared q189/q191 state: orders copied to a MoR base, then batch 1
     * (reprice the 'P' orders) and batch 2 (update the %97 custkeys —
     * overlapping batch 1 — plus brand-new insert keys offset past the
@@ -1382,6 +1371,17 @@ object Queries {
     (s"$tmp/base", s"$tmp/appends", s"$tmp/dv")
   }
 
+  /** Declared query (q189) — MERGE-ON-READ UPSERT: latest-wins updates
+    * and inserts over an immutable base ([[DeleteVectors.upsert]]:
+    * existing versions tombstoned by position into the shared sidecar,
+    * the batch appended as new files; no data file is ever rewritten).
+    * Batch 1 reprices the 'P' orders; batch 2 mixes UPDATEs that
+    * overlap batch 1 (so it must tombstone rows inside the APPEND
+    * region, not just the base) with brand-new INSERT keys. The oracle
+    * reconstructs the final state from the raw table with a CASE whose
+    * branch order encodes latest-wins — a stale surviving version, a
+    * lost insert, or a double-applied update all go red row-by-row.
+    */
   def q189MorUpsert(spark: SparkSession, dir: String): DataFrame = {
     val (base, appends, dv) = morUpsertState(spark, dir)
     // NO per-row round(): the arithmetic is order-free, so Spark and the

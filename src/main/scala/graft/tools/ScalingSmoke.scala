@@ -41,9 +41,14 @@ object ScalingSmoke {
 
   def synthesize(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
     val root = java.nio.file.Paths.get(bigDir)
-    if (java.nio.file.Files.exists(root.resolve("_OK"))) return
     java.nio.file.Files.createDirectories(root)
+    // per-table staleness check, NOT a single _OK marker: a bigDir
+    // staged by an older smoke version lacks later-added tables, and a
+    // blanket early-return would crash the new queries on missing paths
+    def staged(table: String): Boolean =
+      java.nio.file.Files.exists(root.resolve(s"$table.parquet"))
     def stageSingleFile(df: DataFrame, table: String): Unit = {
+      if (staged(table)) return
       val stage = s"$bigDir/_stage_$table"
       df.coalesce(1).write.mode("overwrite").parquet(stage)
       val part = {
@@ -58,7 +63,7 @@ object ScalingSmoke {
       java.nio.file.Files.move(part, root.resolve(s"$table.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     stageSingleFile(
       (0 until Factor).map { c =>
         if (c == 0) docs
@@ -105,7 +110,8 @@ object ScalingSmoke {
             ord.columns.filterNot(_ == "o_orderkey").map(col).toSeq): _*)
       }.reduce(_ unionByName _),
       "orders")
-    java.nio.file.Files.createFile(root.resolve("_OK"))
+    if (!java.nio.file.Files.exists(root.resolve("_OK")))
+      java.nio.file.Files.createFile(root.resolve("_OK")) // informational only
   }
 
   def main(args: Array[String]): Unit = {

@@ -84,14 +84,14 @@ class DeleteVectorsSuite extends AnyFunSuite {
     val baseBytes = fileChecksums(s"$root/base")
     // batch 1: update ids 0..99
     DeleteVectors.upsert(spark, s"$root/base", s"$root/app", s"$root/dv",
-      (0L until 100L).map(i => (i, s"v1-$i")).toDF("id", "v"), Seq("id"))
+      (0L until 100L).map(i => (i, s"v1-$i")).toDF("id", "v"), Seq("id"), batchId = 1L)
     // batch 2: update ids 50..149 (50..99 live in the APPEND region) + insert 1000..1009
     DeleteVectors.upsert(spark, s"$root/base", s"$root/app", s"$root/dv",
       ((50L until 150L) ++ (1000L until 1010L)).map(i => (i, s"v2-$i")).toDF("id", "v"),
-      Seq("id"))
+      Seq("id"), batchId = 2L)
     // batch 3: re-update one id from each region + one brand-new insert
     DeleteVectors.upsert(spark, s"$root/base", s"$root/app", s"$root/dv",
-      Seq((75L, "v3-75"), (300L, "v3-300"), (2000L, "v3-2000")).toDF("id", "v"), Seq("id"))
+      Seq((75L, "v3-75"), (300L, "v3-300"), (2000L, "v3-2000")).toDF("id", "v"), Seq("id"), batchId = 3L)
     assert(fileChecksums(s"$root/base") == baseBytes,
       "upserts must never rewrite a base data file")
     val got = DeleteVectors.readMor(spark, s"$root/base", s"$root/app", s"$root/dv")
@@ -113,7 +113,7 @@ class DeleteVectorsSuite extends AnyFunSuite {
       .repartition(2).write.parquet(s"$root/base")
     assert(DeleteVectors.readMor(spark, s"$root/base", s"$root/app", s"$root/dv").count() == 50L)
     DeleteVectors.upsert(spark, s"$root/base", s"$root/app", s"$root/dv",
-      Seq((100L, "new")).toDF("id", "v"), Seq("id"))
+      Seq((100L, "new")).toDF("id", "v"), Seq("id"), batchId = 1L)
     val got = DeleteVectors.readMor(spark, s"$root/base", s"$root/app", s"$root/dv")
     assert(got.count() == 51L)
     assert(got.filter(col("id") === 100L).collect().head.getString(1) == "new")
@@ -182,9 +182,10 @@ class DeleteVectorsSuite extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val root = graft.streaming.Events.runMorUpsertDrain(spark, dir)
     val baseBytes = fileChecksums(s"$root/base")
-    // the drain produced three distinct upsert batches
+    // the drain produced three distinct upsert batches (__batch is a
+    // partition directory column now — cast, inference may type it int)
     val appTags = spark.read.parquet(s"$root/app")
-      .select("__batch").distinct().collect().map(_.getLong(0)).toSet
+      .select(col("__batch").cast("long")).distinct().collect().map(_.getLong(0)).toSet
     assert(appTags.size == 3, s"expected 3 staged micro-batches, got $appTags")
     val dvTags = spark.read.parquet(s"$root/dv")
       .select("__dv_batch").distinct().collect().map(_.getLong(0)).toSet
@@ -193,7 +194,10 @@ class DeleteVectorsSuite extends AnyFunSuite {
     // state == one-shot argmax over the log
     val got = graft.rel.DeleteVectors.readMor(spark, s"$root/base", s"$root/app", s"$root/dv")
       .select("user_id", "event_type").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    // expected argmax over the SAME normalized ts the pipeline orders by
+    // (micro-truncated) — ordering by the raw nanos column would encode
+    // a different tie-break than both the drain and the DuckDB oracle
+    val ev = Queries.events(spark, dir)
     import org.apache.spark.sql.expressions.Window
     val expected = ev
       .withColumn("rn", row_number().over(Window.partitionBy("user_id")

@@ -185,6 +185,7 @@ object PipelineQueries {
     "q175_jpeg_progressive" -> (Multimodal.jpegProgressiveFeatures _),
     "q176_stream_resample" -> (Events.streamResampleFfillFinal _),
     "q195_stream_mor_upsert" -> (Events.streamMorUpsertFinal _),
+    "q197_snapshot_zorder" -> (Events.snapshotClusteredCompaction _),
     "q177_snapshot_time_travel" -> (Events.snapshotTimeTravel _),
     "q179_jpeg_progressive_color" -> (Multimodal.jpegProgressiveColorFeatures _),
     "q180_video_codec" -> (Video.gvcFeatures _),
@@ -1585,6 +1586,10 @@ object PipelineQueries {
     // MERGE's content — q93's oracle again: compaction changes layout
     // (file counts, asserted in StreamingSuite), never data.
     "q183_snapshot_compaction" -> graft.rel.Oracles.all("q93_merge_upsert"),
+    // q197: z-order clustering compaction is content-neutral layout
+    // maintenance too — q93's oracle yet again; the clustering win
+    // itself (tighter per-file rectangles) is pinned in StreamingSuite.
+    "q197_snapshot_zorder" -> graft.rel.Oracles.all("q93_merge_upsert"),
     // q177: the snapshot AS OF version N−1 (manifest time travel) must
     // equal base MERGE'd with only the first two key-split batches —
     // q93's oracle with the change feed restricted to k % 3 <> 2.

@@ -1168,6 +1168,26 @@ object Events {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Declared query (q197) — Z-ORDER CLUSTERING COMPACTION (OPTIMIZE
+    * ZORDER BY): run the q156 drain, then rewrite every live partition
+    * clustered by the Morton interleave of (o_custkey, o_orderkey)
+    * under the same manifest-swap commit
+    * ([[Snapshot.compactClustered]]), and read CURRENT. Content must be
+    * IDENTICAL to q156's — the same DuckDB oracle — proving the layout
+    * tier (q184) composes with the transactional commit (q177) as pure
+    * maintenance. StreamingSuite additionally pins that the clustered
+    * files' per-file custkey rectangles actually TIGHTEN (a custkey box
+    * prunes files it could not prune before) and that the pre-cluster
+    * version still time-travels byte-complete.
+    */
+  def snapshotClusteredCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val snapRoot = runMergeSinkDrain(spark, dir)
+    Snapshot.compactClustered(spark, snapRoot, "o_custkey", "o_orderkey")
+    Snapshot.read(spark, snapRoot)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Declared query (q171) — STREAMING AS-OF ENRICHMENT: the click
     * stream arrives file-per-micro-batch and each batch is enriched via
     * the BROADCAST native as-of join

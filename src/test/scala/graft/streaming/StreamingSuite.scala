@@ -739,6 +739,53 @@ class StreamingSuite extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq == want)
   }
 
+  test("q197 clustered compaction: per-file custkey rectangles tighten; content + time travel intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min, pmod}
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-zorder-").toString
+    // custkey scattered vs orderkey so the pre-cluster layout has NO
+    // custkey locality: every file spans ~the whole custkey domain.
+    // Enough rows that the tiny byte target yields ~8 files/partition:
+    // the z-curve's top bits alternate orderkey/custkey, so custkey
+    // rectangles only tighten once splits go ≥2 levels deep
+    val base = (0L until 4800L).map(k => (k, (k * 7919L) % 4800L, s"S$k", k * 1.5))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .repartition(4)
+      .withColumn("__part", pmod(col("o_orderkey"), lit(Events.MergeSnapParts)).cast("int"))
+    Snapshot.init(s"$root/snap", base)
+    val content = Snapshot.read(spark, s"$root/snap")
+      .collect().map(_.toString).sorted.toSeq
+    def fileSpans(): Seq[(Long, Long)] = Snapshot.read(spark, s"$root/snap")
+      .groupBy(input_file_name())
+      .agg(min("o_custkey").as("lo"), max("o_custkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val beforeSpans = fileSpans()
+    // tiny byte target → several files per partition, so clustering has
+    // room to make rectangles tight
+    val stats = Snapshot.compactClustered(
+      spark, s"$root/snap", "o_custkey", "o_orderkey", targetBytes = 1024L)
+    assert(stats.rewritten == (0 until Events.MergeSnapParts).toSeq, stats)
+    assert(Snapshot.currentVersion(s"$root/snap") == 1)
+    // content identical; v0 still time-travels
+    assert(Snapshot.read(spark, s"$root/snap")
+      .collect().map(_.toString).sorted.toSeq == content)
+    assert(Snapshot.read(spark, s"$root/snap", Some(0))
+      .collect().map(_.toString).sorted.toSeq == content)
+    // the clustering win: mean per-file custkey span shrinks — a custkey
+    // box now skips files the scattered layout could not skip
+    val afterSpans = fileSpans()
+    def meanSpan(s: Seq[(Long, Long)]) = s.map(x => x._2 - x._1).sum.toDouble / s.length
+    assert(afterSpans.length > Events.MergeSnapParts,
+      s"byte target failed to force multiple files per partition: ${afterSpans.length}")
+    assert(meanSpan(afterSpans) < meanSpan(beforeSpans) / 2,
+      s"clustering must tighten custkey rectangles: before=${meanSpan(beforeSpans)}, after=${meanSpan(afterSpans)}")
+    val (b1, b2) = (500L, 1000L)
+    val skippedBefore = beforeSpans.count(s => s._2 < b1 || s._1 > b2)
+    val skippedAfter = afterSpans.count(s => s._2 < b1 || s._1 > b2)
+    assert(skippedAfter > skippedBefore,
+      s"a custkey box must skip more files after clustering: $skippedBefore -> $skippedAfter")
+  }
+
   test("snapshot commit is atomic: a crash between data write and pointer swap is invisible") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}

@@ -38,17 +38,24 @@ import org.apache.spark.sql.functions._
 object DeleteVectors {
 
   /** The live view of one data region WITH its position columns — the
-    * shared kernel: data minus sidecar via broadcast anti-join.
+    * shared kernel: data minus sidecar via broadcast anti-join. With
+    * `maxBatch`, only tombstones from batches ≤ that horizon are
+    * subtracted — the time-travel half of [[readMorAsOf]].
     */
   private def liveWithPositions(
-      spark: SparkSession, dir: String, dvDir: String): DataFrame = {
+      spark: SparkSession, dir: String, dvDir: String,
+      maxBatch: Option[Long] = None): DataFrame = {
     val data = spark.read.parquet(dir)
       .withColumn("__dv_file", col("_metadata.file_path"))
       .withColumn("__dv_pos", col("_metadata.row_index"))
     if (!pathExists(spark, dvDir)) data
-    else data.join(
-      broadcast(spark.read.parquet(dvDir).select("__dv_file", "__dv_pos").distinct()),
-      Seq("__dv_file", "__dv_pos"), "left_anti")
+    else {
+      val dv = maxBatch.foldLeft(spark.read.parquet(dvDir))(
+        (d, m) => d.filter(col("__dv_batch") <= m))
+      data.join(
+        broadcast(dv.select("__dv_file", "__dv_pos").distinct()),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    }
   }
 
   /** Append one delete batch: positions of LIVE rows in `dir` matching
@@ -174,6 +181,29 @@ object DeleteVectors {
     if (!pathExists(spark, appendsDir)) base
     else base.unionByName(
       read(spark, appendsDir, dvDir).drop("__batch"))
+  }
+
+  /** TIME TRAVEL by batch horizon — the table AS OF batch `maxBatch`,
+    * reconstructed from the very same immutable artifacts every later
+    * read uses: only tombstones from batches ≤ the horizon are
+    * subtracted, only append batches ≤ the horizon are included.
+    * Nothing is copied or checkpointed to make history readable — the
+    * MoR layout IS its own history (base files immutable forever,
+    * append batches immutable once written, tombstones append-only and
+    * batch-tagged), which is why the horizon read costs the same as
+    * the current read. Horizon 0 = the original base.
+    */
+  def readMorAsOf(
+      spark: SparkSession, baseDir: String, appendsDir: String, dvDir: String,
+      maxBatch: Long): DataFrame = {
+    val baseCols = spark.read.parquet(baseDir).columns.map(col).toSeq
+    val base = liveWithPositions(spark, baseDir, dvDir, Some(maxBatch))
+      .select(baseCols: _*)
+    if (!pathExists(spark, appendsDir)) base
+    else base.unionByName(
+      liveWithPositions(spark, appendsDir, dvDir, Some(maxBatch))
+        .filter(col("__batch") <= maxBatch)
+        .select(baseCols: _*))
   }
 
   /** CHANGE DATA FEED for one batch — the row-level effect of

@@ -473,6 +473,16 @@ object Oracles {
         |FROM orders WHERE o_custkey % 101 = 0
         |ORDER BY o_orderkey""".stripMargin,
 
+    // q198: the horizon gate — the state after batch 1 only: 'P'
+    // orders repriced, nothing else; a batch-2 tombstone or append
+    // leaking through the horizon changes a row here and goes red.
+    "q198_mor_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.10
+        |      ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

@@ -1534,6 +1534,24 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Declared query (q198) — MoR TIME TRAVEL by batch horizon: q189's
+    * upserted table read AS OF batch 1 ([[DeleteVectors.readMorAsOf]]):
+    * only batch-1 tombstones subtracted, only batch-1 appends included
+    * — the state after the 'P' repricing but BEFORE the %97 updates and
+    * the inserts, reconstructed from the same immutable artifacts the
+    * current read uses (the MoR layout is its own history; horizon
+    * reads cost the same as current reads). The oracle rebuilds that
+    * intermediate state from the raw table — a later batch leaking
+    * through the horizon (tombstone or append) goes red.
+    */
+  def q198MorTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val (base, appends, dv) = morUpsertState(spark, dir)
+    DeleteVectors.readMorAsOf(spark, base, appends, dv, maxBatch = 1L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1572,6 +1590,7 @@ object Queries {
     "q193_hidden_partition_bucket" -> (q193HiddenPartitionBucket _),
     "q194_scd2_time_in_state" -> (q194Scd2TimeInState _),
     "q196_mor_compaction" -> (q196MorCompaction _),
+    "q198_mor_time_travel" -> (q198MorTimeTravel _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

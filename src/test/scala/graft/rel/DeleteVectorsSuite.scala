@@ -209,6 +209,29 @@ class DeleteVectorsSuite extends AnyFunSuite {
       "the streaming sink must never rewrite a base file")
   }
 
+  test("readMorAsOf: horizon 0 == base, horizon k == state after batch k, horizon max == readMor") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dv-suite-").toString
+    (0L until 300L).map(i => (i, s"v0-$i")).toDF("id", "v")
+      .repartition(3).write.parquet(s"$root/base")
+    DeleteVectors.upsert(spark, s"$root/base", s"$root/app", s"$root/dv",
+      (0L until 40L).map(i => (i, s"v1-$i")).toDF("id", "v"), Seq("id"), batchId = 1L)
+    DeleteVectors.upsert(spark, s"$root/base", s"$root/app", s"$root/dv",
+      ((20L until 60L) ++ Seq(900L)).map(i => (i, s"v2-$i")).toDF("id", "v"),
+      Seq("id"), batchId = 2L)
+    def state(horizon: Long) =
+      DeleteVectors.readMorAsOf(spark, s"$root/base", s"$root/app", s"$root/dv", horizon)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state(0L) == (0L until 300L).map(i => i -> s"v0-$i").toMap,
+      "horizon 0 must be the untouched base")
+    assert(state(1L) == ((0L until 300L).map(i => i -> s"v0-$i") ++
+      (0L until 40L).map(i => i -> s"v1-$i")).toMap,
+      "horizon 1 must exclude every batch-2 tombstone and append")
+    val current = DeleteVectors.readMor(spark, s"$root/base", s"$root/app", s"$root/dv")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state(2L) == current, "horizon at the newest batch == the current read")
+  }
+
   test("compactAll: fresh single-region table == readMor; file count drops; no sidecar needed") {
     import spark.implicits._
     val root = Files.createTempDirectory("dv-suite-").toString

@@ -67,7 +67,7 @@ object DeleteVectors {
     */
   def markDeletes(
       spark: SparkSession, dir: String, predicate: Column, dvDir: String,
-      batchId: Long = 0L): Unit =
+      batchId: Long = 1L): Unit =
     liveWithPositions(spark, dir, dvDir)
       .filter(predicate)
       .select(col("__dv_file"), col("__dv_pos"), lit(batchId).as("__dv_batch"))
@@ -125,7 +125,7 @@ object DeleteVectors {
     */
   def markDeletesByKeys(
       spark: SparkSession, dir: String, keys: DataFrame, dvDir: String,
-      batchId: Long = 0L): Unit = {
+      batchId: Long = 1L): Unit = {
     val keyCols = keys.columns.toSeq
     liveWithPositions(spark, dir, dvDir)
       .join(broadcast(keys.distinct()), keyCols, "left_semi")
@@ -172,16 +172,13 @@ object DeleteVectors {
   }
 
   /** Merge-on-read scan of an upserted table: live base rows ∪ live
-    * append rows (one shared sidecar masks both regions).
+    * append rows (one shared sidecar masks both regions) — the
+    * unbounded-horizon case of [[readMorAsOf]], one kernel.
     */
   def readMor(
       spark: SparkSession, baseDir: String, appendsDir: String,
-      dvDir: String): DataFrame = {
-    val base = read(spark, baseDir, dvDir)
-    if (!pathExists(spark, appendsDir)) base
-    else base.unionByName(
-      read(spark, appendsDir, dvDir).drop("__batch"))
-  }
+      dvDir: String): DataFrame =
+    readMorAsOf(spark, baseDir, appendsDir, dvDir, Long.MaxValue)
 
   /** TIME TRAVEL by batch horizon — the table AS OF batch `maxBatch`,
     * reconstructed from the very same immutable artifacts every later
@@ -191,7 +188,8 @@ object DeleteVectors {
     * MoR layout IS its own history (base files immutable forever,
     * append batches immutable once written, tombstones append-only and
     * batch-tagged), which is why the horizon read costs the same as
-    * the current read. Horizon 0 = the original base.
+    * the current read. Batch ids start at 1 by convention (the mark
+    * defaults enforce it), so horizon 0 is the original base.
     */
   def readMorAsOf(
       spark: SparkSession, baseDir: String, appendsDir: String, dvDir: String,

@@ -195,19 +195,25 @@ object Snapshot {
     * swap leaves CURRENT untouched, and superseded versions stay
     * time-travel readable until retention GC.
     */
+  /** The parquet data files of one partition dir — shared by both
+    * maintenance ops so a listing-filter change can't diverge.
+    */
+  private def dataFiles(root: String, dir: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(root, dir))
+    try s.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
   def compact(
       spark: SparkSession, root: String,
       targetBytes: Long = 128L << 20): CompactStats = {
     require(targetBytes > 0, "targetBytes must be positive")
-    import scala.jdk.CollectionConverters._
     val cur = currentVersion(root)
     val man = readManifest(root, cur)
-    def dataFiles(dir: String): Seq[java.nio.file.Path] = {
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root, dir))
-      try s.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-      finally s.close()
-    }
+    def dataFiles(dir: String): Seq[java.nio.file.Path] =
+      Snapshot.dataFiles(root, dir)
     val plan = man.parts.toSeq.sortBy(_._1)
       .filter(_._2 != EmptyDir)
       .map { case (p, d) =>
@@ -253,23 +259,17 @@ object Snapshot {
       spark: SparkSession, root: String, xCol: String, yCol: String,
       targetBytes: Long = 128L << 20): CompactStats = {
     require(targetBytes > 0, "targetBytes must be positive")
-    import scala.jdk.CollectionConverters._
     graft.functions.GraftFunctions.register(spark)
     val cur = currentVersion(root)
     val man = readManifest(root, cur)
-    def dataFiles(dir: String): Seq[java.nio.file.Path] = {
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root, dir))
-      try s.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-      finally s.close()
-    }
     val live = man.parts.toSeq.sortBy(_._1).filter(_._2 != EmptyDir)
+      .map { case (p, d) => (p, d, dataFiles(root, d)) } // one listing per partition
     if (live.isEmpty) return CompactStats(0, 0, Nil)
-    val before = live.map { case (_, d) => dataFiles(d).size }.sum
+    val before = live.map(_._3.size).sum
     val newV = cur + 1
     clearUncommitted(root, newV)
-    live.foreach { case (p, d) =>
-      val bytes = dataFiles(d).map(java.nio.file.Files.size(_)).sum
+    live.foreach { case (p, d, fs) =>
+      val bytes = fs.map(java.nio.file.Files.size(_)).sum
       val t = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       import org.apache.spark.sql.functions.col
       spark.read.parquet(s"$root/$d")
@@ -282,7 +282,7 @@ object Snapshot {
     }
     writeManifest(root, Manifest(newV, man.parts ++ listPartDirs(root, newV)))
     swapCurrent(root, newV)
-    val after = live.map { case (p, _) => dataFiles(s"v$newV/__part=$p").size }.sum
+    val after = live.map { case (p, _, _) => dataFiles(root, s"v$newV/__part=$p").size }.sum
     CompactStats(before, after, live.map(_._1))
   }
 

@@ -40,9 +40,18 @@ object BloomSkip {
     */
   def buildManifest(
       spark: SparkSession, dir: String, keyCol: String,
+      expectedPerFile: Long, fpp: Double): Seq[FileBloom] =
+    buildManifestFrom(spark.read.parquet(dir), keyCol, expectedPerFile, fpp)
+
+  /** The manifest kernel over an arbitrary frame (a whole dir, or just
+    * newly-appended files for [[extendManifest]]).
+    */
+  private def buildManifestFrom(
+      data: DataFrame, keyCol: String,
       expectedPerFile: Long, fpp: Double): Seq[FileBloom] = {
+    val spark = data.sparkSession
     import spark.implicits._
-    val rows: Dataset[(String, Long)] = spark.read.parquet(dir)
+    val rows: Dataset[(String, Long)] = data
       .select(input_file_name().as("file"), col(keyCol).cast("long").as("key"))
       .as[(String, Long)]
     rows.mapPartitions { it =>
@@ -64,6 +73,24 @@ object BloomSkip {
       .collect()
       .map { case (f, b) => FileBloom(f, b) }
       .toSeq.sortBy(_.file)
+  }
+
+  /** INCREMENTAL index maintenance: fold into `manifest` blooms for the
+    * files of `dir` it does not cover yet — O(new files), the covered
+    * files' blooms are reused verbatim (data files are immutable in
+    * every layout this engine writes, so a covered bloom can never go
+    * stale). This is what keeps a per-file index affordable on a table
+    * that grows by appends: each ingest batch indexes only itself.
+    */
+  def extendManifest(
+      spark: SparkSession, manifest: Seq[FileBloom], dir: String,
+      keyCol: String, expectedPerFile: Long, fpp: Double): Seq[FileBloom] = {
+    val covered = manifest.map(_.file).toSet
+    val newFiles = spark.read.parquet(dir).inputFiles.filterNot(covered)
+    if (newFiles.isEmpty) manifest
+    else (manifest ++ buildManifestFrom(
+      spark.read.parquet(newFiles.toIndexedSeq: _*), keyCol, expectedPerFile, fpp))
+      .sortBy(_.file)
   }
 
   /** The files whose bloom admits ANY of `keys` — the skipping decision;

@@ -180,6 +180,27 @@ object DeleteVectors {
       dvDir: String): DataFrame =
     readMorAsOf(spark, baseDir, appendsDir, dvDir, Long.MaxValue)
 
+  /** Live rows of an EXPLICIT FILE SET — the indexed-read path on a
+    * mutable table: a bloom/min-max manifest picks the candidate files
+    * (across base AND append regions — positions are absolute paths,
+    * so one sidecar masks any mix), this subtracts the tombstones, the
+    * caller applies its residual predicate. Lookup cost = candidate
+    * files + the broadcast sidecar, independent of table size.
+    */
+  def readFilesLive(
+      spark: SparkSession, files: Seq[String], dvDir: String): DataFrame = {
+    require(files.nonEmpty, "empty candidate file set")
+    val data = spark.read.parquet(files: _*)
+      .withColumn("__dv_file", col("_metadata.file_path"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val live =
+      if (!pathExists(spark, dvDir)) data
+      else data.join(
+        broadcast(spark.read.parquet(dvDir).select("__dv_file", "__dv_pos").distinct()),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    live.drop("__dv_file", "__dv_pos")
+  }
+
   /** TIME TRAVEL by batch horizon — the table AS OF batch `maxBatch`,
     * reconstructed from the very same immutable artifacts every later
     * read uses: only tombstones from batches ≤ the horizon are

@@ -483,6 +483,18 @@ object Oracles {
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
+    // q199: the indexed-lookup gate — the probed keys' LIVE versions
+    // from the raw table (latest-wins CASE); none of the probes is an
+    // inserted key, so every branch is base-derivable.
+    "q199_mor_indexed_lookup" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         | CASE WHEN o_custkey % 97 = 0 THEN o_totalprice + 5000.0
+         |      WHEN o_orderstatus = 'P' THEN o_totalprice * 1.10
+         |      ELSE o_totalprice END AS o_totalprice
+         |FROM orders
+         |WHERE o_orderkey IN (${Queries.BloomProbeKeys.mkString(", ")})
+         |ORDER BY o_orderkey""".stripMargin,
+
     // q168: the native as-of's forward direction + 24 h tolerance —
     // DuckDB's ASOF with the `<=` inequality finds the earliest
     // at-or-after error; the tolerance is applied as a predicate over

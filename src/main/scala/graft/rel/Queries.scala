@@ -1552,6 +1552,34 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Declared query (q199) — INDEXED POINT LOOKUP ON A MUTABLE TABLE:
+    * the three storage tiers composed. A per-file bloom manifest is
+    * built on q189's base, then INCREMENTALLY extended over the two
+    * upsert batches' append files ([[BloomSkip.extendManifest]]:
+    * O(new files), covered blooms reused verbatim — immutable data
+    * files can't stale them); the probe opens ONLY bloom-positive
+    * files across BOTH regions, subtracts the tombstones
+    * ([[DeleteVectors.readFilesLive]]), and residual-filters — lookup
+    * cost tracks the candidate set, not the table. The oracle
+    * reconstructs the probed keys' LIVE versions from the raw table
+    * (latest-wins CASE), so a stale version surviving, a live version
+    * in a wrongly-skipped file, or a tombstone miss all go red.
+    */
+  def q199MorIndexedLookup(spark: SparkSession, dir: String): DataFrame = {
+    val (base, appends, dv) = morUpsertState(spark, dir)
+    val li = spark.read.parquet(base)
+    val perFile = math.max(li.count() / math.max(li.inputFiles.length, 1), 64L)
+    val baseManifest = BloomSkip.buildManifest(spark, base, "o_orderkey", perFile, 0.01)
+    val manifest = BloomSkip.extendManifest(spark, baseManifest, appends,
+      "o_orderkey", perFile, 0.01)
+    val files = BloomSkip.candidates(manifest, BloomProbeKeys)
+    DeleteVectors.readFilesLive(spark, files, dv)
+      .filter(col("o_orderkey").isin(BloomProbeKeys: _*))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1591,6 +1619,7 @@ object Queries {
     "q194_scd2_time_in_state" -> (q194Scd2TimeInState _),
     "q196_mor_compaction" -> (q196MorCompaction _),
     "q198_mor_time_travel" -> (q198MorTimeTravel _),
+    "q199_mor_indexed_lookup" -> (q199MorIndexedLookup _),
     "q161_window_analytics" -> (q161WindowAnalytics _),
     "q162_csv_roundtrip" -> (q162CsvRoundtrip _),
     "q164_table_stats" -> (q164TableStats _),

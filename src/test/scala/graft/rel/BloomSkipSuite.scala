@@ -127,6 +127,36 @@ class BloomSkipSuite extends AnyFunSuite {
     df.select("key", "salt", "payload", "dim_key", "dim_val")
       .collect().map(_.toSeq).toSet
 
+  test("extendManifest: O(new) incremental — covered blooms reused byte-identically, new files folded") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bloom-suite-").toString + "/t"
+    writeScattered(dir, 8)
+    val m0 = BloomSkip.buildManifest(spark, dir, "key", 200L, 0.01)
+    // append a second wave of files with a DISJOINT key range
+    (2000L until 2500L).map(k => (k, k % 17, s"w$k")).toDF("key", "salt", "payload")
+      .repartition(4, col("salt"))
+      .write.mode("append").parquet(dir)
+    val m1 = BloomSkip.extendManifest(spark, m0, dir, "key", 200L, 0.01)
+    assert(m1.length > m0.length, "new files must join the manifest")
+    // covered files: the ORIGINAL bloom bytes, never rebuilt
+    val byFile = m1.map(fb => fb.file -> fb.bloom).toMap
+    m0.foreach { fb =>
+      assert(java.util.Arrays.equals(byFile(fb.file), fb.bloom),
+        s"covered bloom rebuilt for ${fb.file}")
+    }
+    // extending again with nothing new is the identity
+    assert(BloomSkip.extendManifest(spark, m1, dir, "key", 200L, 0.01)
+      .map(_.file) == m1.map(_.file))
+    // and the extended manifest answers probes in BOTH waves
+    Seq(123L, 2123L).foreach { k =>
+      val got = BloomSkip.prunedRead(spark, m1, "key", Seq(k))
+        .select("key").collect().map(_.getLong(0)).toSet
+      val want = spark.read.parquet(dir).filter(col("key") === k)
+        .select("key").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"probe $k")
+    }
+  }
+
   test("probe outside the key space: typed empty result (bloom may pass stray files, filter absorbs)") {
     val dir = Files.createTempDirectory("bloom-suite-").toString + "/t"
     writeScattered(dir, 8)

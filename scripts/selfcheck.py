@@ -81,6 +81,24 @@ def main():
             print(f"FAIL {name}: columns {sorted(g_cols)} != {sorted(e_cols)}")
             failures += 1
             continue
+        # Dtype-parity guard: the driver hashes pandas REPRESENTATIONS, so a
+        # DuckDB type promotion (BIGINT sum -> HUGEINT, rendered as float64)
+        # hash-mismatches even when values are equal. Flag any oracle column
+        # whose DuckDB type is HUGEINT/DECIMAL while the Spark parquet column
+        # is not — the oracle must CAST back to the Spark column's type.
+        g_types = dict(zip(g_cols, [str(t).upper() for t in got.types]))
+        e_types = dict(zip(e_cols, [str(t).upper() for t in exp.types]))
+        promoted = [c for c in e_cols
+                    if (e_types[c] in ("HUGEINT", "UHUGEINT")
+                        or e_types[c].startswith("DECIMAL"))
+                    and g_types.get(c, "") != e_types[c]]
+        if promoted:
+            det = ", ".join(f"{c}: duck={e_types[c]} spark={g_types.get(c)}"
+                            for c in promoted)
+            print(f"FAIL {name}: oracle dtype promotion ({det}) — CAST the "
+                  f"oracle column to the Spark column's type")
+            failures += 1
+            continue
         if len(g_rows) != len(e_rows):
             print(f"FAIL {name}: rows {len(g_rows)} != {len(e_rows)}")
             failures += 1

@@ -455,8 +455,8 @@ object Oracles {
         |  FROM keep)
         |SELECT seg, count(*) AS n_versions,
         |       count(DISTINCT user_id) AS n_users,
-        |       sum(epoch_us(coalesce(valid_to, (SELECT max(ts) FROM events)))
-        |           - epoch_us(valid_from)) AS total_us
+        |       CAST(sum(epoch_us(coalesce(valid_to, (SELECT max(ts) FROM events)))
+        |           - epoch_us(valid_from)) AS BIGINT) AS total_us
         |FROM iv GROUP BY seg ORDER BY seg""".stripMargin,
 
     // q196: compaction is content-neutral layout maintenance — exactly

@@ -1342,14 +1342,27 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
-  /** Shared q189/q191 state: orders copied to a MoR base, then batch 1
-    * (reprice the 'P' orders) and batch 2 (update the %97 custkeys —
-    * overlapping batch 1 — plus brand-new insert keys offset past the
-    * REAL key space: max+1, derived, because a fixed constant would
-    * collide with genuine orderkeys once the table outgrows it and
+  private val morUpsertCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+  /** Shared q189/q191/q196/q198/q199 state: orders copied to a MoR base,
+    * then batch 1 (reprice the 'P' orders) and batch 2 (update the %97
+    * custkeys — overlapping batch 1 — plus brand-new insert keys offset
+    * past the REAL key space: max+1, derived, because a fixed constant
+    * would collide with genuine orderkeys once the table outgrows it and
     * silently tombstone them). Returns (baseDir, appendsDir, dvDir).
+    *
+    * Memoized per sf-dir (and per JVM): all five consumers treat the
+    * staged dirs as IMMUTABLE — q196's rewrite targets a fresh directory
+    * and q199's manifests are driver-resident — so the staging runs once
+    * and repeated bench iterations measure the operator, not 15 copies
+    * of the same setup.
     */
   private def morUpsertState(
+      spark: SparkSession, dir: String): (String, String, String) =
+    morUpsertCache.computeIfAbsent(dir, _ => stageMorUpsert(spark, dir))
+
+  private def stageMorUpsert(
       spark: SparkSession, dir: String): (String, String, String) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-upsert-").toString
     val raw = table(spark, dir, "orders")

@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   * on position, so the data side keeps ZERO Exchange — the plan is scan
   * → BroadcastHashJoin(LeftAnti), pinned in DeleteVectorsSuite. That
   * holds while vectors are delete-sized (MBs–GBs per batch); once the
-  * dead fraction is large enough that broadcasting hurts, the right
-  * move is not a shuffle join but [[vacuum]] — which is also the
-  * existing compaction discipline (q183) applied here.
+  * sidecar outgrows `spark.graft.mor.broadcastMaxBytes` the subtract
+  * falls back to a shuffled hash anti-join automatically (the rail —
+  * an executor OOM is never the failure mode), and the right durable
+  * move is [[vacuum]] — the existing compaction discipline (q183)
+  * applied here.
   *
   * Every mutation carries a `batchId`, which buys the CHANGE DATA FEED
   * for free: [[changes]] replays any batch's exact row-level effect
@@ -37,8 +39,51 @@ import org.apache.spark.sql.functions._
   */
 object DeleteVectors {
 
+  /** Size rail on the sidecar broadcast, mirroring the as-of join's
+    * `spark.graft.asof.broadcastMaxBytes`: while the sidecar's on-disk
+    * bytes stay at or under this threshold (default 512 MiB — deletes
+    * are delete-sized, so this is a generous OOM bound, not the 10 MB
+    * auto threshold), the subtract broadcasts and the data side keeps
+    * ZERO Exchange. Above it — a high dead fraction that outgrew its
+    * compaction — the subtract falls back to a SHUFFLED hash anti-join
+    * on (file, pos): one Exchange on each side, but the tombstones
+    * build the hash table and the data side streams, so the 100 TB
+    * side is never sorted or collected. Semantics are identical across
+    * tiers; only the physical plan changes (DeleteVectorsSuite pins
+    * both). The gate reads the DIRECTORY's bytes (cheap driver-side
+    * listing), not plan statistics — the sidecar is a concrete path,
+    * so its size is exact, at the cost of comparing compressed bytes
+    * against an in-memory bound (the 512 MiB default leaves headroom
+    * for parquet decompression).
+    */
+  private def morBroadcastMaxBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.mor.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(512L << 20)
+
+  /** Total on-disk bytes under `dir` (0 if absent). */
+  private def dirBytes(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
+
+  /** The tombstone subtract — the ONE kernel every MoR read goes
+    * through: anti-join `data` against the distinct (file, pos) set,
+    * broadcast under the rail, shuffled-hash above it.
+    */
+  private def subtractTombstones(
+      spark: SparkSession, data: DataFrame, dv: DataFrame,
+      dvDir: String): DataFrame = {
+    val positions = dv.select("__dv_file", "__dv_pos").distinct()
+    if (dirBytes(spark, dvDir) <= morBroadcastMaxBytes(spark))
+      data.join(broadcast(positions), Seq("__dv_file", "__dv_pos"), "left_anti")
+    else
+      data.join(positions.hint("shuffle_hash"),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+  }
+
   /** The live view of one data region WITH its position columns — the
-    * shared kernel: data minus sidecar via broadcast anti-join. With
+    * shared kernel: data minus sidecar via [[subtractTombstones]]. With
     * `maxBatch`, only tombstones from batches ≤ that horizon are
     * subtracted — the time-travel half of [[readMorAsOf]].
     */
@@ -52,9 +97,7 @@ object DeleteVectors {
     else {
       val dv = maxBatch.foldLeft(spark.read.parquet(dvDir))(
         (d, m) => d.filter(col("__dv_batch") <= m))
-      data.join(
-        broadcast(dv.select("__dv_file", "__dv_pos").distinct()),
-        Seq("__dv_file", "__dv_pos"), "left_anti")
+      subtractTombstones(spark, data, dv, dvDir)
     }
   }
 
@@ -195,9 +238,7 @@ object DeleteVectors {
       .withColumn("__dv_pos", col("_metadata.row_index"))
     val live =
       if (!pathExists(spark, dvDir)) data
-      else data.join(
-        broadcast(spark.read.parquet(dvDir).select("__dv_file", "__dv_pos").distinct()),
-        Seq("__dv_file", "__dv_pos"), "left_anti")
+      else subtractTombstones(spark, data, spark.read.parquet(dvDir), dvDir)
     live.drop("__dv_file", "__dv_pos")
   }
 

@@ -76,6 +76,27 @@ class DeleteVectorsSuite extends AnyFunSuite {
       s"data side must not shuffle for a merge-on-read scan:\n$plan")
   }
 
+  test("broadcast rail: an over-threshold sidecar demotes the subtract to a shuffled hash anti-join, same answer") {
+    val root = Files.createTempDirectory("dv-suite-").toString
+    writeTable(s"$root/t")
+    // high dead fraction: ~6/7 of the table tombstoned — the regime
+    // where an unbounded broadcast would OOM executors at scale
+    DeleteVectors.markDeletes(spark, s"$root/t", col("bucket") =!= 0, s"$root/dv")
+    val broadcastTier = DeleteVectors.read(spark, s"$root/t", s"$root/dv")
+      .select("id").collect().map(_.getLong(0)).toSet
+    spark.conf.set("spark.graft.mor.broadcastMaxBytes", "1")
+    try {
+      val demoted = DeleteVectors.read(spark, s"$root/t", s"$root/dv")
+      val plan = demoted.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"rail must demote the sidecar broadcast above the threshold:\n$plan")
+      assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftAnti"),
+        s"fallback must build the hash on the tombstone side (no sort of the data side):\n$plan")
+      assert(demoted.select("id").collect().map(_.getLong(0)).toSet == broadcastTier,
+        "the rail changes the physical plan, never the answer")
+    } finally spark.conf.unset("spark.graft.mor.broadcastMaxBytes")
+  }
+
   test("upsert: latest-wins across three batches, including tombstones inside the append region") {
     import spark.implicits._
     val root = Files.createTempDirectory("dv-suite-").toString

@@ -191,7 +191,8 @@ object PipelineQueries {
     "q180_video_codec" -> (Video.gvcFeatures _),
     "q181_video_bframes" -> (Video.gvcBFeatures _),
     "q182_adpcm_decode" -> (Multimodal.adpcmFeatures _),
-    "q183_snapshot_compaction" -> (Events.snapshotCompaction _)
+    "q183_snapshot_compaction" -> (Events.snapshotCompaction _),
+    "q200_stream_cdf_refresh" -> (Events.streamCdfRefreshFinal _)
   )
 
   // ---- GVC oracle generators (shared by q180 and q181) -------------------
@@ -2581,6 +2582,27 @@ object PipelineQueries {
          |             AND j = ${Multimodal.AdpcmSamplesPerBlock - 1}
          |           THEN pred ELSE 0 END)::INT AS last_pred
          |FROM st GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // q200: the CDF-maintained per-customer view must equal the FULL
+    // recompute over the upserted table's final state (q189's CASE —
+    // batch 2's %97 branch wins over batch 1's 'P' branch, inserts are
+    // the %101 clones at raw price), aggregated in integral milli-units
+    // so incremental == batch is exact. The outer CAST keeps DuckDB's
+    // sum(BIGINT) from promoting to HUGEINT (the q194 lesson).
+    "q200_stream_cdf_refresh" ->
+      """WITH final AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_custkey % 97 = 0 THEN o_totalprice + 5000.0
+        |         WHEN o_orderstatus = 'P' THEN o_totalprice * 1.10
+        |         ELSE o_totalprice END AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice AS price
+        |  FROM orders WHERE o_custkey % 101 = 0)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(price * 1000) AS BIGINT)) AS BIGINT)
+        |         AS spend_milli
+        |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

@@ -1358,7 +1358,7 @@ object Queries {
     * and repeated bench iterations measure the operator, not 15 copies
     * of the same setup.
     */
-  private def morUpsertState(
+  private[graft] def morUpsertState(
       spark: SparkSession, dir: String): (String, String, String) =
     morUpsertCache.computeIfAbsent(dir, _ => stageMorUpsert(spark, dir))
 

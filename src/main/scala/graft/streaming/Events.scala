@@ -1221,6 +1221,114 @@ object Events {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Per-row integral milli-units for the CDF-maintained view: prices
+    * in this pipeline have ≤3 decimal digits (raw cents, ×1.10
+    * reprices, +5000 bumps), so `round(price·1000)` is never a
+    * half-way case — Spark and DuckDB round the same near-integer
+    * double to the same long, and all downstream view arithmetic is
+    * EXACT integer adds (no FP accumulation-order noise to absorb).
+    */
+  private def priceMilli(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * lit(1000)).cast("long")
+
+  /** Declared query (q200) — STREAMING CHANGE-DATA-FEED CONSUMPTION:
+    * the consume side of q191's producer, closing the CDC loop. Each
+    * upsert batch's row-level feed ([[graft.rel.DeleteVectors.changes]])
+    * is staged file-per-micro-batch and read back AS A STREAM whose
+    * `foreachBatch` maintains a per-customer (order count, spend)
+    * materialized view — the q152 algebraic-refresh shape, fed by CDC
+    * deltas instead of a table diff: insert/update_post contribute
+    * (+1, +milli(price)), delete/update_pre subtract the exact
+    * pre-image, so each refresh costs O(|batch| + |view|) and the
+    * table is NEVER rescanned. Spend lives in integral milli-units
+    * ([[priceMilli]]) so incremental == batch is exact, not
+    * rounded-close. The oracle is the full recompute over the upserted
+    * table's final state — and batch 2's pre-images reflect batch 1's
+    * repricing (the overlapping custkeys), so out-of-order application,
+    * a double-applied batch, or a stale pre-image all go red: the
+    * cross-batch effect is load-bearing, not incidental. StreamingSuite
+    * additionally pins the INTERMEDIATE view (after batch 1) against
+    * the horizon-1 recompute and drives a delete-only batch through
+    * the same drain.
+    */
+  def streamCdfRefreshFinal(spark: SparkSession, dir: String): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val (base, appends, dv) = graft.rel.Queries.morUpsertState(ss, dir)
+    val viewRoot = runCdfRefreshDrain(ss, base, appends, dv, Seq(1L, 2L))
+    val last = latestViewVersion(viewRoot)
+    spark.read.parquet(s"$viewRoot/v$last")
+      .select(col("o_custkey"), col("n_orders"), col("spend_milli"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private[streaming] def latestViewVersion(viewRoot: String): Int = {
+    val walk = java.nio.file.Files.list(java.nio.file.Paths.get(viewRoot))
+    try walk.toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(_.startsWith("v")).map(_.drop(1).toInt).max
+    finally walk.close()
+  }
+
+  /** The q200 drain body, parameterized over the MoR state and the
+    * batch horizon so the suite can drive extra shapes (a delete-only
+    * batch) through the same kernel. Stages each batch's change feed as
+    * one file, streams them in batch order, and folds every micro-batch
+    * into a fresh view version `v{i}` (versions kept so intermediate
+    * states stay inspectable). Returns the view root.
+    */
+  private[streaming] def runCdfRefreshDrain(
+      ss: SparkSession, base: String, appends: String, dv: String,
+      batchIds: Seq[Long]): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdf-refresh-").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/feed"))
+    batchIds.zipWithIndex.foreach { case (b, i) =>
+      writeSingleParquet(
+        graft.rel.DeleteVectors.changes(ss, base, appends, dv, b, Seq("o_orderkey")),
+        java.nio.file.Paths.get(s"$root/feed/b$b.parquet"),
+        1700000000000L + i * 60000L)
+    }
+    // view v0 = the aggregate over the PRE-upsert base — the one full
+    // scan the view ever takes; everything after is delta-sized
+    ss.read.parquet(base)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(priceMilli(col("o_totalprice"))).as("spend_milli"))
+      .write.parquet(s"$root/view/v0")
+    val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+    val schema = ss.read.parquet(s"$root/feed/b${batchIds.head}.parquet").schema
+    val q = ss.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/feed")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val v = ver.get()
+        val view = ss.read.parquet(s"$root/view/v$v")
+        val sign = when(col("op").isin("insert", "update_post"), 1L).otherwise(-1L)
+        val delta = batch.toDF()
+          .groupBy(col("o_custkey"))
+          .agg(sum(sign).as("dn"),
+            sum(sign * priceMilli(col("o_totalprice"))).as("ds"))
+        view.join(delta, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_orders"),
+            (coalesce(col("spend_milli"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+              .as("spend_milli"))
+          // a key whose last live version was deleted leaves the view
+          // entirely (count 0), mirroring what the recompute would hold
+          .filter(col("n_orders") > 0)
+          .write.parquet(s"$root/view/v${v + 1}")
+        ver.incrementAndGet()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s"$root/view"
+  }
+
   /** Declared query (q171) — STREAMING AS-OF ENRICHMENT: the click
     * stream arrives file-per-micro-batch and each batch is enriched via
     * the BROADCAST native as-of join

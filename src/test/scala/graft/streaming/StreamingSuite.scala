@@ -812,4 +812,48 @@ class StreamingSuite extends AnyFunSuite {
     val afterSwap = Snapshot.read(spark, s"$root/snap").collect()
     assert(afterSwap.length == 12 && afterSwap.forall(_.getString(1) == "CRASHED"))
   }
+
+  test("q200 CDF refresh: intermediate view == horizon-1 recompute; delete batch removes keys") {
+    import spark.implicits._
+    import graft.rel.DeleteVectors
+    val root = java.nio.file.Files.createTempDirectory("graft-cdf-suite-").toString
+    // tiny MoR state with all three op kinds across three batches:
+    // batch 1 updates, batch 2 updates+inserts (overlapping batch 1's
+    // keys — the cross-batch pre-image), batch 3 deletes a whole
+    // customer (keys 4 and 5 are custkey 9's only orders)
+    val base = Seq(
+      (1L, 7L, "O", 10.00), (2L, 7L, "P", 20.00), (3L, 8L, "F", 30.00),
+      (4L, 9L, "O", 40.00), (5L, 9L, "P", 50.00))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    base.coalesce(1).write.parquet(s"$root/base")
+    def upsert(rows: Seq[(Long, Long, String, Double)], b: Long): Unit =
+      DeleteVectors.upsert(spark, s"$root/base", s"$root/appends", s"$root/dv",
+        rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        Seq("o_orderkey"), batchId = b)
+    upsert(Seq((2L, 7L, "P", 22.00), (5L, 9L, "P", 55.00)), 1L)
+    upsert(Seq((2L, 7L, "P", 24.00), (6L, 8L, "N", 60.00)), 2L) // re-touches batch 1's key 2
+    DeleteVectors.markDeletesByKeys(spark, s"$root/base",
+      Seq(4L).toDF("o_orderkey"), s"$root/dv", batchId = 3L)
+    DeleteVectors.markDeletesByKeys(spark, s"$root/appends",
+      Seq(5L).toDF("o_orderkey"), s"$root/dv", batchId = 3L)
+    val viewRoot = Events.runCdfRefreshDrain(
+      spark, s"$root/base", s"$root/appends", s"$root/dv", Seq(1L, 2L, 3L))
+    assert(Events.latestViewVersion(viewRoot) == 3, "three batches, three refreshes")
+    def viewAt(v: Int): Map[Long, (Long, Long)] =
+      spark.read.parquet(s"$viewRoot/v$v").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def recomputeAt(horizon: Long): Map[Long, (Long, Long)] =
+      DeleteVectors.readMorAsOf(spark, s"$root/base", s"$root/appends", s"$root/dv", horizon)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * lit(1000)).cast("long")).as("s"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every intermediate view equals the full recompute at its horizon —
+    // incremental maintenance is exactly equivalent, batch by batch
+    (0 to 3).foreach { v =>
+      assert(viewAt(v) == recomputeAt(v.toLong), s"view v$v != horizon-$v recompute")
+    }
+    // the delete batch removed custkey 9 from the view entirely
+    assert(viewAt(2).contains(9L) && !viewAt(3).contains(9L))
+  }
 }

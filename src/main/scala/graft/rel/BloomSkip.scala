@@ -43,15 +43,24 @@ object BloomSkip {
       expectedPerFile: Long, fpp: Double): Seq[FileBloom] =
     buildManifestFrom(spark.read.parquet(dir), keyCol, expectedPerFile, fpp)
 
-  /** The manifest kernel over an arbitrary frame (a whole dir, or just
-    * newly-appended files for [[extendManifest]]).
+  /** The distributed fold shared by both manifest forms: per-partition
+    * bloom partials per file, merged by bitwise OR. NULL keys are
+    * dropped BEFORE the fold — an equality probe can never match NULL,
+    * so they contribute nothing to any bloom, and admitting them would
+    * NPE the primitive decode. A file whose every key is null (or that
+    * holds zero rows) therefore yields NO row here; both callers
+    * complete coverage with an explicit EMPTY bloom for such files, so
+    * every data file is always represented in the manifest — an
+    * uncovered file would be silently skipped by the pruned read, the
+    * one failure mode skipping must never have.
     */
-  private def buildManifestFrom(
+  private def foldedBlooms(
       data: DataFrame, keyCol: String,
-      expectedPerFile: Long, fpp: Double): Seq[FileBloom] = {
+      expectedPerFile: Long, fpp: Double): Dataset[(String, Array[Byte])] = {
     val spark = data.sparkSession
     import spark.implicits._
     val rows: Dataset[(String, Long)] = data
+      .filter(col(keyCol).isNotNull)
       .select(input_file_name().as("file"), col(keyCol).cast("long").as("key"))
       .as[(String, Long)]
     rows.mapPartitions { it =>
@@ -70,8 +79,27 @@ object BloomSkip {
         (a._1, serialize(m))
       }
       .map(_._2)
+  }
+
+  /** A bloom with nothing inserted — the explicit coverage marker for a
+    * file with no indexable keys (mightContain is always false, so the
+    * file is skipped CORRECTLY, by a covered decision, not by absence).
+    */
+  private def emptyBloom(expectedPerFile: Long, fpp: Double): Array[Byte] =
+    serialize(BloomFilter.create(expectedPerFile, fpp))
+
+  /** The manifest kernel over an arbitrary frame (a whole dir, or just
+    * newly-appended files for [[extendManifest]]).
+    */
+  private def buildManifestFrom(
+      data: DataFrame, keyCol: String,
+      expectedPerFile: Long, fpp: Double): Seq[FileBloom] = {
+    val folded = foldedBlooms(data, keyCol, expectedPerFile, fpp)
       .collect()
       .map { case (f, b) => FileBloom(f, b) }
+    val covered = folded.map(_.file).toSet
+    val empty = emptyBloom(expectedPerFile, fpp)
+    (folded ++ data.inputFiles.filterNot(covered).map(FileBloom(_, empty)))
       .toSeq.sortBy(_.file)
   }
 
@@ -91,6 +119,135 @@ object BloomSkip {
     else (manifest ++ buildManifestFrom(
       spark.read.parquet(newFiles.toIndexedSeq: _*), keyCol, expectedPerFile, fpp))
       .sortBy(_.file)
+  }
+
+  // ---- TABLE-FORM manifest: the 100 TB shape ---------------------------
+  //
+  // At 10⁴ files a Seq[FileBloom] on the driver is fine; at 10⁶–10⁷
+  // files (a 100 TB table) the manifest must be DATA, not driver state:
+  // it lives as a parquet table keyed by file — (file STRING, bloom
+  // BINARY) — built and extended by the same distributed fold, and the
+  // skipping decision runs as a distributed probe over it. The driver
+  // never deserializes a bloom; it receives only the surviving file
+  // names (bounded by the probe's selectivity — the list the scan
+  // planner needs anyway).
+
+  /** Build the manifest TABLE for the parquet table at `dir`: one
+    * distributed fold, written straight to `manifestDir` — no bloom
+    * ever reaches the driver. Coverage completion (empty blooms for
+    * files with no indexable keys) runs as a distributed anti-join
+    * against the just-written manifest.
+    */
+  def buildManifestTable(
+      spark: SparkSession, dir: String, keyCol: String,
+      expectedPerFile: Long, fpp: Double, manifestDir: String): Unit =
+    indexFilesInto(spark, spark.read.parquet(dir).inputFiles.toIndexedSeq,
+      keyCol, expectedPerFile, fpp, manifestDir)
+
+  /** INCREMENTAL table-form maintenance: index only the files of `dir`
+    * the manifest table does not cover yet — O(new files) work appended
+    * to `manifestDir`; covered rows are immutable and never rewritten
+    * (data files are immutable in every layout this engine writes, so a
+    * covered bloom can never go stale). The new-file discovery is a
+    * distributed anti-join of the directory listing against the
+    * manifest's key column.
+    */
+  def extendManifestTable(
+      spark: SparkSession, manifestDir: String, dir: String,
+      keyCol: String, expectedPerFile: Long, fpp: Double): Unit = {
+    import spark.implicits._
+    val listing = spark.read.parquet(dir).inputFiles.toIndexedSeq
+    val newFiles = listing.toDF("file")
+      .join(spark.read.parquet(manifestDir).select("file"), Seq("file"), "left_anti")
+      .as[String].collect().toIndexedSeq
+    indexFilesInto(spark, newFiles, keyCol, expectedPerFile, fpp, manifestDir)
+  }
+
+  /** Index exactly `files` into the manifest table: the distributed
+    * fold appended to `manifestDir`, then coverage-completed so each of
+    * `files` has a row even when it contributed no keys.
+    */
+  private def indexFilesInto(
+      spark: SparkSession, files: Seq[String], keyCol: String,
+      expectedPerFile: Long, fpp: Double, manifestDir: String): Unit = {
+    if (files.isEmpty) return
+    import spark.implicits._
+    foldedBlooms(spark.read.parquet(files: _*), keyCol, expectedPerFile, fpp)
+      .toDF("file", "bloom")
+      .write.mode("append").parquet(manifestDir)
+    val uncovered = files.toDF("file")
+      .join(spark.read.parquet(manifestDir).select("file"), Seq("file"), "left_anti")
+    if (!uncovered.isEmpty)
+      uncovered.withColumn("bloom", lit(emptyBloom(expectedPerFile, fpp)))
+        .write.mode("append").parquet(manifestDir)
+  }
+
+  /** The skipping decision as a DISTRIBUTED frame over the manifest
+    * table — a broadcast semi-probe: the (small) key set ships with the
+    * task closure, each executor deserializes only ITS partition's
+    * blooms (once per file), and only admitting file names flow out.
+    * Returned un-collected so callers can compose or plan-pin it; the
+    * plan is a parquet scan of `manifestDir` + a filter — pruning is a
+    * Spark job, not a driver loop.
+    */
+  def candidateFiles(
+      spark: SparkSession, manifestDir: String, keys: Seq[Long]): DataFrame = {
+    val ks = keys.toArray
+    val admitsAny = udf { bloom: Array[Byte] =>
+      val b = deserialize(bloom)
+      ks.exists(b.mightContainLong)
+    }
+    spark.read.parquet(manifestDir).filter(admitsAny(col("bloom"))).select("file")
+  }
+
+  /** [[candidateFiles]] collected — only the survivors reach the driver. */
+  def candidatesTable(
+      spark: SparkSession, manifestDir: String, keys: Seq[Long]): Seq[String] = {
+    import spark.implicits._
+    candidateFiles(spark, manifestDir, keys).as[String].collect()
+      .toIndexedSeq.sorted
+  }
+
+  /** Point/IN-list lookup through the table-form manifest: distributed
+    * pruning decision, then open ONLY the surviving files with the
+    * exact predicate as the residual filter.
+    */
+  def prunedReadTable(
+      spark: SparkSession, manifestDir: String, keyCol: String,
+      keys: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val files = candidatesTable(spark, manifestDir, keys)
+    if (files.isEmpty) {
+      val any = spark.read.parquet(manifestDir).select("file").as[String].head(1)
+      require(any.nonEmpty, "empty manifest table: table was never indexed")
+      spark.read.parquet(any.head).filter(lit(false))
+    } else spark.read.parquet(files: _*)
+      .filter(col(keyCol).isin(keys: _*))
+  }
+
+  /** [[dfpJoin]] through the table-form manifest: dim keys collected
+    * under the same cap, the file-skipping decision run distributed.
+    */
+  def dfpJoinTable(
+      spark: SparkSession, factDir: String, manifestDir: String,
+      factKeyCol: String, dim: DataFrame, dimKeyCol: String,
+      maxKeys: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val keyRows = dim.select(col(dimKeyCol).cast("long"))
+      .filter(col(dimKeyCol).isNotNull).distinct()
+      .limit(maxKeys + 1).collect()
+    val fact =
+      if (keyRows.length > maxKeys) spark.read.parquet(factDir) // dim too big: no DFP
+      else {
+        val keys = keyRows.map(_.getLong(0)).toSeq
+        val files = candidatesTable(spark, manifestDir, keys)
+        if (files.isEmpty) {
+          val any = spark.read.parquet(manifestDir).select("file").as[String].head(1)
+          require(any.nonEmpty, "empty manifest table: table was never indexed")
+          spark.read.parquet(any.head).filter(lit(false))
+        } else spark.read.parquet(files: _*)
+      }
+    fact.join(broadcast(dim), fact(factKeyCol) === dim(dimKeyCol))
   }
 
   /** The files whose bloom admits ANY of `keys` — the skipping decision;

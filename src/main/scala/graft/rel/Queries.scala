@@ -1192,8 +1192,9 @@ object Queries {
     val li = table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity"))
-    val stats = ZOrder.cluster(li, "l_partkey", "l_suppkey", s"$tmp/li", ZOrderFiles)
-    ZOrder.prunedRead(spark, stats, "l_partkey", "l_suppkey",
+    ZOrder.clusterTable(li, "l_partkey", "l_suppkey", s"$tmp/li", ZOrderFiles,
+      s"$tmp/stats")
+    ZOrder.prunedReadTable(spark, s"$tmp/stats", "l_partkey", "l_suppkey",
       ZOrderBoxX1, ZOrderBoxX2, ZOrderBoxY1, ZOrderBoxY2)
       .withColumn("zval",
         graft.functions.GraftFunctions.zorder2(col("l_partkey"), col("l_suppkey")))
@@ -1234,9 +1235,14 @@ object Queries {
     * sizing by the requested count would overload the real files'
     * filters and balloon the false-positive rate.
     */
+  /** Shared q185/q190 layout, TABLE-FORM manifest (the 100 TB shape:
+    * the blooms live as a parquet table, the skipping decision runs
+    * distributed — no bloom ever reaches the driver). Returns
+    * (factDir, manifestDir).
+    */
   private def bloomLineitemLayout(
       spark: SparkSession, dir: String,
-      cols: Seq[String]): (String, Seq[BloomSkip.FileBloom]) = {
+      cols: Seq[String]): (String, String) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bloom-").toString
     table(spark, dir, "lineitem")
       .select(cols.map(col): _*)
@@ -1245,14 +1251,15 @@ object Queries {
     val li = spark.read.parquet(s"$tmp/li")
     val nFiles = math.max(li.inputFiles.length, 1)
     val rowsPerFile = math.max(li.count() / nFiles, 64L)
-    (s"$tmp/li",
-      BloomSkip.buildManifest(spark, s"$tmp/li", "l_orderkey", rowsPerFile, 0.01))
+    BloomSkip.buildManifestTable(spark, s"$tmp/li", "l_orderkey",
+      rowsPerFile, 0.01, s"$tmp/manifest")
+    (s"$tmp/li", s"$tmp/manifest")
   }
 
   def q185BloomSkipping(spark: SparkSession, dir: String): DataFrame = {
-    val (_, manifest) = bloomLineitemLayout(spark, dir,
+    val (_, manifestDir) = bloomLineitemLayout(spark, dir,
       Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "l_extendedprice"))
-    BloomSkip.prunedRead(spark, manifest, "l_orderkey", BloomProbeKeys)
+    BloomSkip.prunedReadTable(spark, manifestDir, "l_orderkey", BloomProbeKeys)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
         col("l_quantity"), col("l_extendedprice"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -1447,12 +1454,12 @@ object Queries {
     * pruned == plain == over-cap-fallback and the survivor accounting.
     */
   def q190DfpJoin(spark: SparkSession, dir: String): DataFrame = {
-    val (factDir, manifest) = bloomLineitemLayout(spark, dir,
+    val (factDir, manifestDir) = bloomLineitemLayout(spark, dir,
       Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"))
     val dim = table(spark, dir, "orders")
       .filter(col("o_totalprice") > DfpPriceFloor)
       .select(col("o_orderkey"), col("o_totalprice"))
-    BloomSkip.dfpJoin(spark, factDir, manifest, "l_orderkey", dim, "o_orderkey")
+    BloomSkip.dfpJoinTable(spark, factDir, manifestDir, "l_orderkey", dim, "o_orderkey")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
         col("l_quantity"), col("o_totalprice"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -1582,10 +1589,11 @@ object Queries {
     val (base, appends, dv) = morUpsertState(spark, dir)
     val li = spark.read.parquet(base)
     val perFile = math.max(li.count() / math.max(li.inputFiles.length, 1), 64L)
-    val baseManifest = BloomSkip.buildManifest(spark, base, "o_orderkey", perFile, 0.01)
-    val manifest = BloomSkip.extendManifest(spark, baseManifest, appends,
-      "o_orderkey", perFile, 0.01)
-    val files = BloomSkip.candidates(manifest, BloomProbeKeys)
+    val manifestDir =
+      java.nio.file.Files.createTempDirectory("graft-bloom-mor-").toString + "/m"
+    BloomSkip.buildManifestTable(spark, base, "o_orderkey", perFile, 0.01, manifestDir)
+    BloomSkip.extendManifestTable(spark, manifestDir, appends, "o_orderkey", perFile, 0.01)
+    val files = BloomSkip.candidatesTable(spark, manifestDir, BloomProbeKeys)
     DeleteVectors.readFilesLive(spark, files, dv)
       .filter(col("o_orderkey").isin(BloomProbeKeys: _*))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),

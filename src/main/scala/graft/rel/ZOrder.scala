@@ -61,6 +61,67 @@ object ZOrder {
       .toSeq.sortBy(_.file)
   }
 
+  // ---- TABLE-FORM stats manifest: the 100 TB shape ---------------------
+  //
+  // Same discipline as [[BloomSkip]]'s table form: at 10⁶–10⁷ files the
+  // min/max manifest is DATA — a parquet table (file, min_x, max_x,
+  // min_y, max_y) written by the distributed stats pass (never
+  // collected), and the box-overlap decision a distributed filter over
+  // it; the driver receives only surviving file names.
+
+  /** [[cluster]] with the stats manifest written as a parquet TABLE at
+    * `statsDir` instead of collected: the one distributed
+    * `groupBy(input_file_name)` pass lands directly in parquet.
+    */
+  def clusterTable(
+      df: DataFrame, xCol: String, yCol: String,
+      dir: String, numFiles: Int, statsDir: String): Unit = {
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    df.withColumn("__z", GraftFunctions.zorder2(col(xCol).cast("long"), col(yCol).cast("long")))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        min(col(xCol)).cast("long").as("min_x"), max(col(xCol)).cast("long").as("max_x"),
+        min(col(yCol)).cast("long").as("min_y"), max(col(yCol)).cast("long").as("max_y"))
+      .write.parquet(statsDir)
+  }
+
+  /** The box-overlap decision as a DISTRIBUTED frame over the stats
+    * table — a plain filter on the rectangle columns (codegen'd, no
+    * UDF), returned un-collected so callers can compose or plan-pin it.
+    */
+  def overlappingFiles(
+      spark: SparkSession, statsDir: String,
+      x1: Long, x2: Long, y1: Long, y2: Long): DataFrame =
+    spark.read.parquet(statsDir)
+      .filter(col("max_x") >= x1 && col("min_x") <= x2 &&
+        col("max_y") >= y1 && col("min_y") <= y2)
+      .select("file")
+
+  /** Box read through the table-form stats: distributed pruning
+    * decision, then open ONLY the surviving files with the box as the
+    * residual filter.
+    */
+  def prunedReadTable(
+      spark: SparkSession, statsDir: String,
+      xCol: String, yCol: String,
+      x1: Long, x2: Long, y1: Long, y2: Long): DataFrame = {
+    import spark.implicits._
+    val files = overlappingFiles(spark, statsDir, x1, x2, y1, y2)
+      .as[String].collect().toIndexedSeq.sorted
+    if (files.isEmpty) {
+      val any = spark.read.parquet(statsDir).select("file").as[String].head(1)
+      require(any.nonEmpty, "empty stats table: table was never clustered")
+      spark.read.parquet(any.head).filter(lit(false))
+    } else spark.read.parquet(files: _*)
+      .filter(col(xCol).between(x1, x2) && col(yCol).between(y1, y2))
+  }
+
   /** The files of `stats` whose min/max rectangle intersects the box —
     * the skipping decision, file opens cost zero.
     */

@@ -165,4 +165,80 @@ class BloomSkipSuite extends AnyFunSuite {
     assert(out.count() == 0L)
     assert(out.columns.toSeq == Seq("key", "salt", "payload"))
   }
+
+  test("table-form manifest: same candidates and rows as the driver form; pruning is a Spark job") {
+    val root = Files.createTempDirectory("bloom-suite-").toString
+    val dir = s"$root/t"
+    writeScattered(dir, 8)
+    val seqForm = BloomSkip.buildManifest(spark, dir, "key", 200L, 0.01)
+    BloomSkip.buildManifestTable(spark, dir, "key", 200L, 0.01, s"$root/m")
+    val probes = Seq(7L, 123L, 999L)
+    assert(BloomSkip.candidatesTable(spark, s"$root/m", probes) ==
+      BloomSkip.candidates(seqForm, probes).sorted)
+    val got = BloomSkip.prunedReadTable(spark, s"$root/m", "key", probes)
+      .select("key").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(7L, 123L, 999L))
+    // the skipping decision itself plans as a distributed job over the
+    // manifest TABLE: a parquet scan of the manifest dir + a filter —
+    // not a driver loop deserializing every bloom
+    val plan = BloomSkip.candidateFiles(spark, s"$root/m", probes)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("m]") || plan.contains("/m"),
+      s"candidates must scan the manifest table:\n$plan")
+    assert(plan.contains("Filter"), s"the probe must be a distributed filter:\n$plan")
+  }
+
+  test("table-form extend: O(new) appends, covered rows byte-identical, coverage complete") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bloom-suite-").toString
+    val dir = s"$root/t"
+    writeScattered(dir, 4)
+    BloomSkip.buildManifestTable(spark, dir, "key", 300L, 0.01, s"$root/m")
+    val before = spark.read.parquet(s"$root/m").as[(String, Array[Byte])]
+      .collect().map { case (f, b) => f -> b.toSeq }.toMap
+    // wave 2: new keys in new files, same directory
+    (2000L until 2400L).map(k => (k, k % 17, s"v$k")).toDF("key", "salt", "payload")
+      .repartition(2, col("salt")).write.mode("append").parquet(dir)
+    BloomSkip.extendManifestTable(spark, s"$root/m", dir, "key", 300L, 0.01)
+    val after = spark.read.parquet(s"$root/m").as[(String, Array[Byte])]
+      .collect().map { case (f, b) => f -> b.toSeq }.toMap
+    assert(after.keySet == spark.read.parquet(dir).inputFiles.toSet,
+      "manifest must cover exactly the directory's files")
+    before.foreach { case (f, b) =>
+      assert(after(f) == b, s"covered bloom rewritten for $f")
+    }
+    // extending again with nothing new appends nothing
+    BloomSkip.extendManifestTable(spark, s"$root/m", dir, "key", 300L, 0.01)
+    assert(spark.read.parquet(s"$root/m").count() == after.size.toLong)
+    // probes resolve across both waves
+    Seq(123L, 2123L).foreach { k =>
+      val got = BloomSkip.prunedReadTable(spark, s"$root/m", "key", Seq(k))
+        .select("key").collect().map(_.getLong(0)).toSet
+      assert(got == Set(k), s"probe $k")
+    }
+  }
+
+  test("null keys: dropped from blooms, never NPE; an all-null file is covered by an empty bloom") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bloom-suite-").toString
+    val dir = s"$root/t"
+    // file A: real keys; file B: ONLY null keys (the silent-gap case)
+    Seq((Some(1L), "a"), (Some(2L), "a"), (Some(3L), "a"))
+      .toDF("key", "payload").coalesce(1).write.parquet(dir)
+    Seq((Option.empty[Long], "b"), (Option.empty[Long], "b"))
+      .toDF("key", "payload").coalesce(1).write.mode("append").parquet(dir)
+    // driver form: every file covered, null rows indexed nowhere
+    val manifest = BloomSkip.buildManifest(spark, dir, "key", 10L, 0.01)
+    assert(manifest.map(_.file).toSet == spark.read.parquet(dir).inputFiles.toSet,
+      "the all-null file must still be covered (empty bloom), not silently absent")
+    assert(BloomSkip.prunedRead(spark, manifest, "key", Seq(2L))
+      .select("key").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // table form: same coverage contract
+    BloomSkip.buildManifestTable(spark, dir, "key", 10L, 0.01, s"$root/m")
+    val covered = spark.read.parquet(s"$root/m").select("file")
+      .as[String].collect().toSet
+    assert(covered == spark.read.parquet(dir).inputFiles.toSet)
+    assert(BloomSkip.prunedReadTable(spark, s"$root/m", "key", Seq(3L))
+      .select("key").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
 }

@@ -157,6 +157,34 @@ class ZOrderSuite extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("x", "y", "id"))
   }
 
+  test("table-form stats: same survivors and rows as the driver form; overlap is a distributed filter") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zorder-suite-").toString
+    val df = grid()
+    val seqStats = ZOrder.cluster(df, "x", "y", s"$dir/z", 16)
+    ZOrder.clusterTable(df, "x", "y", s"$dir/zt", 16, s"$dir/stats")
+    val (x1, x2, y1, y2) = (10L, 20L, 5L, 30L)
+    // same box → same data, independent of which layout pass wrote it
+    val seqRows = ZOrder.prunedRead(spark, seqStats, "x", "y", x1, x2, y1, y2)
+      .select("x", "y", "id").collect().map(_.toString).sorted.toSeq
+    val tabRows = ZOrder.prunedReadTable(spark, s"$dir/stats", "x", "y", x1, x2, y1, y2)
+      .select("x", "y", "id").collect().map(_.toString).sorted.toSeq
+    assert(tabRows == seqRows)
+    // survivor COUNT matches the driver form (file names differ by dir)
+    val survivors = ZOrder.overlappingFiles(spark, s"$dir/stats", x1, x2, y1, y2)
+      .as[String].collect()
+    assert(survivors.length == ZOrder.overlapping(seqStats, x1, x2, y1, y2).length)
+    // the decision plans as a scan of the stats TABLE + a codegen'd
+    // filter on the rectangle columns — no driver loop, no UDF
+    val plan = ZOrder.overlappingFiles(spark, s"$dir/stats", x1, x2, y1, y2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("stats"), s"overlap must scan the stats table:\n$plan")
+    assert(plan.contains("Filter"), s"overlap must be a distributed filter:\n$plan")
+    // out-of-domain box: typed empty frame through the table path too
+    val empty = ZOrder.prunedReadTable(spark, s"$dir/stats", "x", "y", 100L, 200L, 100L, 200L)
+    assert(empty.count() == 0L && empty.columns.toSeq == Seq("x", "y", "id"))
+  }
+
   test("manifest rectangles cover the data: every row's keys inside its file's min/max") {
     val dir = Files.createTempDirectory("zorder-suite-").toString
     val stats = ZOrder.cluster(grid(), "x", "y", s"$dir/t", 8)

@@ -206,6 +206,35 @@ object Snapshot {
     finally s.close()
   }
 
+  /** Submit independent per-partition rewrite jobs CONCURRENTLY from a
+    * bounded driver-side pool (`spark.graft.compact.maxConcurrentJobs`,
+    * default 8) — Spark schedules jobs from multiple threads safely,
+    * and partition rewrites share no state, so compaction wall-clock
+    * tracks the LARGEST partition, not the partition count. Failure
+    * semantics are unchanged: any rewrite error propagates after the
+    * pool drains (no thread left writing), the manifest + pointer swap
+    * is never reached, and the next attempt's [[clearUncommitted]]
+    * removes the orphaned version dirs — the same crash-window story
+    * as a serial failure.
+    */
+  private def rewriteInParallel[A](
+      spark: SparkSession, items: Seq[A])(job: A => Unit): Unit = {
+    val n = math.min(items.size,
+      spark.conf.getOption("spark.graft.compact.maxConcurrentJobs")
+        .map(_.toInt).getOrElse(8))
+    if (n <= 1) { items.foreach(job); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.traverse(items)(a => scala.concurrent.Future(job(a))),
+      scala.concurrent.duration.Duration.Inf): Unit
+    finally {
+      pool.shutdown()
+      pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS): Unit
+    }
+  }
+
   def compact(
       spark: SparkSession, root: String,
       targetBytes: Long = 128L << 20): CompactStats = {
@@ -227,7 +256,7 @@ object Snapshot {
     if (candidates.isEmpty) return CompactStats(before, before, Nil)
     val newV = cur + 1
     clearUncommitted(root, newV)
-    candidates.foreach { case (p, d, _, t) =>
+    rewriteInParallel(spark, candidates) { case (p, d, _, t) =>
       spark.read.parquet(s"$root/$d").coalesce(t)
         .write.parquet(s"$root/v$newV/__part=$p")
     }
@@ -268,7 +297,7 @@ object Snapshot {
     val before = live.map(_._3.size).sum
     val newV = cur + 1
     clearUncommitted(root, newV)
-    live.foreach { case (p, d, fs) =>
+    rewriteInParallel(spark, live) { case (p, d, fs) =>
       val bytes = fs.map(java.nio.file.Files.size(_)).sum
       val t = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       import org.apache.spark.sql.functions.col

@@ -35,23 +35,65 @@ object HiddenPartitioning {
   val DayCol = "__p_day"
   val BucketCol = "__p_bucket"
 
-  /** Lay `df` out day-partitioned by the transform `day(tsCol)`. */
-  def writeDayPartitioned(df: DataFrame, tsCol: String, dir: String): Unit =
+  /** Underscore-prefixed so Spark's file-listing treats it as metadata,
+    * never data. Records the session timezone `day(ts)` was evaluated
+    * under at WRITE time: the transform maps an instant to a local
+    * date, so the zone is part of the layout, and a reader in a
+    * different session zone that re-derived bounds with ITS zone could
+    * prune a directory holding matching rows — silent row loss, the
+    * one failure the residual filter cannot repair (pruned files are
+    * never listed).
+    */
+  val ZoneMetaFile = "_graft_layout.zone"
+
+  private def sessionZone(spark: SparkSession): String =
+    spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+
+  /** Lay `df` out day-partitioned by the transform `day(tsCol)`; the
+    * evaluation zone is recorded alongside the layout ([[ZoneMetaFile]]).
+    */
+  def writeDayPartitioned(df: DataFrame, tsCol: String, dir: String): Unit = {
     df.withColumn(DayCol, to_date(col(tsCol)))
       .write.partitionBy(DayCol).parquet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ZoneMetaFile),
+      sessionZone(df.sparkSession)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   /** Range read on the RAW timestamp — the day-partition predicate is
-    * derived, the exact ts predicate re-applied as the residual.
+    * derived, the exact ts predicate re-applied as the residual. The
+    * bounds `[lo, hi)` are interpreted in the READER's session zone
+    * (predicate semantics belong to the reader), but the derived day
+    * range is computed under the WRITER's recorded zone — the zone the
+    * partition values were minted in. Both conversions happen driver-
+    * side on the two literal instants, so the partition predicate is a
+    * pair of foldable date literals (prunes at listing time). Tables
+    * written before the zone was recorded fall back to the session
+    * zone — the pre-r16 same-session contract.
     */
   def readTsRange(
       spark: SparkSession, dir: String, tsCol: String,
-      lo: String, hi: String): DataFrame =
+      lo: String, hi: String): DataFrame = {
+    val zonePath = java.nio.file.Paths.get(dir, ZoneMetaFile)
+    val zone = java.time.ZoneId.of(
+      if (java.nio.file.Files.exists(zonePath))
+        new String(java.nio.file.Files.readAllBytes(zonePath),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else sessionZone(spark))
+    // the bound strings as instants, parsed exactly as the residual
+    // filter will parse them (reader session zone — no reimplementation)
+    val row = spark.range(1)
+      .select(lit(lo).cast("timestamp"), lit(hi).cast("timestamp")).head()
+    def dayIn(i: Int): java.sql.Date = java.sql.Date.valueOf(
+      java.time.LocalDate.ofInstant(row.getTimestamp(i).toInstant, zone))
     spark.read.parquet(dir)
-      .filter(col(DayCol).between(
-        to_date(lit(lo).cast("timestamp")), to_date(lit(hi).cast("timestamp"))))
+      .filter(col(DayCol).between(lit(dayIn(0)), lit(dayIn(1))))
       .filter(col(tsCol) >= lit(lo).cast("timestamp") &&
         col(tsCol) < lit(hi).cast("timestamp"))
       .drop(DayCol)
+  }
 
   /** Lay `df` out bucket-partitioned by `bucket(n, keyCol)` — Spark's
     * own murmur3 `hash` mod n, the same expression the reader derives

@@ -57,7 +57,11 @@ object Scd2 {
     *
     * Precondition (the log-append contract): every delta event is at or
     * after its user's open-row `valid_from` — deltas are appends, not
-    * retro-corrections.
+    * retro-corrections. ENFORCED: a retro-dated event raises an error at
+    * execution time instead of silently diverging from the full-log
+    * batch replay. The guard is a per-user window over the same
+    * partitioning the interval chain already shuffles on, so it costs no
+    * extra Exchange and no eager job.
     */
   def applyDelta(base: DataFrame, delta: DataFrame): DataFrame = {
     val touched = delta.select("user_id").distinct()
@@ -72,6 +76,25 @@ object Scd2 {
     val chain = seed.unionByName(
       delta.select(col("user_id"), col("event_type"), col("ts"),
         col("event_id").cast("long")))
-    carry.unionByName(closed).unionByName(fromChangeLog(chain))
+    // retro-dated guard: every real delta event must be at or after its
+    // user's seed ts (users new to the table have no seed — unchecked by
+    // construction). The error is woven into the ts column itself so the
+    // optimizer cannot prune it.
+    val byUser = Window.partitionBy("user_id")
+    val checked = chain
+      .withColumn("_seed_ts",
+        max(when(col("event_id") === -1L, col("ts"))).over(byUser))
+      .withColumn("ts",
+        when(
+          col("event_id") =!= -1L && col("_seed_ts").isNotNull &&
+            col("ts") < col("_seed_ts"),
+          raise_error(concat(
+            lit("Scd2.applyDelta: retro-dated delta event for user_id="),
+            col("user_id").cast("string"),
+            lit(" (ts precedes the open row's valid_from; deltas must be appends)")))
+            .cast("timestamp"))
+          .otherwise(col("ts")))
+      .drop("_seed_ts")
+    carry.unionByName(closed).unionByName(fromChangeLog(checked))
   }
 }

@@ -39,14 +39,34 @@ object ScalingSmoke {
   val CopyOffset = 1000000L // ≡ 0 mod DeltaMod(5): delta membership preserved per copy
   val Iters = 3
 
+  /** Per-table synthesis-formula version, part of the staged-data
+    * fingerprint — bump a table's entry whenever its synthesis code in
+    * [[synthesize]] changes so older bigDirs restage it.
+    */
+  val TableFormulaV: Map[String, Int] = Map(
+    "documents" -> 1, "events" -> 1, "embeddings" -> 1,
+    "lineitem" -> 1, "orders" -> 1)
+
   def synthesize(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
     val root = java.nio.file.Paths.get(bigDir)
     java.nio.file.Files.createDirectories(root)
     // per-table staleness check, NOT a single _OK marker: a bigDir
     // staged by an older smoke version lacks later-added tables, and a
-    // blanket early-return would crash the new queries on missing paths
-    def staged(table: String): Boolean =
-      java.nio.file.Files.exists(root.resolve(s"$table.parquet"))
+    // blanket early-return would crash the new queries on missing paths.
+    // Each table carries a `<table>.v` fingerprint of its synthesis
+    // parameters — a later round that changes a formula (offset,
+    // columns, Factor) restages instead of silently reusing stale
+    // content and skewing the exponents. [[TableFormulaV]] must be
+    // bumped alongside any synthesis-formula edit below.
+    def fingerprint(table: String): String =
+      s"factor=$Factor offset=$CopyOffset formula=${TableFormulaV(table)}"
+    def staged(table: String): Boolean = {
+      val v = root.resolve(s"$table.v")
+      java.nio.file.Files.exists(root.resolve(s"$table.parquet")) &&
+        java.nio.file.Files.exists(v) &&
+        new String(java.nio.file.Files.readAllBytes(v),
+          java.nio.charset.StandardCharsets.UTF_8) == fingerprint(table)
+    }
     def stageSingleFile(df: DataFrame, table: String): Unit = {
       if (staged(table)) return
       val stage = s"$bigDir/_stage_$table"
@@ -62,6 +82,8 @@ object ScalingSmoke {
       // on the file name, so a directory layout would stream nothing
       java.nio.file.Files.move(part, root.resolve(s"$table.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.write(root.resolve(s"$table.v"),
+        fingerprint(table).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     stageSingleFile(
@@ -159,7 +181,18 @@ object ScalingSmoke {
       "q185_bloom_skipping" -> (graft.rel.Queries.q185BloomSkipping _),
       "q186_scd2_incremental" -> (graft.rel.Queries.q186Scd2Incremental _),
       "q189_mor_upsert" -> (graft.rel.Queries.q189MorUpsert _),
-      "q192_hidden_partition_day" -> (graft.rel.Queries.q192HiddenPartitionDay _))
+      "q192_hidden_partition_day" -> (graft.rel.Queries.q192HiddenPartitionDay _),
+      // r16: CDF + compaction. The upsert batches are carved from the
+      // table (o_orderkey % 11 / % 97), so |batch| scales WITH |table|
+      // here and batch-proportional cost shows as exponent ~1 — the
+      // claim under test is "no super-linear table-global stage", i.e.
+      // the CDF never diffs the table (q191: opens only tombstone-named
+      // files) and compaction is one linear rewrite (q196 whole-table,
+      // q197 per-partition clustered under the snapshot commit)
+      "q191_change_data_feed" -> (graft.rel.Queries.q191ChangeDataFeed _),
+      "q196_mor_compaction" -> (graft.rel.Queries.q196MorCompaction _),
+      "q197_snapshot_zorder" ->
+        (graft.streaming.Events.snapshotClusteredCompaction _))
 
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

@@ -65,6 +65,29 @@ class HiddenPartitioningSuite extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains(HiddenPartitioning.DayCol), plan)
   }
 
+  test("day bounds derive under the WRITER's recorded zone, not the reader's session zone") {
+    // writer session in Los Angeles: an instant at 02:00 UTC on Feb 5
+    // is still Feb 4 locally, so it is minted into __p_day=2024-02-04.
+    val writer = spark.newSession()
+    writer.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    val reader = spark.newSession()
+    reader.conf.set("spark.sql.session.timeZone", "UTC")
+    val dir = Files.createTempDirectory("hp-zone-").toString + "/t"
+    import writer.implicits._
+    val row = Seq((1L, Timestamp.from(
+      java.time.Instant.parse("2024-02-05T02:00:00Z")))).toDF("id", "ts")
+    HiddenPartitioning.writeDayPartitioned(row, "ts", dir)
+    assert(Files.exists(java.nio.file.Paths.get(dir, HiddenPartitioning.ZoneMetaFile)))
+    // UTC reader asks for [Feb 5 00:00, Feb 5 06:00) UTC. A reader-zone
+    // derivation would prune to day 2024-02-05 only and silently lose
+    // the row (it lives in 2024-02-04); the writer-zone derivation must
+    // keep it.
+    val out = HiddenPartitioning.readTsRange(
+      reader, dir, "ts", "2024-02-05 00:00:00", "2024-02-05 06:00:00")
+    assert(out.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "cross-zone read lost the row the residual filter matches")
+  }
+
   test("day transform: midnight boundary rows are kept (lo) and excluded (hi) correctly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("hp-suite-").toString + "/t"

@@ -85,6 +85,21 @@ class Scd2Suite extends AnyFunSuite {
     assert(closedBefore.subsetOf(closedAfter))
   }
 
+  test("retro-dated delta event raises instead of silently diverging") {
+    val base = Scd2.fromChangeLog(log(
+      (1L, "a", "2024-01-01 00:00:00", 1L),
+      (1L, "b", "2024-01-03 00:00:00", 2L))) // open row valid_from 01-03
+    val retro = log((1L, "c", "2024-01-02 00:00:00", 10L)) // before 01-03
+    val e = intercept[Exception] {
+      Scd2.applyDelta(base, retro).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("retro-dated"),
+      s"expected the retro-dated guard to fire, got: ${e.getMessage}")
+    // the guard is inert on a compliant delta (same user, ts at the seam)
+    val ok = Scd2.applyDelta(base, log((1L, "c", "2024-01-03 00:00:00", 10L)))
+    assert(ok.count() == 3)
+  }
+
   test("empty delta: history unchanged") {
     val baseLog = log(
       (1L, "a", "2024-01-01 00:00:00", 1L),

@@ -30,9 +30,14 @@ object GraftFunctions {
     ZOrder2(args.head, args(1))
   }
 
+  private val zorderNInfo = new ExpressionInfo(classOf[ZOrderN].getName, "zorder_n")
+
+  private def zorderNBuilder(args: Seq[Expression]): Expression = ZOrderN(args)
+
   def registerAll(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("dot_f64"), dotInfo, dotBuilder _))
     ext.injectFunction((FunctionIdentifier("zorder2"), zorderInfo, zorderBuilder _))
+    ext.injectFunction((FunctionIdentifier("zorder_n"), zorderNInfo, zorderNBuilder _))
     ext.injectOptimizerRule(_ => FuseSelfDot)
     // whole-operator tier: the native as-of join's planner strategy
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -43,6 +48,8 @@ object GraftFunctions {
       .registerFunction(FunctionIdentifier("dot_f64"), dotInfo, dotBuilder _)
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("zorder2"), zorderInfo, zorderBuilder _)
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier("zorder_n"), zorderNInfo, zorderNBuilder _)
     // imperative twin of injectOptimizerRule — idempotent, like the
     // function registration above
     if (!spark.experimental.extraOptimizations.contains(FuseSelfDot)) {
@@ -62,6 +69,10 @@ object GraftFunctions {
   /** Column-API face of `zorder2` (requires [[register]] on the session). */
   def zorder2(x: Column, y: Column): Column =
     org.apache.spark.sql.functions.call_function("zorder2", x, y)
+
+  /** Column-API face of `zorder_n` (requires [[register]] on the session). */
+  def zorderN(cols: Column*): Column =
+    org.apache.spark.sql.functions.call_function("zorder_n", cols: _*)
 }
 
 /** `spark.sql.extensions`-style entry point:

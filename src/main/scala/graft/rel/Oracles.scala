@@ -316,6 +316,50 @@ object Oracles {
          |  (ex | (ey << 1))::BIGINT AS zval
          |FROM s5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // q201: the 3-D z-order read — quantization is replayed from the
+    // raw table (min/max CTE + the exact (v−min)//step integer math,
+    // step = ceil(range / 2^21)) and the N-way interleave as a sum over
+    // the 21 bit positions (bit i of dim j → output bit i·3+j); the sum
+    // is CAST BIGINT (DuckDB promotes sums to HUGEINT — the q194
+    // lesson). The box itself recomputes from the raw table, gating the
+    // skipping decision exactly like q184.
+    "q201_zorder3_skipping" -> {
+      val Seq((x1, x2), (y1, y2), (q1, q2)) = Queries.ZOrder3Box
+      s"""WITH mm AS (
+         |  SELECT CAST(min(l_partkey) AS BIGINT) AS min0, CAST(max(l_partkey) AS BIGINT) AS max0,
+         |         CAST(min(l_suppkey) AS BIGINT) AS min1, CAST(max(l_suppkey) AS BIGINT) AS max1,
+         |         CAST(min(l_quantity) AS BIGINT) AS min2, CAST(max(l_quantity) AS BIGINT) AS max2
+         |  FROM lineitem),
+         |st AS (SELECT *,
+         |  greatest(1, (max0 - min0 + 1 + 2097151) // 2097152) AS s0,
+         |  greatest(1, (max1 - min1 + 1 + 2097151) // 2097152) AS s1,
+         |  greatest(1, (max2 - min2 + 1 + 2097151) // 2097152) AS s2 FROM mm),
+         |f AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+         |         (CAST(l_partkey AS BIGINT) - min0) // s0 AS q0,
+         |         (CAST(l_suppkey AS BIGINT) - min1) // s1 AS q1,
+         |         (CAST(l_quantity AS BIGINT) - min2) // s2 AS q2
+         |  FROM lineitem, st
+         |  WHERE l_partkey BETWEEN $x1 AND $x2
+         |    AND l_suppkey BETWEEN $y1 AND $y2
+         |    AND l_quantity BETWEEN $q1 AND $q2),
+         |bits AS (SELECT unnest(range(0, 21)) AS i),
+         |-- zval is a pure function of the quantized triple, so the bit
+         |-- sum groups by (q0,q1,q2) — NOT by (orderkey,linenumber),
+         |-- which this synthetic lineitem does not keep unique
+         |z AS (
+         |  SELECT q0, q1, q2,
+         |    CAST(sum((((q0 >> i) & 1) << (i * 3))
+         |           + (((q1 >> i) & 1) << (i * 3 + 1))
+         |           + (((q2 >> i) & 1) << (i * 3 + 2))) AS BIGINT) AS zval
+         |  FROM (SELECT DISTINCT q0, q1, q2 FROM f) d CROSS JOIN bits
+         |  GROUP BY 1, 2, 3)
+         |SELECT f.l_orderkey, f.l_linenumber, f.l_partkey, f.l_suppkey,
+         |       f.l_quantity, z.zval
+         |FROM f JOIN z USING (q0, q1, q2)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
     // q185: the bloom-skipped point lookup — recomputed from the RAW
     // table, so the gate is on the SKIPPING decision: a file whose
     // bloom was wrongly negative (or wrongly dropped from the manifest)

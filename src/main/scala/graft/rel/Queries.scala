@@ -1203,6 +1203,53 @@ object Queries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q201 3-D box — quantity bounds are integral, so the DOUBLE column
+    * compares identically in Spark and DuckDB.
+    */
+  val ZOrder3Cols: Seq[String] = Seq("l_partkey", "l_suppkey", "l_quantity")
+  val ZOrder3Box: Seq[(Long, Long)] = Seq((10L, 40L), (1L, 8L), (5L, 25L))
+
+  /** Declared query (q201) — k-D Z-ORDER (OPTIMIZE ZORDER BY c1..cN):
+    * q184's layout generalized to THREE clustering columns via the
+    * N-way interleave ([[graft.functions.ZOrderN]], codegen'd bit
+    * loop): lineitem rewritten clustered by the Morton value of
+    * (l_partkey, l_suppkey, l_quantity) — each column quantized onto
+    * the 21-bit grid by [[ZOrder.quantize]]'s exact integer step math —
+    * with per-file min/max stats for all three RAW columns in a parquet
+    * stats table, then a 3-D box answered by opening only intersecting
+    * files ([[ZOrder.prunedReadTableN]]). The output carries the N-way
+    * z-value, so the oracle replays quantization (min/max CTE, the same
+    * `(v−min)//step` arithmetic) AND the interleave (a sum over the 21
+    * bit positions, `bit i of dim j → i·3+j`) bit-for-bit from the raw
+    * table — gating expression, quantization, and the skipping decision
+    * at once (a wrongly-pruned file loses rows). ZOrderSuite pins the
+    * 3-D layout asymmetry: a box on the THIRD dimension alone prunes
+    * files under this layout but prunes nothing under an x-sort.
+    */
+  def q201ZOrder3Skipping(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder3-").toString
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+    ZOrder.clusterTableN(li, ZOrder3Cols, s"$tmp/li", ZOrderFiles, s"$tmp/stats")
+    // the output zval re-derives the clustering key with the SAME
+    // global min/max the cluster write used (one scalar agg over the
+    // same input frame)
+    val mmAggs = ZOrder3Cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val mm = li.agg(mmAggs.head, mmAggs.tail: _*).head()
+    val bits = 63 / ZOrder3Cols.size
+    val qcols = ZOrder3Cols.zipWithIndex.map { case (c, i) =>
+      ZOrder.quantize(col(c), mm.getLong(2 * i), mm.getLong(2 * i + 1), bits)
+    }
+    graft.functions.GraftFunctions.register(spark)
+    ZOrder.prunedReadTableN(spark, s"$tmp/stats", ZOrder3Cols, ZOrder3Box)
+      .withColumn("zval", graft.functions.GraftFunctions.zorderN(qcols: _*))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("zval"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** q185 probe constants — orderkeys are dense 0..N−1 at every sf
     * (sf0.001 has 1500 orders), so these exist at every scale.
     */
@@ -1628,6 +1675,7 @@ object Queries {
     "q173_resample_interp" -> (q173ResampleInterp _),
     "q178_column_histogram" -> (q178ColumnHistogram _),
     "q184_zorder_skipping" -> (q184ZOrderSkipping _),
+    "q201_zorder3_skipping" -> (q201ZOrder3Skipping _),
     "q185_bloom_skipping" -> (q185BloomSkipping _),
     "q186_scd2_incremental" -> (q186Scd2Incremental _),
     "q187_delete_vectors" -> (q187DeleteVectors _),

@@ -122,6 +122,90 @@ object ZOrder {
       .filter(col(xCol).between(x1, x2) && col(yCol).between(y1, y2))
   }
 
+  // ---- k-D: N clustering columns (real OPTIMIZE ZORDER BY arity) ------
+
+  /** Exact-integer quantization of a wide-domain column onto the
+    * [0, 2^bits) grid [[graft.functions.ZOrderN]] accepts: with
+    * `step = ⌈(max−min+1) / 2^bits⌉`, the bucket `(v − min) / step` is
+    * monotone in v, exactly computed in Long arithmetic (no double
+    * rounding, no overflow — `v − min ≤ range` by construction), and
+    * bounded by 2^bits − 1. Quantization only COARSENS the clustering
+    * grid; pruning correctness never depends on it because the stats
+    * manifest stores the RAW column min/max and the raw predicate is
+    * always the residual.
+    */
+  def quantize(c: org.apache.spark.sql.Column, minV: Long, maxV: Long,
+      bits: Int): org.apache.spark.sql.Column = {
+    val cells = 1L << bits
+    val range = maxV - minV + 1
+    val step = math.max(1L, (range + cells - 1) / cells)
+    // `div`, not `/`: Spark's / is true (double) division, whose 53-bit
+    // mantissa would mis-bucket keys past 2^53 — div stays in Long
+    org.apache.spark.sql.functions.call_function(
+      "div", c.cast("long") - lit(minV), lit(step))
+  }
+
+  /** [[clusterTable]] generalized to N columns: one range-shuffle by
+    * the N-way Morton value ([[graft.functions.ZOrderN]]), per-file
+    * min/max stats for EVERY clustering column written as a parquet
+    * table (`file, min_0, max_0, …`). Columns are quantized onto the
+    * interleave grid from their observed min/max (one scalar agg), so
+    * any Long-domain column clusters; the stats are over the RAW
+    * values, so pruning never trusts the quantization.
+    */
+  def clusterTableN(
+      df: DataFrame, cols: Seq[String],
+      dir: String, numFiles: Int, statsDir: String): Unit = {
+    require(cols.size >= 2, s"clusterTableN needs >= 2 columns, got $cols")
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    val bits = 63 / cols.size
+    val mmAggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
+    val qcols = cols.zipWithIndex.map { case (c, i) =>
+      quantize(col(c), mm.getLong(2 * i), mm.getLong(2 * i + 1), bits)
+    }
+    df.withColumn("__z", GraftFunctions.zorderN(qcols: _*))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.parquet(dir)
+    val statAggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).cast("long").as(s"min_$i"),
+        max(col(c)).cast("long").as(s"max_$i"))
+    }
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(statAggs.head, statAggs.tail: _*)
+      .write.parquet(statsDir)
+  }
+
+  /** N-dimensional box read through the table-form stats: the overlap
+    * decision is a distributed filter over the stats table (one
+    * conjunct per dimension), then ONLY surviving files are opened with
+    * the full box as the residual filter.
+    */
+  def prunedReadTableN(
+      spark: SparkSession, statsDir: String,
+      cols: Seq[String], bounds: Seq[(Long, Long)]): DataFrame = {
+    require(cols.size == bounds.size, "one (lo, hi) bound per column")
+    import spark.implicits._
+    val overlap = bounds.zipWithIndex.map { case ((lo, hi), i) =>
+      col(s"max_$i") >= lo && col(s"min_$i") <= hi
+    }.reduce(_ && _)
+    val files = spark.read.parquet(statsDir).filter(overlap)
+      .select("file").as[String].collect().toIndexedSeq.sorted
+    val residual = cols.zip(bounds).map { case (c, (lo, hi)) =>
+      col(c).between(lo, hi)
+    }.reduce(_ && _)
+    if (files.isEmpty) {
+      val any = spark.read.parquet(statsDir).select("file").as[String].head(1)
+      require(any.nonEmpty, "empty stats table: table was never clustered")
+      spark.read.parquet(any.head).filter(lit(false))
+    } else spark.read.parquet(files: _*).filter(residual)
+  }
+
   /** The files of `stats` whose min/max rectangle intersects the box —
     * the skipping decision, file opens cost zero.
     */

@@ -185,6 +185,94 @@ class ZOrderSuite extends AnyFunSuite {
     assert(empty.count() == 0L && empty.columns.toSeq == Seq("x", "y", "id"))
   }
 
+  // ---- k-D (ZOrderN) ----------------------------------------------------
+
+  /** 16×16×16 uniform cube, 4096 rows — every (x, y, w) cell once. */
+  private def cube() = {
+    import spark.implicits._
+    (0 until 4096).map(i =>
+      (i.toLong % 16, (i.toLong / 16) % 16, i.toLong / 256, i.toLong))
+      .toDF("x", "y", "w", "id")
+  }
+
+  test("zorder_n(2) == zorder2 bit-for-bit; eval == codegen over a sweep") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // n=2: 31 bits per dim — identical placement to ZOrder2 (x even, y odd)
+    var seed = 0x243F6A8885A308D3L
+    (1 to 200).foreach { _ =>
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      val x = (seed >>> 33) & Int.MaxValue.toLong
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      val y = (seed >>> 33) & Int.MaxValue.toLong
+      assert(graft.functions.ZOrderN.interleave(Array(x, y)) ==
+        ZOrder2.interleave(x, y), s"($x, $y)")
+    }
+    // n=3 codegen'd column == interpreted reference
+    val rows = for (x <- 0L to 15L; y <- 0L to 15L; w <- Seq(0L, 7L, 15L))
+      yield (x * 131L, y * 997L, w * 139000L) // 15·139000 < 2^21
+    val got = rows.toDF("x", "y", "w")
+      .select(col("x"), col("y"), col("w"),
+        GraftFunctions.zorderN(col("x"), col("y"), col("w")).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) == graft.functions.ZOrderN.interleave(
+        Array(r.getLong(0), r.getLong(1), r.getLong(2))))
+    }
+    // out-of-domain throws in both paths (21-bit limit for n=3)
+    intercept[IllegalArgumentException](
+      graft.functions.ZOrderN.interleave(Array(1L << 21, 0L, 0L)))
+    val bad = Seq((1L << 21, 0L, 0L)).toDF("x", "y", "w")
+      .select(GraftFunctions.zorderN(col("x"), col("y"), col("w")))
+    val e = intercept[Exception](bad.collect())
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("zorder_n(3) input out of")), messages)
+  }
+
+  test("quantize: exact integer steps, monotone, bounded by the grid") {
+    import spark.implicits._
+    // a domain far past 2^21 — double division would mis-bucket here
+    val minV = 0L
+    val maxV = (1L << 40) - 1
+    val vs = Seq(0L, 1L, (1L << 19) - 1, 1L << 19, (1L << 40) - 1)
+    val q = vs.toDF("v")
+      .select(ZOrder.quantize(col("v"), minV, maxV, 21).as("q"))
+      .collect().map(_.getLong(0))
+    assert(q.sliding(2).forall(w => w(0) <= w(1)), s"not monotone: ${q.toSeq}")
+    assert(q.forall(b => b >= 0 && b < (1L << 21)), s"out of grid: ${q.toSeq}")
+    assert(q.last == (1L << 21) - 1, "max value must land in the last cell")
+  }
+
+  test("3-D layout asymmetry: a box on the THIRD dimension alone prunes under zorder_n, not under an x-sort") {
+    val dir = Files.createTempDirectory("zorder3-suite-").toString
+    val df = cube()
+    ZOrder.clusterTableN(df, Seq("x", "y", "w"), s"$dir/z", 16, s"$dir/zstats")
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$dir/x")
+    val xStats = spark.read.parquet(s"$dir/x")
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("w")).cast("long").as("min_2"), max(col("w")).cast("long").as("max_2"))
+    val nFiles = spark.read.parquet(s"$dir/zstats").count()
+    assert(nFiles == 16)
+    // w-only box: 1/8 of the w range, all of x and y
+    val zSurvivors = spark.read.parquet(s"$dir/zstats")
+      .filter(col("max_2") >= 0L && col("min_2") <= 1L).count()
+    val xSurvivors = xStats.filter(col("max_2") >= 0L && col("min_2") <= 1L).count()
+    assert(zSurvivors < nFiles,
+      s"3-D z-order must prune a w-only box: $zSurvivors/$nFiles")
+    assert(xSurvivors == 16,
+      "an x-sorted layout cannot prune a w-only box: every file spans all of w")
+    // the pruned read is exact: rows == plain filter, on a mixed box
+    val bounds = Seq((2L, 9L), (0L, 15L), (0L, 3L))
+    val got = ZOrder.prunedReadTableN(spark, s"$dir/zstats",
+      Seq("x", "y", "w"), bounds)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = df.filter(col("x").between(2, 9) && col("w").between(0, 3))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
   test("manifest rectangles cover the data: every row's keys inside its file's min/max") {
     val dir = Files.createTempDirectory("zorder-suite-").toString
     val stats = ZOrder.cluster(grid(), "x", "y", s"$dir/t", 8)

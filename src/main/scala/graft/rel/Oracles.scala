@@ -360,6 +360,18 @@ object Oracles {
          |ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
 
+    // q202: the evolved-table read reconstructed from the raw table —
+    // partitions 0..2 (rewritten after ADD COLUMN) carry the derived
+    // channel, partitions 3..5 (carried forward pre-evolution files)
+    // carry NULL; a mis-conformed cross-boundary read diverges here.
+    "q202_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 6 <= 2 THEN
+        |    (CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END)
+        |  END AS o_channel
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
     // q185: the bloom-skipped point lookup — recomputed from the RAW
     // table, so the gate is on the SKIPPING decision: a file whose
     // bloom was wrongly negative (or wrongly dropped from the manifest)

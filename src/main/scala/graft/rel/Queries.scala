@@ -1250,6 +1250,54 @@ object Queries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Declared query (q202) — SCHEMA EVOLUTION ON A SNAPSHOT TABLE (ADD
+    * COLUMN as a transactional, metadata-only commit): orders snapshot
+    * v0 in the original schema (6 hash partitions), then
+    * [[graft.streaming.Snapshot.evolveAddColumn]] commits v1 — a schema
+    * sidecar plus a pure carry-forward manifest, ZERO data rewrite —
+    * and a post-evolution writer rewrites partitions {0,1,2} with the
+    * new `o_channel` column populated, carrying partitions {3,4,5}
+    * forward from v0 (physically still the OLD schema). The CURRENT
+    * read must therefore cross the evolution boundary inside one scan:
+    * mergeSchema unions the footers and the serving-schema conform
+    * serves typed NULLs for pre-evolution files. The oracle
+    * reconstructs exactly that from the raw table (channel derived for
+    * the rewritten partitions, NULL for the carried ones), so a
+    * mis-conformed read (dropped column, wrong NULL fill, or a
+    * carried-forward file wrongly rewritten) goes red. StreamingSuite
+    * pins the other half of the contract: time travel BELOW the
+    * boundary still serves the old schema with no `o_channel` at all,
+    * the evolution commit created no data dirs, and a duplicate ADD
+    * COLUMN is rejected.
+    */
+  def q202SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft-evolve-").toString + "/t"
+    val orders = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Snapshot.init(root, orders.withColumn("__part",
+      pmod(col("o_orderkey"), lit(6)).cast("int")))
+    Snapshot.evolveAddColumn(spark, root, "o_channel",
+      org.apache.spark.sql.types.StringType)
+    // post-evolution writer: rewrite partitions 0..2 with the column
+    // populated; 3..5 carry forward v0's old-schema files verbatim
+    val man = Snapshot.readManifest(root, Snapshot.currentVersion(root))
+    val touched = Snapshot.readParts(spark, root, man.version, Seq(0, 1, 2)).get
+      .withColumn("o_channel",
+        when(pmod(col("o_orderkey"), lit(2)) === 0, lit("web")).otherwise(lit("store")))
+      .withColumn("__part", pmod(col("o_orderkey"), lit(6)).cast("int"))
+    val newV = man.version + 1
+    Snapshot.clearUncommitted(root, newV)
+    touched.write.partitionBy("__part").parquet(s"$root/v$newV")
+    Snapshot.writeManifest(root,
+      Snapshot.Manifest(newV, man.parts ++ Snapshot.listPartDirs(root, newV)))
+    Snapshot.swapCurrent(root, newV)
+    Snapshot.read(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_channel"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q185 probe constants — orderkeys are dense 0..N−1 at every sf
     * (sf0.001 has 1500 orders), so these exist at every scale.
     */
@@ -1676,6 +1724,7 @@ object Queries {
     "q178_column_histogram" -> (q178ColumnHistogram _),
     "q184_zorder_skipping" -> (q184ZOrderSkipping _),
     "q201_zorder3_skipping" -> (q201ZOrder3Skipping _),
+    "q202_schema_evolution" -> (q202SchemaEvolution _),
     "q185_bloom_skipping" -> (q185BloomSkipping _),
     "q186_scd2_incremental" -> (q186Scd2Incremental _),
     "q187_delete_vectors" -> (q187DeleteVectors _),

@@ -58,6 +58,93 @@ object Snapshot {
     java.nio.file.Paths.get(root, "CURRENT")
   private def manifestPath(root: String, v: Int) =
     java.nio.file.Paths.get(root, s"manifest-v$v.txt")
+  private def schemaPath(root: String, v: Int) =
+    java.nio.file.Paths.get(root, s"schema-v$v.json")
+
+  // ---- SCHEMA EVOLUTION -------------------------------------------------
+  //
+  // A version may carry a `schema-v{N}.json` sidecar (Spark StructType
+  // JSON, immutable like the manifest). The SERVING schema of version v
+  // is the newest sidecar at or below v; versions below the first
+  // sidecar — and whole tables that never evolved — have none and read
+  // exactly as before (plain multi-dir parquet read, zero overhead).
+  // Evolution is a METADATA-ONLY commit: no data file is touched, old
+  // files simply lack the new column and serve NULL for it through a
+  // mergeSchema read conformed to the serving schema. Time travel below
+  // the evolution version therefore serves the OLD schema by
+  // construction — the sidecar, like the manifest, is part of the
+  // version.
+
+  /** The serving schema of `version`: the newest schema sidecar at or
+    * below it, if the table ever evolved.
+    */
+  def servingSchema(root: String, version: Int): Option[org.apache.spark.sql.types.StructType] = {
+    import scala.jdk.CollectionConverters._
+    val vs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+    val best =
+      try vs.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("schema-v") && n.endsWith(".json"))
+        .map(_.stripPrefix("schema-v").stripSuffix(".json").toInt)
+        .filter(_ <= version)
+        .maxOption
+      finally vs.close()
+    best.map { v =>
+      org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(schemaPath(root, v)),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+  }
+
+  /** ADD COLUMN as a transactional commit: version N+1 carries every
+    * partition dir forward VERBATIM (zero data rewrite — the Iceberg
+    * discipline) plus a schema sidecar extending the serving schema
+    * with the new nullable column. Readers at or above N+1 see the
+    * column (NULL until writers backfill it); time travel below N+1
+    * still serves the old schema. Returns the committed version.
+    */
+  def evolveAddColumn(
+      spark: SparkSession, root: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Int = {
+    val cur = currentVersion(root)
+    val man = readManifest(root, cur)
+    val base = servingSchema(root, cur).getOrElse {
+      val donor = man.parts.toSeq.sortBy(_._1).collectFirst {
+        case (_, d) if d != EmptyDir => d
+      }
+      require(donor.nonEmpty, "cannot evolve an all-empty never-evolved table")
+      spark.read.parquet(s"$root/${donor.get}").schema
+    }
+    require(!base.fieldNames.contains(name),
+      s"column $name already exists in ${base.fieldNames.mkString(", ")}")
+    val newV = cur + 1
+    clearUncommitted(root, newV)
+    java.nio.file.Files.deleteIfExists(schemaPath(root, newV)) // crashed attempt
+    java.nio.file.Files.write(schemaPath(root, newV),
+      base.add(name, dataType, nullable = true).json
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    writeManifest(root, Manifest(newV, man.parts))
+    swapCurrent(root, newV)
+    newV
+  }
+
+  /** Conform a frame to the serving schema: columns the physical files
+    * predate are added as typed NULLs, and the projection fixes the
+    * declared column order.
+    */
+  private def conform(
+      df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    val cols = schema.fields.map { f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
 
   def currentVersion(root: String): Int =
     new String(java.nio.file.Files.readAllBytes(currentPath(root)),
@@ -97,6 +184,9 @@ object Snapshot {
       s"refusing to clear v$version: CURRENT is ${currentVersion(root)}")
     deleteRecursively(java.nio.file.Paths.get(root, s"v$version"))
     java.nio.file.Files.deleteIfExists(manifestPath(root, version))
+    // a crashed ADD COLUMN attempt's sidecar must not attach itself to
+    // an unrelated later commit of the same version number
+    java.nio.file.Files.deleteIfExists(schemaPath(root, version))
   }
 
   /** Retention GC: keep the last `keepLast` committed versions (their
@@ -363,9 +453,18 @@ object Snapshot {
     */
   def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(root))
+    val schema = servingSchema(root, v)
     val dirs = readManifest(root, v).parts.toSeq.sortBy(_._1)
       .collect { case (_, d) if d != EmptyDir => s"$root/$d" }
-    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    if (dirs.nonEmpty) schema match {
+      // evolved table: dirs from before the boundary physically lack the
+      // added columns — mergeSchema unions the footers, conform fills
+      // the typed NULLs and fixes the declared order. Never-evolved
+      // tables take the plain read below: zero footer-merge overhead.
+      case Some(s) =>
+        conform(spark.read.option("mergeSchema", "true").parquet(dirs: _*), s)
+      case None => spark.read.parquet(dirs: _*)
+    }
     else {
       // a fully-deleted table is a LEGAL committed state: serve an empty
       // frame in the table's schema, recovered from the newest still-on-
@@ -401,8 +500,9 @@ object Snapshot {
       }
       val donor = fromManifests.orElse(fromDisk)
       require(donor.nonEmpty, s"snapshot $root never held data: no schema to serve")
-      spark.read.parquet(donor.get)
+      val empty = spark.read.parquet(donor.get)
         .filter(org.apache.spark.sql.functions.lit(false))
+      schema.map(conform(empty, _)).getOrElse(empty)
     }
   }
 
@@ -414,6 +514,11 @@ object Snapshot {
     val man = readManifest(root, version)
     val dirs = ps.flatMap(p => man.parts.get(p))
       .filter(_ != EmptyDir).map(d => s"$root/$d")
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    if (dirs.isEmpty) None
+    else Some(servingSchema(root, version) match {
+      case Some(s) =>
+        conform(spark.read.option("mergeSchema", "true").parquet(dirs: _*), s)
+      case None => spark.read.parquet(dirs: _*)
+    })
   }
 }

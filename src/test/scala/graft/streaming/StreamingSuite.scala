@@ -813,6 +813,61 @@ class StreamingSuite extends AnyFunSuite {
     assert(afterSwap.length == 12 && afterSwap.forall(_.getString(1) == "CRASHED"))
   }
 
+  test("q202 schema evolution: metadata-only commit, NULL fill across the boundary, old-schema time travel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = java.nio.file.Files.createTempDirectory("graft-evolve-suite-").toString + "/t"
+    val base = (0L until 12L).map(k => (k, s"v$k")).toDF("k", "val")
+      .withColumn("__part", pmod(col("k"), lit(3)).cast("int"))
+    Snapshot.init(root, base)
+    val v1 = Snapshot.evolveAddColumn(spark, root, "tag",
+      org.apache.spark.sql.types.IntegerType)
+    assert(v1 == 1)
+    // metadata-only: v1 committed NO data dirs — every manifest entry
+    // still points into v0
+    assert(Snapshot.readManifest(root, 1).parts.values.forall(_.startsWith("v0/")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "v1")))
+    // the new column serves as typed NULL before any backfill
+    val atV1 = Snapshot.read(spark, root)
+    assert(atV1.schema.fieldNames.toSeq == Seq("k", "val", "tag"))
+    assert(atV1.schema("tag").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(atV1.collect().forall(_.isNullAt(2)))
+    // a post-evolution writer backfills ONE partition; the rest carry
+    // old-schema files — the cross-boundary read fills NULLs only there
+    val man = Snapshot.readManifest(root, 1)
+    val touched = Snapshot.readParts(spark, root, 1, Seq(0)).get
+      .withColumn("tag", (col("k") * 10).cast("int"))
+      .withColumn("__part", pmod(col("k"), lit(3)).cast("int"))
+    Snapshot.clearUncommitted(root, 2)
+    touched.write.partitionBy("__part").parquet(s"$root/v2")
+    Snapshot.writeManifest(root,
+      Snapshot.Manifest(2, man.parts ++ Snapshot.listPartDirs(root, 2)))
+    Snapshot.swapCurrent(root, 2)
+    val cur = Snapshot.read(spark, root).collect()
+    assert(cur.length == 12)
+    cur.foreach { r =>
+      val k = r.getLong(0)
+      if (k % 3 == 0) assert(r.getInt(2) == k * 10, s"backfilled part wrong at $k")
+      else assert(r.isNullAt(2), s"carried old-schema row must serve NULL at $k")
+    }
+    // time travel BELOW the boundary: the old schema, no tag at all
+    val v0 = Snapshot.read(spark, root, Some(0))
+    assert(v0.schema.fieldNames.toSeq == Seq("k", "val"))
+    assert(v0.count() == 12)
+    // duplicate ADD COLUMN rejected; crash-window sidecar is cleared
+    intercept[IllegalArgumentException](
+      Snapshot.evolveAddColumn(spark, root, "tag",
+        org.apache.spark.sql.types.IntegerType))
+    // a crashed evolve attempt (sidecar written, no swap) must not
+    // attach its schema to an unrelated later commit of that version
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "schema-v3.json"),
+      "{}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Snapshot.clearUncommitted(root, 3)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "schema-v3.json")))
+  }
+
   test("q200 CDF refresh: intermediate view == horizon-1 recompute; delete batch removes keys") {
     import spark.implicits._
     import graft.rel.DeleteVectors

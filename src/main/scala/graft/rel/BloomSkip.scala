@@ -212,16 +212,24 @@ object BloomSkip {
     * pruning decision, then open ONLY the surviving files with the
     * exact predicate as the residual filter.
     */
+  /** Typed empty frame in the table's schema, sourced from one
+    * manifest-listed file — the legal zero-survivors result, shared by
+    * every table-form pruned read (bloom and z-order).
+    */
+  private[rel] def emptyFromManifest(
+      spark: SparkSession, manifestDir: String, what: String): DataFrame = {
+    import spark.implicits._
+    val any = spark.read.parquet(manifestDir).select("file").as[String].head(1)
+    require(any.nonEmpty, s"empty manifest table: table was never $what")
+    spark.read.parquet(any.head).filter(lit(false))
+  }
+
   def prunedReadTable(
       spark: SparkSession, manifestDir: String, keyCol: String,
       keys: Seq[Long]): DataFrame = {
-    import spark.implicits._
     val files = candidatesTable(spark, manifestDir, keys)
-    if (files.isEmpty) {
-      val any = spark.read.parquet(manifestDir).select("file").as[String].head(1)
-      require(any.nonEmpty, "empty manifest table: table was never indexed")
-      spark.read.parquet(any.head).filter(lit(false))
-    } else spark.read.parquet(files: _*)
+    if (files.isEmpty) emptyFromManifest(spark, manifestDir, "indexed")
+    else spark.read.parquet(files: _*)
       .filter(col(keyCol).isin(keys: _*))
   }
 
@@ -241,11 +249,8 @@ object BloomSkip {
       else {
         val keys = keyRows.map(_.getLong(0)).toSeq
         val files = candidatesTable(spark, manifestDir, keys)
-        if (files.isEmpty) {
-          val any = spark.read.parquet(manifestDir).select("file").as[String].head(1)
-          require(any.nonEmpty, "empty manifest table: table was never indexed")
-          spark.read.parquet(any.head).filter(lit(false))
-        } else spark.read.parquet(files: _*)
+        if (files.isEmpty) emptyFromManifest(spark, manifestDir, "indexed")
+        else spark.read.parquet(files: _*)
       }
     fact.join(broadcast(dim), fact(factKeyCol) === dim(dimKeyCol))
   }

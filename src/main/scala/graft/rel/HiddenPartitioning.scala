@@ -51,15 +51,46 @@ object HiddenPartitioning {
       java.util.TimeZone.getDefault.getID)
 
   /** Lay `df` out day-partitioned by the transform `day(tsCol)`; the
-    * evaluation zone is recorded alongside the layout ([[ZoneMetaFile]]).
+    * evaluation zone is recorded alongside the layout ([[ZoneMetaFile]],
+    * written through the Hadoop FileSystem of the PATH so remote stores
+    * work like the data write itself).
     */
   def writeDayPartitioned(df: DataFrame, tsCol: String, dir: String): Unit = {
     df.withColumn(DayCol, to_date(col(tsCol)))
       .write.partitionBy(DayCol).parquet(dir)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, ZoneMetaFile),
-      sessionZone(df.sparkSession)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val p = new org.apache.hadoop.fs.Path(dir, ZoneMetaFile)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(sessionZone(df.sparkSession)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def recordedZone(spark: SparkSession, dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, ZoneMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** Parse a bound string to an instant EXACTLY as `cast(lit(s) as
+    * timestamp)` will in the residual filter (Catalyst's own Cast,
+    * evaluated driver-side under the reader's session zone — no Spark
+    * job, no reimplemented parser). None for an unparseable string,
+    * mirroring the non-ANSI cast's NULL.
+    */
+  private def parseBound(spark: SparkSession, s: String): Option[java.time.Instant] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    Option(Cast(Literal(s), org.apache.spark.sql.types.TimestampType,
+      Some(sessionZone(spark))).eval(null))
+      .map(us => java.time.Instant.EPOCH.plus(
+        us.asInstanceOf[Long], java.time.temporal.ChronoUnit.MICROS))
   }
 
   /** Range read on the RAW timestamp — the day-partition predicate is
@@ -71,28 +102,27 @@ object HiddenPartitioning {
     * side on the two literal instants, so the partition predicate is a
     * pair of foldable date literals (prunes at listing time). Tables
     * written before the zone was recorded fall back to the session
-    * zone — the pre-r16 same-session contract.
+    * zone — the pre-r16 same-session contract. An unparseable bound is
+    * a defined EMPTY result (the residual cast would be NULL), never a
+    * crash.
     */
   def readTsRange(
       spark: SparkSession, dir: String, tsCol: String,
       lo: String, hi: String): DataFrame = {
-    val zonePath = java.nio.file.Paths.get(dir, ZoneMetaFile)
     val zone = java.time.ZoneId.of(
-      if (java.nio.file.Files.exists(zonePath))
-        new String(java.nio.file.Files.readAllBytes(zonePath),
-          java.nio.charset.StandardCharsets.UTF_8)
-      else sessionZone(spark))
-    // the bound strings as instants, parsed exactly as the residual
-    // filter will parse them (reader session zone — no reimplementation)
-    val row = spark.range(1)
-      .select(lit(lo).cast("timestamp"), lit(hi).cast("timestamp")).head()
-    def dayIn(i: Int): java.sql.Date = java.sql.Date.valueOf(
-      java.time.LocalDate.ofInstant(row.getTimestamp(i).toInstant, zone))
-    spark.read.parquet(dir)
-      .filter(col(DayCol).between(lit(dayIn(0)), lit(dayIn(1))))
-      .filter(col(tsCol) >= lit(lo).cast("timestamp") &&
-        col(tsCol) < lit(hi).cast("timestamp"))
-      .drop(DayCol)
+      recordedZone(spark, dir).getOrElse(sessionZone(spark)))
+    (parseBound(spark, lo), parseBound(spark, hi)) match {
+      case (Some(loI), Some(hiI)) =>
+        def dayIn(i: java.time.Instant): java.sql.Date =
+          java.sql.Date.valueOf(java.time.LocalDate.ofInstant(i, zone))
+        spark.read.parquet(dir)
+          .filter(col(DayCol).between(lit(dayIn(loI)), lit(dayIn(hiI))))
+          .filter(col(tsCol) >= lit(lo).cast("timestamp") &&
+            col(tsCol) < lit(hi).cast("timestamp"))
+          .drop(DayCol)
+      case _ => // NULL bound: the residual matches nothing
+        spark.read.parquet(dir).filter(lit(false)).drop(DayCol)
+    }
   }
 
   /** Lay `df` out bucket-partitioned by `bucket(n, keyCol)` — Spark's

@@ -1231,16 +1231,13 @@ object Queries {
     val li = table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity"))
-    ZOrder.clusterTableN(li, ZOrder3Cols, s"$tmp/li", ZOrderFiles, s"$tmp/stats")
     // the output zval re-derives the clustering key with the SAME
-    // global min/max the cluster write used (one scalar agg over the
-    // same input frame)
-    val mmAggs = ZOrder3Cols.flatMap(c =>
-      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
-    val mm = li.agg(mmAggs.head, mmAggs.tail: _*).head()
+    // global min/max the cluster write computed — returned, not re-scanned
+    val mm = ZOrder.clusterTableN(li, ZOrder3Cols, s"$tmp/li", ZOrderFiles,
+      s"$tmp/stats")
     val bits = 63 / ZOrder3Cols.size
     val qcols = ZOrder3Cols.zipWithIndex.map { case (c, i) =>
-      ZOrder.quantize(col(c), mm.getLong(2 * i), mm.getLong(2 * i + 1), bits)
+      ZOrder.quantize(col(c), mm(i)._1, mm(i)._2, bits)
     }
     graft.functions.GraftFunctions.register(spark)
     ZOrder.prunedReadTableN(spark, s"$tmp/stats", ZOrder3Cols, ZOrder3Box)

@@ -72,29 +72,40 @@ object Scd2 {
     // event at the same timestamp, so the seed is always the chain head
     val seed = touchedBase.filter(col("is_current"))
       .select(col("user_id"), col("seg").as("event_type"),
-        col("valid_from").as("ts"), lit(-1L).as("event_id"))
+        col("valid_from").as("ts"), lit(-1L).as("event_id"),
+        lit(true).as("__seed"))
     val chain = seed.unionByName(
       delta.select(col("user_id"), col("event_type"), col("ts"),
-        col("event_id").cast("long")))
+        col("event_id").cast("long"), lit(false).as("__seed")))
     // retro-dated guard: every real delta event must be at or after its
     // user's seed ts (users new to the table have no seed — unchecked by
-    // construction). The error is woven into the ts column itself so the
-    // optimizer cannot prune it.
+    // construction). Seeds are identified by the explicit __seed marker,
+    // NOT the event_id −1 sentinel — an in-band −1 in the delta would
+    // both poison the seed detection and break fromChangeLog's
+    // seed-sorts-first tie-break, so negative delta ids are rejected
+    // outright. Both errors are woven into the ts column itself so the
+    // optimizer cannot prune them.
     val byUser = Window.partitionBy("user_id")
     val checked = chain
       .withColumn("_seed_ts",
-        max(when(col("event_id") === -1L, col("ts"))).over(byUser))
+        max(when(col("__seed"), col("ts"))).over(byUser))
       .withColumn("ts",
-        when(
-          col("event_id") =!= -1L && col("_seed_ts").isNotNull &&
-            col("ts") < col("_seed_ts"),
+        when(!col("__seed") && col("event_id") < 0L,
           raise_error(concat(
-            lit("Scd2.applyDelta: retro-dated delta event for user_id="),
+            lit("Scd2.applyDelta: negative event_id in delta for user_id="),
             col("user_id").cast("string"),
-            lit(" (ts precedes the open row's valid_from; deltas must be appends)")))
+            lit(" (reserved for the open-row seed's tie-break)")))
             .cast("timestamp"))
+          .when(
+            !col("__seed") && col("_seed_ts").isNotNull &&
+              col("ts") < col("_seed_ts"),
+            raise_error(concat(
+              lit("Scd2.applyDelta: retro-dated delta event for user_id="),
+              col("user_id").cast("string"),
+              lit(" (ts precedes the open row's valid_from; deltas must be appends)")))
+              .cast("timestamp"))
           .otherwise(col("ts")))
-      .drop("_seed_ts")
+      .drop("_seed_ts", "__seed")
     carry.unionByName(closed).unionByName(fromChangeLog(checked))
   }
 }

@@ -36,6 +36,27 @@ object ZOrder {
   final case class FileStats(
       file: String, minX: Long, maxX: Long, minY: Long, maxY: Long)
 
+  /** The ONE clustered-write + per-file stats kernel both manifest
+    * forms share: write `df` range-partitioned and sorted by `zCol`
+    * into `numFiles` files at `dir`, and return the UNCOLLECTED stats
+    * frame (`file, min_x, max_x, min_y, max_y`) for the caller to
+    * collect (driver form) or write (table form).
+    */
+  private def clusteredWrite(
+      df: DataFrame, zCol: org.apache.spark.sql.Column,
+      xCol: String, yCol: String, dir: String, numFiles: Int): DataFrame = {
+    df.withColumn("__z", zCol)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.parquet(dir)
+    df.sparkSession.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        min(col(xCol)).cast("long").as("min_x"), max(col(xCol)).cast("long").as("max_x"),
+        min(col(yCol)).cast("long").as("min_y"), max(col(yCol)).cast("long").as("max_y"))
+  }
+
   /** Rewrite `df` clustered by the Morton value of (`xCol`, `yCol`) into
     * `numFiles` range-partitioned, z-sorted parquet files at `dir`, and
     * return the per-file min/max stats manifest (computed by one
@@ -44,18 +65,10 @@ object ZOrder {
   def cluster(
       df: DataFrame, xCol: String, yCol: String,
       dir: String, numFiles: Int): Seq[FileStats] = {
-    val spark = df.sparkSession
-    GraftFunctions.register(spark)
-    df.withColumn("__z", GraftFunctions.zorder2(col(xCol).cast("long"), col(yCol).cast("long")))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.parquet(dir)
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("file"))
-      .agg(
-        min(col(xCol)).cast("long").as("min_x"), max(col(xCol)).cast("long").as("max_x"),
-        min(col(yCol)).cast("long").as("min_y"), max(col(yCol)).cast("long").as("max_y"))
+    GraftFunctions.register(df.sparkSession)
+    clusteredWrite(df,
+      GraftFunctions.zorder2(col(xCol).cast("long"), col(yCol).cast("long")),
+      xCol, yCol, dir, numFiles)
       .collect()
       .map(r => FileStats(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSeq.sortBy(_.file)
@@ -76,18 +89,10 @@ object ZOrder {
   def clusterTable(
       df: DataFrame, xCol: String, yCol: String,
       dir: String, numFiles: Int, statsDir: String): Unit = {
-    val spark = df.sparkSession
-    GraftFunctions.register(spark)
-    df.withColumn("__z", GraftFunctions.zorder2(col(xCol).cast("long"), col(yCol).cast("long")))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.parquet(dir)
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("file"))
-      .agg(
-        min(col(xCol)).cast("long").as("min_x"), max(col(xCol)).cast("long").as("max_x"),
-        min(col(yCol)).cast("long").as("min_y"), max(col(yCol)).cast("long").as("max_y"))
+    GraftFunctions.register(df.sparkSession)
+    clusteredWrite(df,
+      GraftFunctions.zorder2(col(xCol).cast("long"), col(yCol).cast("long")),
+      xCol, yCol, dir, numFiles)
       .write.parquet(statsDir)
   }
 
@@ -114,11 +119,8 @@ object ZOrder {
     import spark.implicits._
     val files = overlappingFiles(spark, statsDir, x1, x2, y1, y2)
       .as[String].collect().toIndexedSeq.sorted
-    if (files.isEmpty) {
-      val any = spark.read.parquet(statsDir).select("file").as[String].head(1)
-      require(any.nonEmpty, "empty stats table: table was never clustered")
-      spark.read.parquet(any.head).filter(lit(false))
-    } else spark.read.parquet(files: _*)
+    if (files.isEmpty) BloomSkip.emptyFromManifest(spark, statsDir, "clustered")
+    else spark.read.parquet(files: _*)
       .filter(col(xCol).between(x1, x2) && col(yCol).between(y1, y2))
   }
 
@@ -153,9 +155,13 @@ object ZOrder {
     * any Long-domain column clusters; the stats are over the RAW
     * values, so pruning never trusts the quantization.
     */
+  /** Returns the global (min, max) per clustering column — the grid the
+    * quantization used — so callers re-deriving the z-value (q201's
+    * output) reuse it instead of re-scanning the table.
+    */
   def clusterTableN(
       df: DataFrame, cols: Seq[String],
-      dir: String, numFiles: Int, statsDir: String): Unit = {
+      dir: String, numFiles: Int, statsDir: String): Seq[(Long, Long)] = {
     require(cols.size >= 2, s"clusterTableN needs >= 2 columns, got $cols")
     val spark = df.sparkSession
     GraftFunctions.register(spark)
@@ -179,6 +185,7 @@ object ZOrder {
       .groupBy(input_file_name().as("file"))
       .agg(statAggs.head, statAggs.tail: _*)
       .write.parquet(statsDir)
+    cols.indices.map(i => (mm.getLong(2 * i), mm.getLong(2 * i + 1)))
   }
 
   /** N-dimensional box read through the table-form stats: the overlap
@@ -199,11 +206,8 @@ object ZOrder {
     val residual = cols.zip(bounds).map { case (c, (lo, hi)) =>
       col(c).between(lo, hi)
     }.reduce(_ && _)
-    if (files.isEmpty) {
-      val any = spark.read.parquet(statsDir).select("file").as[String].head(1)
-      require(any.nonEmpty, "empty stats table: table was never clustered")
-      spark.read.parquet(any.head).filter(lit(false))
-    } else spark.read.parquet(files: _*).filter(residual)
+    if (files.isEmpty) BloomSkip.emptyFromManifest(spark, statsDir, "clustered")
+    else spark.read.parquet(files: _*).filter(residual)
   }
 
   /** The files of `stats` whose min/max rectangle intersects the box —

@@ -119,8 +119,7 @@ object Snapshot {
     require(!base.fieldNames.contains(name),
       s"column $name already exists in ${base.fieldNames.mkString(", ")}")
     val newV = cur + 1
-    clearUncommitted(root, newV)
-    java.nio.file.Files.deleteIfExists(schemaPath(root, newV)) // crashed attempt
+    clearUncommitted(root, newV) // also clears a crashed attempt's sidecar
     java.nio.file.Files.write(schemaPath(root, newV),
       base.add(name, dataType, nullable = true).json
         .getBytes(java.nio.charset.StandardCharsets.UTF_8),

@@ -98,6 +98,15 @@ class Scd2Suite extends AnyFunSuite {
     // the guard is inert on a compliant delta (same user, ts at the seam)
     val ok = Scd2.applyDelta(base, log((1L, "c", "2024-01-03 00:00:00", 10L)))
     assert(ok.count() == 3)
+    // a delta row carrying the reserved seed id is rejected, not allowed
+    // to poison seed detection or the seed-sorts-first tie-break
+    val e2 = intercept[Exception] {
+      Scd2.applyDelta(base, log(
+        (1L, "c", "2024-01-10 00:00:00", -1L),
+        (1L, "d", "2024-01-05 00:00:00", 5L))).collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("negative event_id"),
+      s"expected the negative-id guard, got: ${e2.getMessage}")
   }
 
   test("empty delta: history unchanged") {

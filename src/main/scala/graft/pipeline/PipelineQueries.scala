@@ -192,7 +192,8 @@ object PipelineQueries {
     "q181_video_bframes" -> (Video.gvcBFeatures _),
     "q182_adpcm_decode" -> (Multimodal.adpcmFeatures _),
     "q183_snapshot_compaction" -> (Events.snapshotCompaction _),
-    "q200_stream_cdf_refresh" -> (Events.streamCdfRefreshFinal _)
+    "q200_stream_cdf_refresh" -> (Events.streamCdfRefreshFinal _),
+    "q203_snapshot_zorder3" -> (Events.snapshotClustered3Compaction _)
   )
 
   // ---- GVC oracle generators (shared by q180 and q181) -------------------
@@ -1591,6 +1592,10 @@ object PipelineQueries {
     // maintenance too — q93's oracle yet again; the clustering win
     // itself (tighter per-file rectangles) is pinned in StreamingSuite.
     "q197_snapshot_zorder" -> graft.rel.Oracles.all("q93_merge_upsert"),
+    // q203: the N-way clustered rewrite is content-neutral exactly like
+    // q197 — same oracle; the third dimension's pruning win is pinned
+    // in StreamingSuite.
+    "q203_snapshot_zorder3" -> graft.rel.Oracles.all("q93_merge_upsert"),
     // q177: the snapshot AS OF version N−1 (manifest time travel) must
     // equal base MERGE'd with only the first two key-split batches —
     // q93's oracle with the change feed restricted to k % 3 <> 2.

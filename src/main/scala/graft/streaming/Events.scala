@@ -1221,6 +1221,26 @@ object Events {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Declared query (q203) — q197 at real OPTIMIZE ZORDER BY arity:
+    * every live partition rewritten clustered by the THREE-way
+    * interleave of (o_custkey, o_orderkey, o_totalprice)
+    * ([[Snapshot.compactClusteredN]] — per-partition quantization grid,
+    * [[graft.functions.ZOrderN]] z-value) under the same manifest-swap
+    * commit. Content must be IDENTICAL to q156's — the same DuckDB
+    * oracle — so the N-way layout tier composes with the transactional
+    * commit as pure maintenance; StreamingSuite pins that per-file
+    * rectangles tighten in the THIRD dimension too (a totalprice box
+    * prunes files the 2-D clustering could not).
+    */
+  def snapshotClustered3Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val snapRoot = mergeSinkDrainCopy(spark, dir)
+    Snapshot.compactClusteredN(spark, snapRoot,
+      Seq("o_custkey", "o_orderkey", "o_totalprice"))
+    Snapshot.read(spark, snapRoot)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Per-row integral milli-units for the CDF-maintained view: prices
     * in this pipeline have ≤3 decimal digits (raw cents, ×1.10
     * reprices, +5000 bumps), so `round(price·1000)` is never a

@@ -375,7 +375,48 @@ object Snapshot {
     */
   def compactClustered(
       spark: SparkSession, root: String, xCol: String, yCol: String,
+      targetBytes: Long = 128L << 20): CompactStats =
+    clusteredRewrite(spark, root, targetBytes) { df =>
+      graft.functions.GraftFunctions.zorder2(
+        org.apache.spark.sql.functions.col(xCol).cast("long"),
+        org.apache.spark.sql.functions.col(yCol).cast("long"))
+    }
+
+  /** [[compactClustered]] at real OPTIMIZE ZORDER BY arity: N clustering
+    * columns via the N-way interleave ([[graft.functions.ZOrderN]]),
+    * each quantized onto the ⌊63/N⌋-bit grid from ITS PARTITION's
+    * min/max ([[graft.rel.ZOrder.quantize]] — one scalar agg per
+    * partition, exact integer step math). Per-partition grids are
+    * correct because clustering only ever orders rows WITHIN a
+    * partition's rewrite; cross-partition placement is the hash
+    * partitioning's job.
+    */
+  def compactClusteredN(
+      spark: SparkSession, root: String, cols: Seq[String],
       targetBytes: Long = 128L << 20): CompactStats = {
+    require(cols.size >= 2, s"compactClusteredN needs >= 2 columns, got $cols")
+    val bits = 63 / cols.size
+    clusteredRewrite(spark, root, targetBytes) { df =>
+      import org.apache.spark.sql.functions.{col, max, min}
+      val mmAggs = cols.flatMap(c =>
+        Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+      val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
+      graft.functions.GraftFunctions.zorderN(
+        cols.zipWithIndex.map { case (c, i) =>
+          graft.rel.ZOrder.quantize(col(c), mm.getLong(2 * i),
+            mm.getLong(2 * i + 1), bits)
+        }: _*)
+    }
+  }
+
+  /** The ONE clustered-rewrite kernel both arities share: every live
+    * partition rewritten range-partitioned + sorted by the z-value
+    * `zOf` derives from the partition's frame, under the same
+    * manifest + CURRENT-swap protocol.
+    */
+  private def clusteredRewrite(
+      spark: SparkSession, root: String, targetBytes: Long)(
+      zOf: DataFrame => org.apache.spark.sql.Column): CompactStats = {
     require(targetBytes > 0, "targetBytes must be positive")
     graft.functions.GraftFunctions.register(spark)
     val cur = currentVersion(root)
@@ -390,9 +431,8 @@ object Snapshot {
       val bytes = fs.map(java.nio.file.Files.size(_)).sum
       val t = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       import org.apache.spark.sql.functions.col
-      spark.read.parquet(s"$root/$d")
-        .withColumn("__z", graft.functions.GraftFunctions.zorder2(
-          col(xCol).cast("long"), col(yCol).cast("long")))
+      val df = spark.read.parquet(s"$root/$d")
+      df.withColumn("__z", zOf(df))
         .repartitionByRange(t, col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")

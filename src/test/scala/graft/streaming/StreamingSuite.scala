@@ -786,6 +786,54 @@ class StreamingSuite extends AnyFunSuite {
       s"a custkey box must skip more files after clustering: $skippedBefore -> $skippedAfter")
   }
 
+  test("q203 3-col clustered compaction: the THIRD dimension's rectangles tighten vs the 2-D layout; content intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min, pmod}
+    // price decorrelated from BOTH 2-D clustering keys, so under the
+    // (custkey, orderkey) layout every file spans ~the whole price
+    // domain and only the 3-way interleave can tighten it
+    def stage(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft-snap-z3-").toString
+      val base = (0L until 4800L).map(k =>
+        (k, (k * 7919L) % 4800L, s"S$k", ((k * 6271L) % 4800L) * 1.5))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+        .withColumn("__part", pmod(col("o_orderkey"), lit(Events.MergeSnapParts)).cast("int"))
+      Snapshot.init(s"$root/snap", base)
+      s"$root/snap"
+    }
+    def priceSpans(snap: String): Seq[(Double, Double)] = Snapshot.read(spark, snap)
+      .groupBy(input_file_name())
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    def meanSpan(s: Seq[(Double, Double)]) = s.map(x => x._2 - x._1).sum / s.length
+    val snap2 = stage()
+    val snap3 = stage()
+    val content = Snapshot.read(spark, snap3).collect().map(_.toString).sorted.toSeq
+    Snapshot.compactClustered(spark, snap2, "o_custkey", "o_orderkey",
+      targetBytes = 1024L)
+    val stats3 = Snapshot.compactClusteredN(spark, snap3,
+      Seq("o_custkey", "o_orderkey", "o_totalprice"), targetBytes = 1024L)
+    assert(stats3.rewritten == (0 until Events.MergeSnapParts).toSeq, stats3)
+    // content identical under the N-way rewrite; v0 still time-travels
+    assert(Snapshot.read(spark, snap3)
+      .collect().map(_.toString).sorted.toSeq == content)
+    assert(Snapshot.read(spark, snap3, Some(0))
+      .collect().map(_.toString).sorted.toSeq == content)
+    // the third dimension's win: price rectangles tighten under the
+    // 3-way interleave; the 2-D layout leaves them near-full-domain
+    val spans2 = priceSpans(snap2)
+    val spans3 = priceSpans(snap3)
+    assert(spans3.length > Events.MergeSnapParts, s"${spans3.length}")
+    assert(meanSpan(spans3) < meanSpan(spans2) / 2,
+      s"3-col clustering must tighten price rectangles: 2-D=${meanSpan(spans2)}, 3-D=${meanSpan(spans3)}")
+    val (b1, b2) = (1000.0, 2000.0)
+    val skipped2 = spans2.count(s => s._2 < b1 || s._1 > b2)
+    val skipped3 = spans3.count(s => s._2 < b1 || s._1 > b2)
+    assert(skipped3 > skipped2,
+      s"a price box must skip more files under the 3-col layout: $skipped2 -> $skipped3")
+  }
+
   test("snapshot commit is atomic: a crash between data write and pointer swap is invisible") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}

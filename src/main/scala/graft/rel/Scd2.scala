@@ -90,11 +90,12 @@ object Scd2 {
       .withColumn("_seed_ts",
         max(when(col("__seed"), col("ts"))).over(byUser))
       .withColumn("ts",
-        when(!col("__seed") && col("event_id") < 0L,
+        when(!col("__seed") && (col("event_id").isNull || col("event_id") < 0L),
           raise_error(concat(
-            lit("Scd2.applyDelta: negative event_id in delta for user_id="),
+            lit("Scd2.applyDelta: null or negative event_id in delta for user_id="),
             col("user_id").cast("string"),
-            lit(" (reserved for the open-row seed's tie-break)")))
+            lit(" (ids must be non-negative; negatives and NULLs break the"),
+            lit(" seed-sorts-first tie-break)")))
             .cast("timestamp"))
           .when(
             !col("__seed") && col("_seed_ts").isNotNull &&

@@ -397,11 +397,16 @@ object Snapshot {
     require(cols.size >= 2, s"compactClusteredN needs >= 2 columns, got $cols")
     val bits = 63 / cols.size
     clusteredRewrite(spark, root, targetBytes) { df =>
-      import org.apache.spark.sql.functions.{col, max, min}
+      import org.apache.spark.sql.functions.{col, lit, max, min}
       val mmAggs = cols.flatMap(c =>
         Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
       val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
-      graft.functions.GraftFunctions.zorderN(
+      // a zero-row partition (or an all-NULL clustering column) has no
+      // grid — there is nothing to order, so a constant z is correct
+      // (compact/compactClustered never aggregate and tolerate the same
+      // partitions implicitly)
+      if ((0 until 2 * cols.size).exists(mm.isNullAt)) lit(0L)
+      else graft.functions.GraftFunctions.zorderN(
         cols.zipWithIndex.map { case (c, i) =>
           graft.rel.ZOrder.quantize(col(c), mm.getLong(2 * i),
             mm.getLong(2 * i + 1), bits)

@@ -107,6 +107,16 @@ class Scd2Suite extends AnyFunSuite {
     }
     assert(e2.getMessage != null && e2.getMessage.contains("negative event_id"),
       s"expected the negative-id guard, got: ${e2.getMessage}")
+    // a NULL delta id is rejected too (asc-nulls-first would displace
+    // the seed as chain head and silently diverge)
+    import spark.implicits._
+    val nullId = Seq((1L, "c", ts("2024-01-03 00:00:00"), None: Option[Long]))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val e3 = intercept[Exception] {
+      Scd2.applyDelta(base, nullId).collect()
+    }
+    assert(e3.getMessage != null && e3.getMessage.contains("negative event_id"),
+      s"expected the null-id guard, got: ${e3.getMessage}")
   }
 
   test("empty delta: history unchanged") {

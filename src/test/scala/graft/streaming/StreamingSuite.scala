@@ -832,6 +832,20 @@ class StreamingSuite extends AnyFunSuite {
     val skipped3 = spans3.count(s => s._2 < b1 || s._1 > b2)
     assert(skipped3 > skipped2,
       s"a price box must skip more files under the 3-col layout: $skipped2 -> $skipped3")
+    // an all-NULL clustering column has no grid: the rewrite degrades to
+    // a constant z (content preserved) instead of NPEing mid-compaction
+    val rootN = java.nio.file.Files.createTempDirectory("graft-snap-z3n-").toString
+    val withNull = (0L until 60L).map(k => (k, k % 7L, s"S$k"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+      .withColumn("o_totalprice",
+        org.apache.spark.sql.functions.lit(null).cast("double"))
+      .withColumn("__part", pmod(col("o_orderkey"), lit(2)).cast("int"))
+    Snapshot.init(s"$rootN/snap", withNull)
+    val want = Snapshot.read(spark, s"$rootN/snap").collect().map(_.toString).sorted.toSeq
+    Snapshot.compactClusteredN(spark, s"$rootN/snap",
+      Seq("o_custkey", "o_orderkey", "o_totalprice"), targetBytes = 1024L)
+    assert(Snapshot.read(spark, s"$rootN/snap")
+      .collect().map(_.toString).sorted.toSeq == want)
   }
 
   test("snapshot commit is atomic: a crash between data write and pointer swap is invisible") {

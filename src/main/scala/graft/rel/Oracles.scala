@@ -372,6 +372,14 @@ object Oracles {
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
+    // q204: the renamed-column read — the raw table aliased: a dropped
+    // name mapping (old files serving NULL) or a stale physical name
+    // diverges here.
+    "q204_schema_rename" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice AS o_amount
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
     // q185: the bloom-skipped point lookup — recomputed from the RAW
     // table, so the gate is on the SKIPPING decision: a file whose
     // bloom was wrongly negative (or wrongly dropped from the manifest)

@@ -1304,6 +1304,45 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Declared query (q204) — COLUMN RENAME across the evolution
+    * boundary (q202's sibling): orders snapshot v0, then
+    * [[graft.streaming.Snapshot.evolveRenameColumn]] commits
+    * `o_totalprice` → `o_amount` as a metadata-only name-mapping (the
+    * prior physical name recorded in field metadata, ZERO data
+    * rewrite), and a post-rename writer rewrites partitions {0,1,2}
+    * under the NEW physical name while {3,4,5} carry v0's files still
+    * holding `o_totalprice`. The CURRENT read must resolve BOTH
+    * physical names to the one declared column (coalesce through the
+    * prior-name chain) — the oracle is simply the raw table aliased,
+    * so a dropped mapping (NULLs from old files) or a stale name goes
+    * red. StreamingSuite pins the rest: time travel below the boundary
+    * serves the OLD name, rename-then-add composes, and a double
+    * rename resolves through the full prior chain.
+    */
+  def q204SchemaRename(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft-rename-").toString + "/t"
+    val orders = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Snapshot.init(root, orders.withColumn("__part",
+      pmod(col("o_orderkey"), lit(6)).cast("int")))
+    Snapshot.evolveRenameColumn(spark, root, "o_totalprice", "o_amount")
+    val man = Snapshot.readManifest(root, Snapshot.currentVersion(root))
+    // post-rename writer: partitions 0..2 rewritten under the new
+    // physical name (values unchanged — the rename is the mechanism)
+    val touched = Snapshot.readParts(spark, root, man.version, Seq(0, 1, 2)).get
+      .withColumn("__part", pmod(col("o_orderkey"), lit(6)).cast("int"))
+    val newV = man.version + 1
+    Snapshot.clearUncommitted(root, newV)
+    touched.write.partitionBy("__part").parquet(s"$root/v$newV")
+    Snapshot.writeManifest(root,
+      Snapshot.Manifest(newV, man.parts ++ Snapshot.listPartDirs(root, newV)))
+    Snapshot.swapCurrent(root, newV)
+    Snapshot.read(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_amount"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q185 probe constants — orderkeys are dense 0..N−1 at every sf
     * (sf0.001 has 1500 orders), so these exist at every scale.
     */
@@ -1752,6 +1791,7 @@ object Queries {
     "q184_zorder_skipping" -> (q184ZOrderSkipping _),
     "q201_zorder3_skipping" -> (q201ZOrder3Skipping _),
     "q202_schema_evolution" -> (q202SchemaEvolution _),
+    "q204_schema_rename" -> (q204SchemaRename _),
     "q185_bloom_skipping" -> (q185BloomSkipping _),
     "q186_scd2_incremental" -> (q186Scd2Incremental _),
     "q187_delete_vectors" -> (q187DeleteVectors _),

@@ -129,18 +129,80 @@ object Snapshot {
     newV
   }
 
+  /** Field-metadata key listing a renamed column's PRIOR physical
+    * names, most recent first — the name-mapping RENAME leaves behind
+    * instead of rewriting files.
+    */
+  private val PriorNamesKey = "graftPriorNames"
+
+  /** RENAME COLUMN as a transactional metadata-only commit: version
+    * N+1 carries every partition dir forward verbatim plus a schema
+    * sidecar in which the field is renamed and its prior physical
+    * names recorded in field metadata — zero data rewrite; old files
+    * keep serving their rows under the old physical name, conformed to
+    * the new declared name at read time. Chains compose (a column
+    * renamed twice accumulates both priors), and time travel below the
+    * commit serves the old name by construction. Returns the committed
+    * version.
+    */
+  def evolveRenameColumn(
+      spark: SparkSession, root: String, from: String, to: String): Int = {
+    val cur = currentVersion(root)
+    val man = readManifest(root, cur)
+    val base = servingSchema(root, cur).getOrElse {
+      val donor = man.parts.toSeq.sortBy(_._1).collectFirst {
+        case (_, d) if d != EmptyDir => d
+      }
+      require(donor.nonEmpty, "cannot evolve an all-empty never-evolved table")
+      spark.read.parquet(s"$root/${donor.get}").schema
+    }
+    require(base.fieldNames.contains(from), s"no column $from to rename")
+    require(!base.fieldNames.contains(to),
+      s"column $to already exists in ${base.fieldNames.mkString(", ")}")
+    val renamed = org.apache.spark.sql.types.StructType(base.fields.map { f =>
+      if (f.name != from) f
+      else {
+        val priors =
+          if (f.metadata.contains(PriorNamesKey))
+            f.name +: f.metadata.getStringArray(PriorNamesKey).toSeq
+          else Seq(f.name)
+        f.copy(name = to, metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putStringArray(PriorNamesKey, priors.toArray)
+            .build())
+      }
+    })
+    val newV = cur + 1
+    clearUncommitted(root, newV) // also clears a crashed attempt's sidecar
+    java.nio.file.Files.write(schemaPath(root, newV),
+      renamed.json.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    writeManifest(root, Manifest(newV, man.parts))
+    swapCurrent(root, newV)
+    newV
+  }
+
   /** Conform a frame to the serving schema: columns the physical files
-    * predate are added as typed NULLs, and the projection fixes the
-    * declared column order.
+    * predate are added as typed NULLs, renamed columns resolve through
+    * their prior physical names (coalesce, newest first — any one row
+    * carries exactly one of them, since every writer wrote its era's
+    * serving name), and the projection fixes the declared column order.
     */
   private def conform(
       df: DataFrame,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val have = df.columns.toSet
     val cols = schema.fields.map { f =>
-      if (have(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      val names = f.name +: (if (f.metadata.contains(PriorNamesKey))
+        f.metadata.getStringArray(PriorNamesKey).toSeq else Nil)
+      val present = names.filter(have)
+      present match {
+        case Nil => lit(null).cast(f.dataType).as(f.name)
+        case Seq(one) => col(one).as(f.name)
+        case many => coalesce(many.map(col): _*).as(f.name)
+      }
     }
     df.select(cols.toSeq: _*)
   }

@@ -930,6 +930,56 @@ class StreamingSuite extends AnyFunSuite {
       java.nio.file.Paths.get(root, "schema-v3.json")))
   }
 
+  test("q204 column rename: name-mapped reads, old-name time travel, rename+add and double-rename compose") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = java.nio.file.Files.createTempDirectory("graft-rename-suite-").toString + "/t"
+    val base = (0L until 12L).map(k => (k, k * 100L)).toDF("k", "amt")
+      .withColumn("__part", pmod(col("k"), lit(3)).cast("int"))
+    Snapshot.init(root, base)
+    val v1 = Snapshot.evolveRenameColumn(spark, root, "amt", "amount")
+    assert(v1 == 1)
+    // metadata-only; all 12 rows serve under the NEW name from OLD files
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "v1")))
+    val cur = Snapshot.read(spark, root)
+    assert(cur.schema.fieldNames.toSeq == Seq("k", "amount"))
+    assert(cur.collect().forall(r => r.getLong(1) == r.getLong(0) * 100L))
+    // time travel below the boundary serves the OLD name
+    assert(Snapshot.read(spark, root, Some(0)).schema.fieldNames.toSeq ==
+      Seq("k", "amt"))
+    // a post-rename writer backfills partition 0 under the new physical
+    // name; the mixed-name read coalesces both eras
+    val man = Snapshot.readManifest(root, 1)
+    val touched = Snapshot.readParts(spark, root, 1, Seq(0)).get
+      .withColumn("__part", pmod(col("k"), lit(3)).cast("int"))
+    Snapshot.clearUncommitted(root, 2)
+    touched.write.partitionBy("__part").parquet(s"$root/v2")
+    Snapshot.writeManifest(root,
+      Snapshot.Manifest(2, man.parts ++ Snapshot.listPartDirs(root, 2)))
+    Snapshot.swapCurrent(root, 2)
+    val mixed = Snapshot.read(spark, root).collect()
+    assert(mixed.length == 12 &&
+      mixed.forall(r => r.getLong(1) == r.getLong(0) * 100L))
+    // rename + add compose: the added column coexists with the mapping
+    Snapshot.evolveAddColumn(spark, root, "tag",
+      org.apache.spark.sql.types.IntegerType)
+    val withAdd = Snapshot.read(spark, root)
+    assert(withAdd.schema.fieldNames.toSeq == Seq("k", "amount", "tag"))
+    assert(withAdd.collect().forall(r =>
+      r.getLong(1) == r.getLong(0) * 100L && r.isNullAt(2)))
+    // double rename resolves through the FULL prior chain (files on
+    // disk still hold 'amt' for partitions 1,2 and 'amount' for 0)
+    Snapshot.evolveRenameColumn(spark, root, "amount", "total")
+    val twice = Snapshot.read(spark, root)
+    assert(twice.schema.fieldNames.toSeq == Seq("k", "total", "tag"))
+    assert(twice.collect().forall(r => r.getLong(1) == r.getLong(0) * 100L))
+    // renaming to an existing name, or a missing column, is rejected
+    intercept[IllegalArgumentException](
+      Snapshot.evolveRenameColumn(spark, root, "total", "k"))
+    intercept[IllegalArgumentException](
+      Snapshot.evolveRenameColumn(spark, root, "amt", "x"))
+  }
+
   test("q200 CDF refresh: intermediate view == horizon-1 recompute; delete batch removes keys") {
     import spark.implicits._
     import graft.rel.DeleteVectors

@@ -1287,21 +1287,37 @@ object Queries {
       org.apache.spark.sql.types.StringType)
     // post-evolution writer: rewrite partitions 0..2 with the column
     // populated; 3..5 carry forward v0's old-schema files verbatim
+    rewriteEvolvedParts(spark, root)(
+      _.withColumn("o_channel",
+        when(pmod(col("o_orderkey"), lit(2)) === 0, lit("web"))
+          .otherwise(lit("store"))))
+    Snapshot.read(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_channel"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** The post-evolution writer q202/q204 share: rewrite partitions
+    * {0,1,2} of the evolved orders snapshot under the CURRENT serving
+    * schema (plus `transform`) and commit the next version; the other
+    * partitions carry forward pre-evolution files — the shape that
+    * forces the read to cross the evolution boundary. The sequence IS
+    * the crash-safety protocol order (clear, data, manifest, swap).
+    */
+  private def rewriteEvolvedParts(
+      spark: SparkSession, root: String)(
+      transform: DataFrame => DataFrame): Unit = {
+    import graft.streaming.Snapshot
     val man = Snapshot.readManifest(root, Snapshot.currentVersion(root))
-    val touched = Snapshot.readParts(spark, root, man.version, Seq(0, 1, 2)).get
-      .withColumn("o_channel",
-        when(pmod(col("o_orderkey"), lit(2)) === 0, lit("web")).otherwise(lit("store")))
-      .withColumn("__part", pmod(col("o_orderkey"), lit(6)).cast("int"))
+    val touched =
+      transform(Snapshot.readParts(spark, root, man.version, Seq(0, 1, 2)).get)
+        .withColumn("__part", pmod(col("o_orderkey"), lit(6)).cast("int"))
     val newV = man.version + 1
     Snapshot.clearUncommitted(root, newV)
     touched.write.partitionBy("__part").parquet(s"$root/v$newV")
     Snapshot.writeManifest(root,
       Snapshot.Manifest(newV, man.parts ++ Snapshot.listPartDirs(root, newV)))
     Snapshot.swapCurrent(root, newV)
-    Snapshot.read(spark, root)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        col("o_channel"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** Declared query (q204) — COLUMN RENAME across the evolution
@@ -1327,17 +1343,9 @@ object Queries {
     Snapshot.init(root, orders.withColumn("__part",
       pmod(col("o_orderkey"), lit(6)).cast("int")))
     Snapshot.evolveRenameColumn(spark, root, "o_totalprice", "o_amount")
-    val man = Snapshot.readManifest(root, Snapshot.currentVersion(root))
     // post-rename writer: partitions 0..2 rewritten under the new
     // physical name (values unchanged — the rename is the mechanism)
-    val touched = Snapshot.readParts(spark, root, man.version, Seq(0, 1, 2)).get
-      .withColumn("__part", pmod(col("o_orderkey"), lit(6)).cast("int"))
-    val newV = man.version + 1
-    Snapshot.clearUncommitted(root, newV)
-    touched.write.partitionBy("__part").parquet(s"$root/v$newV")
-    Snapshot.writeManifest(root,
-      Snapshot.Manifest(newV, man.parts ++ Snapshot.listPartDirs(root, newV)))
-    Snapshot.swapCurrent(root, newV)
+    rewriteEvolvedParts(spark, root)(identity)
     Snapshot.read(spark, root)
       .select(col("o_orderkey"), col("o_custkey"), col("o_amount"))
       .orderBy(col("o_orderkey"))

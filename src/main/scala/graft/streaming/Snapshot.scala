@@ -106,7 +106,46 @@ object Snapshot {
     */
   def evolveAddColumn(
       spark: SparkSession, root: String, name: String,
-      dataType: org.apache.spark.sql.types.DataType): Int = {
+      dataType: org.apache.spark.sql.types.DataType): Int =
+    evolveSchema(spark, root) { base =>
+      requireNameFree(base, name)
+      base.add(name, dataType, nullable = true)
+    }
+
+  /** Field-metadata key listing a renamed column's PRIOR physical
+    * names, most recent first — the name-mapping RENAME leaves behind
+    * instead of rewriting files.
+    */
+  private val PriorNamesKey = "graftPriorNames"
+
+  private def priorNames(f: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (f.metadata.contains(PriorNamesKey))
+      f.metadata.getStringArray(PriorNamesKey).toSeq
+    else Nil
+
+  /** Reject a new declared name that collides with ANY name still in
+    * use — declared names AND every prior physical name a rename left
+    * behind in old data files. Declared-only checking would let
+    * `rename(b→a)` after `rename(a→c)` (or `add("amt")` after
+    * `rename(amt→amount)`) resolve against the WRONG era's physical
+    * column and silently serve another column's data.
+    */
+  private def requireNameFree(
+      base: org.apache.spark.sql.types.StructType, name: String): Unit = {
+    val inUse = base.fields.flatMap(f => f.name +: priorNames(f)).toSet
+    require(!inUse(name),
+      s"column name $name is still in use (declared or as a renamed " +
+        s"column's physical name in old files): ${inUse.mkString(", ")}")
+  }
+
+  /** The ONE schema-evolution commit protocol both ADD and RENAME
+    * share: resolve the serving schema (donor-bootstrapped for tables
+    * that never evolved), apply `transform`, and commit version N+1 as
+    * carry-forward manifest + immutable schema sidecar + pointer swap.
+    */
+  private def evolveSchema(spark: SparkSession, root: String)(
+      transform: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType): Int = {
     val cur = currentVersion(root)
     val man = readManifest(root, cur)
     val base = servingSchema(root, cur).getOrElse {
@@ -116,24 +155,16 @@ object Snapshot {
       require(donor.nonEmpty, "cannot evolve an all-empty never-evolved table")
       spark.read.parquet(s"$root/${donor.get}").schema
     }
-    require(!base.fieldNames.contains(name),
-      s"column $name already exists in ${base.fieldNames.mkString(", ")}")
+    val evolved = transform(base)
     val newV = cur + 1
     clearUncommitted(root, newV) // also clears a crashed attempt's sidecar
     java.nio.file.Files.write(schemaPath(root, newV),
-      base.add(name, dataType, nullable = true).json
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      evolved.json.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     writeManifest(root, Manifest(newV, man.parts))
     swapCurrent(root, newV)
     newV
   }
-
-  /** Field-metadata key listing a renamed column's PRIOR physical
-    * names, most recent first — the name-mapping RENAME leaves behind
-    * instead of rewriting files.
-    */
-  private val PriorNamesKey = "graftPriorNames"
 
   /** RENAME COLUMN as a transactional metadata-only commit: version
     * N+1 carries every partition dir forward verbatim plus a schema
@@ -146,42 +177,19 @@ object Snapshot {
     * version.
     */
   def evolveRenameColumn(
-      spark: SparkSession, root: String, from: String, to: String): Int = {
-    val cur = currentVersion(root)
-    val man = readManifest(root, cur)
-    val base = servingSchema(root, cur).getOrElse {
-      val donor = man.parts.toSeq.sortBy(_._1).collectFirst {
-        case (_, d) if d != EmptyDir => d
-      }
-      require(donor.nonEmpty, "cannot evolve an all-empty never-evolved table")
-      spark.read.parquet(s"$root/${donor.get}").schema
-    }
-    require(base.fieldNames.contains(from), s"no column $from to rename")
-    require(!base.fieldNames.contains(to),
-      s"column $to already exists in ${base.fieldNames.mkString(", ")}")
-    val renamed = org.apache.spark.sql.types.StructType(base.fields.map { f =>
-      if (f.name != from) f
-      else {
-        val priors =
-          if (f.metadata.contains(PriorNamesKey))
-            f.name +: f.metadata.getStringArray(PriorNamesKey).toSeq
-          else Seq(f.name)
-        f.copy(name = to, metadata =
+      spark: SparkSession, root: String, from: String, to: String): Int =
+    evolveSchema(spark, root) { base =>
+      require(base.fieldNames.contains(from), s"no column $from to rename")
+      requireNameFree(base, to)
+      org.apache.spark.sql.types.StructType(base.fields.map { f =>
+        if (f.name != from) f
+        else f.copy(name = to, metadata =
           new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata)
-            .putStringArray(PriorNamesKey, priors.toArray)
+            .putStringArray(PriorNamesKey, (f.name +: priorNames(f)).toArray)
             .build())
-      }
-    })
-    val newV = cur + 1
-    clearUncommitted(root, newV) // also clears a crashed attempt's sidecar
-    java.nio.file.Files.write(schemaPath(root, newV),
-      renamed.json.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
-    writeManifest(root, Manifest(newV, man.parts))
-    swapCurrent(root, newV)
-    newV
-  }
+      })
+    }
 
   /** Conform a frame to the serving schema: columns the physical files
     * predate are added as typed NULLs, renamed columns resolve through
@@ -195,9 +203,7 @@ object Snapshot {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val have = df.columns.toSet
     val cols = schema.fields.map { f =>
-      val names = f.name +: (if (f.metadata.contains(PriorNamesKey))
-        f.metadata.getStringArray(PriorNamesKey).toSeq else Nil)
-      val present = names.filter(have)
+      val present = (f.name +: priorNames(f)).filter(have)
       present match {
         case Nil => lit(null).cast(f.dataType).as(f.name)
         case Seq(one) => col(one).as(f.name)
@@ -488,6 +494,12 @@ object Snapshot {
     graft.functions.GraftFunctions.register(spark)
     val cur = currentVersion(root)
     val man = readManifest(root, cur)
+    // on an evolved table each partition is conformed to the SERVING
+    // schema before clustering: the caller's clustering columns resolve
+    // on every era's files (a renamed table would otherwise have no
+    // name valid across eras), and the rewrite modernizes the physical
+    // schema as a side effect — the table-format OPTIMIZE discipline
+    val schema = servingSchema(root, cur)
     val live = man.parts.toSeq.sortBy(_._1).filter(_._2 != EmptyDir)
       .map { case (p, d) => (p, d, dataFiles(root, d)) } // one listing per partition
     if (live.isEmpty) return CompactStats(0, 0, Nil)
@@ -498,7 +510,8 @@ object Snapshot {
       val bytes = fs.map(java.nio.file.Files.size(_)).sum
       val t = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       import org.apache.spark.sql.functions.col
-      val df = spark.read.parquet(s"$root/$d")
+      val raw = spark.read.parquet(s"$root/$d")
+      val df = schema.map(conform(raw, _)).getOrElse(raw)
       df.withColumn("__z", zOf(df))
         .repartitionByRange(t, col("__z"))
         .sortWithinPartitions("__z")

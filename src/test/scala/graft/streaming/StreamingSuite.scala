@@ -978,6 +978,24 @@ class StreamingSuite extends AnyFunSuite {
       Snapshot.evolveRenameColumn(spark, root, "total", "k"))
     intercept[IllegalArgumentException](
       Snapshot.evolveRenameColumn(spark, root, "amt", "x"))
+    // prior PHYSICAL names are reserved too: 'amt'/'amount' still live
+    // in old files, so re-adding or renaming onto them would make one
+    // physical column feed two declared columns (silent wrong data)
+    intercept[IllegalArgumentException](
+      Snapshot.evolveAddColumn(spark, root, "amt",
+        org.apache.spark.sql.types.LongType))
+    intercept[IllegalArgumentException](
+      Snapshot.evolveRenameColumn(spark, root, "tag", "amount"))
+    // clustered compaction works ACROSS the rename boundary: partitions
+    // 1,2 still physically hold 'amt', 0 holds 'amount', but the rewrite
+    // conforms each to the serving schema first, so clustering on the
+    // declared names resolves everywhere and modernizes the layout
+    val stats = Snapshot.compactClusteredN(spark, root,
+      Seq("k", "total"), targetBytes = 1024L)
+    assert(stats.rewritten.nonEmpty)
+    val after = Snapshot.read(spark, root).collect()
+    assert(after.length == 12 &&
+      after.forall(r => r.getLong(1) == r.getLong(0) * 100L))
   }
 
   test("q200 CDF refresh: intermediate view == horizon-1 recompute; delete batch removes keys") {

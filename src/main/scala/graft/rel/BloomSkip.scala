@@ -140,9 +140,19 @@ object BloomSkip {
     */
   def buildManifestTable(
       spark: SparkSession, dir: String, keyCol: String,
-      expectedPerFile: Long, fpp: Double, manifestDir: String): Unit =
+      expectedPerFile: Long, fpp: Double, manifestDir: String): Unit = {
+    // a re-build over an existing manifest would append DUPLICATE rows
+    // per file (one admitting row each → the pruned read opens the file
+    // twice and silently duplicates its rows); refuse — rebuilding means
+    // a fresh manifestDir, growth means [[extendManifestTable]]
+    val p = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p),
+      s"manifest table $manifestDir already exists: use extendManifestTable " +
+        "to index new files, or build into a fresh directory")
     indexFilesInto(spark, spark.read.parquet(dir).inputFiles.toIndexedSeq,
       keyCol, expectedPerFile, fpp, manifestDir)
+  }
 
   /** INCREMENTAL table-form maintenance: index only the files of `dir`
     * the manifest table does not cover yet — O(new files) work appended
@@ -197,7 +207,12 @@ object BloomSkip {
       val b = deserialize(bloom)
       ks.exists(b.mightContainLong)
     }
-    spark.read.parquet(manifestDir).filter(admitsAny(col("bloom"))).select("file")
+    // distinct: one OPEN per surviving file even if the manifest ever
+    // holds two rows for it (a retried out-of-band append) — a duplicate
+    // row must cost at most a redundant bloom probe, never duplicate the
+    // pruned read's output rows
+    spark.read.parquet(manifestDir).filter(admitsAny(col("bloom")))
+      .select("file").distinct()
   }
 
   /** [[candidateFiles]] collected — only the survivors reach the driver. */

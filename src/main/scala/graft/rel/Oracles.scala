@@ -326,9 +326,9 @@ object Oracles {
     "q201_zorder3_skipping" -> {
       val Seq((x1, x2), (y1, y2), (q1, q2)) = Queries.ZOrder3Box
       s"""WITH mm AS (
-         |  SELECT CAST(min(l_partkey) AS BIGINT) AS min0, CAST(max(l_partkey) AS BIGINT) AS max0,
-         |         CAST(min(l_suppkey) AS BIGINT) AS min1, CAST(max(l_suppkey) AS BIGINT) AS max1,
-         |         CAST(min(l_quantity) AS BIGINT) AS min2, CAST(max(l_quantity) AS BIGINT) AS max2
+         |  SELECT CAST(floor(min(l_partkey)) AS BIGINT) AS min0, CAST(floor(max(l_partkey)) AS BIGINT) AS max0,
+         |         CAST(floor(min(l_suppkey)) AS BIGINT) AS min1, CAST(floor(max(l_suppkey)) AS BIGINT) AS max1,
+         |         CAST(floor(min(l_quantity)) AS BIGINT) AS min2, CAST(floor(max(l_quantity)) AS BIGINT) AS max2
          |  FROM lineitem),
          |st AS (SELECT *,
          |  greatest(1, (max0 - min0 + 1 + 2097151) // 2097152) AS s0,
@@ -336,9 +336,9 @@ object Oracles {
          |  greatest(1, (max2 - min2 + 1 + 2097151) // 2097152) AS s2 FROM mm),
          |f AS (
          |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
-         |         (CAST(l_partkey AS BIGINT) - min0) // s0 AS q0,
-         |         (CAST(l_suppkey AS BIGINT) - min1) // s1 AS q1,
-         |         (CAST(l_quantity AS BIGINT) - min2) // s2 AS q2
+         |         (CAST(floor(l_partkey) AS BIGINT) - min0) // s0 AS q0,
+         |         (CAST(floor(l_suppkey) AS BIGINT) - min1) // s1 AS q1,
+         |         (CAST(floor(l_quantity) AS BIGINT) - min2) // s2 AS q2
          |  FROM lineitem, st
          |  WHERE l_partkey BETWEEN $x1 AND $x2
          |    AND l_suppkey BETWEEN $y1 AND $y2

@@ -141,10 +141,15 @@ object ZOrder {
     val cells = 1L << bits
     val range = maxV - minV + 1
     val step = math.max(1L, (range + cells - 1) / cells)
+    // floor BEFORE the long cast: a bare cast(double as long) truncates
+    // toward zero, which is non-monotone across zero and disagrees with
+    // DuckDB's round-to-nearest CAST — floor is monotone everywhere and
+    // both engines compute it identically, so a FRACTIONAL clustering
+    // column quantizes the same on the engine and oracle sides.
     // `div`, not `/`: Spark's / is true (double) division, whose 53-bit
     // mantissa would mis-bucket keys past 2^53 — div stays in Long
     org.apache.spark.sql.functions.call_function(
-      "div", c.cast("long") - lit(minV), lit(step))
+      "div", floor(c).cast("long") - lit(minV), lit(step))
   }
 
   /** [[clusterTable]] generalized to N columns: one range-shuffle by
@@ -166,9 +171,15 @@ object ZOrder {
     val spark = df.sparkSession
     GraftFunctions.register(spark)
     val bits = 63 / cols.size
+    // floor-then-cast for the SAME reason as [[quantize]]: the grid's
+    // min must be ≤ every floor(v), which trunc-toward-zero would break
+    // for negative fractional minima
     val mmAggs = cols.flatMap(c =>
-      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+      Seq(floor(min(col(c))).cast("long"), floor(max(col(c))).cast("long")))
     val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
+    require(!(0 until 2 * cols.size).exists(mm.isNullAt),
+      s"clusterTableN($cols): zero-row input or an all-NULL clustering " +
+        "column has no quantization grid — nothing to cluster")
     val qcols = cols.zipWithIndex.map { case (c, i) =>
       quantize(col(c), mm.getLong(2 * i), mm.getLong(2 * i + 1), bits)
     }

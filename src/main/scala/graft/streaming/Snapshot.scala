@@ -465,9 +465,10 @@ object Snapshot {
     require(cols.size >= 2, s"compactClusteredN needs >= 2 columns, got $cols")
     val bits = 63 / cols.size
     clusteredRewrite(spark, root, targetBytes) { df =>
-      import org.apache.spark.sql.functions.{col, lit, max, min}
+      import org.apache.spark.sql.functions.{col, floor, lit, max, min}
+      // floor-then-cast, matching [[graft.rel.ZOrder.quantize]]'s grid
       val mmAggs = cols.flatMap(c =>
-        Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+        Seq(floor(min(col(c))).cast("long"), floor(max(col(c))).cast("long")))
       val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
       // a zero-row partition (or an all-NULL clustering column) has no
       // grid — there is nothing to order, so a constant z is correct

@@ -58,8 +58,12 @@ object ScalingSmoke {
     // columns, Factor) restages instead of silently reusing stale
     // content and skewing the exponents. [[TableFormulaV]] must be
     // bumped alongside any synthesis-formula edit below.
-    def fingerprint(table: String): String =
-      s"factor=$Factor offset=$CopyOffset formula=${TableFormulaV(table)}"
+    def fingerprint(table: String): String = {
+      val v = TableFormulaV.getOrElse(table, sys.error(
+        s"add '$table' to ScalingSmoke.TableFormulaV — every staged table " +
+          "needs a synthesis-formula version in the fingerprint"))
+      s"factor=$Factor offset=$CopyOffset formula=$v"
+    }
     def staged(table: String): Boolean = {
       val v = root.resolve(s"$table.v")
       java.nio.file.Files.exists(root.resolve(s"$table.parquet")) &&

@@ -1301,23 +1301,21 @@ object Queries {
     * {0,1,2} of the evolved orders snapshot under the CURRENT serving
     * schema (plus `transform`) and commit the next version; the other
     * partitions carry forward pre-evolution files — the shape that
-    * forces the read to cross the evolution boundary. The sequence IS
-    * the crash-safety protocol order (clear, data, manifest, swap).
+    * forces the read to cross the evolution boundary. Committed through
+    * the OCC loop (stage in a private attempt dir, claim, publish).
     */
   private def rewriteEvolvedParts(
       spark: SparkSession, root: String)(
       transform: DataFrame => DataFrame): Unit = {
     import graft.streaming.Snapshot
-    val man = Snapshot.readManifest(root, Snapshot.currentVersion(root))
-    val touched =
-      transform(Snapshot.readParts(spark, root, man.version, Seq(0, 1, 2)).get)
-        .withColumn("__part", pmod(col("o_orderkey"), lit(6)).cast("int"))
-    val newV = man.version + 1
-    Snapshot.clearUncommitted(root, newV)
-    touched.write.partitionBy("__part").parquet(s"$root/v$newV")
-    Snapshot.writeManifest(root,
-      Snapshot.Manifest(newV, man.parts ++ Snapshot.listPartDirs(root, newV)))
-    Snapshot.swapCurrent(root, newV)
+    Snapshot.commitOcc(root) { att =>
+      val touched =
+        transform(Snapshot.readParts(spark, root, att.base.version, Seq(0, 1, 2)).get)
+          .withColumn("__part", pmod(col("o_orderkey"), lit(6)).cast("int"))
+      touched.write.partitionBy("__part").parquet(att.dataDir)
+      Some(Snapshot.CommitSpec(att.base.parts ++ att.writtenParts()))
+    }
+    ()
   }
 
   /** Declared query (q204) — COLUMN RENAME across the evolution

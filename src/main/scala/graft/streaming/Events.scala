@@ -1038,31 +1038,30 @@ object Events {
       .select(pmod(col("k"), lit(MergeSnapParts)).cast("int").as("p"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return touched
-    val cur = Snapshot.currentVersion(snapRoot)
-    val newV = cur + 1
-    // at-least-once recovery: a prior attempt at this version may have
-    // crashed after writing data/manifest but before the pointer swap —
-    // clear its (unreferenced, invisible) leftovers so the re-run's
-    // ErrorIfExists/CREATE_NEW guards don't wedge the sink
-    Snapshot.clearUncommitted(snapRoot, newV)
-    val snap = Snapshot.readParts(ss, snapRoot, cur, touched).getOrElse {
-      // every touched partition is currently empty (or brand-new):
-      // merge against an empty snapshot in the serving schema
-      batch.select(col("k").as("o_orderkey"), col("new_custkey").as("o_custkey"),
-        col("new_status").as("o_orderstatus"), col("new_price").as("o_totalprice"))
-        .filter(lit(false))
+    // the OCC commit loop: merge against the CURRENT base, stage into a
+    // private attempt dir, claim + publish. A racing committer (a
+    // compaction, another drain) costs at most a re-merge against its
+    // committed state — never a lost version or a mixed directory. A
+    // crashed prior attempt's garbage is unreferenced and inert, so
+    // at-least-once redelivery just commits the next version.
+    Snapshot.commitOcc(snapRoot) { att =>
+      val snap = Snapshot.readParts(ss, snapRoot, att.base.version, touched).getOrElse {
+        // every touched partition is currently empty (or brand-new):
+        // merge against an empty snapshot in the serving schema
+        batch.select(col("k").as("o_orderkey"), col("new_custkey").as("o_custkey"),
+          col("new_status").as("o_orderstatus"), col("new_price").as("o_totalprice"))
+          .filter(lit(false))
+      }
+      val merged = graft.rel.Queries.mergeApply(snap, batch)
+        .withColumn("__part", pmod(col("o_orderkey"), lit(MergeSnapParts)).cast("int"))
+      merged.write.partitionBy("__part").parquet(att.dataDir)
+      // which touched partitions produced rows — from the written listing,
+      // not a second pass over the frame; a touched partition whose keys
+      // were ALL deleted simply maps to the empty marker in the manifest
+      val present = att.writtenParts()
+      Some(Snapshot.CommitSpec(att.base.parts ++
+        touched.map(p => p -> present.getOrElse(p, Snapshot.EmptyDir))))
     }
-    val merged = graft.rel.Queries.mergeApply(snap, batch)
-      .withColumn("__part", pmod(col("o_orderkey"), lit(MergeSnapParts)).cast("int"))
-    merged.write.partitionBy("__part").parquet(s"$snapRoot/v$newV")
-    // which touched partitions produced rows — from the written listing,
-    // not a second pass over the frame; a touched partition whose keys
-    // were ALL deleted simply maps to the empty marker in the manifest
-    val present = Snapshot.listPartDirs(snapRoot, newV)
-    val carried = Snapshot.readManifest(snapRoot, cur).parts
-    Snapshot.writeManifest(snapRoot, Snapshot.Manifest(newV,
-      carried ++ touched.map(p => p -> present.getOrElse(p, Snapshot.EmptyDir))))
-    Snapshot.swapCurrent(snapRoot, newV) // THE commit point
     touched
   }
 

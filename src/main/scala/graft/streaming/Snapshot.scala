@@ -11,24 +11,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * root/
   *   CURRENT            — the committed version number (pointer file)
   *   manifest-v{N}.txt  — immutable: one "partition dir" line per part
-  *   v{N}/__part={p}/   — immutable data directories
+  *                        (+ an optional `schema <file>` header line)
+  *   a-{token}/__part={p}/ — immutable data directories, named by the
+  *                        WRITER's attempt token, never by version
+  *   v0/__part={p}/     — init's bootstrap data directories
+  *   schema-{token}.json — immutable schema sidecars (referenced by
+  *                        manifest header; unreferenced ones are inert)
   * }}}
   *
-  * COMMIT PROTOCOL (per increment): (1) write the new version's data
-  * directories for the touched partitions only; (2) write
-  * `manifest-v{N}` mapping every partition to its serving directory —
-  * touched parts point at the new dirs, untouched parts CARRY FORWARD
-  * their existing dirs unchanged; (3) atomically rename a temp file
-  * onto `CURRENT`. The rename is the single commit point: a reader
-  * concurrent with a batch resolves `CURRENT` to a fully-written
-  * manifest whose directories are all complete — it can never see a
-  * partition mid-rewrite — and a crash anywhere before the rename
-  * leaves `CURRENT` at version N−1 with only unreferenced garbage dirs
-  * on disk (re-running the batch is idempotent: the MERGE's per-key
-  * last-write semantics reproduce the same content under a fresh
-  * version number). Old versions stay readable by manifest — time
-  * travel — until a retention GC deletes their manifests and any dirs
-  * no retained manifest references.
+  * COMMIT PROTOCOL — optimistic concurrency, safe under RACING writers
+  * (a MERGE drain and a compaction hitting the same table is the first
+  * thing a real deployment does):
+  *
+  *  1. read `CURRENT` (the base version) and its manifest;
+  *  2. write the new version's data into a PRIVATE attempt directory
+  *     `a-{token}` (token = per-attempt random id). Data dirs are never
+  *     version-named, so concurrent attempts can never collide on a
+  *     path and a crashed attempt leaves only inert, unreferenced
+  *     garbage — it can never obstruct or corrupt a later commit;
+  *  3. CLAIM version base+1 by creating `manifest-v{base+1}.txt` via
+  *     hard-link from a fully-written temp file — one atomic filesystem
+  *     op that both claims the version exclusively (link() fails with
+  *     EEXIST for every racer) and guarantees the manifest's content is
+  *     complete (no partially-written manifest can ever carry a claim).
+  *     Because data and sidecars are fully written BEFORE the claim, a
+  *     claimed manifest always describes a complete, readable version;
+  *  4. publish by atomically renaming a temp pointer onto `CURRENT` —
+  *     validated and monotone (file-locked read-check-rename): a
+  *     publish can never move `CURRENT` backwards or skip a version.
+  *
+  * A writer whose claim fails lost the race: it deletes its private
+  * attempt dir (nobody else references it), ROLLS FORWARD the winner's
+  * claimed-but-possibly-unpublished version (safe: claimed == complete,
+  * and publishing is idempotent/monotone), and retries against the new
+  * base — [[commitOcc]] is that loop. Exactly one writer wins each
+  * version; the loser's retry lands on the next one; no committed
+  * version or data is ever lost or overwritten.
+  *
+  * Readers are never blocked and never see a partial state: they
+  * resolve `CURRENT` to a fully-written manifest whose directories are
+  * all complete. A crash anywhere before the claim leaves `CURRENT`
+  * unchanged with only unreferenced garbage on disk ([[sweepUncommitted]]
+  * is the operator-run cleanup); a crash between claim and publish is
+  * completed by the next writer's roll-forward. Old versions stay
+  * readable by manifest — time travel — until a retention GC deletes
+  * their manifests and any dirs no retained manifest references.
   *
   * At 100 TB nothing here grows with the table: a manifest is one line
   * per partition, data dirs are written by ordinary distributed parquet
@@ -40,7 +67,12 @@ object Snapshot {
   /** Manifest marker for a partition with no rows (all keys deleted). */
   val EmptyDir = "-"
 
-  final case class Manifest(version: Int, parts: Map[Int, String])
+  /** @param schemaFile the schema sidecar serving this version (None =
+    *   the table never evolved: read exactly the physical schema).
+    *   Carried forward by every commit like the partition dirs.
+    */
+  final case class Manifest(version: Int, parts: Map[Int, String],
+      schemaFile: Option[String] = None)
 
   /** Race-tolerant recursive delete (deleteIfExists per entry) — the
     * ONE copy of the walk/reverse-sort/delete idiom, shared with
@@ -58,51 +90,46 @@ object Snapshot {
     java.nio.file.Paths.get(root, "CURRENT")
   private def manifestPath(root: String, v: Int) =
     java.nio.file.Paths.get(root, s"manifest-v$v.txt")
-  private def schemaPath(root: String, v: Int) =
-    java.nio.file.Paths.get(root, s"schema-v$v.json")
+
+  /** Fresh attempt token: 64 random bits — unique among all data dirs
+    * a table will ever commit (a collision would surface as an
+    * ErrorIfExists on the attempt write, never as silent mixing).
+    */
+  private def newToken(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(16)
 
   // ---- SCHEMA EVOLUTION -------------------------------------------------
   //
-  // A version may carry a `schema-v{N}.json` sidecar (Spark StructType
-  // JSON, immutable like the manifest). The SERVING schema of version v
-  // is the newest sidecar at or below v; versions below the first
-  // sidecar — and whole tables that never evolved — have none and read
-  // exactly as before (plain multi-dir parquet read, zero overhead).
-  // Evolution is a METADATA-ONLY commit: no data file is touched, old
-  // files simply lack the new column and serve NULL for it through a
-  // mergeSchema read conformed to the serving schema. Time travel below
-  // the evolution version therefore serves the OLD schema by
-  // construction — the sidecar, like the manifest, is part of the
-  // version.
+  // A version's manifest may reference a schema sidecar (Spark
+  // StructType JSON, immutable like the manifest) through its `schema`
+  // header line; every subsequent commit carries the reference forward
+  // exactly like the partition dirs, so the SERVING schema is part of
+  // the version by construction — time travel below an evolution
+  // serves the old schema, and a sidecar no manifest references is
+  // inert garbage (a lost evolve race can never attach its schema to
+  // someone else's commit). Tables that never evolved carry no
+  // reference and read exactly as before (plain multi-dir parquet
+  // read, zero overhead). Evolution is a METADATA-ONLY commit: no data
+  // file is touched; old files simply lack added columns and serve
+  // NULL for them through a mergeSchema read conformed to the serving
+  // schema.
 
-  /** The serving schema of `version`: the newest schema sidecar at or
-    * below it, if the table ever evolved.
-    */
-  def servingSchema(root: String, version: Int): Option[org.apache.spark.sql.types.StructType] = {
-    import scala.jdk.CollectionConverters._
-    val vs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
-    val best =
-      try vs.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("schema-v") && n.endsWith(".json"))
-        .map(_.stripPrefix("schema-v").stripSuffix(".json").toInt)
-        .filter(_ <= version)
-        .maxOption
-      finally vs.close()
-    best.map { v =>
+  /** The serving schema of `version`, if the table had evolved by then. */
+  def servingSchema(root: String, version: Int): Option[org.apache.spark.sql.types.StructType] =
+    readManifest(root, version).schemaFile.map { f =>
       org.apache.spark.sql.types.DataType.fromJson(
-        new String(java.nio.file.Files.readAllBytes(schemaPath(root, v)),
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(root, f)),
           java.nio.charset.StandardCharsets.UTF_8))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
-  }
 
-  /** ADD COLUMN as a transactional commit: version N+1 carries every
-    * partition dir forward VERBATIM (zero data rewrite — the Iceberg
-    * discipline) plus a schema sidecar extending the serving schema
-    * with the new nullable column. Readers at or above N+1 see the
-    * column (NULL until writers backfill it); time travel below N+1
-    * still serves the old schema. Returns the committed version.
+  /** ADD COLUMN as a transactional commit: the new version carries
+    * every partition dir forward VERBATIM (zero data rewrite — the
+    * Iceberg discipline) plus a schema sidecar extending the serving
+    * schema with the new nullable column. Readers at or above the
+    * commit see the column (NULL until writers backfill it); time
+    * travel below it still serves the old schema. Returns the
+    * committed version.
     */
   def evolveAddColumn(
       spark: SparkSession, root: String, name: String,
@@ -138,36 +165,34 @@ object Snapshot {
         s"column's physical name in old files): ${inUse.mkString(", ")}")
   }
 
-  /** The ONE schema-evolution commit protocol both ADD and RENAME
-    * share: resolve the serving schema (donor-bootstrapped for tables
-    * that never evolved), apply `transform`, and commit version N+1 as
-    * carry-forward manifest + immutable schema sidecar + pointer swap.
+  /** The ONE schema-evolution commit protocol every evolution shares:
+    * resolve the serving schema (donor-bootstrapped for tables that
+    * never evolved), apply `transform`, write the evolved schema as an
+    * attempt-token-named sidecar (inert until referenced), and commit a
+    * pure carry-forward manifest referencing it — all under the
+    * [[commitOcc]] race loop.
     */
   private def evolveSchema(spark: SparkSession, root: String)(
       transform: org.apache.spark.sql.types.StructType =>
-        org.apache.spark.sql.types.StructType): Int = {
-    val cur = currentVersion(root)
-    val man = readManifest(root, cur)
-    val base = servingSchema(root, cur).getOrElse {
-      val donor = man.parts.toSeq.sortBy(_._1).collectFirst {
-        case (_, d) if d != EmptyDir => d
+        org.apache.spark.sql.types.StructType): Int =
+    commitOcc(root) { att =>
+      val base = servingSchema(root, att.base.version).getOrElse {
+        val donor = att.base.parts.toSeq.sortBy(_._1).collectFirst {
+          case (_, d) if d != EmptyDir => d
+        }
+        require(donor.nonEmpty, "cannot evolve an all-empty never-evolved table")
+        spark.read.parquet(s"$root/${donor.get}").schema
       }
-      require(donor.nonEmpty, "cannot evolve an all-empty never-evolved table")
-      spark.read.parquet(s"$root/${donor.get}").schema
+      val evolved = transform(base)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, att.schemaFileName),
+        evolved.json.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      Some(CommitSpec(att.base.parts, Some(att.schemaFileName)))
     }
-    val evolved = transform(base)
-    val newV = cur + 1
-    clearUncommitted(root, newV) // also clears a crashed attempt's sidecar
-    java.nio.file.Files.write(schemaPath(root, newV),
-      evolved.json.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
-    writeManifest(root, Manifest(newV, man.parts))
-    swapCurrent(root, newV)
-    newV
-  }
 
-  /** RENAME COLUMN as a transactional metadata-only commit: version
-    * N+1 carries every partition dir forward verbatim plus a schema
+  /** RENAME COLUMN as a transactional metadata-only commit: the new
+    * version carries every partition dir forward verbatim plus a schema
     * sidecar in which the field is renamed and its prior physical
     * names recorded in field metadata — zero data rewrite; old files
     * keep serving their rows under the old physical name, conformed to
@@ -217,112 +242,309 @@ object Snapshot {
     new String(java.nio.file.Files.readAllBytes(currentPath(root)),
       java.nio.charset.StandardCharsets.US_ASCII).trim.toInt
 
+  private def currentVersionOrNeg(root: String): Int =
+    try currentVersion(root)
+    catch { case _: java.nio.file.NoSuchFileException => -1 }
+
   def readManifest(root: String, version: Int): Manifest = {
     import scala.jdk.CollectionConverters._
-    val parts = java.nio.file.Files.readAllLines(manifestPath(root, version))
+    val lines = java.nio.file.Files.readAllLines(manifestPath(root, version))
       .asScala.filter(_.nonEmpty)
+    val schemaFile = lines.collectFirst {
+      case l if l.startsWith("schema ") => l.stripPrefix("schema ")
+    }
+    val parts = lines.filterNot(_.startsWith("schema "))
       .map { line =>
         val Array(p, d) = line.split(" ", 2)
         p.toInt -> d
       }.toMap
-    Manifest(version, parts)
+    Manifest(version, parts, schemaFile)
   }
 
-  /** Manifests are immutable: written once under their final name BEFORE
-    * the pointer swap, never rewritten (`CREATE_NEW` enforces it).
+  private def manifestBody(m: Manifest): String =
+    m.schemaFile.map(f => s"schema $f\n").getOrElse("") +
+      m.parts.toSeq.sortBy(_._1)
+        .map { case (p, d) => s"$p $d" }.mkString("", "\n", "\n")
+
+  /** Atomically CLAIM version `m.version` with a fully-written
+    * manifest: the body lands in a temp file first, then a hard link
+    * creates the final name — one atomic op that fails (returns false)
+    * if ANY racer claimed the version first, and can never expose a
+    * partially-written manifest under the claimed name.
     */
-  def writeManifest(root: String, m: Manifest): Unit = {
-    val body = m.parts.toSeq.sortBy(_._1)
-      .map { case (p, d) => s"$p $d" }.mkString("", "\n", "\n")
-    java.nio.file.Files.write(manifestPath(root, m.version),
-      body.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+  private def claimManifest(root: String, m: Manifest): Boolean = {
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(root), s".manifest-v${m.version}-", ".tmp")
+    try {
+      java.nio.file.Files.write(tmp,
+        manifestBody(m).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      try { java.nio.file.Files.createLink(manifestPath(root, m.version), tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally java.nio.file.Files.deleteIfExists(tmp): Unit
   }
 
-  /** Remove any UNCOMMITTED leftovers of `version` — the data dirs and
-    * manifest a crashed attempt wrote before its pointer swap. Called by
-    * the writer before re-attempting a version so at-least-once
-    * redelivery is actually idempotent (the fresh attempt must not
-    * collide with the garbage's ErrorIfExists/CREATE_NEW guards).
-    * ONLY legal for versions above CURRENT: committed state is immutable.
+  /** Manifests are immutable: written once under their final name,
+    * never rewritten — the atomic claim enforces it (a second write of
+    * the same version throws).
     */
-  def clearUncommitted(root: String, version: Int): Unit = {
-    require(version > currentVersion(root),
-      s"refusing to clear v$version: CURRENT is ${currentVersion(root)}")
-    deleteRecursively(java.nio.file.Paths.get(root, s"v$version"))
-    java.nio.file.Files.deleteIfExists(manifestPath(root, version))
-    // a crashed ADD COLUMN attempt's sidecar must not attach itself to
-    // an unrelated later commit of the same version number
-    java.nio.file.Files.deleteIfExists(schemaPath(root, version))
+  def writeManifest(root: String, m: Manifest): Unit =
+    if (!claimManifest(root, m))
+      throw new java.nio.file.FileAlreadyExistsException(
+        manifestPath(root, m.version).toString,
+        null, "manifests are immutable: version already claimed")
+
+  // ---- the OCC commit loop ---------------------------------------------
+
+  /** A writer's private workspace for one commit attempt at `version`:
+    * data goes under [[dataDir]] (`a-{token}` — never version-named, so
+    * racing attempts cannot collide and crashed ones cannot obstruct),
+    * an evolved schema under [[schemaFileName]]. Both are inert until a
+    * winning manifest references them.
+    */
+  final class Attempt private[Snapshot] (
+      val root: String, val base: Manifest, val version: Int, val token: String) {
+    /** Absolute path of the attempt's private data directory. */
+    def dataDir: String = s"$root/a-$token"
+    /** The manifest value for a partition written into [[dataDir]]. */
+    def dirName(p: Int): String = s"a-$token/__part=$p"
+    /** The attempt's schema sidecar name (for evolution commits). */
+    def schemaFileName: String = s"schema-$token.json"
+    /** The partitions actually written under [[dataDir]] (from the
+      * filesystem listing — a written-but-empty partition is absent),
+      * mapped to their manifest dir names.
+      */
+    def writtenParts(): Map[Int, String] = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(dataDir)
+      if (!java.nio.file.Files.isDirectory(d)) Map.empty
+      else {
+        val stream = java.nio.file.Files.list(d)
+        try stream.iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("__part="))
+          .map { p =>
+            val v = p.getFileName.toString.stripPrefix("__part=").toInt
+            v -> dirName(v)
+          }.toMap
+        finally stream.close()
+      }
+    }
+  }
+
+  /** What a commit attempt wants committed: the FULL parts map
+    * (touched partitions naming attempt dirs, untouched carrying the
+    * base's dirs forward) and optionally a NEW schema sidecar (None =
+    * carry the base's schema reference forward).
+    */
+  final case class CommitSpec(
+      parts: Map[Int, String], schemaFile: Option[String] = None)
+
+  /** Retry bound for [[commitOcc]] — losing this many consecutive
+    * races means pathological contention, not bad luck.
+    */
+  val MaxCommitAttempts = 10
+
+  /** OPTIMISTIC-CONCURRENCY COMMIT — the one safe way to commit a new
+    * version. Runs `write` against the current base manifest with a
+    * fresh private [[Attempt]]; `write` stages data/sidecars in the
+    * attempt's namespace and returns the [[CommitSpec]] to commit (or
+    * None to abort without committing — the no-op compaction case).
+    * The claim is atomic; on losing a race the attempt's private
+    * output is deleted, the winner's version is rolled forward, and
+    * `write` re-runs against the NEW base — so a MERGE loser re-merges
+    * against the winner's state, never on top of a stale snapshot.
+    * Returns the committed version (the base version on abort).
+    */
+  def commitOcc(root: String)(write: Attempt => Option[CommitSpec]): Int = {
+    var attempts = 0
+    while (true) {
+      rollForward(root)
+      val cur = currentVersion(root)
+      val att = new Attempt(root, readManifest(root, cur), cur + 1, newToken())
+      def cleanup(): Unit = {
+        deleteRecursively(java.nio.file.Paths.get(att.dataDir))
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(root, att.schemaFileName)): Unit
+      }
+      write(att) match {
+        case None => cleanup(); return cur
+        case Some(spec) =>
+          val m = Manifest(att.version, spec.parts,
+            spec.schemaFile.orElse(att.base.schemaFile))
+          if (claimManifest(root, m)) {
+            swapCurrent(root, att.version)
+            return att.version
+          }
+          // lost the race: private garbage only — delete and rebase
+          cleanup()
+          attempts += 1
+          if (attempts >= MaxCommitAttempts)
+            throw new java.util.ConcurrentModificationException(
+              s"lost $attempts consecutive commit races at $root — " +
+                "pathological writer contention")
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Publish every claimed-but-unpublished successor version. Safe for
+    * ANYONE to call at any time: a claimed manifest always describes a
+    * complete version (data + sidecars land before the claim), and
+    * [[swapCurrent]] is validated and monotone, so racing roll-forwards
+    * and the claimant's own publish all collapse to one outcome.
+    * Returns the resulting CURRENT version.
+    */
+  def rollForward(root: String): Int = {
+    var cur = currentVersion(root)
+    while (java.nio.file.Files.exists(manifestPath(root, cur + 1))) {
+      swapCurrent(root, cur + 1)
+      cur = currentVersion(root)
+    }
+    cur
+  }
+
+  /** Per-root intra-JVM monitor: FileLock is process-scoped (a second
+    * lock attempt in the same JVM throws OverlappingFileLockException),
+    * so same-process writers serialize on this first.
+    */
+  private val rootMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def monitorFor(root: String): Object =
+    rootMonitors.computeIfAbsent(
+      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
+      _ => new Object)
+
+  /** THE publish point: atomically rename a temp pointer onto CURRENT —
+    * VALIDATED and MONOTONE under a commit lock (JVM monitor + file
+    * lock): publishing an already-published version is a no-op (a
+    * roll-forward racing the claimant), CURRENT can never move
+    * backwards, and a non-sequential publish (version > CURRENT+1,
+    * which no correct writer can produce) fails loudly. Readers
+    * resolve either the old or the new version — never a partial
+    * state.
+    */
+  def swapCurrent(root: String, version: Int): Unit =
+    monitorFor(root).synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(root, ".commit.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          val cur = currentVersionOrNeg(root)
+          if (version <= cur) return // already published (idempotent)
+          require(version == cur + 1,
+            s"non-sequential publish at $root: CURRENT=$cur, tried v$version")
+          val tmp = java.nio.file.Paths.get(root, s"CURRENT.tmp-${newToken()}")
+          java.nio.file.Files.write(tmp, version.toString
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          java.nio.file.Files.move(tmp, currentPath(root),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+        } finally lock.release()
+      } finally ch.close()
+    }
+
+  /** Remove crash leftovers nothing references: attempt data dirs and
+    * schema sidecars no on-disk manifest names, plus stray temp files.
+    * Rolls forward first, so a claimed-unpublished commit is completed,
+    * never swept. OPERATOR-RUN ONLY, with no writers racing: an
+    * in-flight attempt's dir is indistinguishable from a crashed one by
+    * design (both are unreferenced) — the difference is the operator's
+    * knowledge that no writer is live. Nothing ever REQUIRES this
+    * sweep: unreferenced garbage can never obstruct or corrupt a
+    * commit; this only reclaims disk.
+    */
+  def sweepUncommitted(root: String): Unit = {
+    rollForward(root)
+    import scala.jdk.CollectionConverters._
+    def ls(): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    val entries = ls()
+    val manifests = entries.map(_.getFileName.toString)
+      .filter(n => n.startsWith("manifest-v") && n.endsWith(".txt"))
+      .map(n => n.stripPrefix("manifest-v").stripSuffix(".txt").toInt)
+    val referencedDirs = manifests.flatMap(v => readManifest(root, v).parts.values)
+      .filter(_ != EmptyDir).map(_.split("/", 2)(0)).toSet
+    val referencedSchemas =
+      manifests.flatMap(v => readManifest(root, v).schemaFile).toSet
+    entries.foreach { p =>
+      val n = p.getFileName.toString
+      val garbage =
+        (n.startsWith("a-") && java.nio.file.Files.isDirectory(p) &&
+          !referencedDirs(n)) ||
+          (n.startsWith("schema-") && n.endsWith(".json") &&
+            !referencedSchemas(n)) ||
+          n.startsWith(".manifest-") || n.startsWith("CURRENT.tmp-")
+      if (garbage) deleteRecursively(p)
+    }
   }
 
   /** Retention GC: keep the last `keepLast` committed versions (their
     * manifests and every data directory any of them references — carry-
-    * forward means an old `v{K}` dir can serve a new manifest), delete
-    * the expired manifests and their now-unreferenced data dirs. Bounds
-    * the disk footprint of a long streaming drain at O(keepLast × churn).
+    * forward means an old dir can serve a new manifest), delete the
+    * expired manifests, the data dirs ONLY THEY referenced, and the
+    * schema sidecars only they referenced. Bounds the disk footprint of
+    * a long streaming drain at O(keepLast × churn).
     *
-    * Versions ABOVE CURRENT are never touched: an in-flight commit may
-    * legitimately be mid-write there, and [[clearUncommitted]] (run by
-    * the writer itself, which knows no commit is racing) already covers
-    * crashed-attempt garbage. If every retained manifest maps every
-    * partition to the empty marker (a fully-deleted table), the newest
-    * on-disk data directory is retained as the SCHEMA DONOR so
-    * [[read]] can keep serving the typed empty frame.
+    * RACE-SAFE BY CONSTRUCTION: the deletion set is derived from the
+    * expired manifests themselves (read before deletion), so a dir no
+    * manifest ever referenced — a racing writer's in-flight attempt, or
+    * a crashed one — is never touched ([[sweepUncommitted]] is the
+    * explicit tool for those). Rolls forward first so a claimed-
+    * unpublished commit is counted as newest, not expired. If every
+    * retained manifest maps every partition to the empty marker (a
+    * fully-deleted table), one expired data directory is retained as
+    * the SCHEMA DONOR so [[read]] can keep serving the typed empty
+    * frame.
     */
   def gc(root: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "must keep at least the current version")
-    val cur = currentVersion(root)
+    val cur = rollForward(root)
     val keepFrom = math.max(0, cur - keepLast + 1)
-    val retained = (keepFrom to cur)
-      .filter(v => java.nio.file.Files.exists(manifestPath(root, v)))
-    val referenced = retained.flatMap(v => readManifest(root, v).parts.values)
-      .filter(_ != EmptyDir).toSet
     import scala.jdk.CollectionConverters._
-    def versionDirs(): Seq[(Int, java.nio.file.Path)] = {
-      val vs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
-      try vs.iterator().asScala.toSeq
-        .filter(p => java.nio.file.Files.isDirectory(p) &&
-          p.getFileName.toString.matches("v\\d+"))
-        .map(p => p.getFileName.toString.drop(1).toInt -> p)
-      finally vs.close()
+    val onDisk: Seq[Int] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("manifest-v") && n.endsWith(".txt"))
+        .map(_.stripPrefix("manifest-v").stripSuffix(".txt").toInt)
+        .toSeq
+      finally s.close()
     }
-    def partDirs(vDir: java.nio.file.Path): Seq[java.nio.file.Path] = {
-      val ps = java.nio.file.Files.list(vDir)
-      try ps.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith("__part="))
-      finally ps.close()
-    }
-    // schema donor for an all-empty retention set: newest dir wins
-    val keep =
-      if (referenced.nonEmpty) referenced
-      else versionDirs().filter(_._1 <= cur).sortBy(-_._1).iterator
-        .flatMap { case (_, vDir) => partDirs(vDir).sortBy(_.getFileName.toString)
-          .map(pd => s"${vDir.getFileName}/${pd.getFileName}") }
-        .take(1).toSet
-    // expired manifests (never above CURRENT — writer race). One
-    // directory listing, not a version-counter probe loop: gc after
-    // each commit must stay O(live files), not O(version number).
-    locally {
-      val all = java.nio.file.Files.list(java.nio.file.Paths.get(root))
-      try all.iterator().asScala.toSeq.foreach { p =>
-        val name = p.getFileName.toString
-        if (name.startsWith("manifest-v") && name.endsWith(".txt")) {
-          val v = name.stripPrefix("manifest-v").stripSuffix(".txt").toInt
-          if (v < keepFrom) java.nio.file.Files.deleteIfExists(p)
-        }
-      } finally all.close()
-    }
-    // data dirs (≤ CURRENT only) that no retained manifest references
-    versionDirs().filter(_._1 <= cur).foreach { case (_, vDir) =>
-      partDirs(vDir).foreach { pd =>
-        val rel = s"${vDir.getFileName}/${pd.getFileName}"
-        if (!keep(rel)) deleteRecursively(pd)
+    val (expiredV, retainedV) = onDisk.partition(_ < keepFrom)
+    val retained = retainedV.map(readManifest(root, _))
+    val expired = expiredV.map(readManifest(root, _))
+    val keepDirs = retained.flatMap(_.parts.values).filter(_ != EmptyDir).toSet
+    val keepSchemas = retained.flatMap(_.schemaFile).toSet
+    val expiredDirs = expired.flatMap(_.parts.values).filter(_ != EmptyDir).toSet
+    val expiredSchemas = expired.flatMap(_.schemaFile).toSet
+    // schema donor for an all-empty retention set: newest-named
+    // expired dir survives so the typed empty frame stays servable
+    val donor: Set[String] =
+      if (keepDirs.nonEmpty) Set.empty
+      else expiredDirs.toSeq.sorted.lastOption.toSet
+    expiredV.foreach(v =>
+      java.nio.file.Files.deleteIfExists(manifestPath(root, v)))
+    (expiredDirs -- keepDirs -- donor).foreach { d =>
+      deleteRecursively(java.nio.file.Paths.get(root, d))
+      // a parent attempt/version dir with no partitions left is
+      // garbage wholesale (incl. its _SUCCESS marker)
+      val parent = java.nio.file.Paths.get(root, d.split("/", 2)(0))
+      if (java.nio.file.Files.isDirectory(parent)) {
+        val s = java.nio.file.Files.list(parent)
+        val hasParts =
+          try s.iterator().asScala.exists(
+            _.getFileName.toString.startsWith("__part="))
+          finally s.close()
+        if (!hasParts) deleteRecursively(parent)
       }
-      // a version dir with no partitions left is garbage wholesale
-      // (incl. its _SUCCESS marker)
-      if (partDirs(vDir).isEmpty) deleteRecursively(vDir)
     }
+    (expiredSchemas -- keepSchemas).foreach(f =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(root, f)): Unit)
   }
 
   /** Result of a [[compact]] pass: live data-file counts before/after
@@ -342,15 +564,17 @@ object Snapshot {
     * target are CARRIED FORWARD BY REFERENCE (a no-op costs metadata
     * only — an all-compact table commits nothing at all). Each
     * over-target partition is rewritten by an ordinary distributed
-    * read→coalesce→write into a fresh `v{N}/__part={p}` directory;
-    * partitions rewrite independently, so at warehouse scale the
-    * rewrites run as parallel jobs and total cost is O(bytes in
-    * over-target partitions), never O(|table|). The commit is the same
-    * manifest + pointer-swap protocol as the MERGE: readers concurrent
-    * with compaction resolve the old or new version atomically, content
-    * is IDENTICAL either way (only layout changes), a crash before the
-    * swap leaves CURRENT untouched, and superseded versions stay
-    * time-travel readable until retention GC.
+    * read→coalesce→write into a fresh attempt directory; partitions
+    * rewrite independently, so at warehouse scale the rewrites run as
+    * parallel jobs and total cost is O(bytes in over-target
+    * partitions), never O(|table|). The commit is the same OCC
+    * claim + publish protocol as the MERGE ([[commitOcc]]): readers
+    * concurrent with compaction resolve the old or new version
+    * atomically, content is IDENTICAL either way (only layout
+    * changes), a crash before the claim leaves CURRENT untouched, a
+    * RACING writer costs at most a recompaction against its committed
+    * state, and superseded versions stay time-travel readable until
+    * retention GC.
     */
   /** The parquet data files of one partition dir — shared by both
     * maintenance ops so a listing-filter change can't diverge.
@@ -369,10 +593,10 @@ object Snapshot {
     * and partition rewrites share no state, so compaction wall-clock
     * tracks the LARGEST partition, not the partition count. Failure
     * semantics are unchanged: any rewrite error propagates after the
-    * pool drains (no thread left writing), the manifest + pointer swap
-    * is never reached, and the next attempt's [[clearUncommitted]]
-    * removes the orphaned version dirs — the same crash-window story
-    * as a serial failure.
+    * pool drains (no thread left writing), the manifest claim is never
+    * reached, and the orphaned attempt dirs are inert
+    * ([[sweepUncommitted]] reclaims them) — the same crash-window
+    * story as a serial failure.
     */
   private def rewriteInParallel[A](
       spark: SparkSession, items: Seq[A])(job: A => Unit): Unit = {
@@ -396,35 +620,36 @@ object Snapshot {
       spark: SparkSession, root: String,
       targetBytes: Long = 128L << 20): CompactStats = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val cur = currentVersion(root)
-    val man = readManifest(root, cur)
-    def dataFiles(dir: String): Seq[java.nio.file.Path] =
-      Snapshot.dataFiles(root, dir)
-    val plan = man.parts.toSeq.sortBy(_._1)
-      .filter(_._2 != EmptyDir)
-      .map { case (p, d) =>
-        val fs = dataFiles(d)
-        val bytes = fs.map(java.nio.file.Files.size(_)).sum
-        val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        (p, d, fs.size, target)
+    var out: CompactStats = null
+    commitOcc(root) { att =>
+      val man = att.base
+      val plan = man.parts.toSeq.sortBy(_._1)
+        .filter(_._2 != EmptyDir)
+        .map { case (p, d) =>
+          val fs = dataFiles(root, d)
+          val bytes = fs.map(java.nio.file.Files.size(_)).sum
+          val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+          (p, d, fs.size, target)
+        }
+      val before = plan.map(_._3).sum
+      val candidates = plan.filter { case (_, _, n, t) => n > t }
+      if (candidates.isEmpty) { out = CompactStats(before, before, Nil); None }
+      else {
+        rewriteInParallel(spark, candidates) { case (p, d, _, t) =>
+          spark.read.parquet(s"$root/$d").coalesce(t)
+            .write.parquet(s"${att.dataDir}/__part=$p")
+        }
+        val rewrittenAfter = candidates
+          .map { case (p, _, _, _) => dataFiles(root, att.dirName(p)).size }.sum
+        val carriedAfter = plan.collect {
+          case (p, _, n, _) if !candidates.exists(_._1 == p) => n
+        }.sum
+        out = CompactStats(before, rewrittenAfter + carriedAfter,
+          candidates.map(_._1))
+        Some(CommitSpec(man.parts ++ att.writtenParts()))
       }
-    val before = plan.map(_._3).sum
-    val candidates = plan.filter { case (_, _, n, t) => n > t }
-    if (candidates.isEmpty) return CompactStats(before, before, Nil)
-    val newV = cur + 1
-    clearUncommitted(root, newV)
-    rewriteInParallel(spark, candidates) { case (p, d, _, t) =>
-      spark.read.parquet(s"$root/$d").coalesce(t)
-        .write.parquet(s"$root/v$newV/__part=$p")
     }
-    writeManifest(root, Manifest(newV, man.parts ++ listPartDirs(root, newV)))
-    swapCurrent(root, newV)
-    val rewrittenAfter = candidates
-      .map { case (p, _, _, _) => dataFiles(s"v$newV/__part=$p").size }.sum
-    val carriedAfter = plan.collect {
-      case (p, _, n, _) if !candidates.exists(_._1 == p) => n
-    }.sum
-    CompactStats(before, rewrittenAfter + carriedAfter, candidates.map(_._1))
+    out
   }
 
   /** Z-ORDER CLUSTERING COMPACTION (OPTIMIZE ZORDER BY) — the layout
@@ -436,8 +661,8 @@ object Snapshot {
     * or both columns (the [[graft.rel.ZOrder]] read path, now under the
     * transactional commit). Unlike [[compact]], clustering rewrites
     * EVERY non-empty partition — it is changing the order, not only the
-    * file count — but under the SAME manifest + CURRENT-swap protocol:
-    * content identical, readers atomic, crash-before-swap invisible,
+    * file count — but under the SAME OCC claim + publish protocol:
+    * content identical, readers atomic, crash-before-claim invisible,
     * superseded versions time-travel readable. Cost is one
     * range-shuffle per partition, partitions independent/parallel.
     */
@@ -485,57 +710,48 @@ object Snapshot {
 
   /** The ONE clustered-rewrite kernel both arities share: every live
     * partition rewritten range-partitioned + sorted by the z-value
-    * `zOf` derives from the partition's frame, under the same
-    * manifest + CURRENT-swap protocol.
+    * `zOf` derives from the partition's frame, under the same OCC
+    * claim + publish protocol.
     */
   private def clusteredRewrite(
       spark: SparkSession, root: String, targetBytes: Long)(
       zOf: DataFrame => org.apache.spark.sql.Column): CompactStats = {
     require(targetBytes > 0, "targetBytes must be positive")
     graft.functions.GraftFunctions.register(spark)
-    val cur = currentVersion(root)
-    val man = readManifest(root, cur)
-    // on an evolved table each partition is conformed to the SERVING
-    // schema before clustering: the caller's clustering columns resolve
-    // on every era's files (a renamed table would otherwise have no
-    // name valid across eras), and the rewrite modernizes the physical
-    // schema as a side effect — the table-format OPTIMIZE discipline
-    val schema = servingSchema(root, cur)
-    val live = man.parts.toSeq.sortBy(_._1).filter(_._2 != EmptyDir)
-      .map { case (p, d) => (p, d, dataFiles(root, d)) } // one listing per partition
-    if (live.isEmpty) return CompactStats(0, 0, Nil)
-    val before = live.map(_._3.size).sum
-    val newV = cur + 1
-    clearUncommitted(root, newV)
-    rewriteInParallel(spark, live) { case (p, d, fs) =>
-      val bytes = fs.map(java.nio.file.Files.size(_)).sum
-      val t = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      import org.apache.spark.sql.functions.col
-      val raw = spark.read.parquet(s"$root/$d")
-      val df = schema.map(conform(raw, _)).getOrElse(raw)
-      df.withColumn("__z", zOf(df))
-        .repartitionByRange(t, col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.parquet(s"$root/v$newV/__part=$p")
+    var out: CompactStats = null
+    commitOcc(root) { att =>
+      val man = att.base
+      // on an evolved table each partition is conformed to the SERVING
+      // schema before clustering: the caller's clustering columns resolve
+      // on every era's files (a renamed table would otherwise have no
+      // name valid across eras), and the rewrite modernizes the physical
+      // schema as a side effect — the table-format OPTIMIZE discipline
+      val schema = servingSchema(root, man.version)
+      val live = man.parts.toSeq.sortBy(_._1).filter(_._2 != EmptyDir)
+        .map { case (p, d) => (p, d, dataFiles(root, d)) } // one listing per partition
+      if (live.isEmpty) { out = CompactStats(0, 0, Nil); None }
+      else {
+        val before = live.map(_._3.size).sum
+        rewriteInParallel(spark, live) { case (p, d, fs) =>
+          val bytes = fs.map(java.nio.file.Files.size(_)).sum
+          val t = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+          import org.apache.spark.sql.functions.col
+          val raw = spark.read.parquet(s"$root/$d")
+          val df = schema.map(conform(raw, _)).getOrElse(raw)
+          df.withColumn("__z", zOf(df))
+            .repartitionByRange(t, col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.parquet(s"${att.dataDir}/__part=$p")
+        }
+        val after = live.map { case (p, _, _) =>
+          dataFiles(root, att.dirName(p)).size
+        }.sum
+        out = CompactStats(before, after, live.map(_._1))
+        Some(CommitSpec(man.parts ++ att.writtenParts()))
+      }
     }
-    writeManifest(root, Manifest(newV, man.parts ++ listPartDirs(root, newV)))
-    swapCurrent(root, newV)
-    val after = live.map { case (p, _, _) => dataFiles(root, s"v$newV/__part=$p").size }.sum
-    CompactStats(before, after, live.map(_._1))
-  }
-
-  /** THE commit point: write the pointer beside CURRENT, then rename
-    * onto it atomically. Readers resolve either the old or the new
-    * version — never a partial state.
-    */
-  def swapCurrent(root: String, version: Int): Unit = {
-    val tmp = java.nio.file.Paths.get(root, s"CURRENT.tmp-$version")
-    java.nio.file.Files.write(tmp, version.toString
-      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-    java.nio.file.Files.move(tmp, currentPath(root),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    out
   }
 
   /** Initialize version 0 from a frame already carrying the partition
@@ -595,28 +811,33 @@ object Snapshot {
           .find(_ != EmptyDir).map(d => s"$root/$d"))
         .nextOption()
       // after retention GC the older manifests are gone but gc retains
-      // the newest data dir as schema donor — find it on disk. Bounded
-      // to dirs AT OR BELOW the version being read: an uncommitted
-      // in-flight dir above CURRENT may be half-written (no footers),
-      // and a dir newer than a time-travel target could carry an
-      // evolved schema.
+      // a data dir as schema donor — find it on disk. Version dirs at
+      // or below the travel target are preferred (an in-flight attempt
+      // dir may be half-written, and a newer dir could carry an evolved
+      // physical schema); attempt-named dirs are the fallback.
       def fromDisk: Option[String] = {
         import scala.jdk.CollectionConverters._
+        def partDirsOf(d: java.nio.file.Path): Seq[String] = {
+          val ps = java.nio.file.Files.list(d)
+          try ps.iterator().asScala.toSeq
+            .filter(_.getFileName.toString.startsWith("__part="))
+            .sortBy(_.getFileName.toString)
+            .map(pd => s"$root/${d.getFileName}/${pd.getFileName}")
+          finally ps.close()
+        }
         val vs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
-        try vs.iterator().asScala.toSeq
-          .filter(p => java.nio.file.Files.isDirectory(p) &&
-            p.getFileName.toString.matches("v\\d+") &&
-            p.getFileName.toString.drop(1).toInt <= v)
-          .sortBy(-_.getFileName.toString.drop(1).toInt)
-          .iterator.flatMap { vDir =>
-            val ps = java.nio.file.Files.list(vDir)
-            try ps.iterator().asScala.toSeq
-              .filter(_.getFileName.toString.startsWith("__part="))
-              .sortBy(_.getFileName.toString)
-              .map(pd => s"$root/${vDir.getFileName}/${pd.getFileName}")
-            finally ps.close()
-          }.nextOption()
-        finally vs.close()
+        try {
+          val all = vs.iterator().asScala.toSeq
+            .filter(java.nio.file.Files.isDirectory(_))
+          val vDirs = all
+            .filter(p => p.getFileName.toString.matches("v\\d+") &&
+              p.getFileName.toString.drop(1).toInt <= v)
+            .sortBy(-_.getFileName.toString.drop(1).toInt)
+          val aDirs = all
+            .filter(_.getFileName.toString.startsWith("a-"))
+            .sortBy(_.getFileName.toString).reverse
+          (vDirs ++ aDirs).iterator.flatMap(partDirsOf).nextOption()
+        } finally vs.close()
       }
       val donor = fromManifests.orElse(fromDisk)
       require(donor.nonEmpty, s"snapshot $root never held data: no schema to serve")

@@ -592,11 +592,14 @@ class StreamingSuite extends AnyFunSuite {
     // commit only ADDED v1 files and swapped the pointer
     assert(before.forall { case (f, h) => after.get(f).contains(h) },
       "an existing data file was rewritten or deleted by a commit")
-    assert((after.keySet -- before.keySet).forall(_.startsWith("v1/__part=1/")),
+    // new files land ONLY under the commit's private attempt dir (data
+    // dirs are writer-token-named, never version-named)
+    assert((after.keySet -- before.keySet).forall(_.matches("a-[0-9a-f]+/__part=1/.*")),
       after.keySet -- before.keySet)
     // the manifest carries untouched partitions forward by reference
     val man1 = Snapshot.readManifest(s"$root/snap", 1)
-    assert(man1.parts(1) == "v1/__part=1")
+    val part1Dir = man1.parts(1)
+    assert(part1Dir.matches("a-[0-9a-f]+/__part=1"), part1Dir)
     for (p <- 0 until 6 if p != 1) assert(man1.parts(p) == s"v0/__part=$p", man1.parts)
     // and the served content of partition 1 is the merged result
     val part1 = Snapshot.read(spark, s"$root/snap")
@@ -617,27 +620,47 @@ class StreamingSuite extends AnyFunSuite {
       .filter(pmod(col("o_orderkey"), lit(6)) === 2).count() == 0L)
     assert(Snapshot.read(spark, s"$root/snap", Some(1))
       .filter(pmod(col("o_orderkey"), lit(6)) === 2).count() == 6L)
-    // AT-LEAST-ONCE RETRY: plant a crashed attempt's garbage at the next
-    // version (data dir + manifest, no swap) — re-running a batch must
-    // clear it and commit, not wedge on ErrorIfExists/CREATE_NEW
+    // CRASH RECOVERY under the OCC protocol. (a) a pre-claim crash
+    // leaves only an inert, UNREFERENCED attempt dir — redelivery just
+    // commits the next version; nothing wedges and nothing deletes a
+    // dir that could belong to a racing writer
     java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(s"$root/snap/v3/__part=0"))
-    Snapshot.writeManifest(s"$root/snap", Snapshot.Manifest(3, Map(0 -> "v3/__part=0")))
+      java.nio.file.Paths.get(s"$root/snap/a-deadc0decafe/__part=0"))
+    // (b) a post-claim crash: the manifest is complete (data landed
+    // before the claim by protocol) but CURRENT was never moved —
+    // simulate with a metadata-only carry-forward claim of v3. The next
+    // commit ROLLS IT FORWARD and lands on v4
+    Snapshot.writeManifest(s"$root/snap",
+      Snapshot.Manifest(3, Snapshot.readManifest(s"$root/snap", 2).parts))
+    assert(Snapshot.currentVersion(s"$root/snap") == 2,
+      "a claimed-unpublished version must stay invisible to readers")
     val retry = Seq((0L, "U", Some(111L), Some("RETRY"), Some(1.0)))
       .toDF("k", "op", "new_custkey", "new_status", "new_price")
     assert(Events.mergeBatchIntoSnapshot(s"$root/snap", retry) == Seq(0))
-    assert(Snapshot.currentVersion(s"$root/snap") == 3)
+    assert(Snapshot.currentVersion(s"$root/snap") == 4,
+      "the retry must roll the claimed v3 forward and commit v4")
     assert(Snapshot.read(spark, s"$root/snap").filter(col("o_orderkey") === 0L)
       .collect().map(_.getString(2)).toSeq == Seq("RETRY"))
+    // the crashed attempt dir survives commits (it is indistinguishable
+    // from a live racer's in-flight attempt) until the operator sweep,
+    // which spares every manifest-referenced dir
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/snap/a-deadc0decafe")))
+    Snapshot.sweepUncommitted(s"$root/snap")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/snap/a-deadc0decafe")))
+    assert(Snapshot.read(spark, s"$root/snap").filter(col("o_orderkey") === 0L)
+      .collect().map(_.getString(2)).toSeq == Seq("RETRY"),
+      "sweep deleted a referenced dir")
     // RETENTION GC keepLast=1: expired manifests go, carried-forward
     // dirs the retained manifest references SURVIVE, superseded dirs go
     Snapshot.gc(s"$root/snap", keepLast = 1)
-    for (v <- 0 to 2)
+    for (v <- 0 to 3)
       assert(!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$root/snap/manifest-v$v.txt")), s"manifest v$v retained")
-    val man3 = Snapshot.readManifest(s"$root/snap", 3)
-    assert(man3.parts(1) == "v1/__part=1" && java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$root/snap/v1/__part=1")), "carried-forward dir was GC'd")
+    val man4 = Snapshot.readManifest(s"$root/snap", 4)
+    assert(man4.parts(1) == part1Dir && java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/snap/$part1Dir")), "carried-forward dir was GC'd")
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$root/snap/v0/__part=1")), "superseded dir survived GC")
     assert(Snapshot.read(spark, s"$root/snap").count() ==
@@ -722,14 +745,17 @@ class StreamingSuite extends AnyFunSuite {
     val batch = Seq((1L, "U", Some(999L), Some("UPD"), Some(42.0)))
       .toDF("k", "op", "new_custkey", "new_status", "new_price")
     assert(Events.mergeBatchIntoSnapshot(s"$root/snap", batch) == Seq(1))
-    val fragmented = fileHashes().keys.count(_.startsWith("v2/__part=1/"))
+    val man2 = Snapshot.readManifest(s"$root/snap", 2)
+    val fragmented = fileHashes().keys.count(_.startsWith(man2.parts(1) + "/"))
     val stats2 = Snapshot.compact(spark, s"$root/snap")
     if (fragmented > 1) {
       assert(stats2.rewritten == Seq(1), stats2)
+      val man1 = Snapshot.readManifest(s"$root/snap", 1)
       val man = Snapshot.readManifest(s"$root/snap", 3)
-      assert(man.parts(1) == "v3/__part=1")
+      assert(man.parts(1).matches("a-[0-9a-f]+/__part=1") &&
+        man.parts(1) != man2.parts(1), man.parts)
       for (p <- 0 until Events.MergeSnapParts if p != 1)
-        assert(man.parts(p) == s"v1/__part=$p", man.parts)
+        assert(man.parts(p) == man1.parts(p), man.parts)
     } else assert(stats2.rewritten.isEmpty, stats2)
     // final content == base MERGE'd with the batch, regardless of layout
     val want = content.map { s =>
@@ -737,6 +763,118 @@ class StreamingSuite extends AnyFunSuite {
     }.sorted
     assert(Snapshot.read(spark, s"$root/snap")
       .collect().map(_.toString).sorted.toSeq == want)
+  }
+
+  test("OCC commit: two racing committers — exactly one wins the version, the loser rebases onto the next") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = java.nio.file.Files.createTempDirectory("graft-occ-race-").toString + "/snap"
+    Snapshot.init(root,
+      (0L until 36L).map(k => (k, k * 10, s"S$k", k * 1.5))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .withColumn("__part", pmod(col("o_orderkey"), lit(Events.MergeSnapParts)).cast("int")))
+    // DETERMINISTIC interleaving via latches: committer A (a compaction-
+    // shaped rewrite of partition 0) stages its data, then PAUSES before
+    // its claim while committer B (a MERGE of key 1 → partition 1)
+    // commits underneath it. A's claim of v1 must fail, its retry must
+    // re-run against B's committed state and land on v2 — B's update is
+    // NEVER lost, no version number is skipped or reused.
+    val aStaged = new java.util.concurrent.CountDownLatch(1)
+    val bDone = new java.util.concurrent.CountDownLatch(1)
+    val aAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val aErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val aVersion = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val a = new Thread(() =>
+      try aVersion.set(Snapshot.commitOcc(root) { att =>
+        aAttempts.incrementAndGet()
+        Snapshot.readParts(spark, root, att.base.version, Seq(0)).get
+          .coalesce(1).write.parquet(s"${att.dataDir}/__part=0")
+        aStaged.countDown()
+        // stall only the FIRST attempt — the retry runs post-race
+        if (aAttempts.get() == 1) bDone.await()
+        Some(Snapshot.CommitSpec(att.base.parts ++ att.writtenParts()))
+      })
+      catch { case t: Throwable => aErr.set(t); aStaged.countDown() })
+    a.start()
+    aStaged.await()
+    assert(aErr.get() == null, String.valueOf(aErr.get()))
+    val batch = Seq((1L, "U", Some(999L), Some("UPD"), Some(42.0)))
+      .toDF("k", "op", "new_custkey", "new_status", "new_price")
+    assert(Events.mergeBatchIntoSnapshot(root, batch) == Seq(1)) // B wins v1
+    assert(Snapshot.currentVersion(root) == 1)
+    bDone.countDown()
+    a.join(120000)
+    assert(aErr.get() == null, String.valueOf(aErr.get()))
+    assert(aAttempts.get() == 2, s"loser must detect the race and retry: ${aAttempts.get()}")
+    assert(aVersion.get() == 2, s"loser must rebase onto v2: ${aVersion.get()}")
+    assert(Snapshot.currentVersion(root) == 2)
+    // B's merge survives A's rebased commit; A's rewrite is served too
+    val served = Snapshot.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(served(1L) == "UPD", "the racing MERGE's update was lost")
+    assert(served.size == 36)
+    // the loser's first attempt dir was cleaned up: only manifest-
+    // referenced attempt dirs remain on disk
+    val manifDirs = (1 to 2).flatMap(v => Snapshot.readManifest(root, v)
+      .parts.values.filter(_.startsWith("a-")).map(_.split("/")(0))).toSet
+    val onDisk = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("a-")).toSet
+      } finally s.close()
+    }
+    assert(onDisk == manifDirs, s"stray attempt dirs: ${onDisk -- manifDirs}")
+    // every version time-travels; the superseded ones are intact
+    assert(Snapshot.read(spark, root, Some(0)).count() == 36L)
+    assert(Snapshot.read(spark, root, Some(1)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap.apply(1L) == "UPD")
+    // and the manifest claim itself is exclusive: re-claiming a
+    // committed version throws (manifests are immutable)
+    intercept[java.nio.file.FileAlreadyExistsException](
+      Snapshot.writeManifest(root, Snapshot.Manifest(2, Map(0 -> Snapshot.EmptyDir))))
+  }
+
+  test("OCC commit: unsynchronized writer threads — every merge survives, every version stays readable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = java.nio.file.Files.createTempDirectory("graft-occ-stress-").toString + "/snap"
+    // fragmented init (4 tasks × 6 partitions) so compaction really rewrites
+    Snapshot.init(root,
+      (0L until 36L).map(k => (k, k * 10, s"S$k", k * 1.5))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+        .withColumn("__part", pmod(col("o_orderkey"), lit(Events.MergeSnapParts)).cast("int")))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val merger = new Thread(() => {
+      start.await()
+      try (1 to 3).foreach { i =>
+        val b = Seq((i.toLong, "U", Some(900L + i), Some(s"R$i"), Some(i * 1.0)))
+          .toDF("k", "op", "new_custkey", "new_status", "new_price")
+        Events.mergeBatchIntoSnapshot(root, b): Unit
+      } catch { case t: Throwable => errs.add(t): Unit }
+    })
+    val compactor = new Thread(() => {
+      start.await()
+      try (1 to 3).foreach(_ => Snapshot.compact(spark, root, targetBytes = 1L << 20): Unit)
+      catch { case t: Throwable => errs.add(t): Unit }
+    })
+    merger.start(); compactor.start(); start.countDown()
+    merger.join(300000); compactor.join(300000)
+    assert(errs.isEmpty, errs)
+    val cur = Snapshot.currentVersion(root)
+    assert(cur >= 3, s"three merges must commit three versions, got $cur")
+    // every merge survived whatever interleaving happened
+    val served = Snapshot.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    (1 to 3).foreach(i => assert(served(i.toLong) == s"R$i", s"merge $i lost"))
+    assert(served.size == 36)
+    // every committed version is a complete, readable, 36-row state
+    (0 to cur).foreach { v =>
+      assert(Snapshot.read(spark, root, Some(v)).count() == 36L, s"version $v corrupt")
+    }
   }
 
   test("q197 clustered compaction: per-file custkey rectangles tighten; content + time travel intact") {
@@ -896,15 +1034,13 @@ class StreamingSuite extends AnyFunSuite {
     assert(atV1.collect().forall(_.isNullAt(2)))
     // a post-evolution writer backfills ONE partition; the rest carry
     // old-schema files — the cross-boundary read fills NULLs only there
-    val man = Snapshot.readManifest(root, 1)
-    val touched = Snapshot.readParts(spark, root, 1, Seq(0)).get
-      .withColumn("tag", (col("k") * 10).cast("int"))
-      .withColumn("__part", pmod(col("k"), lit(3)).cast("int"))
-    Snapshot.clearUncommitted(root, 2)
-    touched.write.partitionBy("__part").parquet(s"$root/v2")
-    Snapshot.writeManifest(root,
-      Snapshot.Manifest(2, man.parts ++ Snapshot.listPartDirs(root, 2)))
-    Snapshot.swapCurrent(root, 2)
+    Snapshot.commitOcc(root) { att =>
+      Snapshot.readParts(spark, root, att.base.version, Seq(0)).get
+        .withColumn("tag", (col("k") * 10).cast("int"))
+        .withColumn("__part", pmod(col("k"), lit(3)).cast("int"))
+        .write.partitionBy("__part").parquet(att.dataDir)
+      Some(Snapshot.CommitSpec(att.base.parts ++ att.writtenParts()))
+    }
     val cur = Snapshot.read(spark, root).collect()
     assert(cur.length == 12)
     cur.foreach { r =>
@@ -916,18 +1052,26 @@ class StreamingSuite extends AnyFunSuite {
     val v0 = Snapshot.read(spark, root, Some(0))
     assert(v0.schema.fieldNames.toSeq == Seq("k", "val"))
     assert(v0.count() == 12)
-    // duplicate ADD COLUMN rejected; crash-window sidecar is cleared
+    // duplicate ADD COLUMN rejected
     intercept[IllegalArgumentException](
       Snapshot.evolveAddColumn(spark, root, "tag",
         org.apache.spark.sql.types.IntegerType))
-    // a crashed evolve attempt (sidecar written, no swap) must not
-    // attach its schema to an unrelated later commit of that version
+    // a crashed evolve attempt's sidecar is INERT BY CONSTRUCTION: only
+    // the manifest header binds a schema to a version, so an orphan
+    // sidecar can never attach itself to someone else's commit — the
+    // serving schema is unchanged, and the operator sweep removes it
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(root, "schema-v3.json"),
+      java.nio.file.Paths.get(root, "schema-0123456789abcdef.json"),
       "{}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Snapshot.clearUncommitted(root, 3)
+    val servedBefore = Snapshot.read(spark, root).schema.fieldNames.toSeq
+    Snapshot.commitOcc(root)(att => Some(Snapshot.CommitSpec(att.base.parts)))
+    assert(Snapshot.read(spark, root).schema.fieldNames.toSeq == servedBefore,
+      "an orphan sidecar leaked into a later commit's serving schema")
+    Snapshot.sweepUncommitted(root)
     assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(root, "schema-v3.json")))
+      java.nio.file.Paths.get(root, "schema-0123456789abcdef.json")))
+    assert(Snapshot.read(spark, root).schema.fieldNames.toSeq == servedBefore,
+      "sweep removed a REFERENCED schema sidecar")
   }
 
   test("q204 column rename: name-mapped reads, old-name time travel, rename+add and double-rename compose") {
@@ -949,14 +1093,12 @@ class StreamingSuite extends AnyFunSuite {
       Seq("k", "amt"))
     // a post-rename writer backfills partition 0 under the new physical
     // name; the mixed-name read coalesces both eras
-    val man = Snapshot.readManifest(root, 1)
-    val touched = Snapshot.readParts(spark, root, 1, Seq(0)).get
-      .withColumn("__part", pmod(col("k"), lit(3)).cast("int"))
-    Snapshot.clearUncommitted(root, 2)
-    touched.write.partitionBy("__part").parquet(s"$root/v2")
-    Snapshot.writeManifest(root,
-      Snapshot.Manifest(2, man.parts ++ Snapshot.listPartDirs(root, 2)))
-    Snapshot.swapCurrent(root, 2)
+    Snapshot.commitOcc(root) { att =>
+      Snapshot.readParts(spark, root, att.base.version, Seq(0)).get
+        .withColumn("__part", pmod(col("k"), lit(3)).cast("int"))
+        .write.partitionBy("__part").parquet(att.dataDir)
+      Some(Snapshot.CommitSpec(att.base.parts ++ att.writtenParts()))
+    }
     val mixed = Snapshot.read(spark, root).collect()
     assert(mixed.length == 12 &&
       mixed.forall(r => r.getLong(1) == r.getLong(0) * 100L))

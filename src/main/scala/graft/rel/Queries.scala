@@ -1191,16 +1191,16 @@ object Queries {
     // register on THIS session: a memo hit skips clusterTable's
     // registration, and the zval column below still needs the function
     graft.functions.GraftFunctions.register(spark)
-    val statsDir = memoLayout(s"zorder2:$dir") {
+    val (liDir, statsDir) = memoLayout(s"zorder2:$dir") {
       val tmp = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
       val li = table(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"))
       ZOrder.clusterTable(li, "l_partkey", "l_suppkey", s"$tmp/li", ZOrderFiles,
         s"$tmp/stats")
-      s"$tmp/stats"
+      (s"$tmp/li", s"$tmp/stats")
     }
-    ZOrder.prunedReadTable(spark, statsDir, "l_partkey", "l_suppkey",
+    ZOrder.prunedReadTable(spark, statsDir, liDir, "l_partkey", "l_suppkey",
       ZOrderBoxX1, ZOrderBoxX2, ZOrderBoxY1, ZOrderBoxY2)
       .withColumn("zval",
         graft.functions.GraftFunctions.zorder2(col("l_partkey"), col("l_suppkey")))
@@ -1233,14 +1233,14 @@ object Queries {
     * files under this layout but prunes nothing under an x-sort.
     */
   def q201ZOrder3Skipping(spark: SparkSession, dir: String): DataFrame = {
-    val (statsDir, mm) = memoLayout(s"zorder3:$dir") {
+    val (liDir, statsDir, mm) = memoLayout(s"zorder3:$dir") {
       val tmp = java.nio.file.Files.createTempDirectory("graft-zorder3-").toString
       val li = table(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"))
       // the output zval re-derives the clustering key with the SAME
       // global min/max the cluster write computed — returned, not re-scanned
-      (s"$tmp/stats",
+      (s"$tmp/li", s"$tmp/stats",
         ZOrder.clusterTableN(li, ZOrder3Cols, s"$tmp/li", ZOrderFiles,
           s"$tmp/stats"))
     }
@@ -1249,7 +1249,7 @@ object Queries {
       ZOrder.quantize(col(c), mm(i)._1, mm(i)._2, bits)
     }
     graft.functions.GraftFunctions.register(spark)
-    ZOrder.prunedReadTableN(spark, statsDir, ZOrder3Cols, ZOrder3Box)
+    ZOrder.prunedReadTableN(spark, statsDir, liDir, ZOrder3Cols, ZOrder3Box)
       .withColumn("zval", graft.functions.GraftFunctions.zorderN(qcols: _*))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity"), col("zval"))

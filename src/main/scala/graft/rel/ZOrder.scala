@@ -66,12 +66,19 @@ object ZOrder {
       df: DataFrame, xCol: String, yCol: String,
       dir: String, numFiles: Int): Seq[FileStats] = {
     GraftFunctions.register(df.sparkSession)
-    clusteredWrite(df,
+    val folded = clusteredWrite(df,
       GraftFunctions.zorder2(col(xCol).cast("long"), col(yCol).cast("long")),
       xCol, yCol, dir, numFiles)
       .collect()
       .map(r => FileStats(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .toSeq.sortBy(_.file)
+    // coverage completion, like the table form: a zero-row part file
+    // gets an impossible rectangle so it is skipped by a COVERED
+    // decision, never by absence from the manifest
+    val covered = folded.map(_.file).toSet
+    val sentinels = df.sparkSession.read.parquet(dir).inputFiles
+      .filterNot(covered)
+      .map(FileStats(_, Long.MaxValue, Long.MinValue, Long.MaxValue, Long.MinValue))
+    (folded ++ sentinels).toSeq.sortBy(_.file)
   }
 
   // ---- TABLE-FORM stats manifest: the 100 TB shape ---------------------
@@ -82,18 +89,113 @@ object ZOrder {
   // collected), and the box-overlap decision a distributed filter over
   // it; the driver receives only surviving file names.
 
+  /** Per-dimension stats-column naming: (column, (minAlias, maxAlias)).
+    * The 2-D form keeps its historical `min_x/max_x/min_y/max_y` names;
+    * the N-D form indexes `min_i/max_i`.
+    */
+  private def specs2(xCol: String, yCol: String): Seq[(String, (String, String))] =
+    Seq(xCol -> ("min_x", "max_x"), yCol -> ("min_y", "max_y"))
+  private def specsN(cols: Seq[String]): Seq[(String, (String, String))] =
+    cols.zipWithIndex.map { case (c, i) => c -> (s"min_$i", s"max_$i") }
+
+  /** Index exactly `files` into the stats table: one distributed
+    * `groupBy(input_file_name)` min/max pass appended to `statsDir`,
+    * then COVERAGE-COMPLETED — a zero-row file (an empty range
+    * partition's part file) contributes no agg row, so it gets an
+    * explicit IMPOSSIBLE rectangle (min=Long.Max > max=Long.Min) that
+    * every box misses: the file is skipped CORRECTLY, by a covered
+    * decision, not by absence. Every data file is therefore always
+    * represented, which is what lets the pruned reads refuse loudly
+    * when a file appears behind the manifest's back.
+    */
+  private def indexFilesInto(
+      spark: SparkSession, files: Seq[String],
+      specs: Seq[(String, (String, String))], statsDir: String): Unit = {
+    if (files.isEmpty) return
+    import spark.implicits._
+    val aggs = specs.flatMap { case (c, (lo, hi)) =>
+      Seq(min(col(c)).cast("long").as(lo), max(col(c)).cast("long").as(hi))
+    }
+    spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("append").parquet(statsDir)
+    val uncovered = files.toDF("file")
+      .join(spark.read.parquet(statsDir).select("file"), Seq("file"), "left_anti")
+    if (!uncovered.isEmpty)
+      uncovered.select(col("file") +: specs.flatMap { case (_, (lo, hi)) =>
+        Seq(lit(Long.MaxValue).as(lo), lit(Long.MinValue).as(hi))
+      }: _*).write.mode("append").parquet(statsDir)
+  }
+
+  /** INCREMENTAL stats maintenance shared by both arities: index only
+    * the files of `dir` the stats table does not cover yet — O(new
+    * files) work appended to `statsDir`; covered rows are immutable and
+    * never rewritten (data files are immutable in every layout this
+    * engine writes, so a covered rectangle can never go stale). The
+    * new-file discovery is a distributed anti-join of the directory
+    * listing against the stats table — [[BloomSkip.extendManifestTable]]'s
+    * twin for the min/max index.
+    */
+  private def extendStats(
+      spark: SparkSession, statsDir: String, dir: String,
+      specs: Seq[(String, (String, String))]): Unit = {
+    import spark.implicits._
+    val newFiles = spark.read.parquet(dir).inputFiles.toSeq.toDF("file")
+      .join(spark.read.parquet(statsDir).select("file"), Seq("file"), "left_anti")
+      .as[String].collect().toIndexedSeq
+    indexFilesInto(spark, newFiles, specs, statsDir)
+  }
+
+  def extendStatsTable(
+      spark: SparkSession, statsDir: String, dir: String,
+      xCol: String, yCol: String): Unit =
+    extendStats(spark, statsDir, dir, specs2(xCol, yCol))
+
+  def extendStatsTableN(
+      spark: SparkSession, statsDir: String, dir: String,
+      cols: Seq[String]): Unit =
+    extendStats(spark, statsDir, dir, specsN(cols))
+
+  /** COVERAGE GUARD: refuse the pruned read when `dataDir` holds a file
+    * the stats table does not cover. Silent skipping of an unindexed
+    * file is the ONE failure mode a skipping index must never have —
+    * builds and extends complete coverage explicitly (impossible-
+    * rectangle rows for zero-row files), so an uncovered file can only
+    * mean out-of-band appends; the fix is [[extendStatsTable]]. The
+    * check is a distributed anti-join (the directory listing the scan
+    * planner needs anyway vs the stats table's key column).
+    */
+  private def requireCovered(
+      spark: SparkSession, statsDir: String, dataDir: String): Unit = {
+    import spark.implicits._
+    val uncovered = spark.read.parquet(dataDir).inputFiles.toSeq.toDF("file")
+      .join(spark.read.parquet(statsDir).select("file"), Seq("file"), "left_anti")
+      .as[String].head(3)
+    require(uncovered.isEmpty,
+      s"z-order stats table $statsDir does not cover data files of " +
+        s"$dataDir (e.g. ${uncovered.mkString(", ")}): a pruned read would " +
+        "silently skip them — run extendStatsTable to index the appends")
+  }
+
   /** [[cluster]] with the stats manifest written as a parquet TABLE at
     * `statsDir` instead of collected: the one distributed
-    * `groupBy(input_file_name)` pass lands directly in parquet.
+    * `groupBy(input_file_name)` pass lands directly in parquet,
+    * coverage-completed ([[indexFilesInto]]).
     */
   def clusterTable(
       df: DataFrame, xCol: String, yCol: String,
       dir: String, numFiles: Int, statsDir: String): Unit = {
-    GraftFunctions.register(df.sparkSession)
-    clusteredWrite(df,
-      GraftFunctions.zorder2(col(xCol).cast("long"), col(yCol).cast("long")),
-      xCol, yCol, dir, numFiles)
-      .write.parquet(statsDir)
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    df.withColumn("__z",
+      GraftFunctions.zorder2(col(xCol).cast("long"), col(yCol).cast("long")))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.parquet(dir)
+    indexFilesInto(spark, spark.read.parquet(dir).inputFiles.toIndexedSeq,
+      specs2(xCol, yCol), statsDir)
   }
 
   /** The box-overlap decision as a DISTRIBUTED frame over the stats
@@ -108,15 +210,17 @@ object ZOrder {
         col("max_y") >= y1 && col("min_y") <= y2)
       .select("file")
 
-  /** Box read through the table-form stats: distributed pruning
-    * decision, then open ONLY the surviving files with the box as the
-    * residual filter.
+  /** Box read through the table-form stats: coverage-guarded
+    * ([[requireCovered]] — a data file the stats miss fails loudly,
+    * never a silent skip), then the distributed pruning decision, then
+    * open ONLY the surviving files with the box as the residual filter.
     */
   def prunedReadTable(
-      spark: SparkSession, statsDir: String,
+      spark: SparkSession, statsDir: String, dataDir: String,
       xCol: String, yCol: String,
       x1: Long, x2: Long, y1: Long, y2: Long): DataFrame = {
     import spark.implicits._
+    requireCovered(spark, statsDir, dataDir)
     val files = overlappingFiles(spark, statsDir, x1, x2, y1, y2)
       .as[String].collect().toIndexedSeq.sorted
     if (files.isEmpty) BloomSkip.emptyFromManifest(spark, statsDir, "clustered")
@@ -188,27 +292,23 @@ object ZOrder {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.parquet(dir)
-    val statAggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c)).cast("long").as(s"min_$i"),
-        max(col(c)).cast("long").as(s"max_$i"))
-    }
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("file"))
-      .agg(statAggs.head, statAggs.tail: _*)
-      .write.parquet(statsDir)
+    indexFilesInto(spark, spark.read.parquet(dir).inputFiles.toIndexedSeq,
+      specsN(cols), statsDir)
     cols.indices.map(i => (mm.getLong(2 * i), mm.getLong(2 * i + 1)))
   }
 
-  /** N-dimensional box read through the table-form stats: the overlap
-    * decision is a distributed filter over the stats table (one
-    * conjunct per dimension), then ONLY surviving files are opened with
-    * the full box as the residual filter.
+  /** N-dimensional box read through the table-form stats: coverage-
+    * guarded ([[requireCovered]]), then the overlap decision as a
+    * distributed filter over the stats table (one conjunct per
+    * dimension), then ONLY surviving files are opened with the full box
+    * as the residual filter.
     */
   def prunedReadTableN(
-      spark: SparkSession, statsDir: String,
+      spark: SparkSession, statsDir: String, dataDir: String,
       cols: Seq[String], bounds: Seq[(Long, Long)]): DataFrame = {
     require(cols.size == bounds.size, "one (lo, hi) bound per column")
     import spark.implicits._
+    requireCovered(spark, statsDir, dataDir)
     val overlap = bounds.zipWithIndex.map { case ((lo, hi), i) =>
       col(s"max_$i") >= lo && col(s"min_$i") <= hi
     }.reduce(_ && _)

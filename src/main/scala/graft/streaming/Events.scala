@@ -113,6 +113,18 @@ object Events {
     q.awaitTermination()
     val result = finish(ss.table(name))
     val rows = result.collect()
+    // RELEASE THE SINK'S ROWS EAGERLY (r17, the q132 scaling-smoke
+    // root cause): the child session leaks by design — its streaming
+    // listener bus stays attached to the shared SparkContext — and
+    // both the catalog's temp view and the manager's terminated-query
+    // record pin the memory sink's entire update stream. At 10× scale
+    // that retained ~1.3 GB PER DRAIN (measured, graft.tools.DrainProbe),
+    // which in an already-loaded JVM turns repeat runs into GC thrash
+    // (the monotone 13→33→56 s SCALING.json signature). Dropping the
+    // view and forgetting the terminated query leaves only KBs of
+    // session state reachable.
+    ss.catalog.dropTempView(name): Unit
+    ss.streams.resetTerminated()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
@@ -1721,7 +1733,13 @@ object Events {
       Seq((windowsFinalized, rowsRemoved, nBatches, maxWindowRows, partialWindows, pass))
         .toDF("windows_finalized", "state_rows_removed", "micro_batches",
           "max_window_rows", "partial_windows", "gate_pass")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // same retention discipline as drainToLocal: the child session
+      // leaks via the context listener bus — don't let it pin the sink
+      ss.catalog.dropTempView(name): Unit
+      ss.streams.resetTerminated()
+    }
   }
 
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

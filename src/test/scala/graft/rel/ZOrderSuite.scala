@@ -167,7 +167,7 @@ class ZOrderSuite extends AnyFunSuite {
     // same box → same data, independent of which layout pass wrote it
     val seqRows = ZOrder.prunedRead(spark, seqStats, "x", "y", x1, x2, y1, y2)
       .select("x", "y", "id").collect().map(_.toString).sorted.toSeq
-    val tabRows = ZOrder.prunedReadTable(spark, s"$dir/stats", "x", "y", x1, x2, y1, y2)
+    val tabRows = ZOrder.prunedReadTable(spark, s"$dir/stats", s"$dir/zt", "x", "y", x1, x2, y1, y2)
       .select("x", "y", "id").collect().map(_.toString).sorted.toSeq
     assert(tabRows == seqRows)
     // survivor COUNT matches the driver form (file names differ by dir)
@@ -181,7 +181,7 @@ class ZOrderSuite extends AnyFunSuite {
     assert(plan.contains("stats"), s"overlap must scan the stats table:\n$plan")
     assert(plan.contains("Filter"), s"overlap must be a distributed filter:\n$plan")
     // out-of-domain box: typed empty frame through the table path too
-    val empty = ZOrder.prunedReadTable(spark, s"$dir/stats", "x", "y", 100L, 200L, 100L, 200L)
+    val empty = ZOrder.prunedReadTable(spark, s"$dir/stats", s"$dir/zt", "x", "y", 100L, 200L, 100L, 200L)
     assert(empty.count() == 0L && empty.columns.toSeq == Seq("x", "y", "id"))
   }
 
@@ -265,7 +265,7 @@ class ZOrderSuite extends AnyFunSuite {
       "an x-sorted layout cannot prune a w-only box: every file spans all of w")
     // the pruned read is exact: rows == plain filter, on a mixed box
     val bounds = Seq((2L, 9L), (0L, 15L), (0L, 3L))
-    val got = ZOrder.prunedReadTableN(spark, s"$dir/zstats",
+    val got = ZOrder.prunedReadTableN(spark, s"$dir/zstats", s"$dir/z",
       Seq("x", "y", "w"), bounds)
       .select("id").collect().map(_.getLong(0)).toSet
     val want = df.filter(col("x").between(2, 9) && col("w").between(0, 3))
@@ -285,5 +285,82 @@ class ZOrderSuite extends AnyFunSuite {
         val (x, y) = (r.getAs[Long]("x"), r.getAs[Long]("y"))
         assert(x >= s.minX && x <= s.maxX && y >= s.minY && y <= s.maxY)
       }
+  }
+
+  test("stats-table extend: O(new) appends; coverage guard refuses a behind-the-back file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zorder-extend-").toString
+    val df = grid()
+    ZOrder.clusterTable(df, "x", "y", s"$dir/t", 8, s"$dir/stats")
+    val before = spark.read.parquet(s"$dir/stats").collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    // a file appended BEHIND the stats table's back: the pruned read
+    // must REFUSE — silently skipping it would lose its rows (the one
+    // failure mode a skipping index must never have)
+    Seq((12L, 7L, 9999L)).toDF("x", "y", "id")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t")
+    val e = intercept[IllegalArgumentException](
+      ZOrder.prunedReadTable(spark, s"$dir/stats", s"$dir/t",
+        "x", "y", 10L, 20L, 5L, 30L))
+    assert(e.getMessage.contains("extendStatsTable"), e.getMessage)
+    // incremental extend: indexes ONLY the appended file — covered rows
+    // are byte-identical (immutable), and the read serves again with
+    // the appended row included
+    ZOrder.extendStatsTable(spark, s"$dir/stats", s"$dir/t", "x", "y")
+    val after = spark.read.parquet(s"$dir/stats").collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    assert(after.keySet == spark.read.parquet(s"$dir/t").inputFiles.toSet,
+      "stats must cover exactly the directory's files")
+    before.foreach { case (f, row) =>
+      assert(after(f) == row, s"covered stats row rewritten for $f")
+    }
+    val got = ZOrder.prunedReadTable(spark, s"$dir/stats", s"$dir/t",
+      "x", "y", 10L, 20L, 5L, 30L)
+      .select("x", "y", "id").collect().map(_.toSeq).toSet
+    val want = spark.read.parquet(s"$dir/t")
+      .filter(col("x").between(10, 20) && col("y").between(5, 30))
+      .select("x", "y", "id").collect().map(_.toSeq).toSet
+    assert(got == want && want.exists(_.last == 9999L))
+    // extending again with nothing new appends nothing
+    ZOrder.extendStatsTable(spark, s"$dir/stats", s"$dir/t", "x", "y")
+    assert(spark.read.parquet(s"$dir/stats").count() == after.size.toLong)
+    // the N-D twin: same guard, same extend
+    val dirN = Files.createTempDirectory("zorder-extendn-").toString
+    ZOrder.clusterTableN(cube(), Seq("x", "y", "w"), s"$dirN/t", 8, s"$dirN/stats")
+    Seq((3L, 3L, 1L, 8888L)).toDF("x", "y", "w", "id")
+      .coalesce(1).write.mode("append").parquet(s"$dirN/t")
+    val eN = intercept[IllegalArgumentException](
+      ZOrder.prunedReadTableN(spark, s"$dirN/stats", s"$dirN/t",
+        Seq("x", "y", "w"), Seq((0L, 15L), (0L, 15L), (0L, 3L))))
+    assert(eN.getMessage.contains("extendStatsTable"), eN.getMessage)
+    ZOrder.extendStatsTableN(spark, s"$dirN/stats", s"$dirN/t", Seq("x", "y", "w"))
+    val gotN = ZOrder.prunedReadTableN(spark, s"$dirN/stats", s"$dirN/t",
+      Seq("x", "y", "w"), Seq((0L, 15L), (0L, 15L), (0L, 3L)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotN.contains(8888L))
+  }
+
+  test("zero-row part files carry an impossible rectangle: covered, always skipped, never refused") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zorder-empty-").toString
+    // 3 distinct z-values into 8 range partitions → some part files are
+    // written empty by the hash/range machinery on some layouts; force
+    // the shape deterministically by appending an EMPTY single file
+    ZOrder.clusterTable(grid(), "x", "y", s"$dir/t", 4, s"$dir/stats")
+    grid().filter(col("x") < 0).coalesce(1)
+      .write.mode("append").parquet(s"$dir/t")
+    ZOrder.extendStatsTable(spark, s"$dir/stats", s"$dir/t", "x", "y")
+    // every file covered, incl. the zero-row one (impossible rectangle)
+    assert(spark.read.parquet(s"$dir/stats").count() ==
+      spark.read.parquet(s"$dir/t").inputFiles.length.toLong)
+    val sentinel = spark.read.parquet(s"$dir/stats")
+      .filter(col("min_x") > col("max_x"))
+    assert(sentinel.count() >= 1L, "zero-row file must carry a sentinel rectangle")
+    // reads pass the guard and stay exact
+    val got = ZOrder.prunedReadTable(spark, s"$dir/stats", s"$dir/t",
+      "x", "y", 10L, 20L, 5L, 30L).count()
+    val want = spark.read.parquet(s"$dir/t")
+      .filter(col("x").between(10, 20) && col("y").between(5, 30)).count()
+    assert(got == want)
   }
 }

@@ -103,6 +103,11 @@ object Events {
       outputMode: String)(finish: DataFrame => DataFrame): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    // ephemeral drain: no failure recovery ever replays old batches, so
+    // don't have the state store retain its default 100 in-memory
+    // versions per partition (the transient half of the q132 repeat-run
+    // heap growth; the permanent half was the sink retention below)
+    ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     val q = build(ss)
       .writeStream
       .format("memory")

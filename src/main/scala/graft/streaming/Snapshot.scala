@@ -150,6 +150,32 @@ object Snapshot {
       f.metadata.getStringArray(PriorNamesKey).toSeq
     else Nil
 
+  /** Field-metadata key marking a DROPPED column: the field stays in
+    * the sidecar as a TOMBSTONE — its name and prior physical names
+    * remain reserved (old files still hold the physical column, so
+    * re-adding the name would resurrect dead data) — but it is excluded
+    * from the serving projection, from the read schema (never even
+    * scanned — dropping is also a column-pruning win), and from every
+    * evolution's view of the declared columns.
+    */
+  private val DroppedKey = "graftDropped"
+
+  private def isDropped(f: org.apache.spark.sql.types.StructField): Boolean =
+    f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
+
+  /** The widenings the parquet reader performs losslessly when handed
+    * an explicit wider read schema (verified against Spark 4.1's
+    * vectorized reader): integral up-casts and float→double.
+    */
+  private def canWiden(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val integral = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    val (fi, ti) = (integral.indexOf(from), integral.indexOf(to))
+    (fi >= 0 && ti > fi) || (from == FloatType && to == DoubleType)
+  }
+
   /** Reject a new declared name that collides with ANY name still in
     * use — declared names AND every prior physical name a rename left
     * behind in old data files. Declared-only checking would let
@@ -204,7 +230,7 @@ object Snapshot {
   def evolveRenameColumn(
       spark: SparkSession, root: String, from: String, to: String): Int =
     evolveSchema(spark, root) { base =>
-      require(base.fieldNames.contains(from), s"no column $from to rename")
+      requireDeclared(base, from, "rename")
       requireNameFree(base, to)
       org.apache.spark.sql.types.StructType(base.fields.map { f =>
         if (f.name != from) f
@@ -216,23 +242,105 @@ object Snapshot {
       })
     }
 
-  /** Conform a frame to the serving schema: columns the physical files
-    * predate are added as typed NULLs, renamed columns resolve through
-    * their prior physical names (coalesce, newest first — any one row
-    * carries exactly one of them, since every writer wrote its era's
-    * serving name), and the projection fixes the declared column order.
+  /** The evolvable (declared, non-tombstoned) column `name`, or a clear
+    * failure — dropped columns are not evolvable (their tombstone only
+    * reserves names).
+    */
+  private def requireDeclared(
+      base: org.apache.spark.sql.types.StructType, name: String,
+      what: String): Unit =
+    require(base.fields.exists(f => f.name == name && !isDropped(f)),
+      s"no column $name to $what")
+
+  /** DROP COLUMN as a transactional metadata-only commit: the field
+    * becomes a TOMBSTONE in the sidecar — excluded from the serving
+    * projection and from the read schema (old files' physical column is
+    * never even scanned again), while its name and prior physical names
+    * stay reserved so no later ADD/RENAME can resurrect dead data.
+    * Zero data rewrite; time travel below the commit still serves the
+    * column by construction. Returns the committed version.
+    */
+  def evolveDropColumn(spark: SparkSession, root: String, name: String): Int =
+    evolveSchema(spark, root) { base =>
+      requireDeclared(base, name, "drop")
+      org.apache.spark.sql.types.StructType(base.fields.map { f =>
+        if (f.name != name) f
+        else f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putBoolean(DroppedKey, true)
+            .build())
+      })
+    }
+
+  /** TYPE WIDENING (INT→BIGINT and friends) as a transactional
+    * metadata-only commit: the declared type widens in the sidecar;
+    * old files keep their narrow physical type and the read path hands
+    * the parquet scan the WIDE type explicitly (the reader up-casts
+    * losslessly — the reason [[readSchema]] drives an explicit-schema
+    * scan instead of mergeSchema, which refuses to merge INT32 and
+    * INT64 footers). Only lossless widenings are legal ([[canWiden]]);
+    * narrowing fails loudly. Zero data rewrite; time travel below the
+    * commit serves the narrow type. Returns the committed version.
+    */
+  def evolveWidenColumn(
+      spark: SparkSession, root: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Int =
+    evolveSchema(spark, root) { base =>
+      requireDeclared(base, name, "widen")
+      val f = base.fields.find(_.name == name).get
+      require(canWiden(f.dataType, to),
+        s"cannot widen $name from ${f.dataType.simpleString} to " +
+          s"${to.simpleString}: only lossless widenings " +
+          "(byte<short<int<long, float<double) are supported")
+      org.apache.spark.sql.types.StructType(base.fields.map { g =>
+        if (g.name != name) g else g.copy(dataType = to)
+      })
+    }
+
+  /** The EXPLICIT read schema for an evolved table's scan: every
+    * declared (non-dropped) column under its declared name AND every
+    * prior physical name, all at the DECLARED (widened) type. Handing
+    * the parquet scan this schema replaces mergeSchema entirely — no
+    * footer-merge job, files missing a column serve NULL, narrow
+    * physical types up-cast losslessly, and dropped columns are never
+    * even read.
+    */
+  private def readSchema(
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(isDropped).flatMap { f =>
+        (f.name +: priorNames(f)).map(n =>
+          org.apache.spark.sql.types.StructField(n, f.dataType, nullable = true))
+      })
+
+  /** One evolved-table scan: explicit [[readSchema]] over the dirs,
+    * conformed to the serving projection.
+    */
+  private def conformedRead(
+      spark: SparkSession, dirs: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    conform(spark.read.schema(readSchema(schema)).parquet(dirs: _*), schema)
+
+  /** Conform a frame to the serving schema: dropped columns are
+    * excluded, columns the physical files predate are added as typed
+    * NULLs, renamed columns resolve through their prior physical names
+    * (coalesce, newest first — any one row carries exactly one of
+    * them, since every writer wrote its era's serving name), every
+    * column is cast to its DECLARED (possibly widened) type, and the
+    * projection fixes the declared column order.
     */
   private def conform(
       df: DataFrame,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val have = df.columns.toSet
-    val cols = schema.fields.map { f =>
+    val cols = schema.fields.filterNot(isDropped).map { f =>
       val present = (f.name +: priorNames(f)).filter(have)
       present match {
         case Nil => lit(null).cast(f.dataType).as(f.name)
-        case Seq(one) => col(one).as(f.name)
-        case many => coalesce(many.map(col): _*).as(f.name)
+        case Seq(one) => col(one).cast(f.dataType).as(f.name)
+        case many => coalesce(many.map(col): _*).cast(f.dataType).as(f.name)
       }
     }
     df.select(cols.toSeq: _*)
@@ -736,8 +844,10 @@ object Snapshot {
           val bytes = fs.map(java.nio.file.Files.size(_)).sum
           val t = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
           import org.apache.spark.sql.functions.col
-          val raw = spark.read.parquet(s"$root/$d")
-          val df = schema.map(conform(raw, _)).getOrElse(raw)
+          val df = schema match {
+            case Some(s) => conformedRead(spark, Seq(s"$root/$d"), s)
+            case None => spark.read.parquet(s"$root/$d")
+          }
           df.withColumn("__z", zOf(df))
             .repartitionByRange(t, col("__z"))
             .sortWithinPartitions("__z")
@@ -793,12 +903,12 @@ object Snapshot {
     val dirs = readManifest(root, v).parts.toSeq.sortBy(_._1)
       .collect { case (_, d) if d != EmptyDir => s"$root/$d" }
     if (dirs.nonEmpty) schema match {
-      // evolved table: dirs from before the boundary physically lack the
-      // added columns — mergeSchema unions the footers, conform fills
-      // the typed NULLs and fixes the declared order. Never-evolved
-      // tables take the plain read below: zero footer-merge overhead.
-      case Some(s) =>
-        conform(spark.read.option("mergeSchema", "true").parquet(dirs: _*), s)
+      // evolved table: dirs from before the boundary physically lack
+      // added columns, hold renamed ones under prior names, or carry
+      // narrower pre-widening types — the explicit-schema scan
+      // ([[conformedRead]]) serves NULLs / prior names / up-casts with
+      // no footer-merge job. Never-evolved tables take the plain read.
+      case Some(s) => conformedRead(spark, dirs, s)
       case None => spark.read.parquet(dirs: _*)
     }
     else {
@@ -857,8 +967,7 @@ object Snapshot {
       .filter(_ != EmptyDir).map(d => s"$root/$d")
     if (dirs.isEmpty) None
     else Some(servingSchema(root, version) match {
-      case Some(s) =>
-        conform(spark.read.option("mergeSchema", "true").parquet(dirs: _*), s)
+      case Some(s) => conformedRead(spark, dirs, s)
       case None => spark.read.parquet(dirs: _*)
     })
   }

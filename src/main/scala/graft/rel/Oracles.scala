@@ -380,6 +380,27 @@ object Oracles {
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
+    // q205: the dropped-column read — the raw table minus the column;
+    // a leaked tombstoned column changes the schema hash, lost rows go
+    // red.
+    "q205_schema_drop" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // q206: the widened-column read — partitions 0..2 were rewritten
+    // post-widening with custkeys shifted past Int.MaxValue (+2^32),
+    // 3..5 still serve INT32 files; the reconstruction is exact BIGINT
+    // arithmetic, so a truncated or mis-cast era diverges.
+    "q206_schema_widen" ->
+      s"""SELECT o_orderkey,
+         |  CAST(CASE WHEN o_orderkey % 6 <= 2
+         |    THEN o_custkey + ${1L << 32}
+         |    ELSE o_custkey END AS BIGINT) AS o_custkey,
+         |  o_totalprice
+         |FROM orders
+         |ORDER BY o_orderkey""".stripMargin,
+
     // q185: the bloom-skipped point lookup — recomputed from the RAW
     // table, so the gate is on the SKIPPING decision: a file whose
     // bloom was wrongly negative (or wrongly dropped from the manifest)

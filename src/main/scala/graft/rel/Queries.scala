@@ -1349,6 +1349,73 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Declared query (q205) — DROP COLUMN across the evolution boundary
+    * (the q202/q204 pattern, third member): orders snapshot v0 with
+    * FOUR columns, then [[graft.streaming.Snapshot.evolveDropColumn]]
+    * tombstones `o_orderstatus` as a metadata-only commit (zero data
+    * rewrite — the field stays in the sidecar only to reserve its
+    * name), and a post-drop writer rewrites partitions {0,1,2} under
+    * the 3-column serving schema while {3,4,5} carry v0's files that
+    * PHYSICALLY still hold the dropped column. The CURRENT read must
+    * exclude it from both eras — and never even scan it (the explicit
+    * read schema omits tombstoned fields: dropping is a pruning win,
+    * not just a projection). The oracle is the raw table minus the
+    * column, so a leaked column changes the schema hash and lost rows
+    * go red. StreamingSuite pins the rest: time travel below the
+    * boundary still serves the column, re-ADDing the dropped name is
+    * rejected (old files would resurrect dead data), and drop composes
+    * with rename.
+    */
+  def q205SchemaDrop(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft-drop-").toString + "/t"
+    val orders = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    Snapshot.init(root, orders.withColumn("__part",
+      pmod(col("o_orderkey"), lit(6)).cast("int")))
+    Snapshot.evolveDropColumn(spark, root, "o_orderstatus")
+    // post-drop writer: partitions 0..2 rewritten under the 3-column
+    // serving schema; 3..5 carry 4-column pre-drop files verbatim
+    rewriteEvolvedParts(spark, root)(identity)
+    Snapshot.read(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Declared query (q206) — TYPE WIDENING (INT→BIGINT) across the
+    * evolution boundary: orders snapshot v0 with `o_custkey` stored as
+    * INT (the narrow era), then
+    * [[graft.streaming.Snapshot.evolveWidenColumn]] widens it to LONG
+    * as a metadata-only commit, and a post-widening writer rewrites
+    * partitions {0,1,2} with custkeys shifted PAST Int.MaxValue
+    * (+2^32) — values only the widened type can hold — while {3,4,5}
+    * carry v0's INT32 files verbatim. One scan must therefore decode
+    * INT32 and INT64 physical pages into the same BIGINT column (the
+    * explicit-read-schema up-cast; mergeSchema refuses this footer
+    * mix), and the oracle reconstructs exactly that from the raw table
+    * (shifted for the rewritten partitions, plain for the carried
+    * ones) — a wrong up-cast, a truncation, or a mis-conformed era
+    * goes red. StreamingSuite pins narrowing rejection, the
+    * widen+rename composition, and old-type time travel.
+    */
+  def q206SchemaWiden(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft-widen-").toString + "/t"
+    val orders = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").cast("int").as("o_custkey"),
+        col("o_totalprice"))
+    Snapshot.init(root, orders.withColumn("__part",
+      pmod(col("o_orderkey"), lit(6)).cast("int")))
+    Snapshot.evolveWidenColumn(spark, root, "o_custkey",
+      org.apache.spark.sql.types.LongType)
+    rewriteEvolvedParts(spark, root)(
+      _.withColumn("o_custkey", col("o_custkey") + lit(1L << 32)))
+    Snapshot.read(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q185 probe constants — orderkeys are dense 0..N−1 at every sf
     * (sf0.001 has 1500 orders), so these exist at every scale.
     */
@@ -1798,6 +1865,8 @@ object Queries {
     "q201_zorder3_skipping" -> (q201ZOrder3Skipping _),
     "q202_schema_evolution" -> (q202SchemaEvolution _),
     "q204_schema_rename" -> (q204SchemaRename _),
+    "q205_schema_drop" -> (q205SchemaDrop _),
+    "q206_schema_widen" -> (q206SchemaWiden _),
     "q185_bloom_skipping" -> (q185BloomSkipping _),
     "q186_scd2_incremental" -> (q186Scd2Incremental _),
     "q187_delete_vectors" -> (q187DeleteVectors _),

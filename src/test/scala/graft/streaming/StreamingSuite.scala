@@ -1140,6 +1140,89 @@ class StreamingSuite extends AnyFunSuite {
       after.forall(r => r.getLong(1) == r.getLong(0) * 100L))
   }
 
+  test("q205/q206 drop + widen: tombstone reserves names, widening is lossless, both compose with rename, old-era time travel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = java.nio.file.Files.createTempDirectory("graft-dropwiden-").toString + "/t"
+    val base = (0L until 12L).map(k => (k, k.toInt * 100, s"S$k", k * 1.5))
+      .toDF("k", "amt", "status", "price")
+      .withColumn("amt", col("amt").cast("int"))
+      .withColumn("price", col("price").cast("float"))
+      .withColumn("__part", pmod(col("k"), lit(3)).cast("int"))
+    Snapshot.init(root, base)
+    // DROP: metadata-only — no data dirs, column gone from the read,
+    // and the read schema never even scans it
+    val v1 = Snapshot.evolveDropColumn(spark, root, "status")
+    assert(v1 == 1)
+    assert(Snapshot.readManifest(root, 1).parts.values.forall(_.startsWith("v0/")))
+    val dropped = Snapshot.read(spark, root)
+    assert(dropped.schema.fieldNames.toSeq == Seq("k", "amt", "price"))
+    assert(dropped.count() == 12)
+    // time travel below the boundary still serves the column
+    assert(Snapshot.read(spark, root, Some(0)).schema.fieldNames.toSeq ==
+      Seq("k", "amt", "status", "price"))
+    // the dropped name stays RESERVED: re-adding it would resurrect the
+    // physical column's dead data from old files
+    intercept[IllegalArgumentException](
+      Snapshot.evolveAddColumn(spark, root, "status",
+        org.apache.spark.sql.types.StringType))
+    // and a dropped column is not evolvable
+    intercept[IllegalArgumentException](
+      Snapshot.evolveRenameColumn(spark, root, "status", "status2"))
+    intercept[IllegalArgumentException](
+      Snapshot.evolveDropColumn(spark, root, "status"))
+    // WIDEN int -> long: metadata-only; a post-widening writer stores
+    // values past Int.MaxValue; ONE scan decodes both physical types
+    val v2 = Snapshot.evolveWidenColumn(spark, root, "amt",
+      org.apache.spark.sql.types.LongType)
+    assert(v2 == 2)
+    assert(Snapshot.read(spark, root).schema("amt").dataType ==
+      org.apache.spark.sql.types.LongType)
+    Snapshot.commitOcc(root) { att =>
+      Snapshot.readParts(spark, root, att.base.version, Seq(0)).get
+        .withColumn("amt", col("amt") + lit(1L << 40))
+        .withColumn("__part", pmod(col("k"), lit(3)).cast("int"))
+        .write.partitionBy("__part").parquet(att.dataDir)
+      Some(Snapshot.CommitSpec(att.base.parts ++ att.writtenParts()))
+    }
+    val mixed = Snapshot.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 12L).foreach { k =>
+      val want = if (k % 3 == 0) k * 100 + (1L << 40) else k * 100
+      assert(mixed(k) == want, s"widened read wrong at $k: ${mixed(k)}")
+    }
+    // old-type time travel: below the widening the column is still INT
+    assert(Snapshot.read(spark, root, Some(1)).schema("amt").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // narrowing and no-op "widenings" are rejected
+    intercept[IllegalArgumentException](
+      Snapshot.evolveWidenColumn(spark, root, "amt",
+        org.apache.spark.sql.types.IntegerType))
+    intercept[IllegalArgumentException](
+      Snapshot.evolveWidenColumn(spark, root, "price",
+        org.apache.spark.sql.types.IntegerType))
+    // compositions: widen a RENAMED column (prior-name files up-cast
+    // through the mapping), then drop it — priors stay reserved
+    Snapshot.evolveRenameColumn(spark, root, "amt", "amount")
+    val renamed = Snapshot.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(renamed == mixed, "rename changed served values")
+    Snapshot.evolveDropColumn(spark, root, "amount")
+    assert(Snapshot.read(spark, root).schema.fieldNames.toSeq == Seq("k", "price"))
+    intercept[IllegalArgumentException](
+      Snapshot.evolveAddColumn(spark, root, "amt",
+        org.apache.spark.sql.types.LongType)) // prior physical name of a dropped col
+    // float -> double widening: old FLOAT pages serve as DOUBLE exactly
+    Snapshot.evolveWidenColumn(spark, root, "price",
+      org.apache.spark.sql.types.DoubleType)
+    val widePrice = Snapshot.read(spark, root)
+    assert(widePrice.schema("price").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val prices = widePrice.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L until 12L).foreach(k =>
+      assert(prices(k) == (k * 1.5f).toDouble, s"float->double at $k"))
+  }
+
   test("q200 CDF refresh: intermediate view == horizon-1 recompute; delete batch removes keys") {
     import spark.implicits._
     import graft.rel.DeleteVectors

@@ -86,9 +86,12 @@ object HiddenPartitioning {
     * mirroring the non-ANSI cast's NULL.
     */
   private def parseBound(spark: SparkSession, s: String): Option[java.time.Instant] = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    // TRY mode: an unparseable bound must be the documented EMPTY
+    // result, not an error — under Spark 4's default ANSI session the
+    // plain Cast THROWS, so the mode is pinned explicitly
     Option(Cast(Literal(s), org.apache.spark.sql.types.TimestampType,
-      Some(sessionZone(spark))).eval(null))
+      Some(sessionZone(spark)), EvalMode.TRY).eval(null))
       .map(us => java.time.Instant.EPOCH.plus(
         us.asInstanceOf[Long], java.time.temporal.ChronoUnit.MICROS))
   }
@@ -151,5 +154,146 @@ object HiddenPartitioning {
       .filter(col(BucketCol) === bucket)
       .filter(col(keyCol) === key)
       .drop(BucketCol)
+  }
+
+  // ---- PARTITION EVOLUTION (Iceberg partition-spec evolution) ----------
+  //
+  // The transform is table METADATA, not table identity: a table laid
+  // out daily can switch to hourly when it grows — WITHOUT rewriting
+  // history. Each transform change starts a new ERA: an immutable
+  // sub-layout (`e0/`, `e1/`, …) holding exactly the rows written while
+  // its spec was current, plus one line in the `_graft_layout.eras`
+  // sidecar recording (dir, transform, zone). Readers derive a
+  // partition predicate PER ERA from the one data predicate — each era
+  // prunes under its own transform and zone — and union the eras; the
+  // residual data predicate keeps the union exact, so a transform
+  // change is invisible to query results (the q192 discipline, spec'd
+  // per era).
+
+  /** Hour-transform partition column (engine-reserved, like [[DayCol]]).
+    * Values are `yyyy-MM-dd-HH` strings: lexicographic order == time
+    * order, so directory-level pruning is a string BETWEEN.
+    */
+  val HourCol = "__p_hour"
+  private val HourFmt = "yyyy-MM-dd-HH"
+
+  /** Era sidecar: one `"<dir> <transform> <zone>"` line per era,
+    * oldest first. Underscore-prefixed like [[ZoneMetaFile]].
+    */
+  val ErasMetaFile = "_graft_layout.eras"
+
+  private final case class Era(dir: String, transform: String, zone: String)
+
+  private def writeEras(spark: SparkSession, root: String, eras: Seq[Era]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, ErasMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(eras.map(e => s"${e.dir} ${e.transform} ${e.zone}")
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readEras(spark: SparkSession, root: String): Seq[Era] = {
+    val p = new org.apache.hadoop.fs.Path(root, ErasMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"$root is not an evolvable layout (no $ErasMetaFile)")
+    val in = fs.open(p)
+    val body =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    body.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val Array(d, t, z) = line.split(" ", 3)
+      Era(d, t, z)
+    }
+  }
+
+  /** Write one era's rows under its transform. The transform evaluates
+    * under the writer's SESSION zone, so the appender's zone must match
+    * the era's recorded zone — the same write-time contract as
+    * [[ZoneMetaFile]], enforced instead of assumed.
+    */
+  private def writeEraData(
+      df: DataFrame, tsCol: String, root: String, era: Era): Unit = {
+    require(sessionZone(df.sparkSession) == era.zone,
+      s"appender session zone ${sessionZone(df.sparkSession)} != era's " +
+        s"recorded zone ${era.zone}: the transform would mint partition " +
+        "values the era's readers mis-derive")
+    val out = s"$root/${era.dir}"
+    era.transform match {
+      case "day" =>
+        df.withColumn(DayCol, to_date(col(tsCol)))
+          .write.mode("append").partitionBy(DayCol).parquet(out)
+      case "hour" =>
+        df.withColumn(HourCol, date_format(col(tsCol), HourFmt))
+          .write.mode("append").partitionBy(HourCol).parquet(out)
+      case other => sys.error(s"unknown partition transform $other")
+    }
+  }
+
+  /** Initialize an evolvable layout: era 0 is day-partitioned. */
+  def initEvolvable(df: DataFrame, tsCol: String, root: String): Unit = {
+    val era = Era("e0", "day", sessionZone(df.sparkSession))
+    writeEraData(df, tsCol, root, era)
+    writeEras(df.sparkSession, root, Seq(era))
+  }
+
+  /** PARTITION EVOLUTION: switch the layout's transform to hourly.
+    * Metadata-only — one sidecar line; no historical row moves. Rows
+    * appended from now on land in the new era's hourly directories.
+    */
+  def evolveToHourly(spark: SparkSession, root: String): Unit = {
+    val eras = readEras(spark, root)
+    require(eras.last.transform != "hour",
+      s"layout $root is already hour-partitioned")
+    writeEras(spark, root,
+      eras :+ Era(s"e${eras.size}", "hour", sessionZone(spark)))
+  }
+
+  /** Append rows under the CURRENT era's transform. */
+  def appendEvolvable(df: DataFrame, tsCol: String, root: String): Unit =
+    writeEraData(df, tsCol, root, readEras(df.sparkSession, root).last)
+
+  /** Range read across EVERY era: the day eras prune on derived date
+    * literals, the hour eras on derived `yyyy-MM-dd-HH` string bounds
+    * (both computed driver-side under each era's RECORDED zone, so both
+    * predicates are foldable and prune at listing time), the exact ts
+    * predicate is the residual on every era, and the union serves one
+    * frame — the transform boundary is invisible to results. An
+    * unparseable bound is a defined EMPTY result, like [[readTsRange]].
+    */
+  def readTsRangeEvolved(
+      spark: SparkSession, root: String, tsCol: String,
+      lo: String, hi: String): DataFrame = {
+    val eras = readEras(spark, root)
+    def eraRead(era: Era, loI: java.time.Instant, hiI: java.time.Instant): DataFrame = {
+      val zone = java.time.ZoneId.of(era.zone)
+      val raw = spark.read.parquet(s"$root/${era.dir}")
+      era.transform match {
+        case "day" =>
+          def dayIn(i: java.time.Instant): java.sql.Date =
+            java.sql.Date.valueOf(java.time.LocalDate.ofInstant(i, zone))
+          raw.filter(col(DayCol).between(lit(dayIn(loI)), lit(dayIn(hiI))))
+            .drop(DayCol)
+        case "hour" =>
+          val fmt = java.time.format.DateTimeFormatter.ofPattern(HourFmt)
+            .withZone(zone)
+          raw.filter(col(HourCol).between(lit(fmt.format(loI)), lit(fmt.format(hiI))))
+            .drop(HourCol)
+        case other => sys.error(s"unknown partition transform $other")
+      }
+    }
+    (parseBound(spark, lo), parseBound(spark, hi)) match {
+      case (Some(loI), Some(hiI)) =>
+        eras.map { era =>
+          eraRead(era, loI, hiI)
+            .filter(col(tsCol) >= lit(lo).cast("timestamp") &&
+              col(tsCol) < lit(hi).cast("timestamp"))
+        }.reduce(_ unionByName _)
+      case _ => // NULL bound: the residual matches nothing
+        eraRead(eras.head, java.time.Instant.EPOCH, java.time.Instant.EPOCH)
+          .filter(lit(false))
+    }
   }
 }

@@ -517,6 +517,16 @@ object Oracles {
          |  AND ts < TIMESTAMP '${Queries.HiddenPartHi}'
          |ORDER BY event_id""".stripMargin,
 
+    // q207: partition evolution — the plain ts-range SQL, blind to the
+    // day/hour era boundary the engine's layout crosses: a directory
+    // wrongly pruned in either era loses rows here and goes red.
+    "q207_partition_evolution" ->
+      s"""SELECT event_id, ts, user_id, event_type, value
+         |FROM events
+         |WHERE ts >= TIMESTAMP '${Queries.PartEvolveLo}'
+         |  AND ts < TIMESTAMP '${Queries.PartEvolveHi}'
+         |ORDER BY event_id""".stripMargin,
+
     "q193_hidden_partition_bucket" ->
       s"""SELECT event_id, ts, user_id, event_type, value
          |FROM events

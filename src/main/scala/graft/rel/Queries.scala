@@ -1742,6 +1742,48 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** q207 era boundary + query range (UTC): the range straddles the
+    * boundary with sub-hour endpoints, so BOTH eras prune AND both
+    * residuals bite.
+    */
+  val PartEvolveBoundary = "2024-01-15 00:00:00"
+  val PartEvolveLo = "2024-01-12 06:30:00"
+  val PartEvolveHi = "2024-01-17 15:45:00"
+
+  /** Declared query (q207) — PARTITION EVOLUTION (Iceberg
+    * partition-spec evolution): q192's hidden day partitioning
+    * switched to HOURLY across an era boundary without rewriting
+    * history. Events before [[PartEvolveBoundary]] are laid out
+    * day-partitioned (era 0); [[graft.rel.HiddenPartitioning
+    * .evolveToHourly]] switches the spec as a metadata-only sidecar
+    * line; events at or after the boundary land hour-partitioned
+    * (era 1). The range read derives a PER-ERA partition predicate
+    * from the one ts predicate (date literals for the day era,
+    * `yyyy-MM-dd-HH` string bounds for the hour era, each under its
+    * era's recorded zone), unions the eras, and re-applies the exact
+    * ts residual. Oracle: the plain ts-range SQL over the raw table
+    * (the q192 discipline) — a partition wrongly skipped in EITHER era
+    * loses rows and goes red. HiddenPartitioningSuite pins that both
+    * eras' scans list only the derived directories.
+    */
+  def q207PartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val layout = memoLayout(s"hpevolve:$dir") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hpe-").toString
+      val root = s"$tmp/ev"
+      val ev = events(spark, dir)
+      val b = lit(PartEvolveBoundary).cast("timestamp")
+      HiddenPartitioning.initEvolvable(ev.filter(col("ts") < b), "ts", root)
+      HiddenPartitioning.evolveToHourly(spark, root)
+      HiddenPartitioning.appendEvolvable(ev.filter(col("ts") >= b), "ts", root)
+      root
+    }
+    HiddenPartitioning.readTsRangeEvolved(spark, layout, "ts",
+      PartEvolveLo, PartEvolveHi)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Declared query (q194) — TIME-IN-STATE over the SCD2 history: the
     * duration-weighted analytics layer on q186's versioned dimension —
     * per segment, how much wall-clock time users collectively spent in
@@ -1867,6 +1909,7 @@ object Queries {
     "q204_schema_rename" -> (q204SchemaRename _),
     "q205_schema_drop" -> (q205SchemaDrop _),
     "q206_schema_widen" -> (q206SchemaWiden _),
+    "q207_partition_evolution" -> (q207PartitionEvolution _),
     "q185_bloom_skipping" -> (q185BloomSkipping _),
     "q186_scd2_incremental" -> (q186Scd2Incremental _),
     "q187_delete_vectors" -> (q187DeleteVectors _),

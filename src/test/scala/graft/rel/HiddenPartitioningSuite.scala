@@ -125,4 +125,64 @@ class HiddenPartitioningSuite extends AnyFunSuite {
     val out = HiddenPartitioning.readKeyEquals(spark, dir, "key", 424242L, 8)
     assert(out.count() == 0L)
   }
+
+  test("partition evolution day->hour: both eras prune to derived dirs; union == plain filter; boundary invisible") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = java.nio.file.Files.createTempDirectory("hp-evolve-").toString + "/t"
+    val df = sample() // 2024-02-01 .. 2024-02-20
+    val boundary = "2024-02-11 00:00:00"
+    HiddenPartitioning.initEvolvable(
+      df.filter(col("ts") < lit(boundary).cast("timestamp")), "ts", root)
+    HiddenPartitioning.evolveToHourly(spark, root)
+    HiddenPartitioning.appendEvolvable(
+      df.filter(col("ts") >= lit(boundary).cast("timestamp")), "ts", root)
+    // era layout on disk: e0 day dirs only below the boundary, e1 hour
+    // dirs only at/above it
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(root, "e0"))
+      .filter(_.getFileName.toString.startsWith("__p_day="))
+      .count() == 10)
+    val (lo, hi) = ("2024-02-09 05:30:00", "2024-02-13 17:45:00")
+    val out = HiddenPartitioning.readTsRangeEvolved(spark, root, "ts", lo, hi)
+    // result == the plain residual filter over ALL rows — the era
+    // boundary and both transforms are invisible to results
+    val want = df.filter(col("ts") >= lit(lo).cast("timestamp") &&
+      col("ts") < lit(hi).cast("timestamp"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out.collect().map(_.getLong(0)).toSet == want)
+    assert(want.nonEmpty)
+    // BOTH eras' scans list ONLY derived directories: e0 days 09..11
+    // (hi's day, conservatively) and e1 hours 11th-00h .. 13th-17h
+    val scans = out.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 2, s"one scan per era: ${scans.size}")
+    val byEra = scans.map { s =>
+      val fs = s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+        .flatMap(_.files.map(_.getPath.toString))
+      (if (fs.exists(_.contains("/e0/"))) "e0" else "e1", fs)
+    }.toMap
+    assert(byEra("e0").nonEmpty && byEra("e0").forall { f =>
+      Seq("2024-02-09", "2024-02-10", "2024-02-11", "2024-02-12", "2024-02-13")
+        .exists(d => f.contains(s"__p_day=$d"))
+    }, byEra("e0"))
+    assert(byEra("e1").nonEmpty && byEra("e1").forall { f =>
+      val h = f.split("__p_hour=")(1).split("/")(0)
+      h >= "2024-02-09-05" && h <= "2024-02-13-17"
+    }, byEra("e1"))
+    // e0 lists no day the derived range excludes
+    assert(!byEra("e0").exists(_.contains("__p_day=2024-02-08")))
+    // e1 prunes INSIDE a day: the 13th's hours past 17 are excluded
+    assert(!byEra("e1").exists(_.contains("__p_hour=2024-02-13-18")))
+    // evolve guards: double-evolve rejected; zone-mismatched append rejected
+    intercept[IllegalArgumentException](
+      HiddenPartitioning.evolveToHourly(spark, root))
+    val shifted = spark.newSession()
+    shifted.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
+    intercept[IllegalArgumentException](
+      HiddenPartitioning.appendEvolvable(
+        shifted.read.parquet(root + "/e1").drop("__p_hour"), "ts", root))
+    // unparseable bound: defined empty, never a crash
+    assert(HiddenPartitioning.readTsRangeEvolved(
+      spark, root, "ts", "not-a-time", hi).count() == 0L)
+  }
 }

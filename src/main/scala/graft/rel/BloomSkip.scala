@@ -88,6 +88,39 @@ object BloomSkip {
   private def emptyBloom(expectedPerFile: Long, fpp: Double): Array[Byte] =
     serialize(BloomFilter.create(expectedPerFile, fpp))
 
+  /** [[foldedBlooms]] for STRING keys — doc ids, URLs, content hashes:
+    * the LLM-pipeline's natural point-lookup keys, which the long-keyed
+    * fold cannot index (a cast would NULL them out). Same shape: NULL
+    * keys dropped, per-partition partials, bitwise-OR merge;
+    * `putString` hashes the UTF-8 bytes, exactly what
+    * `mightContainString` probes.
+    */
+  private def foldedBloomsString(
+      data: DataFrame, keyCol: String,
+      expectedPerFile: Long, fpp: Double): Dataset[(String, Array[Byte])] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val rows: Dataset[(String, String)] = data
+      .filter(col(keyCol).isNotNull)
+      .select(input_file_name().as("file"), col(keyCol).cast("string").as("key"))
+      .as[(String, String)]
+    rows.mapPartitions { it =>
+      val partials = scala.collection.mutable.HashMap.empty[String, BloomFilter]
+      it.foreach { case (file, key) =>
+        partials.getOrElseUpdate(file, BloomFilter.create(expectedPerFile, fpp))
+          .putString(key)
+      }
+      partials.iterator.map { case (f, b) => (f, serialize(b)) }
+    }
+      .groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        val m = deserialize(a._2)
+        m.mergeInPlace(deserialize(b._2))
+        (a._1, serialize(m))
+      }
+      .map(_._2)
+  }
+
   /** The manifest kernel over an arbitrary frame (a whole dir, or just
     * newly-appended files for [[extendManifest]]).
     */
@@ -179,10 +212,18 @@ object BloomSkip {
     */
   private def indexFilesInto(
       spark: SparkSession, files: Seq[String], keyCol: String,
-      expectedPerFile: Long, fpp: Double, manifestDir: String): Unit = {
+      expectedPerFile: Long, fpp: Double, manifestDir: String): Unit =
+    indexFilesWith(spark, files, expectedPerFile, fpp, manifestDir)(
+      foldedBlooms(_, keyCol, expectedPerFile, fpp))
+
+  /** The ONE index-and-cover kernel both key types share. */
+  private def indexFilesWith(
+      spark: SparkSession, files: Seq[String],
+      expectedPerFile: Long, fpp: Double, manifestDir: String)(
+      fold: DataFrame => Dataset[(String, Array[Byte])]): Unit = {
     if (files.isEmpty) return
     import spark.implicits._
-    foldedBlooms(spark.read.parquet(files: _*), keyCol, expectedPerFile, fpp)
+    fold(spark.read.parquet(files: _*))
       .toDF("file", "bloom")
       .write.mode("append").parquet(manifestDir)
     val uncovered = files.toDF("file")
@@ -190,6 +231,62 @@ object BloomSkip {
     if (!uncovered.isEmpty)
       uncovered.withColumn("bloom", lit(emptyBloom(expectedPerFile, fpp)))
         .write.mode("append").parquet(manifestDir)
+  }
+
+  // ---- STRING-KEYED table-form manifest ---------------------------------
+
+  /** [[buildManifestTable]] over a STRING key column. */
+  def buildManifestTableString(
+      spark: SparkSession, dir: String, keyCol: String,
+      expectedPerFile: Long, fpp: Double, manifestDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p),
+      s"manifest table $manifestDir already exists: use " +
+        "extendManifestTableString to index new files, or build into a " +
+        "fresh directory")
+    indexFilesWith(spark, spark.read.parquet(dir).inputFiles.toIndexedSeq,
+      expectedPerFile, fpp, manifestDir)(
+      foldedBloomsString(_, keyCol, expectedPerFile, fpp))
+  }
+
+  /** [[extendManifestTable]] over a STRING key column. */
+  def extendManifestTableString(
+      spark: SparkSession, manifestDir: String, dir: String,
+      keyCol: String, expectedPerFile: Long, fpp: Double): Unit = {
+    import spark.implicits._
+    val newFiles = spark.read.parquet(dir).inputFiles.toSeq.toDF("file")
+      .join(spark.read.parquet(manifestDir).select("file"), Seq("file"), "left_anti")
+      .as[String].collect().toIndexedSeq
+    indexFilesWith(spark, newFiles, expectedPerFile, fpp, manifestDir)(
+      foldedBloomsString(_, keyCol, expectedPerFile, fpp))
+  }
+
+  /** [[candidateFiles]] for STRING probes (`mightContainString`). */
+  def candidateFilesString(
+      spark: SparkSession, manifestDir: String, keys: Seq[String]): DataFrame = {
+    val ks = keys.toArray
+    val admitsAny = udf { bloom: Array[Byte] =>
+      val b = deserialize(bloom)
+      ks.exists(b.mightContainString)
+    }
+    spark.read.parquet(manifestDir).filter(admitsAny(col("bloom")))
+      .select("file").distinct()
+  }
+
+  /** Point/IN-list lookup on a STRING key through the table-form
+    * manifest: distributed pruning decision, then open ONLY the
+    * surviving files with the exact predicate as the residual.
+    */
+  def prunedReadTableString(
+      spark: SparkSession, manifestDir: String, keyCol: String,
+      keys: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val files = candidateFilesString(spark, manifestDir, keys)
+      .as[String].collect().toIndexedSeq.sorted
+    if (files.isEmpty) emptyFromManifest(spark, manifestDir, "indexed")
+    else spark.read.parquet(files: _*)
+      .filter(col(keyCol).isin(keys: _*))
   }
 
   /** The skipping decision as a DISTRIBUTED frame over the manifest

@@ -517,6 +517,19 @@ object Oracles {
          |  AND ts < TIMESTAMP '${Queries.HiddenPartHi}'
          |ORDER BY event_id""".stripMargin,
 
+    // q208: the string-keyed bloom lookup — recomputed from the raw
+    // table with the uid derived in SQL: the gate is on the skipping
+    // decision (a file whose bloom was wrongly negative loses rows);
+    // false positives are invisible (residual-filtered on the Spark
+    // side).
+    "q208_string_bloom_lookup" -> {
+      val in = Queries.StringProbeUids.map(u => s"'$u'").mkString(", ")
+      s"""SELECT doc_id, printf('doc-%08d', doc_id) AS doc_uid, lang, source, n_chars
+         |FROM documents
+         |WHERE printf('doc-%08d', doc_id) IN ($in)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // q207: partition evolution — the plain ts-range SQL, blind to the
     // day/hour era boundary the engine's layout crosses: a directory
     // wrongly pruned in either era loses rows here and goes red.

@@ -1877,6 +1877,46 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q208 probe uids — doc_ids are dense 0..499 at every sf. */
+  val StringProbeUids: Seq[String] =
+    Seq(7L, 123L, 411L).map(k => f"doc-$k%08d")
+
+  /** Declared query (q208) — STRING-KEYED BLOOM SKIPPING: the q185/q199
+    * point-lookup index on the LLM-pipeline's NATURAL key type — a
+    * string document id (URLs and content hashes work identically),
+    * which the long-keyed manifest cannot index (a cast would NULL it
+    * out). Documents get a `doc_uid` string, are scattered across
+    * files by a DIFFERENT column (so min/max stats on the uid prune
+    * nothing and only content can), a per-file bloom manifest is built
+    * over the uid with `putString` ([[BloomSkip
+    * .buildManifestTableString]] — UTF-8 byte hashing, exactly what
+    * `mightContainString` probes), and an IN-list uid lookup opens
+    * ONLY the bloom-positive files. Oracle: the same lookup recomputed
+    * from the raw table with the uid derived in SQL — a wrongly
+    * skipped file loses rows and goes red; false positives are
+    * absorbed by the residual. BloomSkipSuite pins the string-fold
+    * partial-merge identity and that the scan lists strictly fewer
+    * than all files.
+    */
+  def q208StringBloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    val (docsDir, manifestDir) = memoLayout(s"bloomstr:$dir") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bloom-str-").toString
+      val docs = table(spark, dir, "documents")
+        .withColumn("doc_uid", format_string("doc-%08d", col("doc_id")))
+        .select(col("doc_id"), col("doc_uid"), col("lang"), col("source"),
+          col("n_chars"))
+      docs.repartition(16, col("n_chars")) // uid-scattered layout
+        .write.parquet(s"$tmp/docs")
+      BloomSkip.buildManifestTableString(spark, s"$tmp/docs", "doc_uid",
+        64L, 0.01, s"$tmp/m")
+      (s"$tmp/docs", s"$tmp/m")
+    }
+    val _ = docsDir
+    BloomSkip.prunedReadTableString(spark, manifestDir, "doc_uid",
+      StringProbeUids)
+      .orderBy(col("doc_id"))
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1910,6 +1950,7 @@ object Queries {
     "q205_schema_drop" -> (q205SchemaDrop _),
     "q206_schema_widen" -> (q206SchemaWiden _),
     "q207_partition_evolution" -> (q207PartitionEvolution _),
+    "q208_string_bloom_lookup" -> (q208StringBloomLookup _),
     "q185_bloom_skipping" -> (q185BloomSkipping _),
     "q186_scd2_incremental" -> (q186Scd2Incremental _),
     "q187_delete_vectors" -> (q187DeleteVectors _),

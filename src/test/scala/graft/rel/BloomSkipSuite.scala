@@ -188,6 +188,50 @@ class BloomSkipSuite extends AnyFunSuite {
     assert(plan.contains("Filter"), s"the probe must be a distributed filter:\n$plan")
   }
 
+  test("string keys: putString fold, pruning wins, extend covers appends, residual exact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bloom-str-").toString
+    val dir = s"$root/t"
+    // string uids scattered across 8 files by an unrelated salt: min/max
+    // on the uid prunes nothing, only the bloom's content can
+    (0L until 800L).map(k => (f"uid-$k%06d", k % 13, s"v$k"))
+      .toDF("uid", "salt", "payload")
+      .repartition(8, col("salt")).write.parquet(dir)
+    BloomSkip.buildManifestTableString(spark, dir, "uid", 200L, 0.01, s"$root/m")
+    val probes = Seq("uid-000007", "uid-000123", "uid-000699")
+    val files = BloomSkip.candidateFilesString(spark, s"$root/m", probes)
+      .as[String].collect()
+    assert(files.nonEmpty && files.length < 8,
+      s"string blooms must prune some of the 8 files: ${files.length}")
+    val got = BloomSkip.prunedReadTableString(spark, s"$root/m", "uid", probes)
+      .select("uid").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == probes.sorted)
+    // a probe outside the key space: zero rows, typed schema
+    val miss = BloomSkip.prunedReadTableString(
+      spark, s"$root/m", "uid", Seq("uid-999999"))
+    assert(miss.count() == 0L && miss.columns.toSeq == Seq("uid", "salt", "payload"))
+    // incremental extend: second wave of uids in new files, covered rows
+    // byte-identical, probes resolve across both waves
+    val before = spark.read.parquet(s"$root/m").as[(String, Array[Byte])]
+      .collect().map { case (f, b) => f -> b.toSeq }.toMap
+    (2000L until 2400L).map(k => (f"uid-$k%06d", k % 13, s"v$k"))
+      .toDF("uid", "salt", "payload")
+      .repartition(2, col("salt")).write.mode("append").parquet(dir)
+    BloomSkip.extendManifestTableString(spark, s"$root/m", dir, "uid", 200L, 0.01)
+    val after = spark.read.parquet(s"$root/m").as[(String, Array[Byte])]
+      .collect().map { case (f, b) => f -> b.toSeq }.toMap
+    assert(after.keySet == spark.read.parquet(dir).inputFiles.toSet)
+    before.foreach { case (f, b) => assert(after(f) == b, s"rewritten $f") }
+    Seq("uid-000123", "uid-002123").foreach { k =>
+      val r = BloomSkip.prunedReadTableString(spark, s"$root/m", "uid", Seq(k))
+        .select("uid").collect().map(_.getString(0)).toSet
+      assert(r == Set(k), s"probe $k")
+    }
+    // rebuild refusal mirrors the long-keyed guard
+    intercept[IllegalArgumentException](
+      BloomSkip.buildManifestTableString(spark, dir, "uid", 200L, 0.01, s"$root/m"))
+  }
+
   test("table-form extend: O(new) appends, covered rows byte-identical, coverage complete") {
     import spark.implicits._
     val root = Files.createTempDirectory("bloom-suite-").toString

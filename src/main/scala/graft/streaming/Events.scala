@@ -1305,6 +1305,23 @@ object Events {
     finally walk.close()
   }
 
+  /** Retention GC for the CDF-maintained view — the snapshot `gc`
+    * discipline applied to the materialized view's version chain: keep
+    * the newest `keepLast` versions (the serving one and enough history
+    * to inspect recent refreshes), delete the rest. Each version is a
+    * self-contained directory (no carry-forward here — every refresh
+    * writes the FULL view), so retention is a plain prefix delete and
+    * a long-running CDC consumer's disk footprint is O(keepLast ×
+    * |view|), not O(batches × |view|).
+    */
+  def gcView(viewRoot: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "must keep at least the serving version")
+    val last = latestViewVersion(viewRoot)
+    (0 to last - keepLast).foreach { v =>
+      Snapshot.deleteRecursively(java.nio.file.Paths.get(viewRoot, s"v$v"))
+    }
+  }
+
   /** The q200 drain body, parameterized over the MoR state and the
     * batch horizon so the suite can drive extra shapes (a delete-only
     * batch) through the same kernel. Stages each batch's change feed as

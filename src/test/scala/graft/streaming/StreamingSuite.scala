@@ -1265,5 +1265,13 @@ class StreamingSuite extends AnyFunSuite {
     }
     // the delete batch removed custkey 9 from the view entirely
     assert(viewAt(2).contains(9L) && !viewAt(3).contains(9L))
+    // view retention: keep the serving version (+1 of history), drop
+    // the rest — the long-running consumer's disk stays O(keepLast)
+    Events.gcView(viewRoot, keepLast = 2)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(viewRoot, "v0")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(viewRoot, "v1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(viewRoot, "v2")))
+    assert(Events.latestViewVersion(viewRoot) == 3)
+    assert(viewAt(3) == recomputeAt(3L), "serving version intact after gc")
   }
 }

@@ -184,14 +184,24 @@ object HiddenPartitioning {
 
   private final case class Era(dir: String, transform: String, zone: String)
 
+  /** Atomic sidecar replace: full body to a temp file, then one rename
+    * onto the final name — a reader racing an evolve (or a crash
+    * mid-write) sees the OLD complete era list or the NEW one, never a
+    * truncated file that would silently drop whole eras' rows from
+    * range reads. (Truncate-in-place `fs.create(p, true)` had exactly
+    * that window.)
+    */
   private def writeEras(spark: SparkSession, root: String, eras: Seq[Era]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(root, ErasMetaFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(eras.map(e => s"${e.dir} ${e.transform} ${e.zone}")
+    val body = eras.map(e => s"${e.dir} ${e.transform} ${e.zone}")
       .mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val dir = java.nio.file.Paths.get(root)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, s".$ErasMetaFile-", ".tmp")
+    java.nio.file.Files.write(tmp,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, dir.resolve(ErasMetaFile),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
   private def readEras(spark: SparkSession, root: String): Seq[Era] = {
@@ -263,10 +273,30 @@ object HiddenPartitioning {
     * frame — the transform boundary is invisible to results. An
     * unparseable bound is a defined EMPTY result, like [[readTsRange]].
     */
+  /** An era contributes to reads only once it HOLDS partition dirs:
+    * evolveToHourly is metadata-only (the new era's directory does not
+    * exist until its first append), and a zero-row append leaves a
+    * dir with no partitions — both are legal states a range read must
+    * treat as "this era has nothing yet", not crash on.
+    */
+  private def eraHasData(root: String, era: Era): Boolean = {
+    val d = java.nio.file.Paths.get(root, era.dir)
+    java.nio.file.Files.isDirectory(d) && {
+      val s = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.exists(_.getFileName.toString.startsWith("__p_"))
+      } finally s.close()
+    }
+  }
+
   def readTsRangeEvolved(
       spark: SparkSession, root: String, tsCol: String,
       lo: String, hi: String): DataFrame = {
-    val eras = readEras(spark, root)
+    val all = readEras(spark, root)
+    val eras = all.filter(eraHasData(root, _))
+    require(eras.nonEmpty,
+      s"evolvable layout $root holds no data yet in any era: nothing to serve")
     def eraRead(era: Era, loI: java.time.Instant, hiI: java.time.Instant): DataFrame = {
       val zone = java.time.ZoneId.of(era.zone)
       val raw = spark.read.parquet(s"$root/${era.dir}")

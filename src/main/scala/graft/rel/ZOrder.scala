@@ -188,12 +188,11 @@ object ZOrder {
       dir: String, numFiles: Int, statsDir: String): Unit = {
     val spark = df.sparkSession
     GraftFunctions.register(spark)
-    df.withColumn("__z",
-      GraftFunctions.zorder2(col(xCol).cast("long"), col(yCol).cast("long")))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.parquet(dir)
+    // the returned stats frame is lazy — discarding it costs nothing,
+    // and the write itself stays the ONE shared clustered-write kernel
+    clusteredWrite(df,
+      GraftFunctions.zorder2(col(xCol).cast("long"), col(yCol).cast("long")),
+      xCol, yCol, dir, numFiles): Unit
     indexFilesInto(spark, spark.read.parquet(dir).inputFiles.toIndexedSeq,
       specs2(xCol, yCol), statsDir)
   }

@@ -115,22 +115,27 @@ object Events {
       .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    val result = finish(ss.table(name))
-    val rows = result.collect()
-    // RELEASE THE SINK'S ROWS EAGERLY (r17, the q132 scaling-smoke
-    // root cause): the child session leaks by design — its streaming
-    // listener bus stays attached to the shared SparkContext — and
-    // both the catalog's temp view and the manager's terminated-query
-    // record pin the memory sink's entire update stream. At 10× scale
-    // that retained ~1.3 GB PER DRAIN (measured, graft.tools.DrainProbe),
-    // which in an already-loaded JVM turns repeat runs into GC thrash
-    // (the monotone 13→33→56 s SCALING.json signature). Dropping the
-    // view and forgetting the terminated query leaves only KBs of
-    // session state reachable.
-    ss.catalog.dropTempView(name): Unit
-    ss.streams.resetTerminated()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    // RELEASE THE SINK'S ROWS EAGERLY, on every exit path (r17, the
+    // q132 scaling-smoke root cause): the child session leaks by
+    // design — its streaming listener bus stays attached to the shared
+    // SparkContext — and both the catalog's temp view and the
+    // manager's terminated-query record pin the memory sink's entire
+    // update stream. At 10× scale that retained ~1.3 GB PER DRAIN
+    // (measured, graft.tools.DrainProbe), which in an already-loaded
+    // JVM turns repeat runs into GC thrash (the monotone 13→33→56 s
+    // SCALING.json signature). Dropping the view and forgetting the
+    // terminated query leaves only KBs of session state reachable —
+    // and a FAILING drain must release too, so the cleanup is a
+    // finally, not a tail call.
+    try {
+      q.awaitTermination()
+      val result = finish(ss.table(name))
+      val rows = result.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      ss.catalog.dropTempView(name): Unit
+      ss.streams.resetTerminated()
+    }
   }
 
   /** Declared-query wrapper driving [[runningTotals]] — the

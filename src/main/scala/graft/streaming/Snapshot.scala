@@ -474,7 +474,14 @@ object Snapshot {
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(root, att.schemaFileName)): Unit
       }
-      write(att) match {
+      // a failing write must not leak its fully-staged attempt dir —
+      // at-least-once redelivery would otherwise accumulate one orphan
+      // copy of the touched partitions per transient failure (the old
+      // clearUncommitted path self-cleaned; OCC must too)
+      val spec =
+        try write(att)
+        catch { case t: Throwable => cleanup(); throw t }
+      spec match {
         case None => cleanup(); return cur
         case Some(spec) =>
           val m = Manifest(att.version, spec.parts,
@@ -634,8 +641,11 @@ object Snapshot {
     val donor: Set[String] =
       if (keepDirs.nonEmpty) Set.empty
       else expiredDirs.toSeq.sorted.lastOption.toSet
-    expiredV.foreach(v =>
-      java.nio.file.Files.deleteIfExists(manifestPath(root, v)))
+    // dirs BEFORE manifests: a crash between the two leaves expired
+    // manifests referencing already-deleted dirs, which the next gc
+    // re-reads and finishes (deleteRecursively no-ops on missing) —
+    // the reverse order would strand the dirs forever, since the
+    // deletion set is derived from the manifests themselves
     (expiredDirs -- keepDirs -- donor).foreach { d =>
       deleteRecursively(java.nio.file.Paths.get(root, d))
       // a parent attempt/version dir with no partitions left is
@@ -653,6 +663,8 @@ object Snapshot {
     (expiredSchemas -- keepSchemas).foreach(f =>
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(root, f)): Unit)
+    expiredV.foreach(v =>
+      java.nio.file.Files.deleteIfExists(manifestPath(root, v)): Unit)
   }
 
   /** Result of a [[compact]] pass: live data-file counts before/after

@@ -134,6 +134,12 @@ class HiddenPartitioningSuite extends AnyFunSuite {
     HiddenPartitioning.initEvolvable(
       df.filter(col("ts") < lit(boundary).cast("timestamp")), "ts", root)
     HiddenPartitioning.evolveToHourly(spark, root)
+    // evolve is metadata-only: the new era has NO directory yet, and a
+    // range read between the evolve and the first append must serve
+    // the old eras, not crash on the missing path
+    assert(HiddenPartitioning.readTsRangeEvolved(spark, root, "ts",
+      "2024-02-01 00:00:00", "2024-02-28 00:00:00").count() ==
+      df.filter(col("ts") < lit(boundary).cast("timestamp")).count())
     HiddenPartitioning.appendEvolvable(
       df.filter(col("ts") >= lit(boundary).cast("timestamp")), "ts", root)
     // era layout on disk: e0 day dirs only below the boundary, e1 hour

@@ -265,6 +265,69 @@ object HiddenPartitioning {
   def appendEvolvable(df: DataFrame, tsCol: String, root: String): Unit =
     writeEraData(df, tsCol, root, readEras(df.sparkSession, root).last)
 
+  // -- bucket-count evolution (bucket(4) -> bucket(8)) -------------------
+
+  /** Initialize an evolvable bucket layout: era 0 is `bucket(n, key)`.
+    * Era transforms are recorded as `bucket:<n>` (the zone slot is
+    * unused for hash buckets — recorded as `-`).
+    */
+  def initEvolvableBucketed(
+      df: DataFrame, keyCol: String, n: Int, root: String): Unit = {
+    val era = Era("e0", s"bucket:$n", "-")
+    writeBucketEra(df, keyCol, root, era)
+    writeEras(df.sparkSession, root, Seq(era))
+  }
+
+  /** BUCKET-COUNT EVOLUTION: the table outgrew its bucket count —
+    * switch to `newN` as one metadata line; history stays in place.
+    */
+  def evolveBucketCount(spark: SparkSession, root: String, newN: Int): Unit = {
+    val eras = readEras(spark, root)
+    val curN = bucketCountOf(eras.last)
+    require(curN != newN, s"layout $root already has $newN buckets")
+    writeEras(spark, root, eras :+ Era(s"e${eras.size}", s"bucket:$newN", "-"))
+  }
+
+  private def bucketCountOf(era: Era): Int = {
+    require(era.transform.startsWith("bucket:"),
+      s"era ${era.dir} is not bucket-partitioned: ${era.transform}")
+    era.transform.stripPrefix("bucket:").toInt
+  }
+
+  private def writeBucketEra(
+      df: DataFrame, keyCol: String, root: String, era: Era): Unit = {
+    val n = bucketCountOf(era)
+    df.withColumn(BucketCol, pmod(hash(col(keyCol).cast("long")), lit(n)))
+      .write.mode("append").partitionBy(BucketCol).parquet(s"$root/${era.dir}")
+  }
+
+  /** Append rows under the CURRENT era's bucket count. */
+  def appendEvolvableBucketed(df: DataFrame, keyCol: String, root: String): Unit =
+    writeBucketEra(df, keyCol, root,
+      readEras(df.sparkSession, root).last)
+
+  /** Equality probe across EVERY era: the probe's bucket is derived
+    * PER ERA under that era's bucket count (the writer's own hash
+    * expression, evaluated once per era on the literal), so each era
+    * lists exactly one directory; the exact key predicate is the
+    * residual on the union.
+    */
+  def readKeyEqualsEvolved(
+      spark: SparkSession, root: String, keyCol: String, key: Long): DataFrame = {
+    val eras = readEras(spark, root).filter(eraHasData(root, _))
+    require(eras.nonEmpty,
+      s"evolvable layout $root holds no data yet in any era: nothing to serve")
+    eras.map { era =>
+      val n = bucketCountOf(era)
+      val bucket = spark.range(1)
+        .select(pmod(hash(lit(key).cast("long")), lit(n)).as("b")).head().getInt(0)
+      spark.read.parquet(s"$root/${era.dir}")
+        .filter(col(BucketCol) === bucket)
+        .filter(col(keyCol) === key)
+        .drop(BucketCol)
+    }.reduce(_ unionByName _)
+  }
+
   /** Range read across EVERY era: the day eras prune on derived date
     * literals, the hour eras on derived `yyyy-MM-dd-HH` string bounds
     * (both computed driver-side under each era's RECORDED zone, so both

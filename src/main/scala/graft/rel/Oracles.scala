@@ -530,6 +530,15 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // q209: bucket-count evolution — the plain equality SQL, blind to
+    // the bucket(4)/bucket(8) era boundary: a probe routed to the
+    // wrong bucket in either era loses that era's rows and goes red.
+    "q209_bucket_evolution" ->
+      s"""SELECT event_id, ts, user_id, event_type, value
+         |FROM events
+         |WHERE user_id = ${Queries.HiddenPartUser}
+         |ORDER BY event_id""".stripMargin,
+
     // q207: partition evolution — the plain ts-range SQL, blind to the
     // day/hour era boundary the engine's layout crosses: a directory
     // wrongly pruned in either era loses rows here and goes red.

@@ -1784,6 +1784,41 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Declared query (q209) — BUCKET-COUNT EVOLUTION (q207's sibling for
+    * the hash transform): events bucket(4)-partitioned by user_id in
+    * era 0, [[graft.rel.HiddenPartitioning.evolveBucketCount]] switches
+    * the spec to bucket(8) as one metadata line, and the second half of
+    * the table (split by event_id — an INGEST split, the real shape:
+    * old rows stay where they were written) lands 8-bucketed in era 1.
+    * The equality probe derives the bucket PER ERA under that era's
+    * count (the writer's own murmur3 expression evaluated on the
+    * literal), lists exactly ONE directory per era, and the exact key
+    * predicate is the residual. Oracle: the plain equality SQL — a
+    * probe routed to the wrong bucket in either era loses that era's
+    * rows and goes red. HiddenPartitioningSuite pins the one-dir-per-
+    * era listing.
+    */
+  def q209BucketEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val layout = memoLayout(s"hpbevolve:$dir") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hpb-").toString
+      val root = s"$tmp/ev"
+      val ev = events(spark, dir)
+      val mid = ev.agg(percentile_approx(col("event_id"), lit(0.5), lit(100)))
+        .head().getLong(0)
+      HiddenPartitioning.initEvolvableBucketed(
+        ev.filter(col("event_id") < mid), "user_id", 4, root)
+      HiddenPartitioning.evolveBucketCount(spark, root, 8)
+      HiddenPartitioning.appendEvolvableBucketed(
+        ev.filter(col("event_id") >= mid), "user_id", root)
+      root
+    }
+    HiddenPartitioning.readKeyEqualsEvolved(spark, layout, "user_id",
+      HiddenPartUser)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Declared query (q194) — TIME-IN-STATE over the SCD2 history: the
     * duration-weighted analytics layer on q186's versioned dimension —
     * per segment, how much wall-clock time users collectively spent in
@@ -1951,6 +1986,7 @@ object Queries {
     "q206_schema_widen" -> (q206SchemaWiden _),
     "q207_partition_evolution" -> (q207PartitionEvolution _),
     "q208_string_bloom_lookup" -> (q208StringBloomLookup _),
+    "q209_bucket_evolution" -> (q209BucketEvolution _),
     "q185_bloom_skipping" -> (q185BloomSkipping _),
     "q186_scd2_incremental" -> (q186Scd2Incremental _),
     "q187_delete_vectors" -> (q187DeleteVectors _),

@@ -191,4 +191,35 @@ class HiddenPartitioningSuite extends AnyFunSuite {
     assert(HiddenPartitioning.readTsRangeEvolved(
       spark, root, "ts", "not-a-time", hi).count() == 0L)
   }
+
+  test("bucket-count evolution 4->8: one directory listed per era; union == plain equality filter") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("hp-bevolve-").toString + "/t"
+    val df = sample()
+    HiddenPartitioning.initEvolvableBucketed(df.filter(col("id") < 500), "key", 4, root)
+    HiddenPartitioning.evolveBucketCount(spark, root, 8)
+    // metadata-only: probes keep working before the first 8-bucket append
+    val preAppend = HiddenPartitioning.readKeyEqualsEvolved(spark, root, "key", 7L)
+    assert(preAppend.collect().map(_.getLong(0)).toSet ==
+      df.filter(col("id") < 500 && col("key") === 7L)
+        .collect().map(_.getLong(0)).toSet)
+    HiddenPartitioning.appendEvolvableBucketed(df.filter(col("id") >= 500), "key", root)
+    val out = HiddenPartitioning.readKeyEqualsEvolved(spark, root, "key", 7L)
+    val want = df.filter(col("key") === 7L).collect().map(_.getLong(0)).toSet
+    assert(out.collect().map(_.getLong(0)).toSet == want && want.nonEmpty)
+    // exactly ONE bucket directory listed per era
+    val scans = out.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 2)
+    scans.foreach { s =>
+      val dirs = s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+        .flatMap(_.files.map(_.getPath.toString))
+        .map(_.split("/__p_bucket=")(1).split("/")(0)).toSet
+      assert(dirs.size == 1, s"probe must list one bucket dir per era: $dirs")
+    }
+    // same-count "evolution" is rejected
+    intercept[IllegalArgumentException](
+      HiddenPartitioning.evolveBucketCount(spark, root, 8))
+  }
 }

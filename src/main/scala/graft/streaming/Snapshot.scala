@@ -70,9 +70,13 @@ object Snapshot {
   /** @param schemaFile the schema sidecar serving this version (None =
     *   the table never evolved: read exactly the physical schema).
     *   Carried forward by every commit like the partition dirs.
+    * @param committedAtMillis wall-clock commit stamp, written by the
+    *   CLAIM itself (callers never supply it) — the `TIMESTAMP AS OF`
+    *   axis. None only for manifests written before stamping existed.
     */
   final case class Manifest(version: Int, parts: Map[Int, String],
-      schemaFile: Option[String] = None)
+      schemaFile: Option[String] = None,
+      committedAtMillis: Option[Long] = None)
 
   /** Race-tolerant recursive delete (deleteIfExists per entry) — the
     * ONE copy of the walk/reverse-sort/delete idiom, shared with
@@ -361,16 +365,21 @@ object Snapshot {
     val schemaFile = lines.collectFirst {
       case l if l.startsWith("schema ") => l.stripPrefix("schema ")
     }
-    val parts = lines.filterNot(_.startsWith("schema "))
+    val committedAt = lines.collectFirst {
+      case l if l.startsWith("at ") => l.stripPrefix("at ").toLong
+    }
+    val parts = lines
+      .filterNot(l => l.startsWith("schema ") || l.startsWith("at "))
       .map { line =>
         val Array(p, d) = line.split(" ", 2)
         p.toInt -> d
       }.toMap
-    Manifest(version, parts, schemaFile)
+    Manifest(version, parts, schemaFile, committedAt)
   }
 
   private def manifestBody(m: Manifest): String =
-    m.schemaFile.map(f => s"schema $f\n").getOrElse("") +
+    m.committedAtMillis.map(t => s"at $t\n").getOrElse("") +
+      m.schemaFile.map(f => s"schema $f\n").getOrElse("") +
       m.parts.toSeq.sortBy(_._1)
         .map { case (p, d) => s"$p $d" }.mkString("", "\n", "\n")
 
@@ -383,9 +392,14 @@ object Snapshot {
   private def claimManifest(root: String, m: Manifest): Boolean = {
     val tmp = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(root), s".manifest-v${m.version}-", ".tmp")
+    // the CLAIM stamps commit time — callers never supply it, so the
+    // TIMESTAMP AS OF axis is monotone with the version order by
+    // construction (claims are serialized by version number)
+    val stamped = m.copy(committedAtMillis =
+      m.committedAtMillis.orElse(Some(System.currentTimeMillis())))
     try {
       java.nio.file.Files.write(tmp,
-        manifestBody(m).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        manifestBody(stamped).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
       try { java.nio.file.Files.createLink(manifestPath(root, m.version), tmp); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } finally java.nio.file.Files.deleteIfExists(tmp): Unit
@@ -968,6 +982,26 @@ object Snapshot {
       schema.map(conform(empty, _)).getOrElse(empty)
     }
   }
+
+  /** TIMESTAMP AS OF: the newest version committed at or before
+    * `millis` (claims stamp commit time, and claims are serialized by
+    * version number, so the stamp axis is monotone with versions).
+    * Walks DOWN from CURRENT — O(lag), not O(history) — and only over
+    * manifests retention has kept, like every time travel.
+    */
+  def versionAsOf(root: String, millis: Long): Int = {
+    val cur = currentVersion(root)
+    val hit = (cur to 0 by -1).iterator
+      .filter(v => java.nio.file.Files.exists(manifestPath(root, v)))
+      .find(v => readManifest(root, v).committedAtMillis.forall(_ <= millis))
+    require(hit.nonEmpty,
+      s"no retained version of $root was committed at or before $millis")
+    hit.get
+  }
+
+  /** [[read]] at the newest version committed at or before `millis`. */
+  def readAsOf(spark: SparkSession, root: String, millis: Long): DataFrame =
+    read(spark, root, Some(versionAsOf(root, millis)))
 
   /** Read ONLY the named partitions of a version — the touched-set read
     * the MERGE issues: cost is O(|touched|) directories by construction

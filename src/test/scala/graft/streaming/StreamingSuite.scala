@@ -986,6 +986,40 @@ class StreamingSuite extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq == want)
   }
 
+  test("TIMESTAMP AS OF: commit stamps resolve the newest version at-or-before; out-of-range rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = java.nio.file.Files.createTempDirectory("graft-asof-ts-").toString + "/snap"
+    Snapshot.init(root, (0L until 6L).map(k => (k, s"v0-$k")).toDF("o_orderkey", "val")
+      .withColumn("__part", pmod(col("o_orderkey"), lit(3)).cast("int")))
+    Thread.sleep(20)
+    val betweenV0andV1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    Snapshot.commitOcc(root) { att =>
+      Snapshot.read(spark, root)
+        .withColumn("val", org.apache.spark.sql.functions.concat(
+          lit("v1-"), col("o_orderkey")))
+        .withColumn("__part", pmod(col("o_orderkey"), lit(3)).cast("int"))
+        .write.partitionBy("__part").parquet(att.dataDir)
+      Some(Snapshot.CommitSpec(att.base.parts ++ att.writtenParts()))
+    }
+    // the claim stamped both commits; a ts between them resolves v0,
+    // a ts after both resolves v1, a ts before the table existed fails
+    assert(Snapshot.versionAsOf(root, betweenV0andV1) == 0)
+    assert(Snapshot.versionAsOf(root, System.currentTimeMillis()) == 1)
+    assert(Snapshot.readAsOf(spark, root, betweenV0andV1)
+      .collect().forall(_.getString(1).startsWith("v0-")))
+    assert(Snapshot.readAsOf(spark, root, System.currentTimeMillis())
+      .collect().forall(_.getString(1).startsWith("v1-")))
+    intercept[IllegalArgumentException](Snapshot.versionAsOf(root, 0L))
+    // retention interacts like every time travel: gc'd versions are
+    // no longer addressable, retained ones still are
+    Snapshot.gc(root, keepLast = 1)
+    intercept[IllegalArgumentException](
+      Snapshot.versionAsOf(root, betweenV0andV1))
+    assert(Snapshot.versionAsOf(root, System.currentTimeMillis()) == 1)
+  }
+
   test("snapshot commit is atomic: a crash between data write and pointer swap is invisible") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}

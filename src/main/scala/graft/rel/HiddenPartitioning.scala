@@ -184,24 +184,35 @@ object HiddenPartitioning {
 
   private final case class Era(dir: String, transform: String, zone: String)
 
-  /** Atomic sidecar replace: full body to a temp file, then one rename
-    * onto the final name — a reader racing an evolve (or a crash
-    * mid-write) sees the OLD complete era list or the NEW one, never a
-    * truncated file that would silently drop whole eras' rows from
-    * range reads. (Truncate-in-place `fs.create(p, true)` had exactly
-    * that window.)
+  /** Atomic sidecar replace: full body to a temp file, then ONE
+    * overwrite-rename onto the final name — a reader racing an evolve
+    * (or a crash mid-write) sees the OLD complete era list or the NEW
+    * one, never a truncated file that would silently drop whole eras'
+    * rows from range reads. Through Hadoop `FileContext` (whose
+    * Rename.OVERWRITE is atomic on HDFS and local alike), so remote
+    * roots work like [[writeDayPartitioned]]'s data writes — java.nio
+    * would silently treat an `hdfs://` root as a relative local path.
+    * The temp file is removed on ANY failure (no orphan accumulation).
     */
   private def writeEras(spark: SparkSession, root: String, eras: Seq[Era]): Unit = {
     val body = eras.map(e => s"${e.dir} ${e.transform} ${e.zone}")
       .mkString("", "\n", "\n")
-    val dir = java.nio.file.Paths.get(root)
-    java.nio.file.Files.createDirectories(dir)
-    val tmp = java.nio.file.Files.createTempFile(dir, s".$ErasMetaFile-", ".tmp")
-    java.nio.file.Files.write(tmp,
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, dir.resolve(ErasMetaFile),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    fs.mkdirs(rootPath): Unit
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".$ErasMetaFile-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    var moved = false
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fc.rename(tmp, new org.apache.hadoop.fs.Path(root, ErasMetaFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      moved = true
+    } finally if (!moved) fs.delete(tmp, false): Unit
   }
 
   private def readEras(spark: SparkSession, root: String): Seq[Era] = {
@@ -273,6 +284,7 @@ object HiddenPartitioning {
     */
   def initEvolvableBucketed(
       df: DataFrame, keyCol: String, n: Int, root: String): Unit = {
+    require(n > 0, s"bucket count must be positive, got $n")
     val era = Era("e0", s"bucket:$n", "-")
     writeBucketEra(df, keyCol, root, era)
     writeEras(df.sparkSession, root, Seq(era))
@@ -283,6 +295,7 @@ object HiddenPartitioning {
     */
   def evolveBucketCount(spark: SparkSession, root: String, newN: Int): Unit = {
     val eras = readEras(spark, root)
+    require(newN > 0, s"bucket count must be positive, got $newN")
     val curN = bucketCountOf(eras.last)
     require(curN != newN, s"layout $root already has $newN buckets")
     writeEras(spark, root, eras :+ Era(s"e${eras.size}", s"bucket:$newN", "-"))
@@ -314,18 +327,12 @@ object HiddenPartitioning {
     */
   def readKeyEqualsEvolved(
       spark: SparkSession, root: String, keyCol: String, key: Long): DataFrame = {
-    val eras = readEras(spark, root).filter(eraHasData(root, _))
+    val eras = readEras(spark, root).filter(eraHasData(spark, root, _))
     require(eras.nonEmpty,
       s"evolvable layout $root holds no data yet in any era: nothing to serve")
-    eras.map { era =>
-      val n = bucketCountOf(era)
-      val bucket = spark.range(1)
-        .select(pmod(hash(lit(key).cast("long")), lit(n)).as("b")).head().getInt(0)
-      spark.read.parquet(s"$root/${era.dir}")
-        .filter(col(BucketCol) === bucket)
-        .filter(col(keyCol) === key)
-        .drop(BucketCol)
-    }.reduce(_ unionByName _)
+    eras.map(era => // the ONE probe body — era arity must never drift
+      readKeyEquals(spark, s"$root/${era.dir}", keyCol, key, bucketCountOf(era)))
+      .reduce(_ unionByName _)
   }
 
   /** Range read across EVERY era: the day eras prune on derived date
@@ -340,24 +347,21 @@ object HiddenPartitioning {
     * evolveToHourly is metadata-only (the new era's directory does not
     * exist until its first append), and a zero-row append leaves a
     * dir with no partitions — both are legal states a range read must
-    * treat as "this era has nothing yet", not crash on.
+    * treat as "this era has nothing yet", not crash on. Hadoop FS like
+    * the rest of the sidecar plumbing, so remote roots work.
     */
-  private def eraHasData(root: String, era: Era): Boolean = {
-    val d = java.nio.file.Paths.get(root, era.dir)
-    java.nio.file.Files.isDirectory(d) && {
-      val s = java.nio.file.Files.list(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.exists(_.getFileName.toString.startsWith("__p_"))
-      } finally s.close()
-    }
+  private def eraHasData(spark: SparkSession, root: String, era: Era): Boolean = {
+    val d = new org.apache.hadoop.fs.Path(root, era.dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(d) &&
+      fs.listStatus(d).exists(_.getPath.getName.startsWith("__p_"))
   }
 
   def readTsRangeEvolved(
       spark: SparkSession, root: String, tsCol: String,
       lo: String, hi: String): DataFrame = {
     val all = readEras(spark, root)
-    val eras = all.filter(eraHasData(root, _))
+    val eras = all.filter(eraHasData(spark, root, _))
     require(eras.nonEmpty,
       s"evolvable layout $root holds no data yet in any era: nothing to serve")
     def eraRead(era: Era, loI: java.time.Instant, hiI: java.time.Instant): DataFrame = {

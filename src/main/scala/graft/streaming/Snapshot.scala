@@ -392,11 +392,19 @@ object Snapshot {
   private def claimManifest(root: String, m: Manifest): Boolean = {
     val tmp = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(root), s".manifest-v${m.version}-", ".tmp")
-    // the CLAIM stamps commit time — callers never supply it, so the
-    // TIMESTAMP AS OF axis is monotone with the version order by
-    // construction (claims are serialized by version number)
-    val stamped = m.copy(committedAtMillis =
-      m.committedAtMillis.orElse(Some(System.currentTimeMillis())))
+    // the CLAIM stamps commit time — callers never supply it — CLAMPED
+    // to strictly-after the previous version's stamp: wall clocks are
+    // not monotone (NTP step-back, skew between the processes the
+    // claim protocol supports), and versionAsOf's walk-down-from-
+    // CURRENT is only correct when the stamp axis is monotone with the
+    // version order, so monotonicity is enforced at the source
+    val prevStamp =
+      if (m.version > 0 &&
+        java.nio.file.Files.exists(manifestPath(root, m.version - 1)))
+        readManifest(root, m.version - 1).committedAtMillis
+      else None
+    val stamped = m.copy(committedAtMillis = m.committedAtMillis.orElse(
+      Some(math.max(System.currentTimeMillis(), prevStamp.getOrElse(0L) + 1))))
     try {
       java.nio.file.Files.write(tmp,
         manifestBody(stamped).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
@@ -491,10 +499,16 @@ object Snapshot {
       // a failing write must not leak its fully-staged attempt dir —
       // at-least-once redelivery would otherwise accumulate one orphan
       // copy of the touched partitions per transient failure (the old
-      // clearUncommitted path self-cleaned; OCC must too)
+      // clearUncommitted path self-cleaned; OCC must too). NonFatal
+      // only, and a cleanup failure is SUPPRESSED onto the root cause,
+      // never replacing it (a full/read-only filesystem fails both).
       val spec =
         try write(att)
-        catch { case t: Throwable => cleanup(); throw t }
+        catch {
+          case scala.util.control.NonFatal(t) =>
+            try cleanup() catch { case s: Throwable => t.addSuppressed(s) }
+            throw t
+        }
       spec match {
         case None => cleanup(); return cur
         case Some(spec) =>

@@ -196,7 +196,13 @@ object ScalingSmoke {
       "q191_change_data_feed" -> (graft.rel.Queries.q191ChangeDataFeed _),
       "q196_mor_compaction" -> (graft.rel.Queries.q196MorCompaction _),
       "q197_snapshot_zorder" ->
-        (graft.streaming.Events.snapshotClusteredCompaction _))
+        (graft.streaming.Events.snapshotClusteredCompaction _),
+      // r17 partition-evolution reads: per-era directory pruning over
+      // memoized era layouts — read cost must track the derived-dir
+      // slice (both eras prune), not the corpus size
+      "q207_partition_evolution" ->
+        (graft.rel.Queries.q207PartitionEvolution _),
+      "q209_bucket_evolution" -> (graft.rel.Queries.q209BucketEvolution _))
 
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

@@ -858,8 +858,13 @@ class StreamingSuite extends AnyFunSuite {
     })
     val compactor = new Thread(() => {
       start.await()
-      try (1 to 3).foreach(_ => Snapshot.compact(spark, root, targetBytes = 1L << 20): Unit)
-      catch { case t: Throwable => errs.add(t): Unit }
+      try (1 to 3).foreach { _ =>
+        Snapshot.compact(spark, root, targetBytes = 1L << 20): Unit
+        // retention GC racing the merger: its deletion set comes from
+        // the expired manifests it reads, so it can never touch a
+        // racing writer's in-flight attempt or a retained version
+        Snapshot.gc(root, keepLast = 3)
+      } catch { case t: Throwable => errs.add(t): Unit }
     })
     merger.start(); compactor.start(); start.countDown()
     merger.join(300000); compactor.join(300000)
@@ -871,8 +876,12 @@ class StreamingSuite extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     (1 to 3).foreach(i => assert(served(i.toLong) == s"R$i", s"merge $i lost"))
     assert(served.size == 36)
-    // every committed version is a complete, readable, 36-row state
-    (0 to cur).foreach { v =>
+    // every RETAINED version is a complete, readable, 36-row state
+    // (the racing gc(keepLast=3) legitimately expired older ones)
+    val retained = (0 to cur).filter(v => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, s"manifest-v$v.txt")))
+    assert(retained.nonEmpty && retained.contains(cur))
+    retained.foreach { v =>
       assert(Snapshot.read(spark, root, Some(v)).count() == 36L, s"version $v corrupt")
     }
   }
@@ -984,6 +993,48 @@ class StreamingSuite extends AnyFunSuite {
       Seq("o_custkey", "o_orderkey", "o_totalprice"), targetBytes = 1024L)
     assert(Snapshot.read(spark, s"$rootN/snap")
       .collect().map(_.toString).sorted.toSeq == want)
+  }
+
+  test("MERGE composes with schema evolution: the sink commits through conform; feed-absent columns are write-wins NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, when}
+    val root = java.nio.file.Files.createTempDirectory("graft-merge-evolve-").toString + "/snap"
+    Snapshot.init(root,
+      (0L until 36L).map(k => (k, k * 10, s"S$k", k * 1.5))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .withColumn("__part", pmod(col("o_orderkey"), lit(Events.MergeSnapParts)).cast("int")))
+    Snapshot.evolveAddColumn(spark, root, "o_channel",
+      org.apache.spark.sql.types.StringType)
+    // backfill EVERY partition with channel values
+    Snapshot.commitOcc(root) { att =>
+      Snapshot.read(spark, root)
+        .withColumn("o_channel",
+          when(pmod(col("o_orderkey"), lit(2)) === 0, lit("web"))
+            .otherwise(lit("store")))
+        .withColumn("__part", pmod(col("o_orderkey"), lit(Events.MergeSnapParts)).cast("int"))
+        .write.partitionBy("__part").parquet(att.dataDir)
+      Some(Snapshot.CommitSpec(att.base.parts ++ att.writtenParts()))
+    }
+    val backfilled = Snapshot.currentVersion(root)
+    // a MERGE touching only partition 1: the fixed-schema feed carries
+    // no channel, so the REWRITTEN partition's rows serve NULL channel
+    // (per-key write-wins — the merge replaced those rows), while every
+    // untouched partition keeps its values and the pre-merge version
+    // still time-travels with all of them
+    val batch = Seq((1L, "U", Some(999L), Some("UPD"), Some(42.0)))
+      .toDF("k", "op", "new_custkey", "new_status", "new_price")
+    assert(Events.mergeBatchIntoSnapshot(root, batch) == Seq(1))
+    val served = Snapshot.read(spark, root).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+    assert(served.size == 36)
+    (0L until 36L).foreach { k =>
+      if (k % 6 == 1) assert(served(k).isEmpty,
+        s"merged partition must serve write-wins NULL channel at $k")
+      else assert(served(k).contains(if (k % 2 == 0) "web" else "store"),
+        s"untouched partition lost its channel at $k")
+    }
+    assert(Snapshot.read(spark, root, Some(backfilled))
+      .collect().forall(!_.isNullAt(4)), "time travel below the merge lost channel values")
   }
 
   test("TIMESTAMP AS OF: commit stamps resolve the newest version at-or-before; out-of-range rejected") {

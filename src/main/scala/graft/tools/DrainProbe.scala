@@ -40,14 +40,21 @@ object DrainProbe {
           graft.streaming.Events.streamDeltaDedupFinal _
         case other => graft.SparkEntry.queries(other)
       }
+    // "nosleep" reproduces the scaling smoke's back-to-back shape (no
+    // idle between runs — nothing background gets a quiet window);
+    // default interleaves gc+sleep like a paced deployment
+    val pause = !args.contains("nosleep")
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
-      System.gc(); Thread.sleep(500); System.gc()
-      val rt = Runtime.getRuntime
-      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
-      val (tmpB, tmpN) = tmpStats()
+      val (heapMb, tmpB, tmpN) =
+        if (pause) {
+          System.gc(); Thread.sleep(500); System.gc()
+          val rt = Runtime.getRuntime
+          val (b, n) = tmpStats()
+          ((rt.totalMemory() - rt.freeMemory()) / (1 << 20), b, n)
+        } else (0L, 0L, 0L)
       println(f"PROBE run=$i%d secs=$secs%.2f heapMB=$heapMb%d " +
         f"tmpMB=${tmpB / (1 << 20)}%d tmpFiles=$tmpN%d")
     }

@@ -22,4 +22,17 @@ object GraftSqlBridge {
       plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Unload every cached state-store provider NOW instead of waiting
+    * for the 60 s maintenance tick. A finished ephemeral drain's
+    * providers are dead weight (its temp checkpoint is gone), and
+    * letting them pile up makes the periodic maintenance sweep long
+    * enough to stall whatever query is running when it fires —
+    * measured as intermittent 2–5× wall-time spikes on back-to-back
+    * drains (graft.tools.DrainProbe nosleep). Only legal BETWEEN
+    * streaming queries: an active query's providers would reload from
+    * its checkpoint (correct, but a pointless perf hit).
+    */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }

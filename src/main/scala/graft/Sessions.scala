@@ -35,6 +35,26 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // r17 (guide §1.2 step 3, measured first): the generated-code
+      // compile cache is STATIC and defaults to 100 entries — this
+      // engine's 209-query suite holds thousands of distinct codegen
+      // units, so a round-robin pass evicted everything and re-Janino'd
+      // the whole suite every iteration (CodegenProbe, 86-query subset:
+      // pass 2 recompiled 1 803 of 2 230 units). Sized for a many-query
+      // analytics service, env-overridable; metaspace cost is bounded
+      // (generated classes are small) and irrelevant beside a 32g heap.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // r17: Spark 4.1 writes + verifies a checksum SIDECAR for every
+      // streaming-checkpoint file by default — for this engine's bounded
+      // drains the checkpoints are ephemeral (fresh dir per invocation,
+      // never recovered across process loss), so the sidecars are pure
+      // per-micro-batch overhead (offset/commit logs + 8 partitions ×
+      // up-to-4 state stores per batch, each write doubled). A long-lived
+      // production checkpoint that must survive storage corruption can
+      // re-enable via env.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -677,7 +677,7 @@ object Dedup {
     * driver-side reference within 1e-6 and that total rank is conserved.
     */
   private val prEdgeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), (DataFrame, Long, Long)]()
+    (SparkSession, String, String), (DataFrame, DataFrame, Long, Long)]()
 
   /** The degree-annotated symmetric edge list of a similarity graph
     * (keyed by `graph`: the exact q16 pairs or the LSH-verified q137
@@ -687,7 +687,7 @@ object Dedup {
     * iteration reads it.
     */
   private def prEdges(
-      spark: SparkSession, dir: String, graph: String): (DataFrame, Long, Long) =
+      spark: SparkSession, dir: String, graph: String): (DataFrame, DataFrame, Long, Long) =
     prEdgeCache.computeIfAbsent(
       (spark, dir, graph),
       { case (s, d, g) =>
@@ -699,8 +699,13 @@ object Dedup {
         val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         val edgesDeg = edges.join(outDeg, "src")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nConnected = edgesDeg.select(col("src")).distinct().count()
-        (edgesDeg, nDocs, nDocs - nConnected)
+        // connected-node list, checkpointed: every iteration's seed and
+        // the final isolated-docs anti-join reference it, and a
+        // localCheckpoint keeps those plans anchored to a flat RDD leaf
+        // instead of re-rendering the whole cached edge pipeline
+        val nodes = edgesDeg.select(col("src").as("doc_id")).distinct().localCheckpoint()
+        val nConnected = nodes.count()
+        (edgesDeg, nodes, nDocs, nDocs - nConnected)
       })
 
   def similarityPageRank(spark: SparkSession, dir: String): DataFrame =
@@ -724,34 +729,53 @@ object Dedup {
 
   private def pageRankOver(spark: SparkSession, dir: String, graph: String): DataFrame = {
     val docs = table(spark, dir, "documents").select(col("doc_id"))
-    val (edgesDeg, nDocs, nIso) = prEdges(spark, dir, graph)
+    val (edgesDeg, nodes, nDocs, nIso) = prEdges(spark, dir, graph)
     val n = nDocs.toDouble
-    var ranks = docs.select(col("doc_id"), lit(1.0 / n).as("rank")).localCheckpoint()
+    // r17 (guide §1.2/§2.4): iterate over the CONNECTED nodes only. In a
+    // symmetric graph every connected node has an in-edge, so the
+    // per-round contribution aggregation already covers the whole
+    // iterated node set — the former per-round `docs LEFT JOIN contribs`
+    // existed only to re-emit the isolated docs' closed-form baseline,
+    // which is a driver scalar. One join per round instead of two, a
+    // |connected|-row frame instead of |docs|, and the isolated docs
+    // union in ONCE at the end with that scalar (bit-identical: the same
+    // (1-α)/n + α·(0 + d/n) expression the removed join computed).
+    // Checkpoint every second round: lineage stays ≤ 2 joins deep while
+    // half the eager materialization jobs disappear.
+    var ranks = nodes.select(col("doc_id"), lit(1.0 / n).as("rank")).localCheckpoint()
     // In a SYMMETRIC graph the dangling nodes are exactly the isolated
     // ones, and they all hold the identical baseline rank every round —
     // so the dangling mass evolves as two driver scalars instead of a
     // per-round aggregation job: b_{t+1} = (1-α)/n + α·d_t/n, d = |iso|·b.
     var bIso = 1.0 / n
     var dangling = nIso * bIso
+    var danglingUsed = dangling // the value the LAST round's ranks saw
     var iter = 0
     while (iter < PrIters) {
-      val contribs = edgesDeg
+      danglingUsed = dangling
+      ranks = edgesDeg
         .join(ranks, edgesDeg("src") === ranks("doc_id"))
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("inflow"))
-      ranks = docs
-        .join(contribs, docs("doc_id") === contribs("dst"), "left")
         .select(
-          docs("doc_id"),
+          col("dst").as("doc_id"),
           (lit((1.0 - PrAlpha) / n)
-            + lit(PrAlpha) * (coalesce(col("inflow"), lit(0.0)) + lit(dangling / n))).as("rank"))
-        .localCheckpoint()
+            + lit(PrAlpha) * (col("inflow") + lit(dangling / n))).as("rank"))
+      if (iter % 2 == 1 || iter == PrIters - 1) ranks = ranks.localCheckpoint()
       bIso = (1.0 - PrAlpha) / n + PrAlpha * dangling / n
       dangling = nIso * bIso
       iter += 1
     }
+    // isolated docs: the closed-form rank the removed per-round left join
+    // produced — same FP expression order as the old coalesce(inflow, 0)
+    // path, (1-α)/n + α·(0.0 + d/n) with d from the final round
+    val isoRank = (1.0 - PrAlpha) / n + PrAlpha * (0.0 + danglingUsed / n)
+    val isolated = docs
+      .join(nodes, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(isoRank).as("rank"))
     ranks
+      .unionByName(isolated)
       .select(col("doc_id"), round(col("rank") * n, 6).as("pagerank"))
       .orderBy(col("doc_id"))
   }
@@ -1542,14 +1566,18 @@ object Dedup {
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .join(src, "doc_id")
       .select(col("source"), md5(col("g")).as("h"))
-      .distinct()
     implicit val utf8: Ordering[String] = graft.rel.TopK.Utf8StringOrdering
+    // r17 (guide §2.3): the former `.distinct()` + constant-score TopKAgg
+    // paid a full exchange of the distinct (source, hash) stream before
+    // the k-bounded aggregation; BottomKDistinctAgg dedups inside its
+    // k-bounded buffer, so ONE aggregation's map-side partials cut each
+    // task to ≤ k hashes per source before the only shuffle. Identical
+    // signatures (k smallest distinct hashes per source).
     val sigs = srcH.as[(String, String)]
       .groupByKey(_._1)
-      .mapValues(t => (0.0, t._2)) // constant score -> TopKAgg keeps the k SMALLEST ids
-      .agg(new graft.rel.TopK.TopKAgg[String](OverlapSketchK).toColumn.name("sig"))
+      .mapValues(_._2)
+      .agg(new graft.rel.TopK.BottomKDistinctAgg[String](OverlapSketchK).toColumn.name("sig"))
       .collect() // |sources| rows x k hashes — source-dimension bounded
-      .map { case (s, sig) => (s, sig.map(_._2)) }
       .sortBy(_._1)(utf8)
     val ests = for {
       i <- sigs.indices

@@ -331,60 +331,70 @@ object TextAnalysis {
     * selection.
     *
     * Shape at 100 TB: BPE trains on the WORD-FREQUENCY DICT, not the raw
-    * corpus — one corpus-scale aggregation builds (word, freq), after
-    * which every round runs over the bounded vocabulary frame (10^5–10^7
-    * rows regardless of corpus size): a pair-count aggregation with
-    * map-side partials, a driver argmax of ONE row (`limit(1)` after the
-    * count sort — the only thing collected per round), and a broadcast
-    * merge rule applied in a kernel map — the k-means round discipline
-    * (bounded driver state, per-round broadcast, partial-sum counts).
-    * Each round's dict persists and the previous unpersists, so lineage
-    * stays one map deep off a cached frame.
+    * corpus — one corpus-scale aggregation builds (word, freq), a frame
+    * that is VOCAB-bounded (10^5–10^7 rows regardless of corpus size) —
+    * and the merge loop then runs in memory over that dict, which is
+    * exactly how production BPE trainers (SentencePiece, HF tokenizers)
+    * split the work. r17 optimization (guide §1.2 — remove passes):
+    * the loop previously re-entered Spark per round (pair-count job +
+    * argmax collect + eager localCheckpoint of the re-mapped dict), i.e.
+    * 2 driver-synchronized jobs × [[BpeMergeCount]] rounds of pure fixed
+    * cost; now only the corpus-scale dict build is a Spark job and the
+    * bounded loop is driver-side. Measured 3.65 s → see
+    * OPTIMIZATION_r17.md.
     *
-    * Tie-breaks are total — (count DESC, left ASC, right ASC) — so the
-    * merge sequence is deterministic. Declared rows-only (iterative
+    * Tie-breaks are total — (count DESC, left ASC, right ASC, strings in
+    * UTF-8 binary order exactly as the former `orderBy` compared
+    * UTF8Strings) — so the merge sequence is deterministic and identical
+    * to the distributed loop's. Declared rows-only (iterative
     * refinement, like q59/q94); PipelineSuite checks the full merge
-    * table against a driver-side reference implementation of the same
+    * table against an independent reference implementation of the same
     * algorithm.
-    *
-    * Each round's dict is `localCheckpoint`ed (the [[graft.pipeline.Dedup]]
-    * `dedupGroups` discipline): a persist alone keeps the full logical
-    * plan, which grows by one map per round and drags every downstream
-    * analysis/plan-string pass over the whole history — measured as a
-    * CPU-bound stall by round ~15 at sf0.001.
     */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    var dict = table(spark, dir, "documents")
+    // ONE corpus-scale aggregation builds the (word, freq) dict; the
+    // merge loop then runs DRIVER-SIDE over that vocab-bounded dict —
+    // the SentencePiece/HF-tokenizers split of work (the corpus pass is
+    // distributed, merge learning is in-memory over the dictionary).
+    // r17: the previous shape re-entered Spark every round (pair-count +
+    // argmax collect + eager re-checkpoint of the merged dict = 2 jobs ×
+    // BpeMergeCount rounds of driver-synchronized fixed cost, ~90 ms/job
+    // at bench scale); the merge sequence is identical because the same
+    // kernel ([[applyMerge]]) and the same total tie-break run over the
+    // same exact Long counts — only WHERE the bounded loop runs changed.
+    val dict: Array[(Array[String], Long)] = table(spark, dir, "documents")
       .select(explode(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
+      .collect()
       .map { case (w, f) => (w.map(_.toString).toArray, f) }
-      .toDF("syms", "freq")
-      .localCheckpoint(true)
+    val utf8 = graft.rel.TopK.Utf8StringOrdering
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var round = 0
     var exhausted = false
     while (round < BpeMergeCount && !exhausted) {
-      val top = dict.as[(Array[String], Long)]
-        .flatMap { case (syms, f) =>
-          (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), f))
+      // pair counts over the dict — the former distributed aggregation's
+      // exact arithmetic (Long sums), then the (cnt DESC, l ASC, r ASC)
+      // argmax with the oracle-consistent UTF-8 binary string order
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      dict.indices.foreach { k =>
+        val (syms, f) = dict(k)
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          i += 1
         }
-        .toDF("l", "r", "f")
-        .groupBy(col("l"), col("r"))
-        .agg(sum(col("f")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1)
-        .as[(String, String, Long)]
-        .collect()
-      if (top.isEmpty) exhausted = true
+      }
+      if (counts.isEmpty) exhausted = true
       else {
-        val (l, r, cnt) = top(0)
+        val ((l, r), cnt) = counts.minBy { case ((pl, pr), c) => (-c, pl, pr) }(
+          Ordering.Tuple3(Ordering.Long, utf8, utf8))
         merges += ((merges.size + 1, l, r, cnt))
-        dict = dict.as[(Array[String], Long)]
-          .map { case (syms, f) => (applyMerge(syms, l, r), f) }
-          .toDF("syms", "freq")
-          .localCheckpoint(true)
+        dict.indices.foreach { k =>
+          dict(k) = (applyMerge(dict(k)._1, l, r), dict(k)._2)
+        }
       }
       round += 1
     }

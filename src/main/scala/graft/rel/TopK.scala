@@ -93,6 +93,31 @@ object TopK {
     override def outputEncoder: Encoder[Seq[V]] = ExpressionEncoder[Seq[V]]()
   }
 
+  /** The k SMALLEST DISTINCT values per group (bottom-k sketch signature:
+    * the classic KMV estimator's per-group state). r17 (guide §2.3 —
+    * aggregate before you shuffle): `distinct()` followed by a k-bounded
+    * top-k agg pays a full exchange of the distinct stream; this single
+    * aggregator dedups INSIDE its k-bounded buffer, so map-side partials
+    * reduce each task to ≤ k values per group before anything shuffles.
+    * Output is identical: dedup-then-keep-k-smallest and
+    * keep-k-smallest-while-deduping agree because dropping a value ≥ the
+    * k-th smallest distinct can never change the bottom-k distinct set.
+    */
+  class BottomKDistinctAgg[V](k: Int)(implicit rawOrd: Ordering[V], tt: TypeTag[V])
+      extends Aggregator[V, Seq[V], Seq[V]] {
+    private val ord = oracleConsistent(rawOrd)
+    override def zero: Seq[V] = Nil
+    override def reduce(buf: Seq[V], v: V): Seq[V] =
+      if (buf.lengthCompare(k) >= 0 && ord.gteq(v, buf.last)) buf
+      else if (buf.exists(ord.equiv(_, v))) buf
+      else ((buf :+ v).sorted(ord)).take(k)
+    override def merge(a: Seq[V], b: Seq[V]): Seq[V] =
+      (a ++ b).sorted(ord).distinct.take(k)
+    override def finish(buf: Seq[V]): Seq[V] = buf
+    override def bufferEncoder: Encoder[Seq[V]] = ExpressionEncoder[Seq[V]]()
+    override def outputEncoder: Encoder[Seq[V]] = ExpressionEncoder[Seq[V]]()
+  }
+
   /** (group, score, id) → (group, rnk ∈ 1..k, id, score), ranked by
     * (score desc, id asc) within each group.
     */

@@ -49,4 +49,34 @@ class TopKSuite extends AnyFunSuite {
       .select(col("group"), col("rnk"), col("id"), col("score"))
     assert(heap.collect().toSet == window.collect().toSet)
   }
+
+  test("BottomKDistinctAgg == distinct + sort + take(k), with partial aggregation") {
+    import spark.implicits._
+    implicit val utf8: Ordering[String] = TopK.Utf8StringOrdering
+    // heavy duplication + values arriving in adversarial (descending)
+    // order, so both the in-buffer dedup and the bounded insert paths run
+    val rows = (1 to 2000).map { i =>
+      (i % 3L, f"h${(997 - i * 31 % 997) % 50}%03d")
+    }
+    val ds = rows.toDS()
+    val agg = ds
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new TopK.BottomKDistinctAgg[String](7).toColumn.name("sig"))
+      .collect()
+      .toMap
+    val expected = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).distinct.sorted(utf8).take(7)
+    }
+    assert(agg.keySet == expected.keySet)
+    expected.foreach { case (g, sig) => assert(agg(g) == sig, s"group $g") }
+
+    // the whole point: map-side partials (two ObjectHashAggregate phases)
+    val p = ds
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new TopK.BottomKDistinctAgg[String](7).toColumn.name("sig"))
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }

@@ -34,10 +34,20 @@ object GraftFunctions {
 
   private def zorderNBuilder(args: Seq[Expression]): Expression = ZOrderN(args)
 
+  private val approxNdvInfo =
+    new ExpressionInfo(classOf[ApproxNdv].getName, "graft_approx_ndv")
+
+  private def approxNdvBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"graft_approx_ndv expects (col, rsd), got ${args.length}")
+    new ApproxNdv(args.head, args(1))
+  }
+
   def registerAll(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("dot_f64"), dotInfo, dotBuilder _))
     ext.injectFunction((FunctionIdentifier("zorder2"), zorderInfo, zorderBuilder _))
     ext.injectFunction((FunctionIdentifier("zorder_n"), zorderNInfo, zorderNBuilder _))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_approx_ndv"), approxNdvInfo, approxNdvBuilder _))
     ext.injectOptimizerRule(_ => FuseSelfDot)
     // whole-operator tier: the native as-of join's planner strategy
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -50,6 +60,9 @@ object GraftFunctions {
       .registerFunction(FunctionIdentifier("zorder2"), zorderInfo, zorderBuilder _)
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("zorder_n"), zorderNInfo, zorderNBuilder _)
+    spark.sessionState.functionRegistry
+      .registerFunction(
+        FunctionIdentifier("graft_approx_ndv"), approxNdvInfo, approxNdvBuilder _)
     // imperative twin of injectOptimizerRule — idempotent, like the
     // function registration above
     if (!spark.experimental.extraOptimizations.contains(FuseSelfDot)) {
@@ -73,6 +86,11 @@ object GraftFunctions {
   /** Column-API face of `zorder_n` (requires [[register]] on the session). */
   def zorderN(cols: Column*): Column =
     org.apache.spark.sql.functions.call_function("zorder_n", cols: _*)
+
+  /** Column-API face of `graft_approx_ndv` (requires [[register]]). */
+  def approxNdv(c: Column, rsd: Double): Column =
+    org.apache.spark.sql.functions.call_function(
+      "graft_approx_ndv", c, org.apache.spark.sql.functions.lit(rsd))
 }
 
 /** `spark.sql.extensions`-style entry point:

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.rel.Queries.table
+import graft.rel.Queries.{spread, table}
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with a typed metadata struct, plus decode /
@@ -203,8 +203,9 @@ object Multimodal {
   /** The synthesized WAV corpus: (doc_id, media) with a real RIFF payload. */
   def wavTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id"), length(col("text")).as("n_chars"))
+    spread(
+      table(spark, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_chars")))
       .as[(Long, Int)]
       .mapPartitions(_.map { case (id, nc) => (id, wavEncode(id, nc)) })
       .toDF("doc_id", "media")
@@ -351,8 +352,7 @@ object Multimodal {
   /** The synthesized BMP corpus: (doc_id, media) with a real BMP payload. */
   def bmpTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id"))
+    spread(table(spark, dir, "documents").select(col("doc_id")))
       .as[Long]
       .mapPartitions(_.map(id => (id, bmpEncode(id))))
       .toDF("doc_id", "media")
@@ -621,8 +621,7 @@ object Multimodal {
   /** The synthesized PNG corpus: (doc_id, media) with a real PNG payload. */
   def pngTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id"))
+    spread(table(spark, dir, "documents").select(col("doc_id")))
       .as[Long]
       .mapPartitions(_.map(id => (id, pngEncode(id))))
       .toDF("doc_id", "media")
@@ -917,8 +916,7 @@ object Multimodal {
   /** The synthesized GIF corpus: (doc_id, media) with a real GIF payload. */
   def gifTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id"))
+    spread(table(spark, dir, "documents").select(col("doc_id")))
       .as[Long]
       .mapPartitions(_.map(id => (id, gifEncode(id))))
       .toDF("doc_id", "media")
@@ -1522,8 +1520,7 @@ object Multimodal {
     */
   def jpegTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id"))
+    spread(table(spark, dir, "documents").select(col("doc_id")))
       .as[Long]
       .mapPartitions(_.map(id => (id, jpegEncode(id))))
       .toDF("doc_id", "media")
@@ -1886,8 +1883,7 @@ object Multimodal {
   /** The synthesized COLOR JPEG corpus. */
   def jpegColorTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id"))
+    spread(table(spark, dir, "documents").select(col("doc_id")))
       .as[Long]
       .mapPartitions(_.map(id => (id, jpegColorEncode(id))))
       .toDF("doc_id", "media")
@@ -2442,8 +2438,7 @@ object Multimodal {
   /** The synthesized progressive-JPEG corpus. */
   def jpegProgressiveTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id"))
+    spread(table(spark, dir, "documents").select(col("doc_id")))
       .as[Long]
       .mapPartitions(_.map(id => (id, jpegProgressiveEncode(id))))
       .toDF("doc_id", "media")
@@ -2876,8 +2871,7 @@ object Multimodal {
   /** The synthesized progressive-color corpus. */
   def jpegProgressiveColorTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id"))
+    spread(table(spark, dir, "documents").select(col("doc_id")))
       .as[Long]
       .mapPartitions(_.map(id => (id, jpegProgressiveColorEncode(id))))
       .toDF("doc_id", "media")
@@ -3056,8 +3050,7 @@ object Multimodal {
     */
   def y4mTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id"))
+    spread(table(spark, dir, "documents").select(col("doc_id")))
       .as[Long]
       .mapPartitions(_.map(id => (id, y4mEncode(id))))
       .toDF("doc_id", "media")
@@ -3355,8 +3348,7 @@ object Multimodal {
   /** The synthesized ADPCM corpus: (doc_id, media) with real 0x0011 payloads. */
   def adpcmTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id"))
+    spread(table(spark, dir, "documents").select(col("doc_id")))
       .as[Long]
       .mapPartitions(_.map(id => (id, adpcmEncode(id))))
       .toDF("doc_id", "media")

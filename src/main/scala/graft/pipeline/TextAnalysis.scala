@@ -1580,12 +1580,19 @@ object TextAnalysis {
     * a few KB per group instead of the distinct-word sets themselves; the
     * ≤5% relative-error bound vs exact is asserted in PipelineSuite.
     */
-  def cardinalityApprox(spark: SparkSession, dir: String): DataFrame =
+  def cardinalityApprox(spark: SparkSession, dir: String): DataFrame = {
+    // graft_approx_ndv == approx_count_distinct bit-for-bit (same HLL++
+    // helper; ApproxNdvSuite) with a single binary buffer per group
+    // instead of 683 Long buffer attributes at rsd 0.02 — the q166
+    // finding applied to the grouped form (OPTIMIZATION_r17.md).
+    graft.functions.GraftFunctions.register(spark)
     table(spark, dir, "documents")
       .select(col("source"), explode(Shingles.tokens(col("text"))).as("w"))
       .groupBy(col("source"))
-      .agg(approx_count_distinct(col("w"), 0.02).as("approx_distinct_words"))
+      .agg(graft.functions.GraftFunctions.approxNdv(col("w"), 0.02)
+        .as("approx_distinct_words"))
       .orderBy(col("source"))
+  }
 
   /** L5 — MERGEABLE cardinality sketches (Datasketches HLL): per-source
     * sketches built with `hll_sketch_agg`, then re-aggregated with

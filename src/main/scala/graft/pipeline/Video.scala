@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.rel.Queries.table
+import graft.rel.Queries.{spread, table}
 
 /** GVC — an entropy-coded, MOTION-COMPENSATED video codec, the layer the
   * reference corpus stack never reaches (its media handling stops at
@@ -1126,8 +1126,7 @@ object Video {
     */
   def gvcTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id"))
+    spread(table(spark, dir, "documents").select(col("doc_id")))
       .as[Long]
       .mapPartitions(_.map(id => (id, gvcEncode(id))))
       .toDF("doc_id", "media")
@@ -1218,8 +1217,7 @@ object Video {
     */
   def gvcBTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id"))
+    spread(table(spark, dir, "documents").select(col("doc_id")))
       .as[Long]
       .mapPartitions(_.map(id => (id, gvcBEncode(id))))
       .toDF("doc_id", "media")

@@ -628,11 +628,20 @@ object Queries {
     * and PlanSuite pins the Expand-free single-pass plan.
     */
   def q166TableStatsApprox(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        approx_count_distinct(col(c), 0.01).as(s"${c}_ndv"), // rsd 1%: stats-grade NDV
+        // rsd 1% (stats-grade NDV) via graft_approx_ndv: bit-identical
+        // estimates to approx_count_distinct (same HLL++ helper, hash,
+        // and bias correction — ApproxNdvSuite pins equality) but with a
+        // single binary aggregation buffer instead of 2 731 Long buffer
+        // attributes per sketch; the 3-sketch q166 row otherwise carried
+        // an 8 000+-field agg buffer through update/exchange/merge
+        // (measured: ~0.95 s per 150 k-row pass PER SKETCH, with 60–290 s
+        // outliers under memory pressure — see OPTIMIZATION_r17.md)
+        graft.functions.GraftFunctions.approxNdv(col(c), 0.01).as(s"${c}_ndv"),
         min(col(c)).cast("double").as(s"${c}_min"),
         max(col(c)).cast("double").as(s"${c}_max"))
     }

@@ -200,8 +200,19 @@ object Bench {
             case _ => None
           }
           val j = jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
+          // the prior must come from a like-for-like run: same sf AND same
+          // core count (r17: the driver's 8-core scaling run clobbered the
+          // 32-core detail, and an 8-core prior would poison the 32-core
+          // suspect/min-of-medians logic — the suite runs FASTER at 8
+          // cores, so every 32-core median would read as inflated). A
+          // detail file without a "cpus" field (pre-r18) is accepted as
+          // matching, preserving continuity with the committed baseline.
+          val cpusOk = (j \ "cpus") match {
+            case JNothing => true
+            case v => num(v).contains(cpus.toDouble)
+          }
           (j \ "sf") match {
-            case JString(s) if s == sfDir =>
+            case JString(s) if s == sfDir && cpusOk =>
               (j \ "detail") match {
                 case JObject(fields) =>
                   fields.flatMap { case (name, det) =>
@@ -224,23 +235,30 @@ object Bench {
         ",\"suspect\":" + suspect(q.name, med) + "}"
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"iters":$iters,"detail":$runsJson,"errors":$errs,"prior":$priorJson,"sf":"$sfDir"}"""
+      s"""{"iters":$iters,"cpus":$cpus,"detail":$runsJson,"errors":$errs,"prior":$priorJson,"sf":"$sfDir"}"""
     // Subset runs get their own artifact: a profiling invocation must never
     // clobber the full-suite BENCH_DETAIL.json the headline numbers cite.
-    val detailName = only match {
+    // Full-suite runs ALSO write a cpu-suffixed copy (r18): the driver's
+    // scaling pass re-runs the bench at a lower core count in the same
+    // directory, and in r17 that c8 run overwrote BENCH_DETAIL.json and
+    // destroyed the only 32-core per-query record. Each core count now
+    // keeps its own surviving artifact alongside the plain name.
+    val detailNames = only match {
       case Some(prefixes) =>
         val tag = prefixes.toSeq.sorted.mkString("-").filter(c => c.isLetterOrDigit || c == '-' || c == '_').take(60)
-        s"BENCH_DETAIL_$tag.json"
-      case None => "BENCH_DETAIL.json"
+        Seq(s"BENCH_DETAIL_$tag.json")
+      case None => Seq("BENCH_DETAIL.json", s"BENCH_DETAIL_c$cpus.json")
     }
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(detailName),
-      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch {
-      // stderr, not stdout: a warning on stdout would compete with the
-      // size-capped tail window the driver parses the metric line from
-      case e: Throwable =>
-        System.err.println(s"WARN: $detailName write failed: ${e.getMessage}")
+    detailNames.foreach { detailName =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(detailName),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch {
+        // stderr, not stdout: a warning on stdout would compete with the
+        // size-capped tail window the driver parses the metric line from
+        case e: Throwable =>
+          System.err.println(s"WARN: $detailName write failed: ${e.getMessage}")
+      }
     }
     // The per-run detail goes to the detail file ONLY — never stdout.
     // r5 evidence (BENCH_r05.json "parsed": null, tail sitting wholly INSIDE
@@ -252,19 +270,35 @@ object Bench {
     // epilogue, so degrade per-query precision before ever busting it.
     // ONE format string for every fallback tier: only the queries payload
     // varies, so a future field can't silently diverge between tiers
-    def metricLine(queriesPayload: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$queriesPayload,"iters":$iters,"failed":$nFail,"rejected":$nRejected,"suspect":$nSuspect,"value_minmed":${fmt(totalMinMed)},"sf":"$sfDir"}"""
+    def metricLine(queriesPayload: String, extra: String = ""): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$queriesPayload,$extra"iters":$iters,"failed":$nFail,"rejected":$nRejected,"suspect":$nSuspect,"value_minmed":${fmt(totalMinMed)},"sf":"$sfDir"}"""
     val line2 = metricLine(qsLine(2))
     val line1 = metricLine(qsLine(1))
+    // deciseconds tier (r18, VERDICT r17 "what's wrong" #1): at 209 queries
+    // even the 1-decimal seconds line (2 128 chars) busts the 1 850-char
+    // tail budget, so r16/r17 elided the whole per-query map and the
+    // driver's PERF ran blind two rounds straight. Integer DECISECONDS
+    // drop the decimal point from every value ("4.3" -> "43", "0.5" ->
+    // "5"): ~1 600 chars at 209 queries — per-query data survives, and the
+    // explicit "qunit":"ds" marker tells any consumer the scale. Same
+    // medians, same rounding mode, coarser printed precision only.
+    val lineDs = metricLine(
+      results.map { case (q, med) =>
+        "\"" + short(q.name) + "\":" + (if (q.err.isEmpty)
+          BigDecimal(med * 10).setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt.toString
+        else "-1")
+      }.mkString("{", ",", "}"),
+      extra = "\"qunit\":\"ds\",")
     // last-ditch fallback: drop the per-query map entirely rather than let
     // the metric line bust the tail window (the suite has grown past what
-    // 1-decimal precision can fit) — and say so loudly on stderr
+    // integer-decisecond precision can fit) — and say so loudly on stderr
     val finalLine =
       if (line2.length <= 1850) line2
       else if (line1.length <= 1850) line1
+      else if (lineDs.length <= 1850) lineDs
       else {
         System.err.println(
-          s"WARN: metric line exceeds tail budget even at 1 decimal (${line1.length} chars); eliding per-query map")
+          s"WARN: metric line exceeds tail budget even at integer deciseconds (${lineDs.length} chars); eliding per-query map")
         metricLine("{}")
       }
     println(finalLine)

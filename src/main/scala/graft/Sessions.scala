@@ -45,16 +45,13 @@ object Sessions {
       // (generated classes are small) and irrelevant beside a 32g heap.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
-      // r17: Spark 4.1 writes + verifies a checksum SIDECAR for every
-      // streaming-checkpoint file by default — for this engine's bounded
-      // drains the checkpoints are ephemeral (fresh dir per invocation,
-      // never recovered across process loss), so the sidecars are pure
-      // per-micro-batch overhead (offset/commit logs + 8 partitions ×
-      // up-to-4 state stores per batch, each write doubled). A long-lived
-      // production checkpoint that must survive storage corruption can
-      // re-enable via env.
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+      // r17 set spark.sql.streaming.checkpoint.fileChecksum.enabled=false
+      // HERE, process-wide — r18 (VERDICT r17 #7) moved that polarity to
+      // the checkpoint-creation sites (graft.streaming.Events.drainSession):
+      // ephemeral per-invocation drain checkpoints run without the Spark
+      // 4.1 checksum sidecars, while this factory keeps Spark's default
+      // (checksums ON), so a durable checkpoint built on it never silently
+      // loses corruption detection.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

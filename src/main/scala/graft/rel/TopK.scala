@@ -105,14 +105,25 @@ object TopK {
     */
   class BottomKDistinctAgg[V](k: Int)(implicit rawOrd: Ordering[V], tt: TypeTag[V])
       extends Aggregator[V, Seq[V], Seq[V]] {
+    // reduce peeks at buf.last, which a non-positive k would NPE on the
+    // first over-capacity check; fail at construction, not mid-job
+    require(k > 0, s"BottomKDistinctAgg needs k > 0, got $k")
     private val ord = oracleConsistent(rawOrd)
     override def zero: Seq[V] = Nil
     override def reduce(buf: Seq[V], v: V): Seq[V] =
       if (buf.lengthCompare(k) >= 0 && ord.gteq(v, buf.last)) buf
       else if (buf.exists(ord.equiv(_, v))) buf
       else ((buf :+ v).sorted(ord)).take(k)
+    // dedup by adjacent ord.equiv after the sort, NOT Seq.distinct: reduce
+    // dedups with ord.equiv, and for an Ordering where equiv != equals
+    // (universal equality) the two phases would disagree on what counts as
+    // a duplicate. Equiv-equal values are adjacent once sorted by ord.
     override def merge(a: Seq[V], b: Seq[V]): Seq[V] =
-      (a ++ b).sorted(ord).distinct.take(k)
+      (a ++ b).sorted(ord)
+        .foldLeft(List.empty[V]) { (acc, v) =>
+          if (acc.nonEmpty && ord.equiv(acc.head, v)) acc else v :: acc
+        }
+        .reverse.take(k)
     override def finish(buf: Seq[V]): Seq[V] = buf
     override def bufferEncoder: Encoder[Seq[V]] = ExpressionEncoder[Seq[V]]()
     override def outputEncoder: Encoder[Seq[V]] = ExpressionEncoder[Seq[V]]()

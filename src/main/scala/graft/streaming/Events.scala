@@ -96,13 +96,66 @@ object Events {
     * immutable and independent of any later invocation (the r7 fixed-name
     * views silently re-read the NEWEST run's data after replacement).
     */
+  /** Fresh child session configured for a streaming drain: shuffle
+    * partitions lowered to [[StreamStatePartitions]] (state stores track
+    * shuffle partitions), and — for EPHEMERAL checkpoints only —
+    * Spark 4.1's per-checkpoint-file checksum sidecars off. r18 (VERDICT
+    * r17 #7): r17 disabled the sidecars PROCESS-WIDE in `Sessions.local`,
+    * which would silently strip corruption detection from any future
+    * durable checkpoint built on that factory; the polarity now lives at
+    * the checkpoint-creation site, per checkpoint KIND. `durableCheckpoint
+    * = true` (the q88 restart-recovery path, whose checkpoint is
+    * deliberately resumed by a second execution) keeps Spark's default
+    * checksums; everything else here uses a fresh per-invocation
+    * checkpoint that is never recovered after process loss, so the
+    * sidecars are pure per-micro-batch file-op overhead.
+    * `SPARK_GRAFT_CKPT_CHECKSUM=true` re-enables them even for drains.
+    */
+  private def drainSession(
+      spark: SparkSession, durableCheckpoint: Boolean = false): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    if (!durableCheckpoint)
+      ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+    // r18, measured first (thread-dump sampling during a q87 drain loop):
+    // the default FileContext-based checkpoint manager's atomic rename
+    // calls Hadoop's RawLocalFileSystem.getFileLinkStatus on EVERY
+    // rename, and without the native hadoop library that path SHELLS OUT
+    // (fork+exec of `readlink` via o.a.h.util.Shell) once per checkpoint
+    // file — ~7% of all task-thread samples sat in ProcessImpl.forkAndExec
+    // under HDFSBackedStateStoreProvider.finalizeDeltaFile, and the
+    // FileContext path additionally stacks ChecksumFs, doubling every
+    // write/rename with a .crc sidecar. A stream-stream-join batch commits
+    // 32 store deltas + offset/commit log entries, so each micro-batch
+    // paid dozens of JVM forks. The FileSystem-based manager performs the
+    // same create-temp/rename protocol through RawLocalFileSystem.rename
+    // (plain POSIX renameTo — atomic on a local filesystem, no shell-out).
+    // On a real cluster checkpoints live on HDFS/object stores where the
+    // default manager is the right choice — hence env-overridable, and
+    // only set for these local-checkpoint drains, never process-wide.
+    ss.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      sys.env.getOrElse("SPARK_GRAFT_CKPT_FM",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager"))
+    ss
+  }
+
+  /** Per-micro-batch progress dump for guide-§1 measurement: set
+    * `SPARK_GRAFT_DRAIN_PROBE=1` and every drain prints each micro-batch's
+    * `StreamingQueryProgress` JSON (durationMs breakdown: triggerExecution,
+    * addBatch, queryPlanning, walCommit, commitOffsets, state-store
+    * metrics) to stderr. Zero cost when unset.
+    */
+  private def probeProgress(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (sys.env.contains("SPARK_GRAFT_DRAIN_PROBE"))
+      q.recentProgress.foreach(p => System.err.println("DRAINPROGRESS " + p.json))
+
   private def drainToLocal(
       spark: SparkSession,
       name: String,
       build: SparkSession => DataFrame,
       outputMode: String)(finish: DataFrame => DataFrame): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val ss = drainSession(spark)
     // ephemeral drain: no failure recovery ever replays old batches, so
     // don't have the state store retain its default 100 in-memory
     // versions per partition (the transient half of the q132 repeat-run
@@ -129,6 +182,7 @@ object Events {
     // finally, not a tail call.
     try {
       q.awaitTermination()
+      probeProgress(q)
       val result = finish(ss.table(name))
       val rows = result.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
@@ -860,8 +914,9 @@ object Events {
       java.nio.file.Files.setLastModifiedTime(dst, java.nio.file.Files.getLastModifiedTime(p))
     }
     def drainRun(): Unit = {
-      val ss = spark.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+      // durableCheckpoint: this is the ONE checkpoint a second execution
+      // deliberately recovers, so it keeps Spark's default checksums
+      val ss = drainSession(spark, durableCheckpoint = true)
       val q = tumblingStream(readStagedEventStream(ss, dir, src.toString))
         .writeStream
         .format("parquet")
@@ -871,6 +926,7 @@ object Events {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      probeProgress(q)
     }
     all.take(2).foreach(reveal)
     drainRun() // run 1: partial data, open windows left in state
@@ -1007,8 +1063,7 @@ object Events {
     * second run: the source offsets are already committed).
     */
   def streamSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val ss = drainSession(spark)
     val root = java.nio.file.Files.createTempDirectory("graft-stream-sink-")
     val q = readEventStream(ss, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -1020,6 +1075,7 @@ object Events {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    probeProgress(q)
     // read back on the CALLER's session: only files the sink's commit
     // log recorded are visible to this read (the _spark_metadata log)
     // no arithmetic — a pure identity gate (parquet round-trips doubles
@@ -1158,8 +1214,7 @@ object Events {
     * root (CURRENT = version 3 after the drain).
     */
   private def runMergeSinkDrain(spark: SparkSession, dir: String): String = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val ss = drainSession(spark)
     val root = java.nio.file.Files.createTempDirectory("graft-merge-sink-").toString
     Snapshot.init(s"$root/snap",
       graft.rel.Queries.mergeBase(ss, dir)
@@ -1189,6 +1244,7 @@ object Events {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    probeProgress(q)
     s"$root/snap"
   }
 
@@ -1299,8 +1355,7 @@ object Events {
     * the same drain.
     */
   def streamCdfRefreshFinal(spark: SparkSession, dir: String): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val ss = drainSession(spark)
     val (base, appends, dv) = graft.rel.Queries.morUpsertState(ss, dir)
     val viewRoot = runCdfRefreshDrain(ss, base, appends, dv, Seq(1L, 2L))
     val last = latestViewVersion(viewRoot)
@@ -1394,6 +1449,7 @@ object Events {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    probeProgress(q)
     s"$root/view"
   }
 
@@ -1423,17 +1479,24 @@ object Events {
   private val feedStageCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
   private def stagedFeedDir(kind: String, dir: String)(build: String => Unit): String =
-    feedStageCache.computeIfAbsent(
+    feedStageCache.compute(
       (kind, dir),
-      { _ =>
-        val root = java.nio.file.Files.createTempDirectory(s"graft-$kind-feed-").toString
-        build(root)
-        root
+      { (_, cached) =>
+        // re-validate the cached path (r18, ADVICE r17): /tmp pruning or
+        // an external cleanup can delete a staged dir while the JVM
+        // lives, and serving the dead path would fail every later drain
+        // with a missing-input error instead of restaging once
+        if (cached != null && java.nio.file.Files.isDirectory(java.nio.file.Paths.get(cached)))
+          cached
+        else {
+          val root = java.nio.file.Files.createTempDirectory(s"graft-$kind-feed-").toString
+          build(root)
+          root
+        }
       })
 
   def streamAsOfEnrichFinal(spark: SparkSession, dir: String): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val ss = drainSession(spark)
     val root = java.nio.file.Files.createTempDirectory("graft-asof-stream-").toString
     val ev = graft.rel.Queries.events(ss, dir)
     // three single-file micro-batches split by event_id mod 3 — the
@@ -1474,6 +1537,7 @@ object Events {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    probeProgress(q)
     spark.read.parquet(s"$root/out")
       .withColumnRenamed("__asof_time", "err_ts")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
@@ -1494,8 +1558,7 @@ object Events {
     * broadcast once per batch, and the probe side needs ZERO Exchange.
     */
   def streamResampleFfillFinal(spark: SparkSession, dir: String): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val ss = drainSession(spark)
     val root = java.nio.file.Files.createTempDirectory("graft-resample-stream-").toString
     val e = graft.rel.Queries.events(ss, dir).filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("value"))
@@ -1530,6 +1593,7 @@ object Events {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    probeProgress(q)
     spark.read.parquet(s"$root/out")
       .withColumnRenamed("__asof_time", "obs_ts")
       .withColumnRenamed("ts", "h")
@@ -1564,8 +1628,7 @@ object Events {
     * inspect the sidecar/append batch tags and base byte-identity.
     */
   private[graft] def runMorUpsertDrain(spark: SparkSession, dir: String): String = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val ss = drainSession(spark)
     val root = java.nio.file.Files.createTempDirectory("graft-mor-sink-").toString
     val ev = graft.rel.Queries.events(ss, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -1612,6 +1675,7 @@ object Events {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    probeProgress(q)
     root
   }
 
@@ -1763,8 +1827,7 @@ object Events {
     * `sbt test`.
     */
   def rateIngestGate(spark: SparkSession, dir: String): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val ss = drainSession(spark)
     val name = s"rate_ingest_gate_${rateGateSeq.incrementAndGet()}"
     val src = ss.readStream.format("rate").option("rowsPerSecond", "200").load()
     val agg = src

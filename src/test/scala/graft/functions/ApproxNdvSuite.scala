@@ -39,6 +39,13 @@ class ApproxNdvSuite extends AnyFunSuite {
     check(0.01)
   }
 
+  test("bit-identical at rsd 0.02 (cardinalityApprox's grade)") {
+    // rsd 0.02 selects a different HLL++ register count (numWords) than
+    // either 0.01 or 0.05 — TextAnalysis.cardinalityApprox runs at this
+    // grade, so it gets its own bit-identity pin (ADVICE r17)
+    check(0.02)
+  }
+
   test("bit-identical at rsd 0.05 (the default grade)") {
     check(0.05)
   }

@@ -751,6 +751,12 @@ class PipelineSuite extends AnyFunSuite {
     // merges genuinely chain: some learned symbol is longer than 2 chars,
     // i.e. a later merge consumed an earlier merge's output
     assert(got.exists { case (_, l, r, _) => (l + r).length > 2 })
+    // the BpeVocabCap driver-dict bound is INACTIVE at every test/bench
+    // scale (r18): the whole vocab fits under the cap by orders of
+    // magnitude, so the top-N limit provably kept every row above and the
+    // reference equality check ran against the UNCAPPED dict
+    assert(wordFreq.length < TextAnalysis.BpeVocabCap / 100,
+      s"vocab ${wordFreq.length} too close to BpeVocabCap ${TextAnalysis.BpeVocabCap}")
   }
 
   test("BPE-ish tokenizer: counts match a driver-side regex model") {

@@ -79,4 +79,24 @@ class TopKSuite extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("BottomKDistinctAgg: merge dedups by ord.equiv, not universal equals") {
+    // an Ordering where equiv != equals: compare ints by ABSOLUTE value.
+    // reduce dedups with ord.equiv; before r18, merge used Seq.distinct
+    // (universal equals), so -3 and 3 — equivalent under ord — could both
+    // survive a cross-partition merge and burn two of the k slots.
+    implicit val absOrd: Ordering[Int] = Ordering.by[Int, Int](math.abs)(Ordering.Int)
+    val agg = new TopK.BottomKDistinctAgg[Int](3)
+    val a = agg.reduce(agg.reduce(agg.zero, 3), 7)     // [3, 7]
+    val b = agg.reduce(agg.reduce(agg.zero, -3), 5)    // [-3, 5]
+    val merged = agg.merge(a, b)
+    // abs-equivalent 3/-3 must collapse to ONE slot: bottom-3 distinct
+    // by abs is {3-or-minus-3, 5, 7}, not {-3, 3, 5}
+    assert(merged.map(math.abs) == Seq(3, 5, 7), merged.toString)
+
+    // k <= 0 is a construction-time error, not a mid-job NPE
+    intercept[IllegalArgumentException] {
+      new TopK.BottomKDistinctAgg[Int](0)
+    }
+  }
 }

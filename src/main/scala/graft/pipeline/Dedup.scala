@@ -1483,10 +1483,11 @@ object Dedup {
     * their weights should not double-count it), and the source-level
     * rollup of the doc-level contamination the q16 family measures.
     *
-    * Shape at 100 TB: one distinct-aggregation to (source, shingle) —
-    * token-scale, the same volume every shingle pass moves; per-source
-    * set sizes fall out of a source-keyed count; the pair expansion is
-    * keyed on the shingle with fan-out bounded by |sources|²/2 per
+    * Shape at 100 TB: ONE shingle-keyed aggregation — token-scale, the
+    * same volume every shingle pass moves, with collect_set deduping
+    * in-buffer (no separate distinct pass); per-source set sizes ride
+    * along as the diagonal of the pair-count table; the pair expansion
+    * is keyed on the shingle with fan-out bounded by |sources|²/2 per
     * shingle — sources are a bounded DIMENSION (tens to thousands), not
     * data-scale, so the matrix never explodes the way doc-level pairing
     * can. Output is the |sources|² upper triangle.
@@ -1494,29 +1495,43 @@ object Dedup {
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val src = table(spark, dir, "documents").select(col("doc_id"), col("source"))
     import spark.implicits._
-    val srcSh = docShingles(spark, dir)
+    // r18 (guide §1.2 remove passes, §2.4 remove shuffles): the r17 shape
+    // materialized DISTINCT (source, shingle) and fed it to TWO consumers
+    // (per-source sizes + the pair expansion), so the token-scale
+    // explode→join→distinct subtree EXECUTED TWICE and paid three
+    // corpus-scale exchanges. Now one token-scale aggregation computes
+    // each shingle's source set (collect_set dedups, so the distinct()
+    // exchange is gone outright), and the expansion emits the (a, a)
+    // SELF-pair per member next to the a < b cross pairs: in the same
+    // bounded (≤ |sources|²) count table the diagonal IS the per-source
+    // distinct-shingle count (each shingle contributes exactly one
+    // (a, a) per holding source), so `sizes` no longer needs its own
+    // pass. The tiny count table is localCheckpointed — its two
+    // consumers (diagonal, off-diagonal) re-read |sources|² rows, never
+    // the corpus.
+    implicit val utf8: Ordering[String] = graft.rel.TopK.Utf8StringOrdering
+    val counts = docShingles(spark, dir)
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .join(src, "doc_id")
       .select(col("source"), col("g"))
-      .distinct()
-    val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    // per-shingle source set (≤ |sources| — a bounded dimension), then
-    // the same sorted pair-expansion kernel the doc-level flows use:
-    // emits only s1 < s2 pairs and partial-aggregates map-side, where a
-    // self-join would shuffle both sides and discard half the output
-    implicit val utf8: Ordering[String] = graft.rel.TopK.Utf8StringOrdering
-    srcSh
       .groupBy(col("g"))
       .agg(collect_set(col("source")).as("ss"))
-      .filter(size(col("ss")) > 1)
       .select(col("ss"))
       .as[Array[String]]
-      .flatMap(ss => expandPairs(ss.sorted(utf8)) { case (a, b) => (a, b) })
+      .flatMap { raw =>
+        val ss = raw.sorted(utf8)
+        ss.iterator.map(a => (a, a)) ++
+          expandPairs(ss) { case (a, b) => (a, b) }
+      }
       .toDF("s1", "s2")
       .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("source").as("s1"), col("n").as("n1")), "s1")
-      .join(sizes.select(col("source").as("s2"), col("n").as("n2")), "s2")
+      .localCheckpoint()
+    val sizes = counts.filter(col("s1") === col("s2"))
+      .select(col("s1").as("source"), col("common").as("n"))
+    counts.filter(col("s1") =!= col("s2"))
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), "s2")
       .select(
         col("s1"), col("s2"), col("common"),
         round(col("common") / (col("n1") + col("n2") - col("common")), 4).as("jaccard"))

@@ -75,7 +75,7 @@ object TextAnalysis {
     // standing assets of the same kind (built once per corpus, consumed
     // by every scoring run)
     dsirFeatures(spark, dir).count()
-    qcFeatures(spark, dir).count()
+    qcFeatures(spark, dir) // builds, persists and counts the frame
   }
 
   /** Unpersists and forgets every session memo held by this object — the
@@ -93,7 +93,7 @@ object TextAnalysis {
     bigramCache.clear()
     dsirCache.forEach((_, df) => df.unpersist())
     dsirCache.clear()
-    qcCache.forEach((_, df) => df.unpersist())
+    qcCache.forEach((_, v) => v._1.unpersist())
     qcCache.clear()
     queryIdCache.clear()
     bigramCountCache.forEach((_, v) => v._1.unpersist())
@@ -1160,9 +1160,9 @@ object TextAnalysis {
     *
     * Scale shape: the log-ratio table is ≤ [[DsirBuckets]] rows no matter
     * the corpus size — broadcast; per-doc scoring is one hashed-feature
-    * pass + one map-side-combined aggregation; the global top-k draw runs
-    * on the k-bounded [[graft.rel.TopK.topKPerGroup]] aggregator (≤ k
-    * rows per partition shuffled — never a global sort). Ranking uses the
+    * pass + one map-side-combined aggregation; the global top-k draw is
+    * a k-bounded ORDER BY + LIMIT (TakeOrderedAndProject: ≤ k rows per
+    * partition reach the driver — never a global sort). Ranking uses the
     * ROUNDED Gumbel key + doc_id (the [[curatedTopK]] tie-safety
     * pattern), absorbing cross-engine FP sum-order jitter.
     */
@@ -1204,13 +1204,23 @@ object TextAnalysis {
       16, 10).cast("long").cast("double") / lit(math.pow(2.0, 48))
     val keyed = logw.withColumn("gkey", round(col("logw") - log(-log(u)), 4))
 
-    val picked = graft.rel.TopK.topKPerGroup(
-      keyed.select(lit(0).as("grp"), col("gkey"), col("doc_id")).as[(Int, Double, Long)],
-      DsirKeep)
-      .select(col("rnk"), col("id").as("doc_id"), col("score").as("gumbel_key"))
-    picked.join(keyed, "doc_id") // k rows joining back for the audit columns
+    // r18 (guide §1.2 — don't compute things twice): the r17 shape ran
+    // topKPerGroup on (gkey, doc_id) and then JOINED the k winners back
+    // to `keyed` for the audit columns — re-executing the whole
+    // counts→lambda→logw subtree a second time (the two ~4-stage groups
+    // in the warm profile). orderBy(gkey desc, doc_id).limit(k) is the
+    // same k-bounded shape (TakeOrderedAndProject keeps k rows per
+    // partition, merges k on the driver — never a global sort) but
+    // carries logw/n_feat through, so the subtree runs ONCE. Ranking
+    // (gkey desc, doc_id asc) is exactly topKPerGroup's total order and
+    // the row_number over the k survivors reproduces rnk 1..k.
+    keyed
+      .orderBy(col("gkey").desc, col("doc_id"))
+      .limit(DsirKeep)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("gkey").desc, col("doc_id"))))
       .select(
-        col("rnk"), col("doc_id"), col("gumbel_key"),
+        col("rnk"), col("doc_id"), col("gkey").as("gumbel_key"),
         round(col("logw"), 4).as("dsir_logw"), col("n_feat"))
       .orderBy(col("rnk"))
   }
@@ -1224,15 +1234,25 @@ object TextAnalysis {
   val QcIters = 50
   val QcLr = 0.5
 
+  /** Rows per task for the [[trainLogReg]] gradient rounds — the point
+    * where a round's per-task arithmetic (a few flops × QcDim per row)
+    * stops being dwarfed by task scheduling. Sizes the loop's coalesce;
+    * see [[qualityClassifier]].
+    */
+  val QcRowsPerTask = 65536L
+
   private val qcCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Long)]()
 
   /** (doc_id, y, x) — weak label (1.0 for [[Dedup.BenchSource]] docs) and
     * the feature vector [1, ln(1+tokens), stopword ratio, punct ratio,
-    * type-token ratio]. Persisted + memoized: the training loop reads it
-    * [[QcIters]] times and scoring once more; 5 doubles per doc.
+    * type-token ratio] — plus the frame's ROW COUNT, taken while the
+    * persist materializes (the count is what sizes the training loop's
+    * partitioning; caching it here keeps the loop itself job-free).
+    * Persisted + memoized: the training loop reads it [[QcIters]] times
+    * and scoring once more; 5 doubles per doc.
     */
-  private def qcFeatures(spark: SparkSession, dir: String): DataFrame =
+  private def qcFeatures(spark: SparkSession, dir: String): (DataFrame, Long) =
     qcCache.computeIfAbsent(
       (spark, dir),
       { case (s, d) =>
@@ -1243,13 +1263,14 @@ object TextAnalysis {
         val punctRatio = length(regexp_replace(col("text"), "[a-z ]", ""))
           .cast("double") / greatest(length(col("text")), lit(1))
         val ttr = size(array_distinct(w)).cast("double") / nTok
-        graft.rel.Queries
+        val df = graft.rel.Queries
           .spread(table(s, d, "documents"))
           .select(
             col("doc_id"),
             (col("source") === Dedup.BenchSource).cast("double").as("y"),
             array(lit(1.0), log(lit(1) + nTok), stopRatio, punctRatio, ttr).as("x"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (df, df.count())
       })
 
   /** L4 — WEAK-SUPERVISION quality classifier, the CCNet/GPT-3 data-filter
@@ -1268,9 +1289,21 @@ object TextAnalysis {
     */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = qcFeatures(spark, dir)
+    val (feats, nRows) = qcFeatures(spark, dir)
     val data = feats.select(col("y"), col("x")).as[(Double, Array[Double])]
-    val wv = trainLogReg(data.rdd, spark)
+    // r18 (guide §1.2 per-task work vs fixed cost): the gradient pass is a
+    // few flops per row, so below ~QcRowsPerTask rows/task the QcIters
+    // sequential rounds are pure scheduling overhead — 50 rounds × 32
+    // near-empty tasks measured ~3× the 8-core runtime at sf0.1. Size the
+    // loop's partitioning from the (memoized) row count: ⌈n / rows-per-
+    // task⌉, never more than the input already has — at corpus scale the
+    // clamp keeps every input partition, locally the 500-row table trains
+    // in one task per round. coalesce() only narrows (no shuffle). The
+    // suite's reference-comparison slack covers the partial-sum
+    // FP-order change (PipelineSuite pins scores to 1.1e-4).
+    val parts = math.max(1L,
+      math.min(data.rdd.getNumPartitions.toLong, (nRows + QcRowsPerTask - 1) / QcRowsPerTask))
+    val wv = trainLogReg(data.rdd.coalesce(parts.toInt), spark)
     val bw = spark.sparkContext.broadcast(wv)
     feats
       .select(col("doc_id"), col("y"), col("x"))

@@ -311,17 +311,23 @@ object Queries {
   }
 
   /** [[Skew.saltedJoin]] as a declared query: lineitem (fact) joined to
-    * orders (build) on the order key with 8 salts — the hot-key occupies 8
+    * orders (build) on the order key with 4 salts — the hot-key occupies 4
     * shuffle partitions instead of 1, and row-level results are identical
     * to the plain join, which is exactly what the oracle checks (the
     * aggregation after the join makes the output deterministic).
+    * r18 (guide §2.5 — salting trades `salts`× build-side replication for
+    * hot-key spread, so the salt count should be the SMALLEST spread that
+    * un-melts a task, not a round number): 8 → 4 halves the replicated
+    * build side (the measured cost here: the exploded broadcast build was
+    * most of the query) while still demonstrating multi-way hot-key
+    * spread; results are salt-count-invariant by construction.
     */
   def q52SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val fact = table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     val build = table(spark, dir, "orders")
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    Skew.saltedJoin(fact, build, "l_orderkey", salts = 8)
+    Skew.saltedJoin(fact, build, "l_orderkey", salts = 4)
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("cnt"),
@@ -1040,39 +1046,54 @@ object Queries {
     * EXISTS / NOT EXISTS shape): per supplier, the number of multi-
     * supplier orders on which they shipped > [[LateDays]] past the
     * order date while EVERY other supplier on the order shipped on
-    * time. The two correlated subqueries become set algebra — "exists
-    * another supplier" = per-order distinct-supplier count ≥ 2,
-    * "no other late supplier" = per-order late-supplier count == 1 —
-    * all map-side-partial aggregations and semi-joins; timestamps
-    * compare exactly on both engines.
+    * time. The two correlated subqueries become per-order arithmetic
+    * over ONE lineitem⋈orders pass — "exists another supplier" =
+    * per-order distinct-supplier count ≥ 2, "no other late supplier" =
+    * per-order late-supplier count == 1, and the lone late supplier is
+    * recovered as max(late supplier) of that single-element set;
+    * timestamps compare exactly on both engines.
     */
   def q149LoneLateSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val li = table(spark, dir, "lineitem")
+    // r18 single-pass shape (guide §2.4 — the r17 form scanned lineitem
+    // twice, executed the late-pair subtree twice and paid 8 Exchanges /
+    // 5 scans; plans/r18/q149_lone_late_supplier_{before,after}.txt).
+    // Equivalence: orders.o_orderkey is unique, so after the INNER join
+    // every (l_orderkey, l_suppkey) pair of an order that exists in
+    // `orders` survives exactly with its lineitem multiplicity, and an
+    // order absent from `orders` can never produce a late pair — hence
+    //   per-pair  is_late  = ANY lineitem of the pair shipped late
+    //                      ⟺ pair ∈ old `late`,
+    //   per-order ns       = count(pairs)        ⟺ old multiSupp count,
+    //   per-order nl       = count(late pairs)   ⟺ old lateCnt,
+    //   lone (the unique late supplier when nl=1) = old late.l_suppkey,
+    // so grouping the ns≥2 ∧ nl=1 orders by `lone` reproduces numwait
+    // row for row. Both groupBys cluster on a superset of {l_orderkey}:
+    // under a sort-merge join (the 100 TB shape) the join's own
+    // hashpartitioning(l_orderkey) satisfies both and NO further
+    // exchange is planned; under the local broadcast join the two
+    // narrow (long, long, bool) pair-scale exchanges replace the old
+    // plan's four wider ones.
+    val joined = table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-    val late = li
       .join(
         table(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .distinct()
-    val multiSupp = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .select(
+        col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("is_late"))
+    joined
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("is_late")).as("is_late"))
       .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("ns"))
-      .filter(col("ns") >= 2)
-      .select(col("l_orderkey"))
-    val lateCnt = late
-      .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("nl"))
-      .filter(col("nl") === 1)
-      .select(col("l_orderkey"))
-    late
-      .join(multiSupp, "l_orderkey", "left_semi")
-      .join(lateCnt, "l_orderkey", "left_semi")
-      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("ns"),
+        sum(when(col("is_late"), 1L).otherwise(0L)).as("nl"),
+        max(when(col("is_late"), col("l_suppkey"))).as("lone"))
+      .filter(col("ns") >= 2 && col("nl") === 1)
+      .groupBy(col("lone"))
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(table(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
-        col("l_suppkey") === col("s_suppkey"))
+        col("lone") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_suppkey"))
   }
